@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+entry()      — flagship query smoke check on sf0.001
+queries()    — name → (spark, sf_dir) -> DataFrame, one per operator
+oracle_sql() — name → equivalent duckdb SQL (omitted for the few
+               non-SQL-expressible approximate ops → rows-only check)
 
+Implementation lives in chillastic_spark/ (see SURVEY.md §7).
+"""
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _tuned(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from chillastic_spark.session import tune_session
+
+        return fn(tune_session(spark), sf_dir)
+
+    return wrapped
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from chillastic_spark.queries.relational import q1_pricing_summary
+    from chillastic_spark.session import tune_session
+
+    return q1_pricing_summary(tune_session(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from chillastic_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _tuned(q.fn) for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from chillastic_spark.queries import all_queries
+
+    return {name: q.sql for name, q in all_queries().items() if q.sql is not None}

@@ -1,0 +1,104 @@
+"""Scalar function library — the mutator "standard library".
+
+The reference exposes moment+lodash inside user mutators (SURVEY §2.8,
+reference README.md:172); observed usages map to Spark built-ins, which
+we wrap here so mutator authors get one import. Everything stays
+JVM-side (whole-stage codegen) — no Python UDFs in this module.
+
+A key primitive is :func:`hash60`, a deterministic 60-bit hash built
+from md5 that is *reproducible in ANSI SQL* (DuckDB oracle:
+``('0x' || substr(md5(x), 1, 15))::BIGINT``). MinHash / SimHash /
+fingerprinting all derive from it so correctness is oracle-checkable.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- hashing
+
+
+def hash60(col: Column | str) -> Column:
+    """Deterministic 60-bit non-negative hash of a string column.
+
+    md5 → first 15 hex digits → bigint. Slower than xxhash64 but exactly
+    reproducible in any SQL engine (the duckdb oracle uses the same
+    construction), which is what makes the dedup operators verifiable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def seeded_hash60(col: Column | str, seed: int) -> Column:
+    """hash60 of ``value || '#' || seed`` — one permutation per seed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return hash60(F.concat(c, F.lit(f"#{seed}")))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalised lowercase text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+# ---------------------------------------------------------------- text
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenisation (trimmed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Distinct word n-gram shingles of a text column, space-joined.
+
+    Pure column expression: words → sliding slices → concat_ws.
+    """
+    w = words(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    # sequence(1, k) DESCENDS when k < 1, so guard short docs explicitly
+    return F.array_distinct(
+        F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# ------------------------------------------------------------- vectors
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns, JVM-side fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+# ------------------------------------------------- reference-observed (§2.8)
+# moment/lodash usages in reference mutators → Spark equivalents. These
+# thin aliases document the mapping and give mutator authors one namespace.
+
+regexp_test = F.rlike  # OLD_DATE_REGEX.test(doc._index)  (indexDate.js:20)
+regexp_replace = F.regexp_replace  # .replace(...)        (indexDate.js:33)
+date_format = F.date_format  # moment(...).format(...)    (indexDate.js:30-31)
+to_date = F.to_date  # moment(str, fmt)                   (indexDate.js:29)
+format_number = F.format_number  # price.toFixed(2)       (intPrice.js:17)
+array_map = F.transform  # _.map(products, ...)           (intPrice.js:15)
+has_field = lambda c: F.col(c).isNotNull()  # noqa: E731  _.has(doc, f)
+to_json = F.to_json  # JSON.stringify                     (subtask.js:24)
+from_json = F.from_json  # JSON.parse                     (subtasks.js:507)

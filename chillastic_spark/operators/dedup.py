@@ -1,0 +1,302 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine near-dup.
+
+Design notes for 100 TB scale
+-----------------------------
+* Never cross-join the corpus. Pair generation is always an
+  *inverted-index equi-join* (explode shingles / LSH band buckets /
+  simhash chunks → shuffle on the bucket key → join within bucket).
+  Catalyst turns these into ordinary shuffled hash joins; AQE splits
+  skewed buckets (a hot shingle) at runtime.
+* All hashing is the md5-derived 60-bit hash from
+  ``chillastic_spark.functions.hash60`` so every operator has an exact
+  ANSI-SQL oracle (see chillastic_spark/queries/documents.py).
+* Shingling/minhashing are pure column expressions — no Python UDFs.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chillastic_spark import functions as CF
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by content fingerprint.
+
+    Returns one row per duplicated fingerprint:
+    (fingerprint, n_dups, keeper) — keeper = min id, the row to retain.
+    Single hash-shuffle on the fingerprint; map-side partial agg applies.
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), CF.fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min id) per distinct content fingerprint."""
+    w = df.withColumn("__fp", CF.fingerprint(text_col))
+    keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, [ "__fp", id_col], "left_semi").drop("__fp")
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, gram) exploded distinct word-n-gram shingles."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(CF.word_ngrams(text_col, n)).alias("gram"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.05,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs by word-n-gram Jaccard similarity.
+
+    Inverted-index formulation (NOT a cross join):
+      1. explode distinct shingles → (doc, gram)
+      2. self equi-join on gram (optionally also on partition cols such
+         as lang/source to bound the candidate space) → common counts
+      3. Jaccard = common / (|A| + |B| − common), filter ≥ threshold.
+
+    The only shuffles are the gram-key join and two small aggregations.
+    """
+    keys = list(partition_cols or [])
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(k) for k in keys],
+        F.explode(CF.word_ngrams(text_col, n)).alias("gram"),
+    )
+    sizes = g.groupBy("doc_id", *keys).agg(F.count("*").alias("sz"))
+    a, b = g.alias("a"), g.alias("b")
+    cond = (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    common = (
+        a.join(b, cond)
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- MinHash LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """Long-format MinHash signatures: (doc_id, seed, mh).
+
+    One row per (doc, permutation); mh = min over shingles of the seeded
+    60-bit hash. Explodes shingles×seeds then min-aggregates — map-side
+    partial min keeps the shuffle tiny (num_perm rows per doc).
+    """
+    g = shingles(df, id_col, text_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("seed")
+    hashed = g.select("doc_id", "gram", seeds).withColumn(
+        "h", CF.hash60(F.concat(F.col("gram"), F.lit("#"), F.col("seed")))
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding.
+
+    Signature → ``bands`` bands of ``num_perm/bands`` rows; band key =
+    seed-ordered concatenation of the band's min-hashes. Docs sharing a
+    band bucket become candidates (equi-join on the bucket key), then
+    the estimated Jaccard (fraction of equal signature components) is
+    verified ≥ threshold. Returns (id_a, id_b, est_jaccard).
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("seed"), F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("seed"), F.col("mh").alias("mh_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "seed"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.round(
+                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / F.lit(float(num_perm)), 4
+            ).alias("est_jaccard")
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------ SimHash
+
+SIMHASH_BITS = 60  # fits the 60-bit oracle-reproducible hash
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document over whitespace tokens.
+
+    bit_j(doc) = 1 iff Σ_tokens (±1 by bit j of hash60(token)) > 0.
+    Computed as 60 conditional-sum aggregate expressions over the
+    exploded token table — one shuffle, map-side partial sums.
+    Returns (doc_id, simhash: long).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(CF.words(text_col)).alias("tok")
+    ).withColumn("h", CF.hash60("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 60 bits into ``chunks`` 15-bit chunks; any
+    pair within Hamming ≤ chunks−1 shares ≥1 exact chunk, so candidates
+    come from an equi-join on (chunk_idx, chunk_value) — no cross join.
+    """
+    sh = simhash(df, id_col, text_col)
+    width = SIMHASH_BITS // chunks
+    chunked = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("cv"),
+                )
+                for i in range(chunks)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = sum(
+        F.shiftright(xor, j).bitwiseAND(F.lit(1)) for j in range(SIMHASH_BITS)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs within a blocking group.
+
+    Blocked brute force: equi-join on the blocking column (label / LSH
+    bucket / IVF cell) keeps the pair space linear-ish; the cosine is a
+    JVM-side fold over zip_with (no Python). For unblocked corpora use
+    similarity.random_hyperplane_buckets as the blocking column.
+    """
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        *( [F.col(group_col).alias("grp")] if group_col else []),
+        CF.as_double_array(vec_col).alias("vec"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.vid") < F.col("b.vid")
+    if group_col:
+        cond = (F.col("a.grp") == F.col("b.grp")) & cond
+    pairs = a.join(b, cond).select(
+        F.col("a.vid").alias("id_a"),
+        F.col("b.vid").alias("id_b"),
+        F.round(CF.cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold)

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k (broadcast the query set, fold the
+dot product JVM-side). Scale path: random-hyperplane LSH bucketing —
+probe only matching buckets, turning the O(N·Q) scan into a bucket
+equi-join. Hyperplane components derive from the oracle-reproducible
+60-bit hash so the bucketing itself is deterministic and testable.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chillastic_spark import functions as CF
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbours by cosine for each query vector.
+
+    ``queries`` (small: (query_id, embedding)) is broadcast; the corpus
+    is scanned once. Ranking uses the ROUNDED cosine with id tie-break
+    so results are bit-stable across engines. Returns
+    (query_id, neighbor_id, cos) with k rows per query.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), CF.as_double_array(vec_col).alias("vec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), CF.as_double_array(vec_col).alias("qvec")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(CF.cosine(F.col("vec"), F.col("qvec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+def random_hyperplane_buckets(
+    vec_col: str = "embedding", planes: int = 8, seed: str = "rp"
+) -> F.Column:
+    """LSH bucket id (int) from ``planes`` pseudo-random hyperplanes.
+
+    Plane p's component for dimension d is hash60(f"{seed}:{p}:{d}")
+    mapped to [-1, 1) — deterministic, no state to ship. Bucket bit p =
+    sign of ⟨vec, plane_p⟩.
+    """
+    vec = CF.as_double_array(vec_col)
+    bit_terms = []
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, d: x
+                * (
+                    (
+                        CF.hash60(F.concat(F.lit(f"{seed}:{p}:"), d.cast("string")))
+                        % F.lit(2000001)
+                    ).cast("double")
+                    / F.lit(1000000.0)
+                    - F.lit(1.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit_terms.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bit_terms[0]
+    for t in bit_terms[1:]:
+        bucket = bucket + t
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    At scale this is the IVF pattern: bucket the corpus once (cheap,
+    column expressions only), shuffle on bucket, and each query probes
+    one bucket instead of the full corpus. Recall < 1.0 by design.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        CF.as_double_array(vec_col).alias("vec"),
+        random_hyperplane_buckets(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        CF.as_double_array(vec_col).alias("qvec"),
+        random_hyperplane_buckets(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(CF.cosine(F.col("vec"), F.col("qvec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+def centroids(
+    df: DataFrame, group_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-group centroid, long format (group, dim, centroid).
+
+    posexplode + groupBy(group, dim) — partial avg map-side; at 100 TB
+    this is one shuffle of (groups × dims) rows.
+    """
+    return (
+        df.select(F.col(group_col).alias("grp"), F.posexplode(CF.as_double_array(vec_col)))
+        .groupBy("grp", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("centroid"))
+        .select(F.col("grp").alias(group_col), (F.col("pos") + 1).alias("dim"), "centroid")
+    )

@@ -1,0 +1,220 @@
+"""Training-data pipeline queries on the `documents` table: text
+analysis, dedup family, multimodal metadata plumbing.
+
+Every heuristic here is a pure column expression with an exact ANSI-SQL
+twin; the shared 60-bit md5 hash (functions.hash60) keeps MinHash /
+SimHash oracle-checkable.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chillastic_spark import functions as CF
+from chillastic_spark.operators import dedup as D
+from chillastic_spark.operators import text as T
+from chillastic_spark.queries import Query
+from chillastic_spark.tables import load
+
+_W = r"regexp_split_to_array(trim(text), '\s+')"
+_STOP = {k: "[" + ", ".join(f"'{s}'" for s in v) + "]" for k, v in T.STOPWORDS.items()}
+
+
+# ------------------------------------------------------------ text features
+
+
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return T.with_text_features(d).select(
+        "doc_id", "n_tokens", "quality", "pred_lang", "fingerprint"
+    )
+
+
+_HITS = lambda lang: (  # noqa: E731
+    f"len(list_filter({_W}, x -> list_contains({_STOP[lang]}, x)))"
+)
+
+TEXT_FEATURES_SQL = f"""
+SELECT doc_id,
+  len({_W}) AS n_tokens,
+  round(
+      0.4 * (len(list_distinct({_W})) / CAST(len({_W}) AS DOUBLE))
+    + 0.3 * (least(CAST(len({_W}) AS DOUBLE), 200.0) / 200.0)
+    + 0.2 * (1.0 - greatest({_HITS('en')} / CAST(len({_W}) AS DOUBLE) - 0.5, 0.0) * 2)
+    + 0.1 * (least(greatest((length(regexp_replace(trim(text), '\\s+', '', 'g')) / CAST(len({_W}) AS DOUBLE) - 2) / 6.0, 0.0), 1.0))
+  , 4) AS quality,
+  CASE WHEN {_HITS('en')} >= {_HITS('de')} AND {_HITS('en')} >= {_HITS('fr')} AND {_HITS('en')} > 0 THEN 'en'
+       WHEN {_HITS('de')} >= {_HITS('fr')} AND {_HITS('de')} > 0 THEN 'de'
+       WHEN {_HITS('fr')} > 0 THEN 'fr'
+       ELSE 'und' END AS pred_lang,
+  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------- exact-dup groups
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups on the 8-word prefix fingerprint (boilerplate
+    detection; the corpus has no full-text dups — see operators.dedup
+    for the full-fingerprint variant + tests)."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(CF.words("text"), 1, 8)))
+    return (
+        d.select("doc_id", fp.alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5(array_to_string(list_slice({_W}, 1, 8), ' ')) AS prefix_fp,
+       count(*) AS n_dups, min(doc_id) AS keeper
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ------------------------------------------------------ n-gram Jaccard dups
+
+_GRAMS = (
+    f"list_distinct(list_transform(range(1, greatest(len({_W}) - 2, 0) + 1), "
+    f"i -> array_to_string(list_slice({_W}, i, i + 2), ' ')))"
+)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH g AS (
+  SELECT doc_id, lang, source, unnest({_GRAMS}) AS gram FROM documents
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id
+), c AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       round(common / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM c JOIN sz sa ON c.ia = sa.doc_id JOIN sz sb ON c.ib = sb.doc_id
+WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.5
+"""
+
+
+# ------------------------------------------------------------- MinHash LSH
+
+_NUM_PERM = 16
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, n=3, num_perm=_NUM_PERM, bands=4, threshold=0.25)
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH g AS (
+  SELECT doc_id, unnest({_GRAMS}) AS gram FROM documents
+), hx AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(gram || '#' || seed), 1, 15))::BIGINT) AS mh
+  FROM g, (SELECT unnest(range(0, {_NUM_PERM})) AS seed)
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
+  FROM hx GROUP BY doc_id, band
+), cand AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), est AS (
+  SELECT ia, ib,
+         round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {float(_NUM_PERM)}, 4) AS est_jaccard
+  FROM cand
+  JOIN hx sa ON cand.ia = sa.doc_id
+  JOIN hx sb ON cand.ib = sb.doc_id AND sa.seed = sb.seed
+  GROUP BY ia, ib
+)
+SELECT ia AS id_a, ib AS id_b, est_jaccard FROM est WHERE est_jaccard >= 0.25
+"""
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.simhash(d)
+
+
+def _simhash_sql() -> str:
+    bit_terms = ",\n    ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), b AS (
+  SELECT doc_id,
+    {bit_terms}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {combine} AS simhash FROM b
+"""
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded near-dup pairs — rows-only check (the banded pair
+    join is pinned by the simhash oracle + unit tests instead)."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, max_hamming=3, chunks=4)
+
+
+# -------------------------------------------------------- multimodal plumbing
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction plumbing: byte length + a
+    deterministic fake decode (hash-derived dims). The real decode is a
+    Pandas-UDF stub in operators/multimodal.py; this pins the schema and
+    the hash-based fake used by its tests."""
+    d = load(spark, sf_dir, "documents")
+    h = CF.hash60("text")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        (h % 1280).alias("fake_width"),
+        (h % 720).alias("fake_height"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  ('0x' || substr(md5(text), 1, 15))::BIGINT % 1280 AS fake_width,
+  ('0x' || substr(md5(text), 1, 15))::BIGINT % 720 AS fake_height
+FROM documents
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "text_features": Query(text_features, TEXT_FEATURES_SQL, headline=True),
+    "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, DEDUP_NGRAM_SQL, headline=True),
+    "dedup_minhash_lsh": Query(dedup_minhash_lsh, DEDUP_MINHASH_SQL, headline=True),
+    "dedup_simhash": Query(dedup_simhash, _simhash_sql()),
+    "simhash_pairs": Query(simhash_pairs, None),
+    "multimodal_meta": Query(multimodal_meta, MULTIMODAL_META_SQL),
+}

@@ -1,0 +1,349 @@
+"""Engine-parity queries: each pins one operator from SURVEY §2 on the
+testdata, treating `documents` as the document store (`source` ≈ _index,
+`lang` ≈ _type, `n_chars` ≈ _size) and `events` as the stream table.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chillastic_spark.queries import Query
+from chillastic_spark.tables import load
+
+# ------------------------------------------------- S1/P8: scan + pushdown
+
+
+def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scroll-scan analog (SURVEY S1, transfer.js:103-151): projected,
+    range-bounded read of one slice. Projection + range predicate reach
+    the parquet scan (ReadSchema/PushedFilters)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter((F.col("n_chars") >= 100) & (F.col("n_chars") < 400)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+SCAN_PROJECTION_SQL = """
+SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 100 AND n_chars < 400
+"""
+
+
+# ------------------------------------------------------ A1: count per slice
+
+
+def count_per_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtask count query (SURVEY A1, subtasks.js:97-100): docs per
+    (index,type) slice."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+COUNT_PER_SLICE_SQL = """
+SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang
+"""
+
+
+# -------------------------------------------------------- A2: stats on size
+
+
+def size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """initialBounds stats agg (SURVEY A2, subtasks.js:210-237):
+    min/max/count of the size field per index."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.min("n_chars").alias("min_size"),
+        F.max("n_chars").alias("max_size"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+SIZE_STATS_SQL = """
+SELECT source, min(n_chars) AS min_size, max(n_chars) AS max_size, count(*) AS cnt
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------- A3: 3-bucket histogram
+
+
+def size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calculateBounds 3-bucket range histogram (SURVEY A3,
+    subtasks.js:238-351): doc counts per size range."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 200, F.lit("b0_small"))
+        .when(F.col("n_chars") < 400, F.lit("b1_medium"))
+        .otherwise(F.lit("b2_large"))
+    )
+    return (
+        d.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+SIZE_HISTOGRAM_SQL = """
+SELECT CASE WHEN n_chars < 200 THEN 'b0_small'
+            WHEN n_chars < 400 THEN 'b1_medium'
+            ELSE 'b2_large' END AS bucket,
+       count(*) AS doc_count
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------------- A4: backlog totals
+
+
+def backlog_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tallyCounts (SURVEY A4, subtasks.js:410-428): total backlog =
+    sum of per-slice counts, plus slice count."""
+    d = load(spark, sf_dir, "documents")
+    slices = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    return slices.agg(
+        F.sum("cnt").alias("total_docs"), F.count(F.lit(1)).alias("n_slices")
+    )
+
+
+BACKLOG_TOTALS_SQL = """
+SELECT sum(cnt) AS total_docs, count(*) AS n_slices
+FROM (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang)
+"""
+
+
+# ------------------------------------------------------- O4: resume anti-join
+
+
+def resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unfinished = potential − completed (SURVEY O4,
+    subtasks.js:385-392): potential work (customers) minus completed
+    (those with an urgent order), via left_anti."""
+    c = load(spark, sf_dir, "customer")
+    done = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        done, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+RESUME_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+# -------------------------------------------------------- O5: dedup enqueue
+
+
+def distinct_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-enqueue guard (SURVEY O5, subtasks.js:51-67): distinct
+    subtask keys."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("source", "lang").distinct()
+
+
+DISTINCT_SLICES_SQL = """
+SELECT DISTINCT source, lang FROM documents
+"""
+
+
+# --------------------------------------------------------- O7: backlog union
+
+
+def backlog_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of subtask generators (SURVEY O7, subtasks.js:375-379):
+    index-level work ∪ per-(index,type) document work."""
+    d = load(spark, sf_dir, "documents")
+    idx = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("index").alias("kind"), F.col("source").alias("name"), "cnt"
+    )
+    docs = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("documents").alias("kind"),
+            F.concat_ws("/", "source", "lang").alias("name"),
+            "cnt",
+        )
+    )
+    return idx.unionByName(docs)
+
+
+BACKLOG_UNION_SQL = """
+SELECT 'index' AS kind, source AS name, count(*) AS cnt FROM documents GROUP BY source
+UNION ALL
+SELECT 'documents' AS kind, source || '/' || lang AS name, count(*) AS cnt
+FROM documents GROUP BY source, lang
+"""
+
+
+# ------------------------------------------------- §2.5: window / latest-doc
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version-per-id dedup (SURVEY §2.5): row_number over
+    (partition user order ts desc) = 1."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events) WHERE rk = 1
+"""
+
+
+# ---------------------------------------------- P5: reroute (index renaming)
+
+
+def reroute_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-bucketing index reroute (SURVEY P5, examples/mutators/
+    indexDate.js): _index := 'events_' + yyyy-MM, doc count per target
+    index — the partitioned-write fan-out plan."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("_index", F.concat(F.lit("events_"), F.date_format("ts", "yyyy-MM")))
+        .groupBy("_index")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("_index")
+    )
+
+
+REROUTE_SQL = """
+SELECT 'events_' || strftime(ts, '%Y-%m') AS _index, count(*) AS cnt
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------- P1/P2: mutator chain semantics
+
+
+def mutate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutator-chain fold (SURVEY P1, transfer.js:271-284): mutator 1
+    (predicate lang='en' → rewrite text), mutator 2 (predicate
+    n_chars<100 → drop). Non-matching docs pass through unmutated;
+    null-mutate drops the row. Output fingerprints the mutated doc."""
+    d = load(spark, sf_dir, "documents")
+    mutated = F.when(
+        F.col("lang") == "en", F.regexp_replace(F.col("text"), "spark", "SPARK")
+    ).otherwise(F.col("text"))
+    return (
+        d.filter(~(F.col("n_chars") < 100))
+        .select("doc_id", F.md5(mutated).alias("mutated_fp"))
+    )
+
+
+MUTATE_PIPELINE_SQL = """
+SELECT doc_id,
+  md5(CASE WHEN lang = 'en' THEN regexp_replace(text, 'spark', 'SPARK', 'g') ELSE text END) AS mutated_fp
+FROM documents WHERE NOT (n_chars < 100)
+"""
+
+
+# ---------------------------------------------------- streaming-ish: events
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg (batch twin of the streaming operator in
+    chillastic_spark.streaming): hourly counts + value sums."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+  round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag window + cumulative
+    new-session flags → sessions/events per user."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+GROUP BY user_id
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (§2.8 JSON.parse analog): props.k stats
+    per event_type."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+  round(sum(CAST(json_extract_string(props, '$.k') AS INT))::DOUBLE / count(*), 4) AS avg_k,
+  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "scan_projection": Query(scan_projection, SCAN_PROJECTION_SQL),
+    "count_per_slice": Query(count_per_slice, COUNT_PER_SLICE_SQL),
+    "size_stats": Query(size_stats, SIZE_STATS_SQL),
+    "size_histogram": Query(size_histogram, SIZE_HISTOGRAM_SQL),
+    "backlog_totals": Query(backlog_totals, BACKLOG_TOTALS_SQL),
+    "resume_anti_join": Query(resume_anti_join, RESUME_ANTI_JOIN_SQL),
+    "distinct_slices": Query(distinct_slices, DISTINCT_SLICES_SQL),
+    "backlog_union": Query(backlog_union, BACKLOG_UNION_SQL),
+    "latest_event_per_user": Query(latest_event_per_user, LATEST_EVENT_SQL),
+    "reroute_by_month": Query(reroute_by_month, REROUTE_SQL),
+    "mutate_pipeline": Query(mutate_pipeline, MUTATE_PIPELINE_SQL),
+    "events_hourly": Query(events_hourly, EVENTS_HOURLY_SQL, headline=True),
+    "sessionize": Query(sessionize, SESSIONIZE_SQL, headline=True),
+    "events_json_extract": Query(events_json_extract, EVENTS_JSON_SQL),
+}

@@ -1,0 +1,87 @@
+"""Similarity-search queries over the `embeddings` table."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chillastic_spark.operators import dedup as D
+from chillastic_spark.operators import similarity as S
+from chillastic_spark.queries import Query
+from chillastic_spark.tables import load
+
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors (vec_id<5):
+    broadcast the queries, one corpus scan, JVM-side fold."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(e, q, k=10)
+
+
+SIMILARITY_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round({_COS}, 6) AS cos
+  FROM e a JOIN e b ON b.vec_id < 5 AND a.vec_id != b.vec_id
+)
+SELECT query_id, neighbor_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+"""
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in long format (posexplode + partial avg)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.centroids(e, group_col="label")
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label, dim, round(avg(val), 6) AS centroid FROM (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings)
+GROUP BY label, dim
+"""
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs blocked by label (threshold tuned to the
+    synthetic corpus where max within-label cos ≈ 0.45)."""
+    e = load(spark, sf_dir, "embeddings")
+    return D.embedding_dup_pairs(e, threshold=0.3)
+
+
+EMBEDDING_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 4) AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_COS}, 4) >= 0.3
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane buckets — the 100 TB
+    path (probe one bucket instead of the corpus). Approximate by
+    design → rows-only check; recall is pinned by unit tests."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_topk(e, q, k=10, planes=6)
+
+
+QUERIES: dict[str, Query] = {
+    "similarity_topk": Query(similarity_topk, SIMILARITY_TOPK_SQL, headline=True),
+    "embedding_centroids": Query(embedding_centroids, EMBEDDING_CENTROIDS_SQL),
+    "embedding_dup_pairs": Query(embedding_dup_pairs, EMBEDDING_DUP_SQL),
+    "ann_lsh_topk": Query(ann_lsh_topk, None),
+}

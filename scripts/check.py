@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Local twin of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir; compares row count, column names, and an
+order-insensitive value hash. Exit 1 on any mismatch.
+
+Usage: python scripts/check.py [sf_dir] [query ...]
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from chillastic_spark.session import get_spark
+from chillastic_spark.tables import TABLES
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalise dtypes: everything to string with stable float formatting
+    def norm(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        return str(v)
+
+    rows = sorted(
+        "\x1f".join(norm(v) for v in rec) for rec in df.itertuples(index=False, name=None)
+    )
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        spark_t = time.time() - t0
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only ({len(sdf)} rows, {spark_t:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        elif value_hash(sdf) != value_hash(odf):
+            problems.append("value-hash mismatch")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            # show a small diff aid
+            if "value-hash mismatch" in problems and len(sdf) == len(odf):
+                s = sdf.reindex(sorted(sdf.columns), axis=1).sort_values(
+                    list(sorted(sdf.columns))
+                ).reset_index(drop=True)
+                o = odf.reindex(sorted(odf.columns), axis=1).sort_values(
+                    list(sorted(odf.columns))
+                ).reset_index(drop=True)
+                neq = (s.astype(str) != o.astype(str)).any(axis=1)
+                print("  spark:", s[neq].head(3).to_dict("records"))
+                print("  duck :", o[neq].head(3).to_dict("records"))
+        else:
+            print(f"PASS  {name} ({len(sdf)} rows, {spark_t:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
