@@ -50,12 +50,11 @@ def words(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def word_ngrams(col: Column | str, n: int) -> Column:
-    """Distinct word n-gram shingles of a text column, space-joined.
-
-    Pure column expression: words → sliding slices → concat_ws.
-    """
-    w = words(col)
+def ngrams_of_words(w: Column, n: int) -> Column:
+    """Distinct space-joined n-grams of an ALREADY-MATERIALISED words
+    array column. Callers should project the words array in a separate
+    select first — inlining the split() subtree here makes codegen
+    re-tokenise the text once per gram (O(words²) per doc)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(w, i, n)),
@@ -64,6 +63,16 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     return F.array_distinct(
         F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
     )
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Distinct word n-gram shingles of a text column, space-joined.
+
+    Prefer projecting words() first and calling ngrams_of_words — see
+    its docstring for the codegen pitfall.
+    """
+    w = words(col)
+    return ngrams_of_words(w, n)
 
 
 # ------------------------------------------------------------- vectors

@@ -48,11 +48,29 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---------------------------------------------------------- n-gram Jaccard
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, gram) exploded distinct word-n-gram shingles."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(CF.word_ngrams(text_col, n)).alias("gram"),
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+             extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, gram) exploded distinct word-n-gram shingles.
+
+    Two-step projection: tokenise once into a words column, THEN build
+    grams — keeps codegen from re-splitting the text per gram.
+    """
+    extra = list(extra_cols or [])
+    w = df.select(
+        F.col(id_col).alias("doc_id"), *[F.col(c) for c in extra],
+        CF.words(text_col).alias("__w"),
+    )
+    return w.select(
+        "doc_id", *extra, F.explode(CF.ngrams_of_words(F.col("__w"), n)).alias("gram")
+    )
+
+
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, gh) shingles hashed ONCE to a 60-bit long — the join/minhash
+    currency. One md5 per gram; everything downstream is long
+    arithmetic (cheap shuffles, no string compares)."""
+    return shingles(df, id_col, text_col, n).select(
+        "doc_id", CF.hash60("gram").alias("gh")
     )
 
 
@@ -75,14 +93,12 @@ def ngram_jaccard_pairs(
     The only shuffles are the gram-key join and two small aggregations.
     """
     keys = list(partition_cols or [])
-    g = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(k) for k in keys],
-        F.explode(CF.word_ngrams(text_col, n)).alias("gram"),
-    )
+    g = shingles(df, id_col, text_col, n, extra_cols=keys).withColumn(
+        "gh", CF.hash60("gram")
+    ).drop("gram")
     sizes = g.groupBy("doc_id", *keys).agg(F.count("*").alias("sz"))
     a, b = g.alias("a"), g.alias("b")
-    cond = (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    cond = (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     for k in keys:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     common = (
@@ -106,26 +122,45 @@ def ngram_jaccard_pairs(
 
 # -------------------------------------------------------------- MinHash LSH
 
+# Universal-hash permutation family over the 60-bit gram hash:
+# perm_i(h) = (A_i·(h mod P) + B_i) mod P, P = 2^31 − 1 (prime).
+# 63-bit-safe (A_i, h mod P < 2^31 → product < 2^62) so the identical
+# BIGINT arithmetic runs in the SQL oracle. Constants are fixed so
+# signatures are stable across runs/engines.
+MINHASH_P = 2_147_483_647
 
-def minhash_signatures(
+
+def minhash_perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    out = []
+    for i in range(num_perm):
+        a = ((2 * i + 1) * 2654435761) % MINHASH_P
+        b = (i * 40503 * 65537 + 17) % MINHASH_P
+        assert a != 0
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures_wide(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_perm: int = 16,
 ) -> DataFrame:
-    """Long-format MinHash signatures: (doc_id, seed, mh).
+    """Wide MinHash signatures: (doc_id, mh0..mh{num_perm-1}).
 
-    One row per (doc, permutation); mh = min over shingles of the seeded
-    60-bit hash. Explodes shingles×seeds then min-aggregates — map-side
-    partial min keeps the shuffle tiny (num_perm rows per doc).
+    One md5 per shingle, then ``num_perm`` arithmetic permutations as
+    parallel min-aggregates — a single shuffle with map-side partial
+    min, no seed explosion. This is the 100 TB formulation: shuffle
+    volume = num_perm longs per doc.
     """
-    g = shingles(df, id_col, text_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("seed")
-    hashed = g.select("doc_id", "gram", seeds).withColumn(
-        "h", CF.hash60(F.concat(F.col("gram"), F.lit("#"), F.col("seed")))
-    )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    g = hashed_shingles(df, id_col, text_col, n)
+    hmod = F.col("gh") % MINHASH_P
+    aggs = [
+        F.min((F.lit(a) * hmod + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_perm_constants(num_perm))
+    ]
+    return g.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -139,49 +174,42 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding.
 
-    Signature → ``bands`` bands of ``num_perm/bands`` rows; band key =
-    seed-ordered concatenation of the band's min-hashes. Docs sharing a
-    band bucket become candidates (equi-join on the bucket key), then
-    the estimated Jaccard (fraction of equal signature components) is
-    verified ≥ threshold. Returns (id_a, id_b, est_jaccard).
+    Wide signature → ``bands`` band keys (concat of the band's
+    components); candidates = equi-join on (band_idx, band_key) via a
+    posexplode of the band array; estimated Jaccard (fraction of equal
+    components) verified ≥ threshold on ONE wide join of the candidate
+    pairs. Returns (id_a, id_b, est_jaccard).
     """
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
-    banded = (
-        sig.withColumn("band", (F.col("seed") / rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).alias("sig")
-        )
+    sig = minhash_signatures_wide(df, id_col, text_col, n, num_perm).cache()
+    band_keys = F.array(
+        *[
+            F.concat_ws(",", *[F.col(f"mh{b * rows + j}").cast("string") for j in range(rows)])
+            for b in range(bands)
+        ]
     )
+    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band", "bkey"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("seed"), F.col("mh").alias("mh_a"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("seed"), F.col("mh").alias("mh_b"))
+    sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)])
+    sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)])
+    eq_count = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_perm)
+    )
     est = (
         cand.join(sa, "id_a")
-        .join(sb, ["id_b", "seed"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.round(
-                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / F.lit(float(num_perm)), 4
-            ).alias("est_jaccard")
-        )
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(eq_count / F.lit(float(num_perm)), 4))
+        .select("id_a", "id_b", "est_jaccard")
     )
     return est.filter(F.col("est_jaccard") >= threshold)
 

@@ -3,6 +3,11 @@
 All pure column expressions (whole-stage codegen, no Python UDFs):
 token counting, quality scoring, language-ID heuristic, fingerprinting.
 Each has a matching ANSI-SQL oracle in chillastic_spark.queries.
+
+Every function takes an optional pre-tokenised words-array column
+``w``; pass one (projected ONCE) when combining several features —
+inlining the split() per feature makes codegen re-tokenise the text
+for each (see functions.ngrams_of_words docstring).
 """
 from __future__ import annotations
 
@@ -11,7 +16,7 @@ from pyspark.sql import functions as F
 
 from chillastic_spark import functions as CF
 
-# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Tiny per-language stopword profiles for the stopword heuristic.
 # Deliberately small + deterministic so the SQL oracle mirrors them 1:1.
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
@@ -20,23 +25,27 @@ STOPWORDS = {
 }
 
 
-def token_count(text: Column | str) -> Column:
+def _w(text: Column | str | None, w: Column | None) -> Column:
+    if w is not None:
+        return w
+    assert text is not None
+    return CF.words(text)
+
+
+def token_count(text: Column | str | None = None, w: Column | None = None) -> Column:
     """Whitespace token count (the BPE-ish regex split)."""
-    return F.size(CF.words(text))
+    return F.size(_w(text, w))
 
 
-def stopword_hits(text: Column | str, lang: str) -> Column:
+def stopword_hits(
+    lang: str, text: Column | str | None = None, w: Column | None = None
+) -> Column:
     """Number of tokens that are stopwords of ``lang``."""
-    w = CF.words(text)
     stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-    return F.size(F.filter(w, lambda t: F.array_contains(stops, t)))
+    return F.size(F.filter(_w(text, w), lambda t: F.array_contains(stops, t)))
 
 
-def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("n_tokens", token_count(text_col))
-
-
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, w: Column | None = None) -> Column:
     """Heuristic quality score in [0,1]:
 
     0.4 · type-token-ratio  (vocabulary diversity)
@@ -44,27 +53,27 @@ def quality_score(text: Column | str) -> Column:
     0.2 · (1 − stopword ratio excess)  — penalise >50% stopwords
     0.1 · mean-word-length score (clamp((mean−2)/6, 0, 1))
     """
-    w = CF.words(text)
+    w = _w(text, w)
     n = F.size(w).cast("double")
     distinct_ratio = F.size(F.array_distinct(w)) / n
     length_score = F.least(n, F.lit(200.0)) / F.lit(200.0)
-    stops = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    stop_ratio = F.size(F.filter(w, lambda t: F.array_contains(stops, t))) / n
+    stop_ratio = stopword_hits("en", w=w) / n
     stop_score = F.lit(1.0) - F.greatest(stop_ratio - F.lit(0.5), F.lit(0.0)) * 2
     c = F.col(text) if isinstance(text, str) else text
-    mean_wl = (F.length(F.regexp_replace(F.trim(c), r"\s+", "")) / n)
+    mean_wl = F.length(F.regexp_replace(F.trim(c), r"\s+", "")) / n
     wl_score = F.least(F.greatest((mean_wl - 2) / 6.0, F.lit(0.0)), F.lit(1.0))
     return (
         0.4 * distinct_ratio + 0.3 * length_score + 0.2 * stop_score + 0.1 * wl_score
     )
 
 
-def lang_id(text: Column | str) -> Column:
+def lang_id(text: Column | str | None = None, w: Column | None = None) -> Column:
     """Stopword-profile language ID with deterministic tie-break
     (en ≥ de ≥ fr)."""
-    en = stopword_hits(text, "en")
-    de = stopword_hits(text, "de")
-    fr = stopword_hits(text, "fr")
+    w = _w(text, w)
+    en = stopword_hits("en", w=w)
+    de = stopword_hits("de", w=w)
+    fr = stopword_hits("fr", w=w)
     return (
         F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
         .when((de >= fr) & (de > 0), F.lit("de"))
@@ -73,11 +82,18 @@ def lang_id(text: Column | str) -> Column:
     )
 
 
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", token_count(text_col))
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass enrichment used by the pipeline sink."""
+    """One-pass enrichment: tokenise once, derive all features."""
+    w = F.col("__w")
     return (
-        df.withColumn("n_tokens", token_count(text_col))
-        .withColumn("quality", F.round(quality_score(text_col), 4))
-        .withColumn("pred_lang", lang_id(text_col))
+        df.withColumn("__w", CF.words(text_col))
+        .withColumn("n_tokens", token_count(w=w))
+        .withColumn("quality", F.round(quality_score(text_col, w=w), 4))
+        .withColumn("pred_lang", lang_id(w=w))
         .withColumn("fingerprint", CF.fingerprint(text_col))
+        .drop("__w")
     )

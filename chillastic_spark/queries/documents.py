@@ -91,12 +91,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_NGRAM_SQL = f"""
 WITH g AS (
-  SELECT doc_id, lang, source, unnest({_GRAMS}) AS gram FROM documents
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, unnest({_GRAMS}) AS gram FROM documents)
 ), sz AS (
   SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id
 ), c AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
-  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT ia AS id_a, ib AS id_b,
@@ -116,33 +117,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(d, n=3, num_perm=_NUM_PERM, bands=4, threshold=0.25)
 
 
-DEDUP_MINHASH_SQL = f"""
+def _minhash_sql(num_perm: int = _NUM_PERM, bands: int = 4, threshold: float = 0.25) -> str:
+    """Oracle twin of operators.dedup.minhash_lsh_pairs (wide form)."""
+    rows = num_perm // bands
+    P = D.MINHASH_P
+    perms = D.minhash_perm_constants(num_perm)
+    mh_cols = ",\n    ".join(
+        f"min(({a} * (gh % {P}) + {b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(perms)
+    )
+    band_sel = ",\n    ".join(
+        "(" + " || ',' || ".join(f"mh{b * rows + j}::VARCHAR" for j in range(rows)) + f") AS bk{b}"
+        for b in range(bands)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS ia, b.doc_id AS ib FROM bands a JOIN bands b"
+        f" ON a.bk{b2} = b.bk{b2} AND a.doc_id < b.doc_id"
+        for b2 in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
 WITH g AS (
-  SELECT doc_id, unnest({_GRAMS}) AS gram FROM documents
-), hx AS (
-  SELECT doc_id, seed,
-         min(('0x' || substr(md5(gram || '#' || seed), 1, 15))::BIGINT) AS mh
-  FROM g, (SELECT unnest(range(0, {_NUM_PERM})) AS seed)
-  GROUP BY doc_id, seed
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, unnest({_GRAMS}) AS gram FROM documents)
+), sig AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM g GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, seed // 4 AS band,
-         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
-  FROM hx GROUP BY doc_id, band
+  SELECT doc_id,
+    {band_sel}
+  FROM sig
 ), cand AS (
-  SELECT a.doc_id AS ia, b.doc_id AS ib
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), est AS (
-  SELECT ia, ib,
-         round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {float(_NUM_PERM)}, 4) AS est_jaccard
-  FROM cand
-  JOIN hx sa ON cand.ia = sa.doc_id
-  JOIN hx sb ON cand.ib = sb.doc_id AND sa.seed = sb.seed
-  GROUP BY ia, ib
+{cand_union}
 )
-SELECT ia AS id_a, ib AS id_b, est_jaccard FROM est WHERE est_jaccard >= 0.25
+SELECT ia AS id_a, ib AS id_b,
+       round(({eq_sum}) / {float(num_perm)}, 4) AS est_jaccard
+FROM cand JOIN sig sa ON cand.ia = sa.doc_id JOIN sig sb ON cand.ib = sb.doc_id
+WHERE round(({eq_sum}) / {float(num_perm)}, 4) >= {threshold}
 """
+
+
+DEDUP_MINHASH_SQL = _minhash_sql()
 
 
 # ----------------------------------------------------------------- SimHash
