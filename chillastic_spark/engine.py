@@ -1,0 +1,389 @@
+"""Engine facade: task admission, backlog planning, execution, status.
+
+The Spark-native control plane replacing the reference's
+worker/manager/Redis machinery (SURVEY §2.11, §3): Spark supplies
+dispatch/retry/heartbeat; what remains is planning (build_backlog),
+per-subtask pipelines (Transfer), checkpointed state (TaskState JSON —
+the Redis analog; at deployment scale this would be a Delta table), and
+a status API.
+"""
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import traceback
+from typing import Callable, Optional
+
+from pyspark.sql import SparkSession
+
+from chillastic_spark.model import ActionRef, Progress, Subtask, Task, validate_object_id
+from chillastic_spark.operators.mutate import apply_data_mutators, mutate_objects
+from chillastic_spark.plans import Bound, DataFrameSizeStats, plan_bounds
+from chillastic_spark.registry import Filters, Mutators
+from chillastic_spark.sinks import upsert
+from chillastic_spark.sources import DocumentStore
+
+
+class TaskError(RuntimeError):
+    pass
+
+
+class TaskState:
+    """Per-task checkpoint state (the Redis backlog/completed/progress/
+    error structures, subtasks.js:27-97, tasks.js:114-158) as an
+    atomically-rewritten JSON file."""
+
+    def __init__(self, state_root: str, task_id: str):
+        os.makedirs(state_root, exist_ok=True)
+        self.path = os.path.join(state_root, f"task-{task_id}.json")
+        self.data = {
+            "task": None,
+            "backlog": [],  # FIFO of [subtask_id, count]
+            "completed": {},  # subtask_id -> count
+            "progress": {},  # subtask_id -> Progress dict
+            "errors": [],  # [{ts, subtask_id, message}]
+            "total": 0,
+        }
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.data = json.load(f)
+
+    def save(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.data, f, indent=1)
+        os.replace(tmp, self.path)
+
+    # -- queue ops (FIFO + dedup, subtasks.js:45-69) ---------------------
+    def enqueue(self, subtask: Subtask) -> bool:
+        sid = subtask.subtask_id()
+        if any(sid == s for s, _ in self.data["backlog"]) or sid in self.data["completed"]:
+            return False  # duplicate-enqueue guard (subtasks.js:51-67)
+        self.data["backlog"].append([sid, subtask.count])
+        self.data["total"] += subtask.count
+        self.save()
+        return True
+
+    def pop(self) -> Optional[Subtask]:
+        if not self.data["backlog"]:
+            return None
+        sid, count = self.data["backlog"].pop(0)
+        self.save()
+        return Subtask.from_id(sid, count)
+
+    def complete(self, subtask: Subtask) -> None:
+        sid = subtask.subtask_id()
+        self.data["progress"].pop(sid, None)
+        self.data["completed"][sid] = subtask.count
+        self.save()
+
+    def completed_ids(self) -> set[str]:
+        return set(self.data["completed"])
+
+    def update_progress(self, subtask: Subtask, progress: Progress) -> None:
+        self.data["progress"][subtask.subtask_id()] = vars(progress.validate())
+        self.save()
+
+    def log_error(self, subtask: Optional[Subtask], message: str) -> None:
+        self.data["errors"].append(
+            {
+                "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                "subtask_id": subtask.subtask_id() if subtask else None,
+                "message": message,
+            }
+        )
+        self.save()
+
+    # -- status (tasks.controller.js:14-27) ------------------------------
+    def status(self) -> dict:
+        total = self.data["total"]
+        completed = sum(self.data["completed"].values())
+        backlog = sum(c for _, c in self.data["backlog"])
+        pct = 100.0 if total == 0 else round(completed / total * 100, 2)
+        return {
+            "percentComplete": pct,
+            "total": total,
+            "completed": completed,
+            "backlog": backlog,
+            "inProgress": self.data["progress"],
+            "errors": len(self.data["errors"]),
+        }
+
+
+class Transfer:
+    """Per-task pipeline executor (app/services/transfer.js, Spark-first):
+    scan → mutate → upsert for documents; catalog read → driver-side
+    mutate → catalog write for index configs and templates."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: DocumentStore,
+        dest: DocumentStore,
+        mutators_by_type: Optional[dict] = None,
+    ):
+        self.spark = spark
+        self.source = source
+        self.dest = dest
+        self.mutators_by_type = mutators_by_type or {}
+        self.update_callback: Optional[Callable[[int, int], None]] = None
+
+    def mutate(self, objs: list, type_: str) -> list:
+        return mutate_objects(objs, self.mutators_by_type.get(type_))
+
+    def transfer_data(self, subtask: Subtask) -> int:
+        """Scan one (index,type,[size-range)) slice, apply the data
+        mutator chain, MERGE into dest (transfer.js:103-151 reshaped:
+        the scroll loop IS the partitioned scan; flush buffering IS the
+        write; retries are Spark task retries)."""
+        df = self.source.read(
+            self.spark, subtask.index, subtask.type, subtask.min_size, subtask.max_size
+        )
+        df = apply_data_mutators(df, self.mutators_by_type.get("data"))
+        delivered = upsert(self.spark, self.dest, df)
+        if self.update_callback:
+            self.update_callback(delivered, subtask.count)
+        return delivered
+
+    def transfer_indices(self, names: str) -> int:
+        indices = self.source.get_indices(names)
+        self.dest.put_indices(self.mutate(indices, "index"))
+        return len(indices)
+
+    def transfer_templates(self, names: str) -> int:
+        templates = self.source.get_templates(names)
+        self.dest.put_templates(self.mutate(templates, "template"))
+        return len(templates)
+
+
+class Engine:
+    """Embedding API (index.js:7-41: Chillastic(...) → run/stop) —
+    ``Engine(spark, state_root)`` with task CRUD, registries, execution.
+    """
+
+    def __init__(self, spark: SparkSession, state_root: str):
+        self.spark = spark
+        self.state_root = state_root
+        os.makedirs(state_root, exist_ok=True)
+        self.mutators = Mutators(os.path.join(state_root, "registry"))
+        self.filters = Filters(os.path.join(state_root, "registry"))
+        self._tasks: dict[str, Task] = {}
+        self._running = True  # _start/_stop switch (manager.js:111-118)
+        self._load_tasks()
+
+    # ------------------------------------------------------------ tasks
+    def _tasks_path(self) -> str:
+        return os.path.join(self.state_root, "tasks.json")
+
+    def _load_tasks(self) -> None:
+        if os.path.exists(self._tasks_path()):
+            with open(self._tasks_path()) as f:
+                self._tasks = {k: _task_from_dict(v) for k, v in json.load(f).items()}
+
+    def _save_tasks(self) -> None:
+        tmp = self._tasks_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({k: _task_to_dict(t) for k, t in self._tasks.items()}, f, indent=1)
+        os.replace(tmp, self._tasks_path())
+
+    def add_task(self, task_id: str, task: Task) -> TaskState:
+        """Admission (tasks.js:72-82): id regex, duplicate check, store
+        reachability, mutator/filter existence — then plan the backlog.
+        """
+        validate_object_id(task_id, "task id")
+        if task_id in self._tasks:
+            raise TaskError(f"task {task_id} already exists")
+        task.validate()
+        for path in (task.source, task.destination):
+            if not os.path.isdir(path):
+                raise TaskError(f"store not reachable: {path}")
+        try:
+            self.mutators.ensure_exist(task.mutators)
+            self.filters.ensure_exist(task.transfer.filters)
+        except Exception as e:  # admission surfaces one error kind (tasks.js:72-82)
+            raise TaskError(str(e)) from e
+        self._tasks[task_id] = task
+        self._save_tasks()
+        return self.build_backlog(task_id)
+
+    def get_task(self, task_id: str) -> Task:
+        if task_id not in self._tasks:
+            raise TaskError(f"unknown task {task_id}")
+        return self._tasks[task_id]
+
+    def list_tasks(self) -> list[str]:
+        return sorted(self._tasks)
+
+    def remove_task(self, task_id: str) -> None:
+        """tasks.js:89-97: drop state + the task's registry namespace."""
+        self._tasks.pop(task_id, None)
+        self._save_tasks()
+        state = TaskState(self.state_root, task_id)
+        if os.path.exists(state.path):
+            os.remove(state.path)
+        self.mutators.remove_namespace(task_id)
+        self.filters.remove_namespace(task_id)
+
+    def start(self) -> None:
+        self._running = True
+
+    def stop(self) -> None:
+        self._running = False
+
+    # --------------------------------------------------------- planning
+    def build_backlog(self, task_id: str) -> TaskState:
+        """subtasks.js:369-396: generate index + template + document
+        subtasks, subtract completed, count, enqueue FIFO."""
+        task = self.get_task(task_id)
+        state = TaskState(self.state_root, task_id)
+        state.data["backlog"] = []
+        state.data["total"] = sum(state.data["completed"].values())
+        source = DocumentStore(task.source)
+
+        potential: list[Subtask] = []
+        t = task.transfer
+        if t.index_names:  # one subtask per matching index (subtasks.js:109-117)
+            for cfg in source.get_indices(t.index_names):
+                potential.append(Subtask(kind="index", names=cfg["name"]))
+        if t.template_names:  # subtasks.js:126-134
+            try:
+                for tpl in source.get_templates(t.template_names):
+                    potential.append(Subtask(kind="template", names=tpl["name"]))
+            except Exception as e:
+                state.log_error(None, f"template listing: {e}")
+        if t.from_indices:
+            potential.extend(self._document_subtasks(task, source))
+
+        completed = state.completed_ids()  # resume anti-join (subtasks.js:385-392)
+        for sub in potential:
+            if sub.subtask_id() in completed:
+                continue
+            if sub.kind == "documents":
+                count = source.count(
+                    self.spark, sub.index, sub.type, sub.min_size, sub.max_size
+                )
+                sub = Subtask(**{**vars(sub), "count": count})
+            state.enqueue(sub)
+        return state
+
+    def _document_subtasks(self, task: Task, source: DocumentStore) -> list[Subtask]:
+        """Filter pruning + adaptive size bucketing per (index, type)
+        (subtasks.js:144-361)."""
+        loaded = self.filters.load_by_type(task.transfer.filters, task.arguments)
+
+        def keep(entries, items):
+            if not entries:
+                return items
+            return [
+                x for x in items
+                if any(f.predicate(x, f.arguments) for f in entries)
+            ]
+
+        out: list[Subtask] = []
+        flush_override = task.transfer.flush_size
+        for cfg in keep(loaded.get("index"), source.get_indices(task.transfer.from_indices)):
+            shards = int(
+                ((cfg.get("settings") or {}).get("index") or {}).get("number_of_shards", 1)
+            )
+            types = keep(loaded.get("type"), source.types_of(cfg))
+            for type_cfg in types:
+                df = source.read(self.spark, cfg["name"], type_cfg["name"])
+                bounds = (
+                    [Bound(-1, -1, flush_override)]
+                    if flush_override
+                    else plan_bounds(DataFrameSizeStats(df, shards=shards))
+                )
+                for b in bounds:
+                    out.append(
+                        Subtask(
+                            kind="documents",
+                            index=cfg["name"],
+                            type=type_cfg["name"],
+                            min_size=b.min_size,
+                            max_size=b.max_size,
+                            flush_size=b.flush_size,
+                        )
+                    )
+        return out
+
+    # -------------------------------------------------------- execution
+    def run_task(self, task_id: str, max_subtasks: Optional[int] = None) -> dict:
+        """Drain the backlog (worker.js:61-144 collapsed: Spark is the
+        worker pool; each subtask is one distributed job). Errors are
+        logged and the subtask is NOT re-queued (worker.js:108-111) —
+        it reappears on the next build_backlog."""
+        task = self.get_task(task_id)
+        state = TaskState(self.state_root, task_id)
+        source = DocumentStore(task.source)
+        dest = DocumentStore(task.destination)
+        mutators = self.mutators.load_by_type(task.mutators, task.arguments)
+        transfer = Transfer(self.spark, source, dest, mutators)
+        done = 0
+        while self._running:
+            if max_subtasks is not None and done >= max_subtasks:
+                break
+            sub = state.pop()
+            if sub is None:
+                break
+            try:
+                state.update_progress(
+                    sub, Progress(tick=0, transferred=0, total=sub.count)
+                )
+                if sub.kind == "documents":
+                    transferred = transfer.transfer_data(sub)
+                    state.update_progress(
+                        sub,
+                        Progress(tick=1, transferred=transferred, total=sub.count),
+                    )
+                elif sub.kind == "index":
+                    transfer.transfer_indices(sub.names)
+                elif sub.kind == "template":
+                    transfer.transfer_templates(sub.names)
+                else:
+                    raise TaskError(f"unknown subtask kind {sub.kind}")
+                state.complete(sub)
+                done += 1
+            except Exception:
+                state.log_error(sub, traceback.format_exc(limit=5))
+        return state.status()
+
+    def get_task_status(self, task_id: str) -> dict:
+        self.get_task(task_id)
+        return TaskState(self.state_root, task_id).status()
+
+    def get_task_errors(self, task_id: str) -> list[dict]:
+        self.get_task(task_id)
+        return TaskState(self.state_root, task_id).data["errors"]
+
+    def status(self) -> dict:
+        """GET / (root.controller.js:9-20)."""
+        return {
+            "manager": "running" if self._running else "stopped",
+            "tasks": {t: self.get_task_status(t) for t in self.list_tasks()},
+        }
+
+
+def _task_to_dict(task: Task) -> dict:
+    from dataclasses import asdict
+
+    return asdict(task)
+
+
+def _task_from_dict(d: dict) -> Task:
+    from chillastic_spark.model import TransferSpec
+
+    t = d["transfer"]
+    return Task(
+        source=d["source"],
+        destination=d["destination"],
+        transfer=TransferSpec(
+            index_names=t.get("index_names"),
+            template_names=t.get("template_names"),
+            from_indices=t.get("from_indices"),
+            filters=[ActionRef(**f) for f in t.get("filters", [])],
+            flush_size=t.get("flush_size"),
+        ),
+        mutators=[ActionRef(**m) for m in d.get("mutators", [])],
+        arguments=d.get("arguments"),
+    )

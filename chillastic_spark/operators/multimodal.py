@@ -1,0 +1,78 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side plumbing (schema, batching, partition shape) is real and
+tested; the actual decoders are stubs because the media libraries are
+not in this container — ``decode_media`` raises NotImplementedError
+unless ``fake=True``, which produces the deterministic hash-derived
+metadata pinned by the ``multimodal_meta`` oracle query.
+
+At scale: binaries stay in parquet/object storage, metadata extraction
+runs as Arrow-batched mapInPandas (one Python roundtrip per batch), and
+heavy decode fans out with repartition on a content-hash so skewed
+media sizes spread evenly.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adapter for the testdata: treat utf-8 bytes of a text column as
+    the opaque media payload."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload", fake: bool = False) -> DataFrame:
+    """Extract (n_bytes, width, height, format) from a binary payload
+    column via Arrow-batched mapInPandas.
+
+    ``fake=False`` requires real media libs (PIL/ffmpeg) — not present
+    here, so it raises; ``fake=True`` derives deterministic metadata
+    from the payload hash (matches functions.hash60 on the utf-8
+    string, i.e. the multimodal_meta oracle).
+    """
+
+    def run(batches):
+        # self-contained: executors must not need chillastic_spark on
+        # their path (see operators.mutate.apply_data_mutators)
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                payload = rec[payload_col] or b""
+                if not fake:
+                    raise NotImplementedError(
+                        "real media decode needs PIL/ffmpeg; pass fake=True"
+                    )
+                h = int(_hashlib.md5(bytes(payload)).hexdigest()[:15], 16)
+                rows.append(
+                    {
+                        "doc_id": rec[id_col],
+                        "n_bytes": len(payload),
+                        "width": h % 1280,
+                        "height": h % 720,
+                        "format": "fake",
+                    }
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "width", "height", "format"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, MEDIA_META_SCHEMA)

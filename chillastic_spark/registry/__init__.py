@@ -1,0 +1,228 @@
+"""Mutator & filter registries (SURVEY §2.10).
+
+Mirrors the reference contract (app/services/mutators.js:16-35,
+filters.js:16-31): a mutator module exports ``TYPE`` ∈
+{data,index,template}, ``predicate(obj, args)`` and ``mutate(obj,
+args)``; a filter exports ``TYPE`` ∈ {index,type} and ``predicate``.
+Sources are Python code strings compiled in a restricted namespace
+(the require-from-string analog, compiler.js:6-12) or plain Python
+objects/callables registered directly.
+
+Registration is namespaced ``{namespace}/{id}`` with ``global`` default
+(objectId.js:5-31); deleting a task deletes its namespace
+(tasks.js:93-96 → Engine.remove_task).
+"""
+from __future__ import annotations
+
+import json
+import os
+import types
+from typing import Any, Callable, Iterable, Optional
+
+from chillastic_spark.model import DEFAULT_NAMESPACE, ActionRef, validate_object_id
+
+MUTATOR_TYPES = ("data", "index", "template")  # mutators.js:127-131
+FILTER_TYPES = ("index", "type")  # filters.js:130-133
+
+# Modules available to compiled code strings — the moment/lodash analog
+# (reference README.md:172). Anything else must be pre-registered as a
+# Python object, keeping exec'd code auditable.
+SANDBOX_MODULES = ("re", "math", "datetime", "json")
+
+
+class RegistryError(ValueError):
+    pass
+
+
+def compile_source(source: str) -> dict[str, Any]:
+    """Compile a Python mutator/filter source string into a namespace.
+
+    The require-from-string analog. The namespace is seeded with a
+    whitelist of stdlib modules; exec errors surface as RegistryError
+    (matching the reference's invalid-JS rejection,
+    tests/services/invalidMutators/notAJsFile).
+    """
+    ns: dict[str, Any] = {"__builtins__": __builtins__}
+    for mod in SANDBOX_MODULES:
+        ns[mod] = __import__(mod)
+    try:
+        exec(compile(source, "<registered-code>", "exec"), ns)
+    except Exception as e:  # noqa: BLE001 — any compile/run error is invalid
+        raise RegistryError(f"source failed to compile: {e}") from e
+    return ns
+
+
+def _as_namespace(obj: Any) -> dict[str, Any]:
+    if isinstance(obj, str):
+        return compile_source(obj)
+    if isinstance(obj, dict):
+        return obj
+    if isinstance(obj, types.ModuleType):
+        return vars(obj)
+    raise RegistryError(f"cannot register object of type {type(obj)}")
+
+
+class Mutator:
+    def __init__(self, ns: dict[str, Any]):
+        mtype = ns.get("TYPE") or ns.get("type")
+        if mtype not in MUTATOR_TYPES:  # mutators.js:16-27
+            raise RegistryError(
+                f"mutator TYPE must be one of {MUTATOR_TYPES}, got {mtype!r}"
+            )
+        predicate = ns.get("predicate")
+        mutate = ns.get("mutate")
+        if not callable(predicate):  # mutators.js:28-31
+            raise RegistryError("mutator must define callable predicate(obj, args)")
+        if not callable(mutate):  # mutators.js:32-35
+            raise RegistryError("mutator must define callable mutate(obj, args)")
+        self.type: str = mtype
+        self.predicate: Callable = predicate
+        self.mutate: Callable = mutate
+        self.arguments: Optional[dict] = None  # bound at load time
+
+    def with_arguments(self, args: Optional[dict]) -> "Mutator":
+        clone = Mutator.__new__(Mutator)
+        clone.type, clone.predicate, clone.mutate = self.type, self.predicate, self.mutate
+        clone.arguments = args
+        return clone
+
+
+class Filter:
+    def __init__(self, ns: dict[str, Any]):
+        ftype = ns.get("TYPE") or ns.get("type")
+        if ftype not in FILTER_TYPES:  # filters.js:16-23
+            raise RegistryError(
+                f"filter TYPE must be one of {FILTER_TYPES}, got {ftype!r}"
+            )
+        predicate = ns.get("predicate")
+        if not callable(predicate):  # filters.js:24-31
+            raise RegistryError("filter must define callable predicate(obj, args)")
+        self.type: str = ftype
+        self.predicate: Callable = predicate
+        self.arguments: Optional[dict] = None
+
+    def with_arguments(self, args: Optional[dict]) -> "Filter":
+        clone = Filter.__new__(Filter)
+        clone.type, clone.predicate = self.type, self.predicate
+        clone.arguments = args
+        return clone
+
+
+class _Registry:
+    """Namespaced store of compiled entries + their sources.
+
+    Persists sources (not code objects) to ``{state_dir}/{name}.json``
+    when a state dir is given — the Redis-hash analog
+    (mutators.js:52-61).
+    """
+
+    entry_cls: type = None  # set by subclass
+    name = "registry"
+
+    def __init__(self, state_dir: Optional[str] = None):
+        self._entries: dict[tuple[str, str], Any] = {}
+        self._sources: dict[tuple[str, str], str] = {}
+        self._state_dir = state_dir
+        if state_dir:
+            os.makedirs(state_dir, exist_ok=True)
+            self._load()
+
+    # -- persistence -----------------------------------------------------
+    def _path(self) -> str:
+        return os.path.join(self._state_dir, f"{self.name}.json")
+
+    def _load(self) -> None:
+        if self._state_dir and os.path.exists(self._path()):
+            with open(self._path()) as f:
+                for k, src in json.load(f).items():
+                    ns_, id_ = k.split("/", 1)
+                    self._entries[(ns_, id_)] = self.entry_cls(_as_namespace(src))
+                    self._sources[(ns_, id_)] = src
+
+    def _save(self) -> None:
+        if self._state_dir:
+            data = {f"{ns}/{id_}": s for (ns, id_), s in self._sources.items()}
+            tmp = self._path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(data, f, indent=1)
+            os.replace(tmp, self._path())
+
+    # -- CRUD (api/mutators/index.js:5-8) --------------------------------
+    def add(self, id: str, obj: Any, namespace: str = DEFAULT_NAMESPACE) -> None:
+        validate_object_id(id, "id")
+        if namespace != DEFAULT_NAMESPACE:
+            validate_object_id(namespace, "namespace")
+        self._entries[(namespace, id)] = self.entry_cls(_as_namespace(obj))
+        if isinstance(obj, str):
+            self._sources[(namespace, id)] = obj
+            self._save()
+
+    def get(self, id: str, namespace: str = DEFAULT_NAMESPACE) -> Any:
+        key = (namespace, id)
+        if key not in self._entries:
+            raise RegistryError(f"{self.name[:-1]} {namespace}/{id} does not exist")
+        return self._entries[key]
+
+    def exists(self, id: str, namespace: str = DEFAULT_NAMESPACE) -> bool:
+        return (namespace, id) in self._entries
+
+    def remove(self, id: str, namespace: str = DEFAULT_NAMESPACE) -> None:
+        self._entries.pop((namespace, id), None)
+        if self._sources.pop((namespace, id), None) is not None:
+            self._save()
+
+    def remove_namespace(self, namespace: str) -> None:
+        for key in [k for k in self._entries if k[0] == namespace]:
+            self._entries.pop(key)
+            self._sources.pop(key, None)
+        self._save()
+
+    def list(self, namespace: Optional[str] = None) -> list[str]:
+        return [
+            f"{ns}/{id_}"
+            for (ns, id_) in sorted(self._entries)
+            if namespace is None or ns == namespace
+        ]
+
+    # -- task-load path (mutators.js:97-122) -----------------------------
+    def ensure_exist(self, refs: Iterable[ActionRef]) -> None:
+        missing = [
+            f"{r.namespace}/{r.id}" for r in refs if not self.exists(r.id, r.namespace)
+        ]
+        if missing:
+            raise RegistryError(f"missing {self.name}: {missing}")
+
+    def load(
+        self, refs: Iterable[ActionRef], task_arguments: Optional[dict] = None
+    ) -> list[Any]:
+        """Resolve refs in order, binding per-action arguments with
+        task-level fallback (mutators.js:100-101)."""
+        out = []
+        for r in refs:
+            entry = self.get(r.id, r.namespace)
+            out.append(entry.with_arguments(
+                r.arguments if r.arguments is not None else task_arguments
+            ))
+        return out
+
+
+class Mutators(_Registry):
+    entry_cls = Mutator
+    name = "mutators"
+
+    def load_by_type(self, refs, task_arguments=None) -> dict[str, list[Mutator]]:
+        by_type: dict[str, list[Mutator]] = {}
+        for m in self.load(refs, task_arguments):
+            by_type.setdefault(m.type, []).append(m)
+        return by_type
+
+
+class Filters(_Registry):
+    entry_cls = Filter
+    name = "filters"
+
+    def load_by_type(self, refs, task_arguments=None) -> dict[str, list[Filter]]:
+        by_type: dict[str, list[Filter]] = {}
+        for f_ in self.load(refs, task_arguments):
+            by_type.setdefault(f_.type, []).append(f_)
+        return by_type

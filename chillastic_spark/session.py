@@ -14,6 +14,13 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "chillastic-spark", cpus: str | int | None = None) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # make the package importable on local-mode Python workers even when
+    # the driver script runs from another directory (on a cluster, ship
+    # the package with --py-files / pip instead)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

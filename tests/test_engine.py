@@ -1,0 +1,293 @@
+"""End-to-end engine tests: the reference's golden transfer/worker
+integration scenarios (transfer.spec.js:333-545, worker.spec.js:64-143)
+on the Spark engine."""
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chillastic_spark.engine import Engine, TaskError, TaskState, Transfer
+from chillastic_spark.model import ActionRef, Subtask, Task, TransferSpec
+from chillastic_spark.sinks import upsert
+from chillastic_spark.sources import DocumentStore
+
+from conftest import docs_f1
+
+DATE_MUTATOR = """
+TYPE = "data"
+OLD = re.compile(r"^(.*)_(\\d{4}-\\d{2})-\\d{2}$")
+def predicate(doc, args):
+    return bool(OLD.match(doc["_index"]))
+def mutate(doc, args):
+    doc["_index"] = OLD.sub(r"\\1_\\2", doc["_index"])
+    return doc
+"""
+
+DROP_WITH_ARGS = """
+TYPE = "data"
+def predicate(doc, args):
+    return doc["_source"].get("field") == args["match"]
+def mutate(doc, args):
+    return None
+"""
+
+
+def _engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "state"))
+
+
+def _task(src, dst, **kw):
+    return Task(source=src.root, destination=dst.root,
+                transfer=TransferSpec(**kw.pop("transfer", {})), **kw)
+
+
+# ------------------------------------------------- golden 20-doc transfer
+
+
+def test_golden_transfer_20_docs(spark, tmp_path, store_factory):
+    src = store_factory("src", {"myindex1": docs_f1(20)})
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    eng.add_task("t1", _task(src, dst, transfer={"from_indices": "myindex1"}))
+    status = eng.run_task("t1")
+    assert status["percentComplete"] == 100.0
+    assert status["completed"] == 20
+    assert dst.count(spark, "myindex1") == 20
+    # payload survived intact
+    row = dst.read(spark, "myindex1").filter(F.col("_id") == "id7").collect()[0]
+    assert json.loads(row["_source"]) == {"someField_1": "something 7"}
+
+
+def test_rerun_is_idempotent(spark, tmp_path, store_factory):
+    src = store_factory("src", {"myindex1": docs_f1(20)})
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    eng.add_task("t1", _task(src, dst, transfer={"from_indices": "myindex1"}))
+    eng.run_task("t1")
+    eng.build_backlog("t1")  # resume: completed subtasks are skipped
+    status = eng.run_task("t1")
+    assert dst.count(spark, "myindex1") == 20
+    assert status["backlog"] == 0
+
+
+def test_two_index_worker_golden(spark, tmp_path, store_factory):
+    # worker.spec.js:64-143 golden: 10 + 5 docs across two indices
+    src = store_factory(
+        "src", {"myindex1": docs_f1(10), "myindex2": docs_f1(5, "mytype2")}
+    )
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    eng.add_task("t1", _task(src, dst, transfer={"from_indices": "myindex*"}))
+    status = eng.run_task("t1")
+    assert status["total"] == 15
+    assert status["completed"] == 15
+    assert dst.count(spark, "myindex1") == 10
+    assert dst.count(spark, "myindex2") == 5
+
+
+# ---------------------------------------------------------- data mutators
+
+
+def test_date_reroute_mutator(spark, tmp_path, store_factory):
+    # transfer.spec.js:487-511: something_1990-05-21 → something_1990-05
+    docs = [
+        {"_id": i, "_type": "sometype", "_source": {"field": f"daata{i}"}}
+        for i in range(4)
+    ]
+    src = store_factory("src", {"something_1990-05-21": docs})
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    eng.mutators.add("indexDate", DATE_MUTATOR)
+    eng.add_task(
+        "t1",
+        _task(
+            src, dst,
+            transfer={"from_indices": "something_*"},
+            mutators=[ActionRef(id="indexDate")],
+        ),
+    )
+    eng.run_task("t1")
+    assert dst.count(spark, "something_1990-05") == 4
+    assert dst.count(spark, "something_1990-05-21") == 0
+
+
+def test_drop_mutator_with_args(spark, tmp_path, store_factory):
+    # transfer.spec.js:513-545: null-mutate drops matching docs only
+    docs = [
+        {"_id": 1, "_source": {"field": "daata"}},
+        {"_id": 2, "_source": {"field": "daata2"}},
+        {"_id": 3, "_source": {"field": "daata3"}},
+    ]
+    src = store_factory("src", {"myindex1": docs})
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    eng.mutators.add("dropper", DROP_WITH_ARGS)
+    eng.add_task(
+        "t1",
+        _task(
+            src, dst,
+            transfer={"from_indices": "myindex1"},
+            mutators=[ActionRef(id="dropper", arguments={"match": "daata2"})],
+        ),
+    )
+    eng.run_task("t1")
+    remaining = {
+        r["_id"] for r in dst.read(spark, "myindex1").select("_id").collect()
+    }
+    assert remaining == {"1", "3"}
+
+
+# -------------------------------------------------- catalog (index/template)
+
+
+def test_index_config_transfer_strips_nonportable(spark, tmp_path, store_factory):
+    cfg = {
+        "myindex1": {
+            "settings": {
+                "index": {
+                    "number_of_shards": 3,
+                    "uuid": "abc",
+                    "creation_date": 123,
+                    "provided_name": "myindex1",
+                    "version": {"created": 6000},
+                }
+            },
+            "mappings": {"mytype1": {}},
+            "aliases": {"alias_1": {}},
+        }
+    }
+    src = store_factory("src", {}, indices_cfg=cfg)
+    dst = store_factory("dst")
+    t = Transfer(spark, src, dst)
+    assert t.transfer_indices("myindex*") == 1
+    got = dst.get_indices("myindex1")[0]
+    idx = got["settings"]["index"]
+    assert idx["number_of_shards"] == 3
+    for bad in ("uuid", "creation_date", "provided_name"):
+        assert bad not in idx
+    assert "created" not in idx.get("version", {})
+    assert got["aliases"] == {"alias_1": {}}
+
+
+def test_template_transfer_excludes_system(spark, tmp_path, store_factory):
+    templates = {
+        "test_template": {"index_patterns": ["te*"], "settings": {"number_of_shards": 1}},
+        "system_tpl": {"index_patterns": [".monitoring*"]},
+    }
+    src = store_factory("src", {}, templates=templates)
+    dst = store_factory("dst")
+    t = Transfer(spark, src, dst)
+    assert t.transfer_templates("*") == 1  # system template dropped
+    assert [x["name"] for x in dst.get_templates("*")] == ["test_template"]
+    with pytest.raises(Exception):
+        src.get_templates("nomatch*")  # none found → error (transfer.js:397)
+
+
+# ------------------------------------------------------ admission/controls
+
+
+def test_task_admission_validation(spark, tmp_path, store_factory):
+    src = store_factory("src", {"myindex1": docs_f1(2)})
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    with pytest.raises(ValueError):
+        eng.add_task("9bad id", _task(src, dst, transfer={"from_indices": "x"}))
+    with pytest.raises(TaskError):  # missing mutator
+        eng.add_task(
+            "t1",
+            _task(src, dst, transfer={"from_indices": "myindex1"},
+                  mutators=[ActionRef(id="nope")]),
+        )
+    eng.add_task("t2", _task(src, dst, transfer={"from_indices": "myindex1"}))
+    with pytest.raises(TaskError):  # duplicate
+        eng.add_task("t2", _task(src, dst, transfer={"from_indices": "myindex1"}))
+    assert eng.list_tasks() == ["t2"]
+    eng.remove_task("t2")
+    assert eng.list_tasks() == []
+
+
+def test_filters_prune_planning(spark, tmp_path, store_factory):
+    src = store_factory(
+        "src", {"myindex1": docs_f1(3), "other1": docs_f1(3)}
+    )
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    eng.filters.add(
+        "onlyMy",
+        "TYPE='index'\ndef predicate(index, args):\n    return index['name'].startswith('myindex')\n",
+    )
+    eng.add_task(
+        "t1",
+        _task(
+            src, dst,
+            transfer={"from_indices": "*", "filters": [ActionRef(id="onlyMy")]},
+        ),
+    )
+    eng.run_task("t1")
+    assert dst.count(spark, "myindex1") == 3
+    assert dst.count(spark, "other1") == 0
+
+
+def test_stop_halts_processing(spark, tmp_path, store_factory):
+    src = store_factory("src", {"myindex1": docs_f1(5)})
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    eng.add_task("t1", _task(src, dst, transfer={"from_indices": "myindex1"}))
+    eng.stop()
+    status = eng.run_task("t1")
+    assert status["completed"] == 0 and status["backlog"] == 5
+    eng.start()
+    assert eng.run_task("t1")["completed"] == 5
+
+
+def test_error_logged_not_requeued(spark, tmp_path, store_factory):
+    src = store_factory("src", {"myindex1": docs_f1(2)})
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    bad = "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    raise RuntimeError('boom')\n"
+    eng.mutators.add("boom", bad)
+    eng.add_task(
+        "t1",
+        _task(src, dst, transfer={"from_indices": "myindex1"},
+              mutators=[ActionRef(id="boom")]),
+    )
+    status = eng.run_task("t1")
+    assert status["completed"] == 0
+    assert status["backlog"] == 0  # popped, failed, NOT re-queued (worker.js:108)
+    errs = eng.get_task_errors("t1")
+    assert len(errs) == 1 and "boom" in errs[0]["message"]
+    # backlog rebuild resurrects the failed subtask (subtasks.js:385-392)
+    eng.build_backlog("t1")
+    assert eng.get_task_status("t1")["backlog"] == 2
+
+
+# ------------------------------------------------------------------- sink
+
+
+def test_upsert_idempotent_and_updates(spark, tmp_path, store_factory):
+    dst = store_factory("dst")
+    from chillastic_spark.sources import ENVELOPE_SCHEMA
+
+    batch = spark.createDataFrame(
+        [("i1", "t", "a", '{"v": 1}', 8), ("i1", "t", "b", '{"v": 2}', 8)],
+        ENVELOPE_SCHEMA,
+    )
+    assert upsert(spark, dst, batch) == 2
+    assert upsert(spark, dst, batch) == 2  # re-delivery → no dups
+    assert dst.count(spark, "i1") == 2
+    updated = spark.createDataFrame(
+        [("i1", "t", "b", '{"v": 99}', 9)], ENVELOPE_SCHEMA
+    )
+    upsert(spark, dst, updated)
+    rows = {r["_id"]: json.loads(r["_source"]) for r in dst.read(spark, "i1").collect()}
+    assert rows == {"a": {"v": 1}, "b": {"v": 99}}
+
+
+def test_flush_override_and_subtask_id_roundtrip():
+    s = Subtask(kind="documents", index="i", type="t", min_size=0, max_size=10,
+                flush_size=50, count=7)
+    s2 = Subtask.from_id(s.subtask_id(), count=7)
+    assert s2 == s
+    assert s.has_size_range()
+    assert not Subtask(kind="documents", index="i", type="t").has_size_range()

@@ -1,0 +1,167 @@
+"""Unit tests for the training-data operators: dedup family, similarity
+search, text analysis, multimodal plumbing — planted-duplicate corpora
+with known answers."""
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chillastic_spark.operators import dedup as D
+from chillastic_spark.operators import multimodal as M
+from chillastic_spark.operators import similarity as S
+from chillastic_spark.operators import text as T
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun and the birds sing in the tall green trees near the river"
+)
+NEAR = BASE.replace("lazy dog", "lazy cow")  # 1-word edit → high jaccard
+OTHER = "completely different content about spark clusters and parquet files and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),          # exact dup of 1
+        (3, NEAR),          # near dup of 1
+        (4, OTHER),
+        (5, "tiny"),        # shorter than one 3-gram
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = D.exact_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keeper"] == 1
+    kept = {r["doc_id"] for r in D.exact_dedup(docs).collect()}
+    assert kept == {1, 3, 4, 5}  # doc 2 collapsed into 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0          # exact dup
+    assert 0.7 <= pairs[(1, 3)] < 1.0    # near dup
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in D.minhash_lsh_pairs(docs, threshold=0.25).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_hamming_properties(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2]  # identical text → identical simhash
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[1], sh[3]) <= 10          # near dup → close
+    assert ham(sh[1], sh[4]) > ham(sh[1], sh[3])  # unrelated → farther
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.simhash_pairs(docs, max_hamming=10).collect()}
+    assert (1, 2) in pairs
+
+
+def test_word_ngrams_short_doc(spark):
+    # guard: sequence(1,k) descends for k<1 — must yield empty, not junk
+    from chillastic_spark import functions as CF
+    df = spark.createDataFrame([("one two",), ("a b c",)], "text: string")
+    got = df.select(F.size(CF.word_ngrams("text", 3)).alias("n")).collect()
+    assert sorted(r["n"] for r in got) == [0, 1]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        v = rng.randn(8)
+        rows.append((i, 0 if i < 20 else 1, [float(x) for x in v]))
+    # planted near-dup of vec 0 in the same label group
+    base = rows[0][2]
+    rows.append((99, 0, [x + 0.001 for x in base]))
+    return spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<double>")
+
+
+def test_embedding_dup_pairs(spark, vectors):
+    pairs = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in D.embedding_dup_pairs(vectors, threshold=0.95).collect()}
+    assert (0, 99) in pairs and pairs[(0, 99)] > 0.999
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    import numpy as np
+
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.brute_force_topk(vectors, q, k=3).collect()
+    assert [r["neighbor_id"] for r in got][0] == 99  # planted nearest first
+    # cross-check cosine against numpy
+    data = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    base = data[0]
+    for r in got:
+        v = data[r["neighbor_id"]]
+        expect = float(v @ base / (np.linalg.norm(v) * np.linalg.norm(base)))
+        assert math.isclose(r["cos"], round(expect, 6), abs_tol=2e-6)
+
+
+def test_lsh_topk_recall(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.lsh_topk(vectors, q, k=3, planes=4).collect()
+    # identical-direction vectors always share the bucket → planted dup found
+    assert got and got[0]["neighbor_id"] == 99
+
+
+def test_centroids(spark, vectors):
+    cents = S.centroids(vectors, group_col="label").collect()
+    dims = {r["dim"] for r in cents}
+    assert dims == set(range(1, 9))
+    assert len(cents) == 16  # 2 labels × 8 dims
+
+
+def test_text_features(spark, docs):
+    feats = {r["doc_id"]: r for r in T.with_text_features(docs).collect()}
+    assert feats[1]["n_tokens"] == len(BASE.split())
+    assert feats[1]["pred_lang"] == "en"
+    assert feats[5]["pred_lang"] == "und"
+    assert 0.0 <= feats[1]["quality"] <= 1.0
+    assert feats[1]["fingerprint"] == feats[2]["fingerprint"]
+    assert feats[1]["fingerprint"] != feats[3]["fingerprint"]
+
+
+def test_multimodal_decode(spark, docs):
+    payloads = M.with_binary_payload(docs)
+    meta = {r["doc_id"]: r for r in M.decode_media(payloads, fake=True).collect()}
+    assert meta[1]["n_bytes"] == len(BASE.encode())
+    assert meta[1]["format"] == "fake"
+    assert 0 <= meta[1]["width"] < 1280 and 0 <= meta[1]["height"] < 720
+    # real decode path is stubbed: must raise, not silently fake
+    with pytest.raises(Exception):
+        M.decode_media(payloads, fake=False).collect()
+
+
+def test_mutate_chain_semantics(spark):
+    # transfer.js:271-284 fold: non-matching passes through; null drops;
+    # later mutators see earlier rewrites
+    from chillastic_spark.operators.mutate import mutate_objects
+
+    class Mut:
+        def __init__(self, pred, mut):
+            self.predicate, self.mutate, self.arguments = pred, mut, None
+
+    double = Mut(lambda d, a: d["v"] % 2 == 0, lambda d, a: {**d, "v": d["v"] * 10})
+    dropbig = Mut(lambda d, a: d["v"] >= 100, lambda d, a: None)
+    objs = [{"v": 1}, {"v": 2}, {"v": 10}, {"v": 3}]
+    out = mutate_objects(objs, [double, dropbig])
+    # 1→unmutated, 2→20, 10→100→dropped, 3→unmutated
+    assert out == [{"v": 1}, {"v": 20}, {"v": 3}]

@@ -1,0 +1,54 @@
+"""Structured-streaming continuous reindex: drain, exactly-once resume,
+mutator application (SURVEY §2.9)."""
+import json
+
+from chillastic_spark.sources import ENVELOPE_SCHEMA
+from chillastic_spark.streaming import continuous_reindex
+
+from conftest import docs_f1
+
+UPPER = """
+TYPE = "data"
+def predicate(doc, args):
+    return True
+def mutate(doc, args):
+    doc["_source"]["someField_1"] = doc["_source"]["someField_1"].upper()
+    return doc
+"""
+
+
+def test_stream_drains_and_resumes(spark, tmp_path, store_factory):
+    src = store_factory("src", {"myindex1": docs_f1(10)})
+    dst = store_factory("dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = continuous_reindex(spark, src, "myindex1", dst, ckpt)
+    q.awaitTermination(120)
+    assert dst.count(spark, "myindex1") == 10
+
+    # append 5 more docs; same checkpoint → only the new files process,
+    # upsert keeps the old ones intact (exactly-once by idempotence)
+    extra = [
+        ("myindex1", "mytype1", f"new{i}", json.dumps({"someField_1": f"n{i}"}), 10)
+        for i in range(5)
+    ]
+    src.write_documents(spark.createDataFrame(extra, ENVELOPE_SCHEMA), "myindex1")
+    q2 = continuous_reindex(spark, src, "myindex1", dst, ckpt)
+    q2.awaitTermination(120)
+    assert dst.count(spark, "myindex1") == 15
+
+
+def test_stream_applies_mutators(spark, tmp_path, store_factory):
+    from chillastic_spark.registry import Mutators
+
+    m = Mutators()
+    m.add("upper", UPPER)
+    src = store_factory("src", {"myindex1": docs_f1(3)})
+    dst = store_factory("dst")
+    q = continuous_reindex(
+        spark, src, "myindex1", dst, str(tmp_path / "ck2"),
+        mutators_by_type={"data": [m.get("upper")]},
+    )
+    q.awaitTermination(120)
+    rows = [json.loads(r["_source"]) for r in dst.read(spark, "myindex1").collect()]
+    assert all(v["someField_1"].startswith("SOMETHING") for v in rows)
