@@ -96,6 +96,10 @@ def ngram_jaccard_pairs(
     g = shingles(df, id_col, text_col, n, extra_cols=keys).withColumn(
         "gh", CF.hash60("gram")
     ).drop("gram")
+    # the shingle table feeds three consumers (both join sides + sizes);
+    # materialise it once instead of re-tokenising per consumer — at
+    # cluster scale this is a persist/checkpoint of the inverted index
+    g = g.localCheckpoint()
     sizes = g.groupBy("doc_id", *keys).agg(F.count("*").alias("sz"))
     a, b = g.alias("a"), g.alias("b")
     cond = (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -181,7 +185,8 @@ def minhash_lsh_pairs(
     pairs. Returns (id_a, id_b, est_jaccard).
     """
     rows = num_perm // bands
-    sig = minhash_signatures_wide(df, id_col, text_col, n, num_perm).cache()
+    # signatures feed banding + both verify-join sides: materialise once
+    sig = minhash_signatures_wide(df, id_col, text_col, n, num_perm).localCheckpoint()
     band_keys = F.array(
         *[
             F.concat_ws(",", *[F.col(f"mh{b * rows + j}").cast("string") for j in range(rows)])
@@ -252,7 +257,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     pair within Hamming ≤ chunks−1 shares ≥1 exact chunk, so candidates
     come from an equi-join on (chunk_idx, chunk_value) — no cross join.
     """
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col).localCheckpoint()
     width = SIMHASH_BITS // chunks
     chunked = sh.select(
         "doc_id",
