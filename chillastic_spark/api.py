@@ -1,0 +1,142 @@
+"""REST control plane (SURVEY §2.11, app/api/*).
+
+Route parity with the reference:
+
+    GET    /                         status (manager + tasks)      C9
+    POST   /_start  /_stop           global run switch             C8
+    GET    /tasks                    all task statuses             C10
+    POST   /tasks/<id>               admit task + build backlog    C1
+    GET    /tasks/<id>               one task status               C10
+    DELETE /tasks/<id>               task + namespaced registry    C11
+    GET    /tasks/<id>/errors        error log                     C7
+    POST   /tasks/<id>/_run          drain backlog (Spark jobs)    —*
+    GET/POST/DELETE /mutators/<ns>/<id>                            C12
+    GET/POST/DELETE /filters/<ns>/<id>                             C12
+
+*The reference's workers poll Redis continuously (worker.js:61-123);
+here Spark is the worker pool, so execution is an explicit drain call
+(or the streaming module for continuous operation).
+
+Optional API-key auth via the ``api_key`` header (routes.js:14-35).
+"""
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+from chillastic_spark.engine import Engine, TaskError
+from chillastic_spark.model import ActionRef, Task, TransferSpec
+from chillastic_spark.registry import RegistryError
+
+
+def task_from_json(body: dict) -> Task:
+    t = body.get("transfer", {})
+    return Task(
+        source=body.get("source", ""),
+        destination=body.get("destination", ""),
+        transfer=TransferSpec(
+            index_names=t.get("index_names") or t.get("indices", {}).get("names"),
+            template_names=t.get("template_names")
+            or t.get("indices", {}).get("templates"),
+            from_indices=t.get("from_indices")
+            or t.get("documents", {}).get("fromIndices"),
+            filters=[ActionRef.parse(f) for f in t.get("filters", [])],
+            flush_size=t.get("flush_size") or t.get("documents", {}).get("flushSize"),
+        ),
+        mutators=[ActionRef.parse(m) for m in body.get("mutators", [])],
+        arguments=body.get("arguments"),
+    )
+
+
+def create_app(engine: Engine, api_key: Optional[str] = None):
+    from flask import Flask, jsonify, request
+
+    app = Flask("chillastic_spark")
+
+    @app.before_request
+    def check_key():  # routes.js:14-35
+        if api_key is not None and request.headers.get("api_key") != api_key:
+            return jsonify({"error": "Not Authorized"}), 401
+
+    def handle(fn):
+        try:
+            return fn()
+        except (TaskError, RegistryError, ValueError) as e:
+            return jsonify({"error": str(e)}), 400
+
+    @app.get("/")
+    def root():
+        return jsonify(engine.status())
+
+    @app.post("/_start")
+    def start():
+        engine.start()
+        return jsonify({"running": True})
+
+    @app.post("/_stop")
+    def stop():
+        engine.stop()
+        return jsonify({"running": False})
+
+    # ------------------------------------------------------------- tasks
+    @app.get("/tasks")
+    def all_tasks():
+        return jsonify({t: engine.get_task_status(t) for t in engine.list_tasks()})
+
+    @app.post("/tasks/<task_id>")
+    def add_task(task_id):
+        def run():
+            body = request.get_json(force=True, silent=True) or {}
+            state = engine.add_task(task_id, task_from_json(body))
+            return jsonify(state.status())
+
+        return handle(run)
+
+    @app.get("/tasks/<task_id>")
+    def get_task(task_id):
+        return handle(lambda: jsonify(engine.get_task_status(task_id)))
+
+    @app.delete("/tasks/<task_id>")
+    def delete_task(task_id):
+        engine.remove_task(task_id)
+        return jsonify({"deleted": task_id})
+
+    @app.get("/tasks/<task_id>/errors")
+    def task_errors(task_id):
+        return handle(lambda: jsonify(engine.get_task_errors(task_id)))
+
+    @app.post("/tasks/<task_id>/_run")
+    def run_task(task_id):
+        return handle(lambda: jsonify(engine.run_task(task_id)))
+
+    # --------------------------------------------- mutators / filters CRUD
+    def registry_routes(name: str, registry):
+        @app.get(f"/{name}/<ns>/<obj_id>", endpoint=f"get_{name}")
+        def get_obj(ns, obj_id):
+            return handle(
+                lambda: jsonify(
+                    {"namespace": ns, "id": obj_id, "type": registry.get(obj_id, ns).type}
+                )
+            )
+
+        @app.post(f"/{name}/<ns>/<obj_id>", endpoint=f"post_{name}")
+        def post_obj(ns, obj_id):
+            def run():
+                source = request.get_data(as_text=True)
+                registry.add(obj_id, source, namespace=ns)
+                return jsonify({"registered": f"{ns}/{obj_id}"})
+
+            return handle(run)
+
+        @app.delete(f"/{name}/<ns>/<obj_id>", endpoint=f"delete_{name}")
+        def delete_obj(ns, obj_id):
+            registry.remove(obj_id, ns)
+            return jsonify({"deleted": f"{ns}/{obj_id}"})
+
+        @app.get(f"/{name}", endpoint=f"list_{name}")
+        def list_objs():
+            return jsonify(registry.list())
+
+    registry_routes("mutators", engine.mutators)
+    registry_routes("filters", engine.filters)
+    return app

@@ -26,10 +26,16 @@ class Query:
 
 
 def all_queries() -> dict[str, Query]:
-    from chillastic_spark.queries import documents, engine_parity, relational, vectors
+    from chillastic_spark.queries import (
+        documents,
+        engine_parity,
+        relational,
+        relational2,
+        vectors,
+    )
 
     out: dict[str, Query] = {}
-    for mod in (relational, engine_parity, documents, vectors):
+    for mod in (relational, relational2, engine_parity, documents, vectors):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,291 @@
+"""Second relational batch: semi/anti joins with aggregation subqueries,
+rollup grouping sets, conditional aggregation, returned-item top-k —
+rounding out the relational surface Spark provides beyond the reference
+(SURVEY §2.3-2.6)."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chillastic_spark.queries import Query
+from chillastic_spark.tables import load
+
+
+def _dec(col: str, prec: int, scale: int):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ------------------------------------------------------- q4: late shipping
+
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 flavour: orders with ≥1 lineitem shipped >90 days after
+    order date, counted per priority — left_semi against an interval
+    condition."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    late_orders = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late_orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------- q10: returned revenue
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 flavour: revenue lost to returns per customer, top 20."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    ep = _dec("l_extendedprice", 14, 2)
+    disc = _dec("l_discount", 4, 2)
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(ep * (one - disc)).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  round(sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------ q14: promo revenue
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 flavour: PROMO parts' share of revenue — conditional
+    aggregation over a broadcast join."""
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem")
+    ep = _dec("l_extendedprice", 14, 2)
+    disc = _dec("l_discount", 4, 2)
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = ep * (one - disc)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(20,4)")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT
+  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2))
+        ELSE 0.0000::DECIMAL(20,4) END)::DOUBLE
+      / sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2)))::DOUBLE, 4) AS promo_pct,
+  round(sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# ------------------------------------------------- q18: large-volume orders
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 flavour: orders whose total quantity exceeds 150 —
+    agg-subquery semi-join, then enrich with customer."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec("l_quantity", 12, 2)).cast("double"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity::DECIMAL(12,2))::DOUBLE, 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity::DECIMAL(12,2))::DOUBLE, 2) > 150
+) JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# -------------------------------------------------------- rollup / cube
+
+
+def rollup_nation_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: order counts by (nation, status) with ROLLUP
+    subtotals (SURVEY §2.4 notes these come free from Spark)."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.asc_nulls_first("n_name"), F.asc_nulls_first("o_orderstatus"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT n_name, o_orderstatus, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderstatus)
+ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+# ------------------------------------------------------- distinct counting
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approximate distinct (approx pinned only for exactness of
+    the exact column; approx column is compared loosely via rows-only?
+    No — both engines differ on approx, so only exact distincts here)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+DISTINCT_SQL = """
+SELECT count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem
+"""
+
+
+# ------------------------------------------------------------- word count
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top 20 — the canonical explode+count with
+    deterministic tie-break."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    return (
+        w.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+TOP_TERMS_SQL = """
+SELECT term, count(*) AS freq FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents)
+GROUP BY term ORDER BY freq DESC, term LIMIT 20
+"""
+
+
+# ----------------------------------------------------------- event funnel
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes their first
+    click, which precedes their first purchase — min-per-type pivot +
+    ordering predicate."""
+    e = load(spark, sf_dir, "events")
+    firsts = (
+        e.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+        )
+    )
+    return (
+        firsts.filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_click").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_view") < F.col("first_click"))
+            & (F.col("first_click") < F.col("first_purchase"))
+        )
+        .select("user_id", "first_view", "first_click", "first_purchase")
+        .orderBy("user_id")
+    )
+
+
+EVENT_FUNNEL_SQL = """
+SELECT user_id, first_view, first_click, first_purchase FROM (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id)
+WHERE first_view IS NOT NULL AND first_click IS NOT NULL AND first_purchase IS NOT NULL
+  AND first_view < first_click AND first_click < first_purchase
+ORDER BY user_id
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q4_late_orders": Query(q4_late_orders, Q4_SQL),
+    "q10_returned_items": Query(q10_returned_items, Q10_SQL, headline=True),
+    "q14_promo_share": Query(q14_promo_share, Q14_SQL),
+    "q18_large_orders": Query(q18_large_orders, Q18_SQL, headline=True),
+    "rollup_nation_status": Query(rollup_nation_status, ROLLUP_SQL),
+    "distinct_counts": Query(distinct_counts, DISTINCT_SQL),
+    "top_terms": Query(top_terms, TOP_TERMS_SQL),
+    "event_funnel": Query(event_funnel, EVENT_FUNNEL_SQL),
+}

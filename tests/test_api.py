@@ -1,0 +1,101 @@
+"""HTTP control-plane tests (mirrors tests/routes.it.spec.js via the
+Flask test client)."""
+import pytest
+
+from chillastic_spark.api import create_app
+from chillastic_spark.engine import Engine
+
+from conftest import docs_f1
+
+MUTATOR = "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    return d\n"
+
+
+@pytest.fixture
+def client(spark, tmp_path, store_factory):
+    src = store_factory("src", {"myindex1": docs_f1(5)})
+    dst = store_factory("dst")
+    eng = Engine(spark, str(tmp_path / "state"))
+    app = create_app(eng)
+    app.config["TESTING"] = True
+    return app.test_client(), src, dst
+
+
+def test_task_lifecycle_over_http(spark, client):
+    c, src, dst = client
+    body = {
+        "source": src.root,
+        "destination": dst.root,
+        "transfer": {"documents": {"fromIndices": "myindex*"}},
+    }
+    r = c.post("/tasks/job1", json=body)
+    assert r.status_code == 200
+    assert r.get_json()["backlog"] == 5
+
+    r = c.get("/tasks/job1")
+    assert r.get_json()["percentComplete"] == 0.0
+
+    r = c.post("/tasks/job1/_run")
+    assert r.get_json()["percentComplete"] == 100.0
+    assert dst.count(spark, "myindex1") == 5
+
+    assert "job1" in c.get("/tasks").get_json()
+    assert c.get("/tasks/job1/errors").get_json() == []
+    c.delete("/tasks/job1")
+    assert c.get("/tasks").get_json() == {}
+
+
+def test_admission_failures_over_http(client):
+    c, src, dst = client
+    # bad id (regex)   routes.it.spec.js:13-68
+    r = c.post("/tasks/9bad", json={"source": src.root, "destination": dst.root,
+                                    "transfer": {"documents": {"fromIndices": "x"}}})
+    assert r.status_code == 400
+    # missing mutator
+    r = c.post("/tasks/ok1", json={
+        "source": src.root, "destination": dst.root,
+        "transfer": {"documents": {"fromIndices": "x"}},
+        "mutators": [{"id": "missing"}],
+    })
+    assert r.status_code == 400 and "missing" in r.get_json()["error"]
+    # unreachable store
+    r = c.post("/tasks/ok2", json={"source": "/nope", "destination": dst.root,
+                                   "transfer": {"documents": {"fromIndices": "x"}}})
+    assert r.status_code == 400
+    # unknown task status
+    assert c.get("/tasks/ghost").status_code == 400
+
+
+def test_registry_crud_over_http(client):
+    c, _, _ = client
+    r = c.post("/mutators/global/myMut", data=MUTATOR)
+    assert r.status_code == 200
+    assert c.get("/mutators/global/myMut").get_json()["type"] == "data"
+    assert c.get("/mutators").get_json() == ["global/myMut"]
+    # invalid source rejected
+    assert c.post("/mutators/global/bad", data="not python ((").status_code == 400
+    c.delete("/mutators/global/myMut")
+    assert c.get("/mutators").get_json() == []
+    # filters too
+    assert c.post(
+        "/filters/global/f1",
+        data="TYPE='index'\ndef predicate(i,a):\n    return True\n",
+    ).status_code == 200
+    assert c.get("/filters/global/f1").get_json()["type"] == "index"
+
+
+def test_start_stop_and_status(client):
+    c, _, _ = client
+    assert c.get("/").get_json()["manager"] == "running"
+    c.post("/_stop")
+    assert c.get("/").get_json()["manager"] == "stopped"
+    c.post("/_start")
+    assert c.get("/").get_json()["manager"] == "running"
+
+
+def test_api_key_auth(spark, tmp_path, store_factory):
+    eng = Engine(spark, str(tmp_path / "state-auth"))
+    app = create_app(eng, api_key="sekrit")
+    c = app.test_client()
+    assert c.get("/").status_code == 401
+    assert c.get("/", headers={"api_key": "wrong"}).status_code == 401
+    assert c.get("/", headers={"api_key": "sekrit"}).status_code == 200
