@@ -55,7 +55,17 @@ def create_app(engine: Engine, api_key: Optional[str] = None):
 
     @app.before_request
     def check_key():  # routes.js:14-35
-        if api_key is not None and request.headers.get("api_key") != api_key:
+        if api_key is None:
+            return None
+        # the reference's header is literally "api_key" (Express passes
+        # it through), but WSGI servers drop underscore headers — accept
+        # the hyphenated form as the WSGI-safe spelling
+        sent = (
+            request.environ.get("HTTP_API_KEY")
+            or request.headers.get("api_key")
+            or request.headers.get("api-key")
+        )
+        if sent != api_key:
             return jsonify({"error": "Not Authorized"}), 401
 
     def handle(fn):

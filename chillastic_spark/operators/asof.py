@@ -1,0 +1,64 @@
+"""As-of join: for each left row, the latest right row at or before its
+timestamp, per key.
+
+Spark has no native ASOF JOIN (DuckDB/QuestDB do). The scalable
+formulation is NOT a range join (which Catalyst would nested-loop):
+union both sides tagged, sort within each key partition once, and carry
+the last-seen right value forward with ``last(..., ignorenulls=True)``
+over an unbounded-preceding window. One shuffle on the key, no
+row-pair blowup, skew handled by AQE.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    order_tiebreak: str | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Return ``left`` with ``value_cols`` from the latest ``right`` row
+    whose ``ts`` ≤ left.ts (< when ``strict``), matched per ``key``.
+
+    Right rows sort before left rows at equal timestamps unless
+    ``strict`` (then after), so equality matches are in/excluded
+    deterministically.
+    """
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.select(
+        key, ts, *value_cols
+    ).withColumn("__side", F.lit(0 if not strict else 2))
+    all_cols = set(lt.columns) | set(rt.columns)
+    for c in sorted(all_cols):
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    u = lt.select(*sorted(all_cols)).unionByName(rt.select(*sorted(all_cols)))
+
+    order = [F.col(ts).asc(), F.col("__side").asc()]
+    if order_tiebreak:
+        order.insert(1, F.col(order_tiebreak).asc_nulls_first())
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(
+                F.when(F.col("__side") != 1, F.col(c)), ignorenulls=True
+            ).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1)
+    for c in value_cols:
+        out = out.drop(c).withColumnRenamed(f"__asof_{c}", c)
+    return out.drop("__side")

@@ -331,8 +331,37 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ----------------------------------------------------------- as-of join
+
+
+def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom operator Spark lacks natively (operators/asof.py): each
+    purchase joined to the user's latest view at-or-before it."""
+    from chillastic_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("last_view_value")
+    )
+    return asof_join(
+        purchases, views, key="user_id", ts="ts", value_cols=["last_view_value"]
+    ).select("user_id", "event_id", "ts", "last_view_value")
+
+
+ASOF_SQL = """
+SELECT p.user_id, p.event_id, p.ts, v.value AS last_view_value
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 QUERIES: dict[str, Query] = {
     "scan_projection": Query(scan_projection, SCAN_PROJECTION_SQL),
+    "asof_view_before_purchase": Query(asof_view_before_purchase, ASOF_SQL),
     "count_per_slice": Query(count_per_slice, COUNT_PER_SLICE_SQL),
     "size_stats": Query(size_stats, SIZE_STATS_SQL),
     "size_histogram": Query(size_histogram, SIZE_HISTOGRAM_SQL),
