@@ -348,6 +348,20 @@ class Engine:
                 state.log_error(sub, traceback.format_exc(limit=5))
         return state.status()
 
+    def run_all(self) -> dict:
+        """Round-robin across tasks, one subtask each per cycle
+        (worker.js:43-51: drain taskIds, pop one from each) until all
+        backlogs drain or stop() is called."""
+        progressed = True
+        while progressed and self._running:
+            progressed = False
+            for task_id in self.list_tasks():
+                before = TaskState(self.state_root, task_id).data["backlog"]
+                if before:
+                    self.run_task(task_id, max_subtasks=1)
+                    progressed = True
+        return self.status()
+
     def get_task_status(self, task_id: str) -> dict:
         self.get_task(task_id)
         return TaskState(self.state_root, task_id).status()

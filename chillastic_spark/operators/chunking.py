@@ -1,0 +1,63 @@
+"""Document chunking for training-data pipelines: split each document
+into overlapping fixed-size token windows.
+
+Pure column expressions (sequence → slice → concat_ws; no Python), so
+chunking 100 TB of text is a single narrow-transform scan — no shuffle
+at all until something downstream needs one.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chillastic_spark import functions as CF
+
+
+def chunk_expr(w: Column, size: int, stride: int) -> Column:
+    """Array of space-joined token windows [i·stride, i·stride+size) —
+    every token appears in ≥1 chunk; last window may be short.
+
+    n_chunks = 1 + ceil(max(n_tokens - size, 0) / stride), expressed as
+    floor((n - size + stride - 1) / stride) + 1 clamped at ≥ 1.
+    """
+    n = F.size(w)
+    n_chunks = F.greatest(
+        F.floor((n - size + stride - 1) / stride).cast("int") + 1, F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * stride + 1, size)),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, n_chunk_tokens) — one row per
+    overlapping window. Tokenise once (two-step projection, see
+    functions.ngrams_of_words), then posexplode the window array."""
+    w = df.select(F.col(id_col).alias("doc_id"), CF.words(text_col).alias("__w"))
+    # pre-project the chunk array (and token count) so posexplode reads
+    # attributes, not a generator re-evaluating the window expression
+    arr = w.select(
+        "doc_id",
+        F.size(F.col("__w")).alias("__n"),
+        chunk_expr(F.col("__w"), size, stride).alias("__chunks"),
+    )
+    return arr.select(
+        "doc_id",
+        F.posexplode(F.col("__chunks")).alias("chunk_idx", "chunk_text"),
+        F.col("__n"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        # window token count is pure arithmetic — no re-tokenisation
+        F.least(F.lit(size), F.col("__n") - F.col("chunk_idx") * stride).alias(
+            "n_chunk_tokens"
+        ),
+    )

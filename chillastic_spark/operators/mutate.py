@@ -48,12 +48,24 @@ def mutate_objects(objs: Iterable[dict], mutators: Optional[list]) -> list[dict]
     return out
 
 
-def apply_data_mutators(df: DataFrame, mutators: Optional[list]) -> DataFrame:
+QUARANTINE_INDEX = "_quarantine"
+
+
+def apply_data_mutators(
+    df: DataFrame, mutators: Optional[list], quarantine: bool = False
+) -> DataFrame:
     """Apply data-type mutators to an envelope DataFrame.
 
     Each row becomes {_index,_type,_id,_source: dict,_size}; the mutated
     doc's envelope fields are written back (mutators may re-route
     _index — examples/mutators/indexDate.js). No-op without mutators.
+
+    ``quarantine=True`` is the per-record error side-channel (SURVEY S5,
+    the badRecordsPath analog of transfer.js:306-352's bulk-error
+    handling): a doc whose mutator raises is routed to the
+    ``_quarantine`` index carrying the error + original payload instead
+    of failing the whole slice. Default (False) propagates, matching
+    the reference's subtask-level error logging.
     """
     if not mutators:
         return df
@@ -64,6 +76,7 @@ def apply_data_mutators(df: DataFrame, mutators: Optional[list]) -> DataFrame:
     # which isn't on the Python-worker path unless the user shipped it
     # (--py-files). Plain tuples + inline drop logic avoid that.
     chain = [(m.predicate, m.mutate, m.arguments) for m in mutators]
+    do_quarantine = quarantine
 
     def run(batches):
         import json as _json
@@ -83,12 +96,33 @@ def apply_data_mutators(df: DataFrame, mutators: Optional[list]) -> DataFrame:
                     "_source": _json.loads(rec["_source"]) if rec["_source"] else {},
                     "_size": rec.get("_size"),
                 }
-                for pred, mut, args in chain:
-                    if _drop(doc):
-                        doc = None
-                        break
-                    if pred(doc, args):
-                        doc = mut(doc, args)
+                try:
+                    for pred, mut, args in chain:
+                        if _drop(doc):
+                            doc = None
+                            break
+                        if pred(doc, args):
+                            doc = mut(doc, args)
+                except Exception as e:  # noqa: BLE001 — user-code boundary
+                    if not do_quarantine:
+                        raise
+                    rows.append(
+                        {
+                            "_index": "_quarantine",
+                            "_type": rec["_type"],
+                            "_id": f"{rec['_index']}/{rec['_id']}",
+                            "_source": _json.dumps(
+                                {
+                                    "error": repr(e),
+                                    "original_index": rec["_index"],
+                                    "original_source": rec["_source"],
+                                },
+                                sort_keys=True,
+                            ),
+                            "_size": rec.get("_size"),
+                        }
+                    )
+                    continue
                 if _drop(doc):
                     continue
                 rows.append(

@@ -199,6 +199,36 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(d, max_hamming=3, chunks=4)
 
 
+# ------------------------------------------------------------- chunking
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 50, 40
+
+
+def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/chunking.py)."""
+    from chillastic_spark.operators.chunking import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
+CHUNK_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_W} AS w FROM documents
+), n AS (
+  SELECT doc_id, w,
+         greatest(CAST(floor((len(w) - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1}) / {_CHUNK_STRIDE}.0) AS INT) + 1, 1) AS nc
+  FROM w
+), c AS (
+  SELECT doc_id, w, unnest(range(0, nc)) AS chunk_idx FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(list_slice(w, chunk_idx * {_CHUNK_STRIDE} + 1, chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ') AS chunk_text,
+       least({_CHUNK_SIZE}, len(w) - chunk_idx * {_CHUNK_STRIDE}) AS n_chunk_tokens
+FROM c
+"""
+
+
 # -------------------------------------------------------- multimodal plumbing
 
 
@@ -233,5 +263,6 @@ QUERIES: dict[str, Query] = {
     "dedup_minhash_lsh": Query(dedup_minhash_lsh, DEDUP_MINHASH_SQL, headline=True),
     "dedup_simhash": Query(dedup_simhash, _simhash_sql()),
     "simhash_pairs": Query(simhash_pairs, None),
+    "chunk_windows": Query(chunk_windows, CHUNK_SQL),
     "multimodal_meta": Query(multimodal_meta, MULTIMODAL_META_SQL),
 }

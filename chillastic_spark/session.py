@@ -36,6 +36,9 @@ def get_spark(app_name: str = "chillastic-spark", cpus: str | int | None = None)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # retrying search/scroll (reference transfer.js:79-87) → Spark
+        # task retries; no-op on local[] but the shipped default
+        .config("spark.task.maxFailures", "4")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
