@@ -10,12 +10,37 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from chillastic_spark.operators.mutate import apply_data_mutators
 from chillastic_spark.sinks import upsert
 from chillastic_spark.sources import ENVELOPE_SCHEMA, DocumentStore
+
+# events.parquet carries TIMESTAMP(NANOS); streams read it as long and
+# floor-convert (same convention as tables.load)
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def continuous_reindex(
@@ -53,3 +78,106 @@ def continuous_reindex(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "windowed_counts",
+) -> StreamingQuery:
+    """Watermarked tumbling-window aggregation (the streaming twin of
+    the ``events_hourly`` batch query): late data beyond ``watermark``
+    is dropped, completed windows emit exactly once (append mode).
+    State is bounded by the watermark — the 100 TB requirement for an
+    unbounded stream."""
+    events = read_events_stream(spark, events_path)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "cnt", "sum_value"
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+SESSION_STATE_SCHEMA = "last_ts long, n_sessions long, n_events long"
+SESSION_OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+
+
+def stateful_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    query_name: str = "stateful_sessions",
+) -> StreamingQuery:
+    """Custom stateful streaming operator (SURVEY §2.9 → Spark mapping
+    ``applyInPandasWithState``): per-user gap-based session counting
+    that survives across micro-batches via explicit group state.
+
+    Emits the running (user_id, n_sessions, n_events) after each batch.
+
+    NOTE: both this and windowed_event_counts write to the ``memory``
+    sink for inspectability — Spark's memory sink does NOT support
+    checkpoint recovery, so a restart needs a fresh checkpoint dir.
+    Production deployments swap the writer for foreachBatch/Kafka (as
+    ``continuous_reindex`` does), which resume exactly-once.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd_
+
+        (user_id,) = key
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(v.value // 1000) for v in pdf["ts"])  # ns→µs
+        ts_list.sort()
+        for t in ts_list:
+            if last_ts is None or t - last_ts > gap_us:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd_.DataFrame(
+            [{"user_id": user_id, "n_sessions": n_sessions, "n_events": n_events}]
+        )
+
+    events = read_events_stream(spark, events_path)
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,78 @@
+"""Watermarked windowed aggregation + applyInPandasWithState custom
+stateful operator, checked against their batch twins."""
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chillastic_spark.streaming import stateful_sessionize, windowed_event_counts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def events_dir(tmp_path):
+    """File-stream sources are directories; stage the events file."""
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, tmp_path, events_dir):
+    q = windowed_event_counts(
+        spark,
+        events_dir,
+        str(tmp_path / "ck-win"),
+        query_name="win_t1",
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_t1").collect()
+    }
+    # batch twin over the same file
+    from chillastic_spark.tables import load
+
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+        .select(F.col("win.start").alias("ws"), "event_type", "cnt", "sum_value")
+        .collect()
+    )
+    expected = {(r["ws"], r["event_type"]): (r["cnt"], r["sum_value"]) for r in batch}
+    # append mode emits only windows closed by the watermark; every
+    # emitted window must match the batch result exactly
+    assert len(got) > 0
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path, events_dir):
+    q = stateful_sessionize(
+        spark,
+        events_dir,
+        str(tmp_path / "ck-sess"),
+        query_name="sess_t1",
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT user_id, max(n_sessions) AS n_sessions, max(n_events) AS n_events "
+        "FROM sess_t1 GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in rows}
+
+    from chillastic_spark.queries.engine_parity import sessionize
+
+    expected = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessionize(spark, SF_DIR).collect()
+    }
+    assert got == expected
