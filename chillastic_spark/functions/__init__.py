@@ -15,6 +15,29 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# ------------------------------------------------------- deterministic round
+
+
+def round_det(col: Column, digits: int) -> Column:
+    """Engine-portable rounding of a computed double:
+    floor(x·10^d + 0.5) / 10^d.
+
+    Spark's ``round`` rounds the double's SHORTEST DECIMAL REPR (via
+    BigDecimal.valueOf) while DuckDB rounds the binary value — for a
+    double like 0.54174999…repr "0.54175" they disagree. Running the
+    identical floor arithmetic on both engines can't diverge. (Halfway
+    behavior is round-toward-+∞; only cross-engine equality matters.)
+    """
+    p = F.lit(float(10**digits))
+    return F.floor(col * p + F.lit(0.5)).cast("double") / p
+
+
+def round_det_sql(expr: str, digits: int) -> str:
+    """The DuckDB twin of round_det — same expression, same doubles."""
+    p = f"{10**digits}.0"
+    return f"floor(({expr}) * {p} + 0.5) / {p}"
+
+
 # ---------------------------------------------------------------- hashing
 
 

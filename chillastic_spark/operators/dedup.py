@@ -117,7 +117,7 @@ def ngram_jaccard_pairs(
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4),
+            CF.round_det(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -213,7 +213,7 @@ def minhash_lsh_pairs(
     est = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("est_jaccard", F.round(eq_count / F.lit(float(num_perm)), 4))
+        .withColumn("est_jaccard", CF.round_det(eq_count / F.lit(float(num_perm)), 4))
         .select("id_a", "id_b", "est_jaccard")
     )
     return est.filter(F.col("est_jaccard") >= threshold)
@@ -330,6 +330,6 @@ def embedding_dup_pairs(
     pairs = a.join(b, cond).select(
         F.col("a.vid").alias("id_a"),
         F.col("b.vid").alias("id_b"),
-        F.round(CF.cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
+        CF.round_det(CF.cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)

@@ -37,7 +37,7 @@ def brute_force_topk(
     )
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(CF.cosine(F.col("vec"), F.col("qvec")), 6))
+        .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
     from pyspark.sql.window import Window
@@ -114,7 +114,7 @@ def lsh_topk(
     scored = (
         v.join(F.broadcast(q), ["bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(CF.cosine(F.col("vec"), F.col("qvec")), 6))
+        .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
     from pyspark.sql.window import Window
@@ -138,6 +138,6 @@ def centroids(
     return (
         df.select(F.col(group_col).alias("grp"), F.posexplode(CF.as_double_array(vec_col)))
         .groupBy("grp", "pos")
-        .agg(F.round(F.avg("col"), 6).alias("centroid"))
+        .agg(CF.round_det(F.avg("col"), 6).alias("centroid"))
         .select(F.col("grp").alias(group_col), (F.col("pos") + 1).alias("dim"), "centroid")
     )

@@ -92,7 +92,7 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("__w", CF.words(text_col))
         .withColumn("n_tokens", token_count(w=w))
-        .withColumn("quality", F.round(quality_score(text_col, w=w), 4))
+        .withColumn("quality", CF.round_det(quality_score(text_col, w=w), 4))
         .withColumn("pred_lang", lang_id(w=w))
         .withColumn("fingerprint", CF.fingerprint(text_col))
         .drop("__w")

@@ -37,12 +37,12 @@ _HITS = lambda lang: (  # noqa: E731
 TEXT_FEATURES_SQL = f"""
 SELECT doc_id,
   len({_W}) AS n_tokens,
-  round(
+  floor((
       0.4 * (len(list_distinct({_W})) / CAST(len({_W}) AS DOUBLE))
     + 0.3 * (least(CAST(len({_W}) AS DOUBLE), 200.0) / 200.0)
     + 0.2 * (1.0 - greatest({_HITS('en')} / CAST(len({_W}) AS DOUBLE) - 0.5, 0.0) * 2)
     + 0.1 * (least(greatest((length(regexp_replace(trim(text), '\\s+', '', 'g')) / CAST(len({_W}) AS DOUBLE) - 2) / 6.0, 0.0), 1.0))
-  , 4) AS quality,
+  ) * 10000.0 + 0.5) / 10000.0 AS quality,
   CASE WHEN {_HITS('en')} >= {_HITS('de')} AND {_HITS('en')} >= {_HITS('fr')} AND {_HITS('en')} > 0 THEN 'en'
        WHEN {_HITS('de')} >= {_HITS('fr')} AND {_HITS('de')} > 0 THEN 'de'
        WHEN {_HITS('fr')} > 0 THEN 'fr'
@@ -101,9 +101,9 @@ WITH g AS (
   GROUP BY 1, 2
 )
 SELECT ia AS id_a, ib AS id_b,
-       round(common / (sa.sz + sb.sz - common), 4) AS jaccard
+       floor((common / (sa.sz + sb.sz - common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM c JOIN sz sa ON c.ia = sa.doc_id JOIN sz sb ON c.ib = sb.doc_id
-WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.5
+WHERE floor((common / (sa.sz + sb.sz - common)) * 10000.0 + 0.5) / 10000.0 >= 0.5
 """
 
 
@@ -153,9 +153,9 @@ WITH g AS (
 {cand_union}
 )
 SELECT ia AS id_a, ib AS id_b,
-       round(({eq_sum}) / {float(num_perm)}, 4) AS est_jaccard
+       floor((({eq_sum}) / {float(num_perm)}) * 10000.0 + 0.5) / 10000.0 AS est_jaccard
 FROM cand JOIN sig sa ON cand.ia = sa.doc_id JOIN sig sb ON cand.ib = sb.doc_id
-WHERE round(({eq_sum}) / {float(num_perm)}, 4) >= {threshold}
+WHERE floor((({eq_sum}) / {float(num_perm)}) * 10000.0 + 0.5) / 10000.0 >= {threshold}
 """
 
 

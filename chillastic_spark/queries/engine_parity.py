@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from chillastic_spark import functions as CF
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
 
@@ -264,7 +265,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias(
                 "sum_value"
             ),
         )
@@ -274,7 +275,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
-  round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
+  round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -316,7 +317,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
-            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+            CF.round_det(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
         )
         .orderBy("event_type")
@@ -325,7 +326,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_SQL = """
 SELECT event_type,
-  round(sum(CAST(json_extract_string(props, '$.k') AS INT))::DOUBLE / count(*), 4) AS avg_k,
+  floor((sum(CAST(json_extract_string(props, '$.k') AS INT))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_k,
   max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from chillastic_spark import functions as CF
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
 
@@ -46,13 +47,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(ep).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
-            F.round(F.sum(ep).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(ep), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            CF.round_det(F.sum(qty).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            CF.round_det(F.sum(ep).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
+            CF.round_det(F.sum(disc).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -61,13 +62,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity::DECIMAL(12,2))::DOUBLE, 2) AS sum_qty,
-  round(sum(l_extendedprice::DECIMAL(14,2))::DOUBLE, 2) AS sum_base_price,
-  round(sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS sum_disc_price,
-  round(sum((l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2))) * (1.00::DECIMAL(3,2) + l_tax::DECIMAL(4,2)))::DOUBLE, 2) AS sum_charge,
-  round(sum(l_quantity::DECIMAL(12,2))::DOUBLE / count(*), 4) AS avg_qty,
-  round(sum(l_extendedprice::DECIMAL(14,2))::DOUBLE / count(*), 4) AS avg_price,
-  round(sum(l_discount::DECIMAL(4,2))::DOUBLE / count(*), 4) AS avg_disc,
+  round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_qty,
+  round(sum(l_extendedprice::DECIMAL(14,2)), 2)::DOUBLE AS sum_base_price,
+  round(sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS sum_disc_price,
+  round(sum((l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2))) * (1.00::DECIMAL(3,2) + l_tax::DECIMAL(4,2))), 2)::DOUBLE AS sum_charge,
+  floor((sum(l_quantity::DECIMAL(12,2))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+  floor((sum(l_extendedprice::DECIMAL(14,2))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+  floor((sum(l_discount::DECIMAL(4,2))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -92,7 +93,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(ep * (one - disc)).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(ep * (one - disc)), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
@@ -101,7 +102,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey,
-  round(sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS revenue,
+  round(sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue,
   o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -142,14 +143,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(ep * (one - disc)).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(ep * (one - disc)), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-  round(sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS revenue
+  round(sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -181,7 +182,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(ep * disc).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(ep * disc), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -189,7 +190,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q6_SQL = """
 SELECT
-  round(sum(l_extendedprice::DECIMAL(14,2) * l_discount::DECIMAL(4,2))::DOUBLE, 2) AS revenue,
+  round(sum(l_extendedprice::DECIMAL(14,2) * l_discount::DECIMAL(4,2)), 2)::DOUBLE AS revenue,
   count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -207,7 +208,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(_money(F.col("o_totalprice"))).cast("double"), 2).alias("total_spent"),
+            F.round(F.sum(_money(F.col("o_totalprice"))), 2).cast("double").alias("total_spent"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
@@ -217,7 +218,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_CUSTOMERS_SQL = """
 SELECT c_custkey, c_name,
-  round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS total_spent,
+  round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_spent,
   count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
@@ -241,7 +242,7 @@ def nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(_money(F.col("o_totalprice"))).cast("double"), 2).alias("total_price"),
+            F.round(F.sum(_money(F.col("o_totalprice"))), 2).cast("double").alias("total_price"),
         )
         .orderBy("n_name", "o_orderstatus")
     )
@@ -249,7 +250,7 @@ def nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NATION_ORDER_STATS_SQL = """
 SELECT n_name, o_orderstatus, count(*) AS n_orders,
-  round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS total_price
+  round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name, o_orderstatus

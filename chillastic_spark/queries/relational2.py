@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chillastic_spark import functions as CF
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
 
@@ -66,7 +67,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(ep * (one - disc)).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(ep * (one - disc)), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -74,7 +75,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-  round(sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS revenue
+  round(sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -104,24 +105,24 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            CF.round_det(
                 F.lit(100.0)
                 * F.sum(promo).cast("double")
                 / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_pct"),
-            F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
         )
     )
 
 
 Q14_SQL = """
 SELECT
-  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+  floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
         THEN l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2))
         ELSE 0.0000::DECIMAL(20,4) END)::DOUBLE
-      / sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2)))::DOUBLE, 4) AS promo_pct,
-  round(sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS total_revenue
+      / sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2)))::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS promo_pct,
+  round(sum(l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
@@ -137,7 +138,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.round(F.sum(_dec("l_quantity", 12, 2)).cast("double"), 2).alias("total_qty"))
+        .agg(F.round(F.sum(_dec("l_quantity", 12, 2)), 2).cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -152,8 +153,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
 FROM (
-  SELECT l_orderkey, round(sum(l_quantity::DECIMAL(12,2))::DOUBLE, 2) AS total_qty
-  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity::DECIMAL(12,2))::DOUBLE, 2) > 150
+  SELECT l_orderkey, round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE > 150
 ) JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey

@@ -29,7 +29,7 @@ SIMILARITY_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 scored AS (
   SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
-         round({_COS}, 6) AS cos
+         floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0 AS cos
   FROM e a JOIN e b ON b.vec_id < 5 AND a.vec_id != b.vec_id
 )
 SELECT query_id, neighbor_id, cos FROM scored
@@ -44,7 +44,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_CENTROIDS_SQL = """
-SELECT label, dim, round(avg(val), 6) AS centroid FROM (
+SELECT label, dim, floor((avg(val)) * 1000000.0 + 0.5) / 1000000.0 AS centroid FROM (
   SELECT label,
          unnest(generate_series(1, len(embedding))) AS dim,
          unnest(embedding::DOUBLE[]) AS val
@@ -62,9 +62,9 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_DUP_SQL = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 4) AS cos
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, floor(({_COS}) * 10000.0 + 0.5) / 10000.0 AS cos
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({_COS}, 4) >= 0.3
+WHERE floor(({_COS}) * 10000.0 + 0.5) / 10000.0 >= 0.3
 """
 
 
