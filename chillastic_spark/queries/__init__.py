@@ -27,6 +27,7 @@ class Query:
 
 def all_queries() -> dict[str, Query]:
     from chillastic_spark.queries import (
+        analytics,
         documents,
         engine_parity,
         relational,
@@ -35,7 +36,7 @@ def all_queries() -> dict[str, Query]:
     )
 
     out: dict[str, Query] = {}
-    for mod in (relational, relational2, engine_parity, documents, vectors):
+    for mod in (relational, relational2, engine_parity, documents, vectors, analytics):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
