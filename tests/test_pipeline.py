@@ -1,0 +1,37 @@
+"""Curation pipeline integration: planted junk/dup/near-dup docs must be
+pruned at the right stage, survivors chunked."""
+from chillastic_spark.pipelines import CurationConfig, curate
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun and the birds sing in the tall green trees near the river"
+)
+NEAR = GOOD.replace("lazy dog", "lazy cow")
+LONG_GOOD = " ".join(
+    f"sentence{i} about meaningful topic{i % 7} with varied vocabulary{i % 11}"
+    for i in range(30)
+)
+
+
+def test_curation_pipeline(spark):
+    rows = [
+        (1, GOOD),
+        (2, GOOD),        # exact dup → pruned at exact stage
+        (3, NEAR),        # near dup of 1 → pruned at near stage
+        (4, LONG_GOOD),   # survives; long enough to chunk into >1 window
+        (5, "tiny doc"),  # < min_tokens → pruned at quality gate
+        (6, "a a a a a a a a a a a a"),  # degenerate vocab → low quality
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    chunks, report = curate(df, CurationConfig(min_quality=0.35, min_tokens=8))
+
+    assert report.input_docs == 6
+    assert report.after_quality_gate == 4      # 5 (short) and 6 (junk) gone
+    assert report.after_exact_dedup == 3       # 2 collapsed into 1
+    assert report.after_near_dedup == 2        # 3 collapsed into 1
+    survivors = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert survivors == {1, 4}
+    assert report.chunks == chunks.count()
+    # the long doc got multiple overlapping windows
+    n4 = chunks.filter("doc_id = 4").count()
+    assert n4 >= 2
