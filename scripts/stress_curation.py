@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Scale stress: run the full curation pipeline on a synthetic 100k-doc
+corpus (~8M tokens) with planted exact (2%) and near (5%) duplicates.
+
+Corpus is generated DISTRIBUTED (JVM-side hash text, no driver loop) —
+the generator itself is the pattern for testing at any scale. Round-1
+result on local[32]: 44s wall, dup pruning exactly matching the plant
+(100000 → 98000 exact → ~94000 near → 188k chunks).
+
+Usage: python scripts/stress_curation.py [n_docs]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from chillastic_spark.pipelines import CurationConfig, curate
+from chillastic_spark.session import get_spark
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    spark = get_spark("stress-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1).count()
+
+    vocab = [f"word{i}" for i in range(40)]
+
+    def mk_text(seed_col):
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(79)),
+            lambda i: F.element_at(
+                F.array(*[F.lit(w) for w in vocab]),
+                ((F.xxhash64(seed_col, i) % 40 + 40) % 40 + 1).cast("int"),
+            ),
+        )
+        return F.concat_ws(" ", toks)
+
+    base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    docs = base.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 50 == 1, mk_text(F.col("doc_id") - 1))
+        .when(
+            F.col("doc_id") % 20 == 1,
+            F.concat(mk_text(F.col("doc_id") - 1), F.lit(" extra token")),
+        )
+        .otherwise(mk_text(F.col("doc_id"))),
+    ).localCheckpoint()
+    print(f"corpus: {docs.count()} docs")
+
+    t0 = time.time()
+    chunks, report = curate(
+        docs, CurationConfig(min_quality=0.2, min_tokens=8, near_dup_threshold=0.5)
+    )
+    print("report:", report.as_dict())
+    print(f"curation wall: {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
