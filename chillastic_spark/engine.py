@@ -56,13 +56,17 @@ class TaskState:
         os.replace(tmp, self.path)
 
     # -- queue ops (FIFO + dedup, subtasks.js:45-69) ---------------------
-    def enqueue(self, subtask: Subtask) -> bool:
+    def enqueue(self, subtask: Subtask, save: bool = True) -> bool:
+        """FIFO append with duplicate guard. ``save=False`` defers the
+        state write (build_backlog batches thousands of enqueues into
+        one save — per-enqueue rewrites would be O(N²) driver I/O)."""
         sid = subtask.subtask_id()
         if any(sid == s for s, _ in self.data["backlog"]) or sid in self.data["completed"]:
             return False  # duplicate-enqueue guard (subtasks.js:51-67)
         self.data["backlog"].append([sid, subtask.count])
         self.data["total"] += subtask.count
-        self.save()
+        if save:
+            self.save()
         return True
 
     def pop(self) -> Optional[Subtask]:
@@ -100,7 +104,12 @@ class TaskState:
         total = self.data["total"]
         completed = sum(self.data["completed"].values())
         backlog = sum(c for _, c in self.data["backlog"])
-        pct = 100.0 if total == 0 else round(completed / total * 100, 2)
+        if total == 0:
+            # zero-count work (index/template subtasks) still pending
+            # must not read as done
+            pct = 0.0 if (self.data["backlog"] or self.data["progress"]) else 100.0
+        else:
+            pct = round(completed / total * 100, 2)
         return {
             "percentComplete": pct,
             "total": total,
@@ -239,6 +248,7 @@ class Engine:
         state = TaskState(self.state_root, task_id)
         state.data["backlog"] = []
         state.data["total"] = sum(state.data["completed"].values())
+        state.save()  # persist the clear even if nothing gets enqueued
         source = DocumentStore(task.source)
 
         potential: list[Subtask] = []
@@ -264,7 +274,8 @@ class Engine:
                     self.spark, sub.index, sub.type, sub.min_size, sub.max_size
                 )
                 sub = Subtask(**{**vars(sub), "count": count})
-            state.enqueue(sub)
+            state.enqueue(sub, save=False)
+        state.save()
         return state
 
     def _document_subtasks(self, task: Task, source: DocumentStore) -> list[Subtask]:

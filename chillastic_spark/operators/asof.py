@@ -31,9 +31,18 @@ def asof_join(
     ``strict`` (then after), so equality matches are in/excluded
     deterministically.
     """
-    lt = left.withColumn("__side", F.lit(1))
+    # Right values travel as ONE struct so every carried column comes
+    # from the SAME matched row — carrying columns independently with
+    # last(ignorenulls) would backfill a NULL field of the true match
+    # from an older row (a composite row no real ASOF JOIN produces).
+    value_schema = right.select(*value_cols).schema
+    lt = left.withColumn("__side", F.lit(1)).withColumn(
+        "__vals", F.lit(None).cast(value_schema)
+    )
     rt = right.select(
-        key, ts, *value_cols
+        key,
+        ts,
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vals"),
     ).withColumn("__side", F.lit(0 if not strict else 2))
     all_cols = set(lt.columns) | set(rt.columns)
     for c in sorted(all_cols):
@@ -51,14 +60,11 @@ def asof_join(
     )
     carried = u.select(
         "*",
-        *[
-            F.last(
-                F.when(F.col("__side") != 1, F.col(c)), ignorenulls=True
-            ).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
+        F.last(
+            F.when(F.col("__side") != 1, F.col("__vals")), ignorenulls=True
+        ).over(w).alias("__asof_vals"),
     )
     out = carried.filter(F.col("__side") == 1)
     for c in value_cols:
-        out = out.drop(c).withColumnRenamed(f"__asof_{c}", c)
-    return out.drop("__side")
+        out = out.drop(c).withColumn(c, F.col(f"__asof_vals.{c}"))
+    return out.drop("__side", "__vals", "__asof_vals")

@@ -184,6 +184,12 @@ def minhash_lsh_pairs(
     components) verified ≥ threshold on ONE wide join of the candidate
     pairs. Returns (id_a, id_b, est_jaccard).
     """
+    if bands <= 0 or bands > num_perm or num_perm % bands != 0:
+        # bands>num_perm would give empty band keys → one global bucket
+        # → the O(n²) cross-pairing this operator exists to avoid
+        raise ValueError(
+            f"bands must divide num_perm (got num_perm={num_perm}, bands={bands})"
+        )
     rows = num_perm // bands
     # signatures feed banding + both verify-join sides: materialise once
     sig = minhash_signatures_wide(df, id_col, text_col, n, num_perm).localCheckpoint()

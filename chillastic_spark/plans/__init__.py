@@ -65,7 +65,9 @@ class DataFrameSizeStats:
     """Size stats over an envelope DataFrame slice."""
 
     def __init__(self, df: DataFrame, size_col: str = "_size", shards: int = 1):
-        self._df = df.select(F.col(size_col).alias("s")).filter(F.col("s").isNotNull())
+        # NULL size counts as 0 so unsized docs are planned (and later
+        # scanned) into the lowest bucket instead of silently dropped
+        self._df = df.select(F.coalesce(F.col(size_col), F.lit(0)).alias("s"))
         self.shards = shards
 
     def stats(self) -> tuple[int, float, float]:

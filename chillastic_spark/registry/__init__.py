@@ -24,9 +24,12 @@ from chillastic_spark.model import DEFAULT_NAMESPACE, ActionRef, validate_object
 MUTATOR_TYPES = ("data", "index", "template")  # mutators.js:127-131
 FILTER_TYPES = ("index", "type")  # filters.js:130-133
 
-# Modules available to compiled code strings — the moment/lodash analog
-# (reference README.md:172). Anything else must be pre-registered as a
-# Python object, keeping exec'd code auditable.
+# Modules pre-seeded into compiled code strings for convenience — the
+# moment/lodash analog (reference README.md:172). NOTE: this is NOT a
+# security boundary: exec'd Python retains full builtins (as the
+# reference's require-from-string retains full Node). Code-string
+# registration must only be exposed to trusted callers — gate the REST
+# routes with the api-key and/or pre-register Python objects instead.
 SANDBOX_MODULES = ("re", "math", "datetime", "json")
 
 
@@ -155,7 +158,11 @@ class _Registry:
         self._entries[(namespace, id)] = self.entry_cls(_as_namespace(obj))
         if isinstance(obj, str):
             self._sources[(namespace, id)] = obj
-            self._save()
+        else:
+            # replacing a code-string entry with an object must also drop
+            # the persisted source, or a restart resurrects the old code
+            self._sources.pop((namespace, id), None)
+        self._save()
 
     def get(self, id: str, namespace: str = DEFAULT_NAMESPACE) -> Any:
         key = (namespace, id)

@@ -44,9 +44,12 @@ def upsert(spark: SparkSession, store: DocumentStore, df: DataFrame) -> int:
     semantics: later ops win). Returns rows delivered.
     """
     df = _normalise(df)
-    # last-occurrence-wins within the batch, matching sequential bulk
+    # Within-batch conflicts on the same key keep ONE row chosen by a
+    # DETERMINISTIC tie-break (payload hash). "Arrival order" is not
+    # meaningful after a distributed mutate (and would vary with
+    # partitioning); a stable winner keeps re-runs byte-identical.
     w_rank = F.row_number().over(
-        Window.partitionBy(*KEY).orderBy(F.monotonically_increasing_id().desc())
+        Window.partitionBy(*KEY).orderBy(F.desc(F.md5(F.col("_source"))), F.desc("_size"))
     )
     df = df.withColumn("__rk", w_rank).filter(F.col("__rk") == 1).drop("__rk")
     df = df.cache()
@@ -55,11 +58,12 @@ def upsert(spark: SparkSession, store: DocumentStore, df: DataFrame) -> int:
         indices = [r["_index"] for r in df.select("_index").distinct().collect()]
         for index in indices:
             batch = df.filter(F.col("_index") == index)
+            delivered += batch.count()  # rows delivered = batch size
             existing = store.read(spark, index)
             merged = _normalise(
                 existing.join(batch, KEY, "left_anti").unionByName(batch)
             )
-            delivered += _atomic_replace(spark, store, index, merged)
+            _atomic_replace(spark, store, index, merged)
         return delivered
     finally:
         df.unpersist()
@@ -67,15 +71,13 @@ def upsert(spark: SparkSession, store: DocumentStore, df: DataFrame) -> int:
 
 def _atomic_replace(
     spark: SparkSession, store: DocumentStore, index: str, merged: DataFrame
-) -> int:
+) -> None:
     target = store.index_path(index)
     tmp = target + ".tmp-" + uuid.uuid4().hex[:8]
     merged.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
     old = target + ".old-" + uuid.uuid4().hex[:8]
     if os.path.exists(target):
         os.rename(target, old)
     os.rename(tmp, target)
     if os.path.exists(old):
         shutil.rmtree(old)
-    return n

@@ -169,7 +169,13 @@ class DocumentStore:
         if type is not None:
             df = df.filter(F.col("_type") == type)
         if min_size >= 0 and max_size >= 0:
-            df = df.filter((F.col("_size") >= min_size) & (F.col("_size") < max_size))
+            # NULL _size behaves as size 0 (matching the planner's
+            # stats) so unsized docs land in EXACTLY the lowest bucket —
+            # a bare range predicate would silently drop them
+            in_range = (F.col("_size") >= min_size) & (F.col("_size") < max_size)
+            if min_size <= 0 < max_size:
+                in_range = in_range | F.col("_size").isNull()
+            df = df.filter(in_range)
         return df
 
     def write_documents(self, df: DataFrame, index: str, mode: str = "append") -> None:

@@ -1,0 +1,144 @@
+"""Regression tests for the round-1 code-review findings."""
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chillastic_spark.engine import Engine, TaskState
+from chillastic_spark.model import Subtask, Task, TransferSpec
+from chillastic_spark.sinks import upsert
+from chillastic_spark.sources import ENVELOPE_SCHEMA, DocumentStore
+
+from conftest import docs_f1
+
+
+def test_upsert_returns_delivered_not_index_total(spark, store_factory):
+    dst = store_factory("dst-del")
+    first = spark.createDataFrame(
+        [("i1", "t", str(i), '{"v":1}', 5) for i in range(10)], ENVELOPE_SCHEMA
+    )
+    assert upsert(spark, dst, first) == 10
+    second = spark.createDataFrame(
+        [("i1", "t", "new1", '{"v":2}', 5), ("i1", "t", "new2", '{"v":2}', 5)],
+        ENVELOPE_SCHEMA,
+    )
+    # review finding #1: returned 12 (post-merge index size) before
+    assert upsert(spark, dst, second) == 2
+    assert dst.count(spark, "i1") == 12
+
+
+def test_null_size_docs_survive_range_planning(spark, tmp_path, store_factory):
+    # review finding #2: NULL _size docs were dropped by range subtasks
+    src = store_factory("src-null")
+    rows = [("idx1", "t", str(i), json.dumps({"v": i}), (100 + i) if i < 20 else None)
+            for i in range(25)]
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(_index=a, _type=b, _id=c, _source=d, _size=e) for a, b, c, d, e in rows],
+        ENVELOPE_SCHEMA,
+    )
+    src.write_documents(df, "idx1")
+    src.put_indices([{"name": "idx1", "settings": {"index": {"number_of_shards": 1}},
+                      "mappings": {"t": {}}, "aliases": {}}])
+    dst = store_factory("dst-null")
+    eng = Engine(spark, str(tmp_path / "st-null"))
+    eng.add_task("t1", Task(source=src.root, destination=dst.root,
+                            transfer=TransferSpec(from_indices="idx1")))
+    status = eng.run_task("t1")
+    assert dst.count(spark, "idx1") == 25  # all docs, sized or not
+    assert status["total"] == 25
+
+
+def test_status_not_complete_with_pending_zero_count_work(spark, tmp_path, store_factory):
+    # review finding #8: index-only backlog showed 100% before running
+    src = store_factory("src-z", {}, indices_cfg={
+        "idx1": {"settings": {"index": {}}, "mappings": {"t": {}}, "aliases": {}}})
+    dst = store_factory("dst-z")
+    eng = Engine(spark, str(tmp_path / "st-z"))
+    eng.add_task("t1", Task(source=src.root, destination=dst.root,
+                            transfer=TransferSpec(index_names="idx1")))
+    assert eng.get_task_status("t1")["percentComplete"] == 0.0
+    eng.run_task("t1")
+    assert eng.get_task_status("t1")["percentComplete"] == 100.0
+    assert dst.get_indices("idx1")
+
+
+def test_rebuild_persists_cleared_backlog(spark, tmp_path, store_factory):
+    # review finding #3: cleared backlog wasn't saved when nothing enqueued
+    src = store_factory("src-c", {"idx1": docs_f1(3)})
+    dst = store_factory("dst-c")
+    eng = Engine(spark, str(tmp_path / "st-c"))
+    eng.add_task("t1", Task(source=src.root, destination=dst.root,
+                            transfer=TransferSpec(from_indices="idx1")))
+    eng.run_task("t1")
+    # remove the index from catalog+data and rebuild → the cleared
+    # backlog must be PERSISTED even though nothing was enqueued
+    import shutil
+    shutil.rmtree(src.index_path("idx1"))
+    src._write_catalog("indices", {})
+    eng.build_backlog("t1")
+    fresh = TaskState(str(tmp_path / "st-c"), "t1")
+    assert fresh.data["backlog"] == []
+
+
+def test_asof_null_fields_not_backfilled(spark):
+    # review finding #4: per-column carry composited rows
+    from chillastic_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u", 10, "p")], "k: string, ts: long, pid: string")
+    right = spark.createDataFrame(
+        [("u", 1, 1.0, None), ("u", 2, None, 5.0)],
+        "k: string, ts: long, a: double, b: double",
+    )
+    got = asof_join(left, right, key="k", ts="ts", value_cols=["a", "b"]).collect()[0]
+    # true match is ts=2 → (a=NULL, b=5.0); the old code returned a=1.0
+    assert got["a"] is None and got["b"] == 5.0
+
+
+def test_minhash_bands_validated(spark):
+    from chillastic_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="bands must divide"):
+        minhash_lsh_pairs(df, num_perm=8, bands=16)
+    with pytest.raises(ValueError, match="bands must divide"):
+        minhash_lsh_pairs(df, num_perm=16, bands=3)
+
+
+def test_registry_replace_string_with_object_drops_source(tmp_path):
+    # review finding #9: stale persisted source resurrected old code
+    from chillastic_spark.registry import Mutators
+
+    d = str(tmp_path / "reg")
+    m = Mutators(d)
+    m.add("m1", "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    d['_source']['v']='old'\n    return d\n")
+
+    class NewImpl:
+        TYPE = "data"
+        @staticmethod
+        def predicate(doc, args):
+            return True
+        @staticmethod
+        def mutate(doc, args):
+            doc["_source"]["v"] = "new"
+            return doc
+
+    m.add("m1", {"TYPE": "data", "predicate": NewImpl.predicate, "mutate": NewImpl.mutate})
+    m2 = Mutators(d)  # reload from disk
+    # old persisted source must be gone, not resurrected
+    assert not m2.exists("m1")
+
+
+def test_upsert_within_batch_conflict_deterministic(spark, store_factory):
+    # review finding #6: winner must not depend on partitioning
+    dst1 = store_factory("dst-d1")
+    dst2 = store_factory("dst-d2")
+    rows = [("i1", "t", "same", '{"v": 1}', 5), ("i1", "t", "same", '{"v": 2}', 5)]
+    b1 = spark.createDataFrame(rows, ENVELOPE_SCHEMA).repartition(8)
+    b2 = spark.createDataFrame(list(reversed(rows)), ENVELOPE_SCHEMA).coalesce(1)
+    upsert(spark, dst1, b1)
+    upsert(spark, dst2, b2)
+    v1 = json.loads(dst1.read(spark, "i1").collect()[0]["_source"])
+    v2 = json.loads(dst2.read(spark, "i1").collect()[0]["_source"])
+    assert v1 == v2  # same winner regardless of order/partitioning
