@@ -319,44 +319,86 @@ class Engine:
         return out
 
     # -------------------------------------------------------- execution
-    def run_task(self, task_id: str, max_subtasks: Optional[int] = None) -> dict:
+    def run_task(
+        self,
+        task_id: str,
+        max_subtasks: Optional[int] = None,
+        parallelism: int = 1,
+    ) -> dict:
         """Drain the backlog (worker.js:61-144 collapsed: Spark is the
         worker pool; each subtask is one distributed job). Errors are
         logged and the subtask is NOT re-queued (worker.js:108-111) —
-        it reappears on the next build_backlog."""
+        it reappears on the next build_backlog.
+
+        ``parallelism`` > 1 submits that many subtasks as CONCURRENT
+        Spark jobs from driver threads — the analog of the reference's
+        N worker processes, useful when subtasks are small relative to
+        cluster capacity. State mutations serialize on a lock.
+
+        CAVEAT: concurrent subtasks that write the SAME destination
+        index would race the parquet directory swap — safe on Delta
+        (transactional MERGE), so parallelism here applies per subtask
+        regardless, but on the parquet store keep one writer per index
+        (subtasks for different indices/types are the intended case).
+        """
+        import threading
+
         task = self.get_task(task_id)
         state = TaskState(self.state_root, task_id)
         source = DocumentStore(task.source)
         dest = DocumentStore(task.destination)
         mutators = self.mutators.load_by_type(task.mutators, task.arguments)
         transfer = Transfer(self.spark, source, dest, mutators)
-        done = 0
-        while self._running:
-            if max_subtasks is not None and done >= max_subtasks:
-                break
-            sub = state.pop()
-            if sub is None:
-                break
-            try:
+        lock = threading.Lock()
+        done = [0]
+
+        def run_one() -> bool:
+            with lock:
+                if not self._running:
+                    return False
+                if max_subtasks is not None and done[0] >= max_subtasks:
+                    return False
+                sub = state.pop()
+                if sub is None:
+                    return False
+                done[0] += 1
                 state.update_progress(
                     sub, Progress(tick=0, transferred=0, total=sub.count)
                 )
+            try:
                 if sub.kind == "documents":
                     transferred = transfer.transfer_data(sub)
-                    state.update_progress(
-                        sub,
-                        Progress(tick=1, transferred=transferred, total=sub.count),
-                    )
+                    with lock:
+                        state.update_progress(
+                            sub,
+                            Progress(tick=1, transferred=transferred, total=sub.count),
+                        )
                 elif sub.kind == "index":
                     transfer.transfer_indices(sub.names)
                 elif sub.kind == "template":
                     transfer.transfer_templates(sub.names)
                 else:
                     raise TaskError(f"unknown subtask kind {sub.kind}")
-                state.complete(sub)
-                done += 1
+                with lock:
+                    state.complete(sub)
             except Exception:
-                state.log_error(sub, traceback.format_exc(limit=5))
+                with lock:
+                    state.log_error(sub, traceback.format_exc(limit=5))
+            return True
+
+        if parallelism <= 1:
+            while run_one():
+                pass
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def drain():
+                while run_one():
+                    pass
+
+            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                for _ in range(parallelism):
+                    pool.submit(drain)
         return state.status()
 
     def run_all(self) -> dict:

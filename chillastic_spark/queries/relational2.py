@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from chillastic_spark import functions as CF
 from chillastic_spark.queries import Query
@@ -162,6 +163,94 @@ LIMIT 20
 """
 
 
+# ------------------------------------------------------ q7: nation trade
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 flavour: yearly trade volume between customer-nation and
+    supplier-nation pairs (both dims broadcast twice under different
+    aliases)."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    ep = _dec("l_extendedprice", 14, 2)
+    disc = _dec("l_discount", 4, 2)
+    one = F.lit(1).cast("decimal(3,2)")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(ep * (one - disc)), 2).cast("double").alias("volume"))
+        .filter(F.col("volume") > 0)
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT cust_nation, supp_nation, l_year,
+       round(sum(vol), 2)::DOUBLE AS volume
+FROM (
+  SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice::DECIMAL(14,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(4,2)) AS vol
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE cn.n_name != sn.n_name)
+GROUP BY cust_nation, supp_nation, l_year
+HAVING round(sum(vol), 2)::DOUBLE > 0
+ORDER BY cust_nation, supp_nation, l_year
+"""
+
+
+# --------------------------------------- correlated subquery (above avg)
+
+
+def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with account balance above their nation's average —
+    the correlated-subquery pattern as a window over the nation
+    partition (one shuffle, no rescan)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    return (
+        c.withColumn(
+            "nation_avg",
+            CF.round_det(
+                F.sum(bal).over(w).cast("double") / F.count(F.lit(1)).over(w), 2
+            ),
+        )
+        .filter(F.col("c_acctbal").cast("decimal(18,2)").cast("double") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", "c_nationkey",
+                bal.cast("double").alias("acctbal"), "nation_avg")
+        .orderBy("c_custkey")
+    )
+
+
+ABOVE_AVG_SQL = """
+SELECT c_custkey, c_name, c_nationkey,
+       c_acctbal::DECIMAL(18,2)::DOUBLE AS acctbal, nation_avg
+FROM (
+  SELECT *,
+    floor((sum(c_acctbal::DECIMAL(18,2)) OVER w ::DOUBLE
+           / count(*) OVER w) * 100.0 + 0.5) / 100.0 AS nation_avg
+  FROM customer WINDOW w AS (PARTITION BY c_nationkey))
+WHERE c_acctbal::DECIMAL(18,2)::DOUBLE > nation_avg
+ORDER BY c_custkey
+"""
+
+
 # -------------------------------------------------------- rollup / cube
 
 
@@ -282,6 +371,8 @@ ORDER BY user_id
 
 QUERIES: dict[str, Query] = {
     "q4_late_orders": Query(q4_late_orders, Q4_SQL),
+    "q7_nation_trade": Query(q7_nation_trade, Q7_SQL),
+    "above_avg_balance": Query(above_avg_balance, ABOVE_AVG_SQL),
     "q10_returned_items": Query(q10_returned_items, Q10_SQL, headline=True),
     "q14_promo_share": Query(q14_promo_share, Q14_SQL),
     "q18_large_orders": Query(q18_large_orders, Q18_SQL, headline=True),

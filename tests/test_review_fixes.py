@@ -142,3 +142,19 @@ def test_upsert_within_batch_conflict_deterministic(spark, store_factory):
     v1 = json.loads(dst1.read(spark, "i1").collect()[0]["_source"])
     v2 = json.loads(dst2.read(spark, "i1").collect()[0]["_source"])
     assert v1 == v2  # same winner regardless of order/partitioning
+
+
+def test_parallel_run_task(spark, tmp_path, store_factory):
+    # N driver threads submitting concurrent Spark jobs (different
+    # destination indices → no writer races on the parquet store)
+    corpora = {f"idx{i}": docs_f1(4, f"t{i}") for i in range(6)}
+    src = store_factory("src-par", corpora)
+    dst = store_factory("dst-par")
+    eng = Engine(spark, str(tmp_path / "st-par"))
+    eng.add_task("t1", Task(source=src.root, destination=dst.root,
+                            transfer=TransferSpec(from_indices="idx*")))
+    status = eng.run_task("t1", parallelism=4)
+    assert status["percentComplete"] == 100.0
+    assert status["errors"] == 0
+    for i in range(6):
+        assert dst.count(spark, f"idx{i}") == 4
