@@ -91,6 +91,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     planes: int = 6,
+    probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -99,21 +100,33 @@ def lsh_topk(
 
     At scale this is the IVF pattern: bucket the corpus once (cheap,
     column expressions only), shuffle on bucket, and each query probes
-    one bucket instead of the full corpus. Recall < 1.0 by design.
+    its bucket instead of the full corpus. ``probes`` > 1 enables
+    multi-probe: each query also searches the buckets at Hamming
+    distance 1 from its own (probes-1 single-bit flips), trading
+    probes× more candidates for recall — the standard LSH recall knob.
     """
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         CF.as_double_array(vec_col).alias("vec"),
         random_hyperplane_buckets(vec_col, planes).alias("bucket"),
     )
+    base_bucket = random_hyperplane_buckets(vec_col, planes)
+    probe_buckets = F.array(
+        base_bucket,
+        *[
+            base_bucket.bitwiseXOR(F.lit(1 << p))
+            for p in range(min(max(probes - 1, 0), planes))
+        ],
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         CF.as_double_array(vec_col).alias("qvec"),
-        random_hyperplane_buckets(vec_col, planes).alias("bucket"),
+        F.explode(probe_buckets).alias("bucket"),
     )
     scored = (
         v.join(F.broadcast(q), ["bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
         .select("query_id", "neighbor_id", "cos")
     )

@@ -41,6 +41,8 @@ def get_spark(app_name: str = "chillastic-spark", cpus: str | int | None = None)
         .config("spark.task.maxFailures", "4")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # keep managed tables (bucketing helpers) out of the repo cwd
+        .config("spark.sql.warehouse.dir", "/tmp/chillastic-warehouse")
     )
     return builder.getOrCreate()
 

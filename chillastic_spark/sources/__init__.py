@@ -178,15 +178,28 @@ class DocumentStore:
             df = df.filter(in_range)
         return df
 
-    def write_documents(self, df: DataFrame, index: str, mode: str = "append") -> None:
+    def write_documents(
+        self,
+        df: DataFrame,
+        index: str,
+        mode: str = "append",
+        partition_by: Optional[list[str]] = None,
+    ) -> None:
         """Raw write of envelope rows into one index (no merge — see
-        sinks.upsert for idempotent delivery)."""
-        (
-            df.select(
-                "_index", "_type", "_id", "_source",
-                *( ["_size"] if "_size" in df.columns else [F.lit(None).cast("long").alias("_size")]),
-            ).write.mode(mode).parquet(self.index_path(index))
-        )
+        sinks.upsert for idempotent delivery).
+
+        ``partition_by=["_type"]`` lays the index out Hive-style so
+        per-type scans become partition-PRUNED reads (the metadata-level
+        type filter of SURVEY P4, enforced by the storage layout) —
+        the recommended layout at scale.
+        """
+        writer = df.select(
+            "_index", "_type", "_id", "_source",
+            *( ["_size"] if "_size" in df.columns else [F.lit(None).cast("long").alias("_size")]),
+        ).write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.index_path(index))
 
     def count(self, spark: SparkSession, index: str, type: Optional[str] = None,
               min_size: float = -1, max_size: float = -1) -> int:

@@ -158,3 +158,17 @@ def test_parallel_run_task(spark, tmp_path, store_factory):
     assert status["errors"] == 0
     for i in range(6):
         assert dst.count(spark, f"idx{i}") == 4
+
+
+def test_partitioned_layout_prunes_type_scans(spark, tmp_path):
+    # _type-partitioned layout → per-type reads are partition-pruned
+    store = DocumentStore(str(tmp_path / "pstore"))
+    rows = [("i1", f"t{i % 3}", str(i), '{"v":1}', 5) for i in range(30)]
+    df = spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+    store.write_documents(df, "i1", partition_by=["_type"])
+    got = store.read(spark, "i1", type="t1")
+    assert got.count() == 10
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_type" in plan
+    # full read still sees every partition
+    assert store.read(spark, "i1").count() == 30
