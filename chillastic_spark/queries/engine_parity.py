@@ -360,9 +360,43 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
 """
 
 
+# -------------------------------------------- §2.8 scalar function library
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mutator stdlib (SURVEY §2.8) through the oracle gate: regex
+    extract/replace, date format/arith, number formatting, casing."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.datediff(F.lit("2002-01-01"), F.col("o_orderdate")).alias("days_before_2002"),
+        F.regexp_extract("o_orderpriority", r"^(\d+)", 1).cast("int").alias("priority_rank"),
+        F.regexp_replace("o_orderpriority", r"^\d+-", "").alias("priority_name"),
+        F.format_number(F.col("o_totalprice").cast("decimal(18,2)"), 2).alias("price_fmt"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_digit"),
+    )
+
+
+SCALAR_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+  strftime(o_orderdate, '%Y-%m') AS order_month,
+  datediff('day', o_orderdate::DATE, DATE '2002-01-01') AS days_before_2002,
+  regexp_extract(o_orderpriority, '^(\\d+)', 1)::INT AS priority_rank,
+  regexp_replace(o_orderpriority, '^\\d+-', '') AS priority_name,
+  format('{:,}', ((o_totalprice::DECIMAL(18,2) * 100)::BIGINT // 100)) || '.' ||
+    lpad(((o_totalprice::DECIMAL(18,2) * 100)::BIGINT % 100)::VARCHAR, 2, '0') AS price_fmt,
+  lower(o_orderstatus) AS status_lower,
+  substring(o_orderpriority, 1, 1) AS priority_digit
+FROM orders WHERE o_orderkey <= 500
+"""
+
+
 QUERIES: dict[str, Query] = {
     "scan_projection": Query(scan_projection, SCAN_PROJECTION_SQL),
     "asof_view_before_purchase": Query(asof_view_before_purchase, ASOF_SQL),
+    "scalar_functions": Query(scalar_functions, SCALAR_FUNCTIONS_SQL),
     "count_per_slice": Query(count_per_slice, COUNT_PER_SLICE_SQL),
     "size_stats": Query(size_stats, SIZE_STATS_SQL),
     "size_histogram": Query(size_histogram, SIZE_HISTOGRAM_SQL),
