@@ -3,6 +3,7 @@
 Composes the operator library into the standard LLM-data flow:
 
     raw documents
+      → scrub (URL/email/phone redaction)
       → text features (tokens / quality / lang-id / fingerprint)
       → quality gate            (drop low-quality docs)
       → exact dedup             (content fingerprint, keep min id)
@@ -29,6 +30,7 @@ from chillastic_spark.operators.chunking import chunk_documents
 
 @dataclass
 class CurationConfig:
+    scrub: bool = True  # redact URLs/emails/phones first (operators/scrub.py)
     min_quality: float = 0.3
     min_tokens: int = 8
     near_dup_threshold: float = 0.5
@@ -66,6 +68,11 @@ def curate(
     """
     cfg = config or CurationConfig()
     input_docs = df.count()
+
+    if cfg.scrub:
+        from chillastic_spark.operators.scrub import scrub_text
+
+        df = df.withColumn(text_col, scrub_text(text_col))
 
     feats = T.with_text_features(df, text_col)
     gated = feats.filter(

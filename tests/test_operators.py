@@ -165,3 +165,23 @@ def test_mutate_chain_semantics(spark):
     out = mutate_objects(objs, [double, dropbig])
     # 1→unmutated, 2→20, 10→100→dropped, 3→unmutated
     assert out == [{"v": 1}, {"v": 20}, {"v": 3}]
+
+
+def test_scrub_text(spark):
+    from chillastic_spark.operators.scrub import with_scrubbed_text
+
+    rows = [
+        (1, "contact me at alice@example.com or +1 (555) 123-4567 ok"),
+        (2, "see https://example.com/path?q=1 for details"),
+        (3, "account 123456789012 is plain text"),
+        (4, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in with_scrubbed_text(df).collect()}
+    assert "<EMAIL>" in got[1]["scrubbed"] and "<PHONE>" in got[1]["scrubbed"]
+    assert "alice" not in got[1]["scrubbed"]
+    assert got[2]["scrubbed"] == "see <URL> for details"
+    assert "<NUM>" in got[3]["scrubbed"]
+    assert got[4]["scrubbed"] == got[4]["text"]
+    assert got[1]["hit_email"] and got[1]["hit_phone"]
+    assert not got[4]["hit_url"] and not got[4]["hit_email"]
