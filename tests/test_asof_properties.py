@@ -1,0 +1,46 @@
+"""Property-based check of the as-of join against a brute-force
+Python reference over random inputs."""
+from hypothesis import given, settings, strategies as st
+
+small_ints = st.integers(min_value=0, max_value=30)
+
+left_strategy = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), small_ints),
+    min_size=1, max_size=12, unique=True,
+)
+right_strategy = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), small_ints, st.integers(0, 99)),
+    min_size=0, max_size=12,
+    unique_by=lambda t: (t[0], t[1]),  # one right row per (key, ts)
+)
+
+
+def brute_force(left, right, strict):
+    out = {}
+    for k, ts in left:
+        best = None
+        for rk, rts, v in right:
+            if rk != k:
+                continue
+            ok = rts < ts if strict else rts <= ts
+            if ok and (best is None or rts > best[0]):
+                best = (rts, v)
+        out[(k, ts)] = best[1] if best else None
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(left=left_strategy, right=right_strategy, strict=st.booleans())
+def test_asof_matches_brute_force(spark, left, right, strict):
+    from chillastic_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(left, "k: string, ts: long")
+    rdf = spark.createDataFrame(
+        right or [("zzz", -1, 0)], "k: string, ts: long, v: long"
+    )
+    got = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(ldf, rdf, key="k", ts="ts", value_cols=["v"],
+                           strict=strict).collect()
+    }
+    assert got == brute_force(left, right or [], strict)
