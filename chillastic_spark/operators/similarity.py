@@ -50,6 +50,74 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_fast(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """BLAS-backed exact top-k: Arrow batches → numpy matmul.
+
+    Spark's higher-order-function fold (brute_force_topk) is
+    interpreted per element, not codegen'd — fine for oracle-exact
+    checks, ~10× too slow for bulk scoring. Here the query matrix is
+    closure-broadcast and each Arrow batch does one V·Qᵀ; per-batch
+    top-k then a global window keeps the shuffle at batches×m×k rows.
+    Ranking is deterministic (score rounded to 6, id tie-break), and
+    matches brute_force_topk up to fp ordering at the last ulp.
+    """
+    import numpy as np
+
+    q_rows = sorted(
+        queries.select(query_id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    q_ids = [r[0] for r in q_rows]
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    kk = k
+
+    def score(batches):
+        import numpy as np_
+        import pandas as pd_
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["_nid"].to_numpy()
+            V = np_.array(list(pdf["_vec"]), dtype=np_.float64)
+            Vn = V / np_.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Qn.T  # (batch × m) cosines
+            out = []
+            for j, qid in enumerate(q_ids):
+                col = S[:, j]
+                mask = ids != qid
+                cand_idx = np_.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                take = min(kk, len(cand_idx))
+                top = cand_idx[np_.argpartition(-col[cand_idx], take - 1)[:take]]
+                for i in top:
+                    out.append((qid, int(ids[i]), float(col[i])))
+            yield pd_.DataFrame(out, columns=["query_id", "neighbor_id", "cos_raw"])
+
+    v = vectors.select(
+        F.col(id_col).alias("_nid"), CF.as_double_array(vec_col).alias("_vec")
+    )
+    scored = v.mapInPandas(
+        score, "query_id long, neighbor_id long, cos_raw double"
+    ).withColumn("cos", CF.round_det(F.col("cos_raw"), 6)).drop("cos_raw")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
 def random_hyperplane_buckets(
     vec_col: str = "embedding", planes: int = 8, seed: str = "rp"
 ) -> F.Column:

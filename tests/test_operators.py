@@ -185,3 +185,16 @@ def test_scrub_text(spark):
     assert got[4]["scrubbed"] == got[4]["text"]
     assert got[1]["hit_email"] and got[1]["hit_phone"]
     assert not got[4]["hit_url"] and not got[4]["hit_email"]
+
+
+def test_brute_force_fast_matches_fold(spark, vectors):
+    from chillastic_spark.operators.similarity import brute_force_topk_fast
+
+    q = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    slow = {(r["query_id"], r["neighbor_id"], r["cos"])
+            for r in S.brute_force_topk(vectors, q, k=5).collect()}
+    fast = {(r["query_id"], r["neighbor_id"], r["cos"])
+            for r in brute_force_topk_fast(vectors, q, k=5).collect()}
+    assert slow == fast
