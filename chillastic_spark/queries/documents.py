@@ -193,10 +193,33 @@ SELECT doc_id, {combine} AS simhash FROM b
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-banded near-dup pairs — rows-only check (the banded pair
-    join is pinned by the simhash oracle + unit tests instead)."""
+    """Hamming-banded near-dup pairs (pigeonhole chunk join)."""
     d = load(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=3, chunks=4)
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, chunks: int = 4) -> str:
+    """Oracle twin of operators.dedup.simhash_pairs: reuse the simhash
+    CTE, band into 15-bit chunks, UNION the per-chunk equi-joins,
+    verify Hamming via a generated 60-term popcount."""
+    width = D.SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    base = _simhash_sql().strip().rstrip()
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS ia, b.doc_id AS ib, a.simhash AS sa, b.simhash AS sb\n"
+        f"  FROM sh a JOIN sh b ON ((a.simhash >> {ci * width}) & {mask}) = ((b.simhash >> {ci * width}) & {mask})\n"
+        f"   AND a.doc_id < b.doc_id"
+        for ci in range(chunks)
+    )
+    return f"""
+WITH base AS ({base}),
+sh AS (SELECT doc_id, simhash FROM base),
+cand AS (
+{cand_union}
+)
+SELECT ia AS id_a, ib AS id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
 
 
 # ------------------------------------------------------------- chunking
@@ -262,7 +285,7 @@ QUERIES: dict[str, Query] = {
     "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, DEDUP_NGRAM_SQL, headline=True),
     "dedup_minhash_lsh": Query(dedup_minhash_lsh, DEDUP_MINHASH_SQL, headline=True),
     "dedup_simhash": Query(dedup_simhash, _simhash_sql()),
-    "simhash_pairs": Query(simhash_pairs, None),
+    "simhash_pairs": Query(simhash_pairs, _simhash_pairs_sql()),
     "chunk_windows": Query(chunk_windows, CHUNK_SQL),
     "multimodal_meta": Query(multimodal_meta, MULTIMODAL_META_SQL),
 }

@@ -52,3 +52,27 @@ def test_stream_applies_mutators(spark, tmp_path, store_factory):
     q.awaitTermination(120)
     rows = [json.loads(r["_source"]) for r in dst.read(spark, "myindex1").collect()]
     assert all(v["someField_1"].startswith("SOMETHING") for v in rows)
+
+
+def test_deduplicated_ingest_across_batches(spark, tmp_path, store_factory):
+    from chillastic_spark.streaming import deduplicated_ingest
+
+    src = store_factory("src-dd", {"idx1": docs_f1(6)})
+    dst = store_factory("dst-dd")
+    ckpt = str(tmp_path / "ck-dd")
+    q = deduplicated_ingest(spark, src, "idx1", dst, ckpt)
+    q.awaitTermination(120)
+    assert dst.count(spark, "idx1") == 6
+
+    # a later file re-delivers the same content under NEW ids plus one
+    # genuinely new doc → only the new doc lands
+    dupes = [
+        ("idx1", "mytype1", f"redelivered{i}",
+         json.dumps({"someField_1": f"something {i}"}, sort_keys=True), 10)
+        for i in range(6)
+    ] + [("idx1", "mytype1", "fresh", json.dumps({"someField_1": "brand new"}), 10)]
+    from chillastic_spark.sources import ENVELOPE_SCHEMA as ES
+    src.write_documents(spark.createDataFrame(dupes, ES), "idx1")
+    q2 = deduplicated_ingest(spark, src, "idx1", dst, ckpt)
+    q2.awaitTermination(120)
+    assert dst.count(spark, "idx1") == 7  # 6 originals + 1 fresh
