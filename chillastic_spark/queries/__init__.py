@@ -28,6 +28,7 @@ class Query:
 def all_queries() -> dict[str, Query]:
     from chillastic_spark.queries import (
         analytics,
+        analytics2,
         documents,
         engine_parity,
         relational,
@@ -36,7 +37,15 @@ def all_queries() -> dict[str, Query]:
     )
 
     out: dict[str, Query] = {}
-    for mod in (relational, relational2, engine_parity, documents, vectors, analytics):
+    for mod in (
+        relational,
+        relational2,
+        engine_parity,
+        documents,
+        vectors,
+        analytics,
+        analytics2,
+    ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
