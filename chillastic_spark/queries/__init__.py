@@ -33,6 +33,7 @@ def all_queries() -> dict[str, Query]:
         engine_parity,
         relational,
         relational2,
+        relational3,
         vectors,
     )
 
@@ -40,6 +41,7 @@ def all_queries() -> dict[str, Query]:
     for mod in (
         relational,
         relational2,
+        relational3,
         engine_parity,
         documents,
         vectors,
