@@ -208,6 +208,146 @@ def lsh_topk(
     )
 
 
+def ivf_coarse_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train an IVF coarse quantizer: spherical k-means on a
+    deterministic corpus sample. Returns an (n_cells × dim) float64
+    ndarray of L2-normalised centroids.
+
+    The sample is the ``sample`` rows with the smallest
+    ``xxhash64(id)`` — a uniform, order-stable draw that needs only a
+    TakeOrdered (no full shuffle) at any corpus size. Training runs on
+    the driver (standard IVF practice: the quantizer sees a sample,
+    the full corpus only gets assigned); empty cells keep their
+    previous centroid so the cell count is stable.
+    """
+    import numpy as np
+
+    rows = (
+        vectors.select(F.col(id_col).alias("_id"), CF.as_double_array(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[: min(n_cells, len(X))].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return C
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    centroids_arr,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Tag every row with its nearest coarse-centroid id (cosine).
+
+    One Arrow-batched matmul per partition — the closure broadcasts the
+    (n_cells × dim) matrix, so at 100 TB this is a narrow map stage with
+    no shuffle; ties break to the lowest cell id (argmax-first).
+    """
+    import numpy as np
+
+    Cn = np.asarray(centroids_arr, dtype=np.float64)
+    schema = df.withColumn(out_col, F.lit(0)).schema
+    cols = [f.name for f in df.schema.fields]
+
+    def assign(batches):
+        import numpy as np_
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np_.array(list(pdf["_dvec"]), dtype=np_.float64)
+            V /= np_.linalg.norm(V, axis=1, keepdims=True)
+            out = pdf.drop(columns=["_dvec"])
+            out[out_col] = (V @ Cn.T).argmax(axis=1).astype("int32")
+            yield out
+
+    with_d = df.withColumn("_dvec", CF.as_double_array(vec_col))
+    return with_d.mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: train a coarse quantizer, partition the
+    corpus into cells, and search only each query's ``nprobe`` nearest
+    cells.
+
+    The scale shape: corpus assignment is a narrow map (no shuffle);
+    the probe is a broadcast equi-join on cell id, so the scan touches
+    ~nprobe/n_cells of the corpus. Scoring reuses the deterministic
+    JVM-side cosine fold + rounded ranking, so results are reproducible
+    run-to-run (approximate vs. brute force by design → rows-only
+    oracle; recall pinned by unit tests).
+    """
+    import numpy as np
+
+    C = ivf_coarse_centroids(
+        vectors, n_cells=n_cells, iters=iters, sample=sample, id_col=id_col, vec_col=vec_col
+    )
+    v = ivf_assign_cells(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        C,
+        vec_col=vec_col,
+    ).select("neighbor_id", CF.as_double_array(vec_col).alias("vec"), "cell")
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), CF.as_double_array(vec_col).alias("qvec")
+    ).collect()
+    Q = np.array([r["qvec"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe_cells = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, : max(nprobe, 1)]
+    probe = [
+        (r["query_id"], r["qvec"], int(c))
+        for r, cells in zip(q_rows, probe_cells)
+        for c in cells
+    ]
+    spark = vectors.sparkSession
+    q = spark.createDataFrame(probe, "query_id long, qvec array<double>, cell int")
+
+    scored = (
+        v.join(F.broadcast(q), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
 def centroids(
     df: DataFrame, group_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -79,9 +79,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e, q, k=10, planes=6)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: spherical-kmeans coarse quantizer, corpus
+    partitioned into cells, queries probe their 3 nearest cells. The
+    second ANN scale path next to LSH (SURVEY training-data extensions);
+    approximate by design → rows-only check, recall pinned by tests."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(e, q, k=10, n_cells=8, nprobe=3)
+
+
 QUERIES: dict[str, Query] = {
     "similarity_topk": Query(similarity_topk, SIMILARITY_TOPK_SQL, headline=True),
     "embedding_centroids": Query(embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "embedding_dup_pairs": Query(embedding_dup_pairs, EMBEDDING_DUP_SQL),
     "ann_lsh_topk": Query(ann_lsh_topk, None),
+    "ann_ivf_topk": Query(ann_ivf_topk, None),
 }

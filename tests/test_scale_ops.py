@@ -81,6 +81,52 @@ def test_lsh_multiprobe_improves_recall(spark):
     assert r4 >= 0.45
 
 
+def test_ivf_topk_recall_and_probe_monotonic(spark):
+    """IVF recall@10 vs brute force; probing more cells never hurts,
+    and probing ALL cells is exhaustive (recall 1.0)."""
+    from chillastic_spark.operators.similarity import brute_force_topk, ivf_topk
+    from chillastic_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=10).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(e, q, k=10, n_cells=8, nprobe=nprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r3, r_all = recall(1), recall(3), recall(8)
+    assert r3 >= r1
+    assert r_all == 1.0  # probing every cell == brute force
+    assert r3 >= 0.5
+
+
+def test_ivf_assignment_is_deterministic_and_narrow(spark):
+    """Same quantizer → same cell assignment across runs; the
+    assignment plan contains no Exchange (narrow map stage)."""
+    from chillastic_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_coarse_centroids,
+    )
+    from chillastic_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    C = ivf_coarse_centroids(e, n_cells=8)
+    a1 = ivf_assign_cells(e, C).select("vec_id", "cell")
+    a2 = ivf_assign_cells(e, C).select("vec_id", "cell")
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    plan = a1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Co-located bucketed join: no Exchange above either scan."""
     from chillastic_spark.operators.bucketing import bucketed_join, write_bucketed
