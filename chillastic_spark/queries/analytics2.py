@@ -152,8 +152,138 @@ ORDER BY src_a, src_b
 """
 
 
+# ------------------------------------------------- rolling window stats
+
+
+def rolling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event stream windows: lag delta, lead peek, and a
+    3-event moving average. The moving avg is built from explicit lags
+    (value + lag1 + lag2) / k rather than an engine AVG frame, so the
+    float accumulation order is identical on both engines."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag1 = F.lag("value", 1).over(w)
+    lag2 = F.lag("value", 2).over(w)
+    k = (
+        F.lit(1)
+        + F.when(lag1.isNotNull(), 1).otherwise(0)
+        + F.when(lag2.isNotNull(), 1).otherwise(0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        CF.round_det(F.col("value") - lag1, 4).alias("delta_prev"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        CF.round_det(
+            (F.col("value") + F.coalesce(lag1, F.lit(0.0)) + F.coalesce(lag2, F.lit(0.0)))
+            / k,
+            4,
+        ).alias("mov_avg3"),
+    )
+
+
+ROLLING_SQL = """
+SELECT user_id, event_id,
+  floor((value - lag(value, 1) OVER w) * 10000.0 + 0.5) / 10000.0 AS delta_prev,
+  lead(event_type, 1) OVER w AS next_type,
+  floor(((value + coalesce(lag(value, 1) OVER w, 0.0) + coalesce(lag(value, 2) OVER w, 0.0))
+         / (1 + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 1 ELSE 0 END)) * 10000.0 + 0.5) / 10000.0 AS mov_avg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------- deterministic median
+
+
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median of value per event type, computed from the middle
+    row(s) explicitly (row_number + count, average of the two middle
+    elements) — engine percentile implementations interpolate in
+    different float orders; (a+b)/2 over the same two rows cannot."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    mid = (
+        e.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(
+            (F.col("rk") == F.floor((F.col("n") + 1) / F.lit(2)))
+            | (F.col("rk") == F.floor((F.col("n") + 2) / F.lit(2)))
+        )
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            CF.round_det(F.sum("value") / F.count(F.lit(1)), 6).alias("median_value"),
+            F.max("n").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       floor((sum(value) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS median_value,
+       max(n) AS n_events
+FROM ranked
+WHERE rk = floor((n + 1) / 2) OR rk = floor((n + 2) / 2)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ----------------------------------------------------------- sketches
+# Approximate-by-design (HLL++ / GK quantiles) → rows-only checks;
+# error bounds pinned by tests/test_sketches.py.
+
+
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type — the 100 TB
+    COUNT(DISTINCT): one pass, fixed 1.5 KB sketch per group, no
+    distinct-shuffle. rsd=0.01 ⇒ ~1% standard error."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles of value per event type —
+    bounded-memory percentiles (accuracy 1/10000), mergeable across
+    partitions."""
+    e = load(spark, sf_dir, "events")
+    q = F.percentile_approx("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)), 10000)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            q.getItem(0).alias("p25"),
+            q.getItem(1).alias("p50"),
+            q.getItem(2).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict[str, Query] = {
     "q19_discounted_revenue": Query(q19_discounted_revenue, Q19_SQL),
     "value_outliers": Query(value_outliers, VALUE_OUTLIERS_SQL),
     "source_similarity": Query(source_similarity, SOURCE_SIMILARITY_SQL),
+    "rolling_event_stats": Query(rolling_event_stats, ROLLING_SQL),
+    "median_value_by_type": Query(median_value_by_type, MEDIAN_SQL),
+    "sketch_distinct_users": Query(sketch_distinct_users, None),
+    "sketch_value_quantiles": Query(sketch_value_quantiles, None),
 }

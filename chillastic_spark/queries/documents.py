@@ -279,11 +279,54 @@ FROM documents
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via iterative min-label
+    connected components (operators/components.py). The oracle computes
+    the same components with a recursive-CTE transitive closure —
+    feasible for the oracle because dup components are tiny; the Spark
+    side never materializes the closure."""
+    from chillastic_spark.operators.components import duplicate_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, unnest({_GRAMS}) AS gram FROM documents)
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id
+), c AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT ia AS id_a, ib AS id_b
+  FROM c JOIN sz sa ON c.ia = sa.doc_id JOIN sz sb ON c.ib = sb.doc_id
+  WHERE floor((common / (sa.sz + sb.sz - common)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(n, m) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a AND e.b <> r.n
+)
+SELECT n AS doc_id,
+       least(n, min(m)) AS cluster_id,
+       n = least(n, min(m)) AS is_canonical
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "text_features": Query(text_features, TEXT_FEATURES_SQL, headline=True),
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, DEDUP_NGRAM_SQL, headline=True),
     "dedup_minhash_lsh": Query(dedup_minhash_lsh, DEDUP_MINHASH_SQL, headline=True),
+    "dedup_clusters": Query(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_simhash": Query(dedup_simhash, _simhash_sql()),
     "simhash_pairs": Query(simhash_pairs, _simhash_pairs_sql()),
     "chunk_windows": Query(chunk_windows, CHUNK_SQL),

@@ -198,3 +198,28 @@ def test_brute_force_fast_matches_fold(spark, vectors):
     fast = {(r["query_id"], r["neighbor_id"], r["cos"])
             for r in brute_force_topk_fast(vectors, q, k=5).collect()}
     assert slow == fast
+
+
+def test_connected_components_chain_clique_pair(spark):
+    """Chain needs multi-hop label propagation; clique and pair converge
+    in one round; isolated components stay separate."""
+    from chillastic_spark.operators.components import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    comps = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                     10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    clusters = duplicate_clusters(edges).collect()
+    canon = {r["doc_id"] for r in clusters if r["is_canonical"]}
+    assert canon == {1, 10, 20}
+    assert len(clusters) == 10

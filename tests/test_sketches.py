@@ -1,0 +1,51 @@
+"""Error-bound pins for the approximate (sketch) queries — the checks
+the duckdb hash-gate can't do for approximate-by-design operators."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chillastic_spark.queries.analytics2 import (
+    sketch_distinct_users,
+    sketch_value_quantiles,
+)
+from chillastic_spark.tables import load
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_distinct_within_error(spark):
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in sketch_distinct_users(spark, SF).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(3, 0.05 * n), (t, approx[t], n)
+
+
+def test_gk_quantiles_within_rank_error(spark):
+    """Each approx quantile must sit within ±1% rank of the exact one."""
+    e = load(spark, SF, "events")
+    got = {r["event_type"]: r for r in sketch_value_quantiles(spark, SF).collect()}
+    for t, row in got.items():
+        vals = sorted(
+            r["value"] for r in e.filter(F.col("event_type") == t).select("value").collect()
+        )
+        n = len(vals)
+        for p, v in ((0.25, row["p25"]), (0.5, row["p50"]), (0.9, row["p90"])):
+            lo = vals[max(0, int((p - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((p + 0.01) * n))]
+            assert lo <= v <= hi, (t, p, v, lo, hi)
+
+
+def test_sketches_are_deterministic(spark):
+    a = sorted(map(tuple, sketch_distinct_users(spark, SF).collect()))
+    b = sorted(map(tuple, sketch_distinct_users(spark, SF).collect()))
+    assert a == b
