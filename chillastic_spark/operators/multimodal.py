@@ -76,3 +76,107 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    rebalance: bool = True,
+) -> DataFrame:
+    """Video frame sampling plumbing: one payload row fans out to ≤
+    ``max_frames`` frame rows (the 1→N mapInPandas shape real frame
+    extraction needs; ffmpeg decode is stubbed as byte-slicing).
+
+    ``rebalance=True`` repartitions on a content hash first so a few
+    huge videos don't pin one executor — the skew story for media
+    decode at 100 TB.
+    """
+    src = df.select(id_col, payload_col)
+    if rebalance:
+        src = src.repartition(F.crc32(F.col(payload_col).cast("binary")))
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                payload = bytes(rec[payload_col] or b"")
+                n = min(max_frames, max(len(payload) // every_n_bytes, 0))
+                for i in range(n):
+                    frame = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows.append(
+                        {
+                            "doc_id": rec[id_col],
+                            "frame_idx": i,
+                            "frame": frame,
+                            "frame_bytes": len(frame),
+                        }
+                    )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame", "frame_bytes"]
+            )
+
+    return src.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 256,
+    height: int = 256,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Image resize plumbing (1→1 mapInPandas, payload in / payload
+    out). Real PIL resize is stubbed: ``fake=True`` truncates/pads the
+    payload to width·height/64 bytes deterministically — the batch
+    shape, schema, and size contract a real decoder would have."""
+    target = max(width * height // 64, 1)
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                payload = bytes(rec[payload_col] or b"")
+                if not fake:
+                    raise NotImplementedError(
+                        "real image resize needs PIL; pass fake=True"
+                    )
+                out = (payload * (target // max(len(payload), 1) + 1))[:target]
+                rows.append(
+                    {
+                        "doc_id": rec[id_col],
+                        "payload": out,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)

@@ -117,6 +117,36 @@ def windowed_event_counts(
     )
 
 
+def windowed_distinct_users(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "windowed_distinct",
+) -> StreamingQuery:
+    """Streaming HLL: approximate distinct users per (window,
+    event_type). The sketch is mergeable, so state per group is a fixed
+    ~1.5 KB regardless of cardinality — COUNT(DISTINCT) over an
+    unbounded stream without unbounded state (exact streaming distinct
+    would keep every user id in the state store)."""
+    events = read_events_stream(spark, events_path)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "approx_users")
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def deduplicated_ingest(
     spark: SparkSession,
     source: DocumentStore,

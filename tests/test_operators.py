@@ -150,6 +150,34 @@ def test_multimodal_decode(spark, docs):
         M.decode_media(payloads, fake=False).collect()
 
 
+def test_frame_sampling_fans_out(spark, docs):
+    payloads = M.with_binary_payload(docs)
+    frames = M.sample_frames(payloads, every_n_bytes=16, max_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc with ≥16 payload bytes fans out; frame idx contiguous
+    sizes = {r["doc_id"]: r["n_bytes"]
+             for r in M.decode_media(payloads, fake=True).collect()}
+    for doc_id, n in sizes.items():
+        expect = min(4, n // 16)
+        got = by_doc.get(doc_id, [])
+        assert len(got) == expect
+        assert sorted(f["frame_idx"] for f in got) == list(range(expect))
+        assert all(f["frame_bytes"] == len(f["frame"]) == 16 for f in got)
+
+
+def test_resize_images_contract(spark, docs):
+    payloads = M.with_binary_payload(docs)
+    out = M.resize_images(payloads, width=64, height=64, fake=True).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert len(r["payload"]) == 64 * 64 // 64
+        assert (r["width"], r["height"]) == (64, 64)
+    with pytest.raises(Exception):
+        M.resize_images(payloads, fake=False).collect()
+
+
 def test_mutate_chain_semantics(spark):
     # transfer.js:271-284 fold: non-matching passes through; null drops;
     # later mutators see earlier rewrites

@@ -76,3 +76,37 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path, events_dir):
         for r in sessionize(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_windowed_distinct_users_matches_batch_hll(spark, tmp_path, events_dir):
+    """Streaming HLL result == batch HLL over the same data (the sketch
+    is deterministic), and within 5% of exact distinct counts."""
+    from chillastic_spark.streaming import windowed_distinct_users
+    from chillastic_spark.tables import load
+
+    q = windowed_distinct_users(
+        spark, events_dir, str(tmp_path / "ck-hll"), query_name="hll_t1"
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["event_type"]): r["approx_users"]
+        for r in spark.sql("SELECT * FROM hll_t1").collect()
+    }
+    e = load(spark, SF_DIR, "events")
+    batch = {
+        (r["ws"], r["event_type"]): (r["approx"], r["exact"])
+        for r in e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .select(F.col("win.start").alias("ws"), "event_type", "approx", "exact")
+        .collect()
+    }
+    # append mode emits only windows closed by the watermark — every
+    # emitted window must match the batch sketch exactly
+    assert len(got) > 0
+    for k, approx_stream in got.items():
+        approx_batch, exact = batch[k]
+        assert approx_stream == approx_batch, k
+        assert abs(approx_stream - exact) <= max(2, 0.05 * exact), (k, approx_stream, exact)
