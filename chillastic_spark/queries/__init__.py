@@ -29,6 +29,7 @@ def all_queries() -> dict[str, Query]:
     from chillastic_spark.queries import (
         analytics,
         analytics2,
+        analytics3,
         documents,
         engine_parity,
         relational,
@@ -47,6 +48,7 @@ def all_queries() -> dict[str, Query]:
         vectors,
         analytics,
         analytics2,
+        analytics3,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

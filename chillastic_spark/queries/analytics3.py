@@ -1,0 +1,230 @@
+"""Batch 7 — corpus-curation utilities a 100 TB training-data pipeline
+needs beyond dedup: deterministic stratified sampling, bounded interval
+joins, per-group top-k selection, corpus shape histograms, and int8
+embedding quantization.
+
+Scale notes (local[32] tests verify correctness; the plan shapes are
+chosen for a 1000-executor cluster):
+* sampling is a narrow filter on a hash — no shuffle, prunes at scan;
+* the interval join buckets time into hour chunks so the join is a pure
+  equi-join on (user_id, bucket) — Catalyst picks SMJ/shuffle-hash and
+  AQE handles skew; no O(n²) theta-join fallback (BroadcastNestedLoop)
+  can appear because every predicate is an equality;
+* quantization is per-row array math (whole-stage codegen, no Python).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chillastic_spark import functions as CF
+from chillastic_spark.operators import text as T
+from chillastic_spark.queries import Query
+from chillastic_spark.queries.documents import TEXT_FEATURES_SQL
+from chillastic_spark.tables import load
+
+_H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+_W = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+# ------------------------------------------------- stratified sampling
+
+# Per-language keep rate in percent: downsample the dominant language,
+# keep the tail. Deterministic hash-gate sampling (not Bernoulli RNG)
+# so re-runs, retries, and the SQL oracle all select the SAME rows —
+# the property that makes sampling usable in a checkpointed pipeline.
+SAMPLE_RATES = {"en": 20, "de": 60, "fr": 60, "es": 60, "zh": 60}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sample of `documents`.
+
+    hash60(doc_id || '#sample') % 100 < rate(lang). Narrow (no
+    shuffle); at 100 TB this prunes rows inside the scan stage.
+    Reference analog: the index/type filters prune work before the
+    scan (app/services/subtasks.js:354-355); this is the row-level
+    equivalent for corpus rebalancing.
+    """
+    d = load(spark, sf_dir, "documents")
+    gate = CF.hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#sample"))) % 100
+    rate = F.lit(0)
+    for lang, pct in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return d.filter(gate < rate).select("doc_id", "lang", "source")
+
+
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in SAMPLE_RATES.items()
+) + " ELSE 0 END"
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_H60.format(expr="doc_id::VARCHAR || '#sample'")} % 100 < {_RATE_SQL}
+"""
+
+
+# ------------------------------------------------- bounded interval join
+
+
+def purchase_prior_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event: count + sum(value) of the SAME user's
+    events in the preceding hour (attribution window).
+
+    Implemented as a bucketed interval join: each probe row explodes to
+    its hour bucket and the previous one, the build side keeps its
+    single bucket, and the join is a pure equi-join on
+    (user_id, bucket) with the exact range applied as a post-filter.
+    A naive `t2.ts BETWEEN t1.ts - 1h AND t1.ts` join has no equality
+    predicate on time and degenerates to a per-user cross product; the
+    bucket key bounds every match to two partitions of work regardless
+    of data volume.
+    """
+    e = load(spark, sf_dir, "events")
+    hour = lambda c: F.floor(F.unix_timestamp(c) / F.lit(3600))  # noqa: E731
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+        .withColumn("bucket", F.explode(F.array(hour("p_ts"), hour("p_ts") - 1)))
+    )
+    prior = e.select(
+        "user_id", "ts", "value", hour(F.col("ts")).alias("bucket")
+    )
+    j = purchases.join(prior, ["user_id", "bucket"]).filter(
+        (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") < F.col("p_ts"))
+    )
+    return j.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_prior"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_prior_value"),
+    )
+
+
+PURCHASE_PRIOR_WINDOW_SQL = """
+SELECT a.event_id,
+       count(*) AS n_prior,
+       round(sum(b.value::DECIMAL(18,6)), 2)::DOUBLE AS sum_prior_value
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 1 HOUR
+ AND b.ts < a.ts
+WHERE a.event_type = 'purchase'
+GROUP BY a.event_id
+"""
+
+
+# ------------------------------------------------- per-group top-k
+
+
+def quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per predicted language by quality score — the
+    select-best-per-stratum step of a curation pipeline. row_number
+    over (pred_lang) partitions; quality is already deterministically
+    rounded (4 digits) by with_text_features, doc_id breaks ties."""
+    d = T.with_text_features(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("pred_lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("pred_lang", "rk", "doc_id", "quality")
+    )
+
+
+QUALITY_TOPK_SQL = f"""
+WITH tf AS ({TEXT_FEATURES_SQL}),
+langed AS (
+  SELECT tf.*, row_number() OVER (
+      PARTITION BY pred_lang ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM tf)
+SELECT pred_lang, rk, doc_id, quality FROM langed WHERE rk <= 5
+"""
+
+
+# ------------------------------------------------- corpus histogram
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution: doc counts per 32-token bucket.
+    One shuffle on a tiny key domain; the words array is materialised
+    once before size() (codegen pitfall — see functions.ngrams_of_words).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", CF.words("text").alias("w"))
+    return (
+        toks.select("lang", (F.floor(F.size("w") / 32) * 32).alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+TOKEN_HISTOGRAM_SQL = f"""
+SELECT (len({_W}) // 32) * 32 AS bucket_lo,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------- int8 quantization
+
+
+def embedding_int8_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    max-abs scale, the standard ANN-index compression) — validated by
+    an integer checksum so the oracle is float-exact. Pure array math
+    in whole-stage codegen; a 100 TB embedding table quantizes in the
+    scan stage with no shuffle and 4× less sink I/O."""
+    e = load(spark, sf_dir, "embeddings")
+    v = CF.as_double_array("embedding")
+    scaled = e.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    q = F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") * F.lit(127.0) + F.lit(0.5)))
+    return scaled.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate(
+            F.transform(q, lambda x: F.abs(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_l1"),
+    )
+
+
+EMBEDDING_INT8_SQL = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id, len(v) AS n_dims,
+         list_transform(v, x -> floor(x / scale * 127.0 + 0.5)) AS qv
+  FROM scaled WHERE scale > 0)
+SELECT vec_id, n_dims,
+       list_sum(qv)::BIGINT AS q_sum,
+       list_sum(list_transform(qv, x -> abs(x)))::BIGINT AS q_l1
+FROM q
+"""
+
+
+QUERIES = {
+    "sample_stratified": Query(sample_stratified, SAMPLE_STRATIFIED_SQL),
+    "purchase_prior_window": Query(
+        purchase_prior_window, PURCHASE_PRIOR_WINDOW_SQL, headline=True
+    ),
+    "quality_topk_per_lang": Query(quality_topk_per_lang, QUALITY_TOPK_SQL),
+    "token_histogram": Query(token_histogram, TOKEN_HISTOGRAM_SQL),
+    "embedding_int8_checksum": Query(embedding_int8_checksum, EMBEDDING_INT8_SQL),
+}

@@ -1,0 +1,74 @@
+"""Batch-7 operator tests: bucketed interval join correctness + plan
+shape, deterministic sampling, quantization guards."""
+import os
+
+from pyspark.sql import functions as F
+
+from chillastic_spark.queries.analytics3 import (
+    purchase_prior_window,
+    sample_stratified,
+    embedding_int8_checksum,
+)
+from chillastic_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interval_join_matches_naive_theta_join(spark):
+    """The hour-bucketed equi-join must return exactly what the naive
+    range join returns (boundary events at p_ts - 1h land in the
+    previous bucket and must still be found)."""
+    e = load(spark, SF, "events")
+    a = e.filter(F.col("event_type") == "purchase").alias("a")
+    b = e.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("b.ts") < F.col("a.ts")),
+        )
+        .groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_prior"))
+    )
+    got = {
+        r["event_id"]: r["n_prior"]
+        for r in purchase_prior_window(spark, SF).collect()
+    }
+    want = {r["event_id"]: r["n_prior"] for r in naive.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    """The whole point of bucketing: no BroadcastNestedLoopJoin or
+    CartesianProduct may appear — those are the O(n²) shapes a naive
+    range join degenerates to at scale."""
+    plan = purchase_prior_window(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_stratified_is_deterministic_and_stratified(spark):
+    s1 = sorted(r["doc_id"] for r in sample_stratified(spark, SF).collect())
+    s2 = sorted(r["doc_id"] for r in sample_stratified(spark, SF).collect())
+    assert s1 == s2 and len(s1) > 0
+    # en is downsampled harder than the tail languages
+    total = load(spark, SF, "documents").groupBy("lang").count()
+    kept = sample_stratified(spark, SF).groupBy("lang").count().withColumnRenamed(
+        "count", "kept"
+    )
+    rates = {
+        r["lang"]: r["kept"] / r["count"]
+        for r in total.join(kept, "lang").collect()
+    }
+    assert rates["en"] < 0.45  # nominal 20%
+
+
+def test_embedding_quantization_bounds(spark):
+    rows = embedding_int8_checksum(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # |q| <= 127 per element => L1 bounded by 127 * dims (scale is max-abs)
+        assert r["q_l1"] <= 127 * r["n_dims"]
+        assert abs(r["q_sum"]) <= r["q_l1"]
