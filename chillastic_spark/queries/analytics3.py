@@ -219,8 +219,68 @@ FROM q
 """
 
 
+# ------------------------------------------------- decontamination
+
+
+def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ANY
+    5-gram with a held-out benchmark set (here a deterministic 5%
+    hash-gated pseudo-benchmark of the same corpus).
+
+    The benchmark gram table is tiny relative to the corpus (real
+    benchmarks are ~10^5 docs vs 10^9), so it is broadcast: the corpus
+    side never shuffles — contamination checking at 100 TB is one
+    map-side semi-join in the scan stage. n_hits counts distinct
+    shared grams so the downstream policy can threshold on severity.
+    """
+    d = load(spark, sf_dir, "documents")
+    is_bench = (
+        CF.hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#bench"))) % 100
+    ) < 5
+    grams = (
+        d.select("doc_id", is_bench.alias("is_bench"), CF.words("text").alias("w"))
+        .select(
+            "doc_id",
+            "is_bench",
+            F.explode(CF.ngrams_of_words(F.col("w"), 5)).alias("gram"),
+        )
+        .select("doc_id", "is_bench", CF.hash60("gram").alias("gh"))
+    )
+    bench_grams = grams.filter(F.col("is_bench")).select("gh").distinct()
+    return (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gh").alias("n_hits"))
+    )
+
+
+_G5 = (
+    f"list_distinct(list_transform(range(1, greatest(len({_W}) - 4, 0) + 1), "
+    f"i -> array_to_string(list_slice({_W}, i, i + 4), ' ')))"
+)
+
+DECONTAMINATE_SQL = f"""
+WITH bench AS (
+  SELECT doc_id FROM documents
+  WHERE {_H60.format(expr="doc_id::VARCHAR || '#bench'")} % 100 < 5
+), g AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, unnest({_G5}) AS gram FROM documents)
+), bg AS (
+  SELECT DISTINCT gh FROM g JOIN bench USING (doc_id)
+)
+SELECT g.doc_id, count(DISTINCT g.gh) AS n_hits
+FROM g JOIN bg USING (gh)
+LEFT JOIN bench b ON g.doc_id = b.doc_id
+WHERE b.doc_id IS NULL
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "sample_stratified": Query(sample_stratified, SAMPLE_STRATIFIED_SQL),
+    "decontaminate_flags": Query(decontaminate_flags, DECONTAMINATE_SQL),
     "purchase_prior_window": Query(
         purchase_prior_window, PURCHASE_PRIOR_WINDOW_SQL, headline=True
     ),

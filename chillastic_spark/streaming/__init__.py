@@ -256,3 +256,52 @@ def stateful_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def purchase_attribution_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    query_name: str = "purchase_attribution",
+) -> StreamingQuery:
+    """Watermarked stream-stream interval join — the streaming twin of
+    the batch ``purchase_prior_window`` query: each purchase event is
+    joined to the SAME user's events in the preceding hour.
+
+    Both sides carry a watermark and the join condition time-bounds the
+    match window, so Spark can expire join state: a prior event older
+    than (watermark + 1h) can never match a future purchase and is
+    dropped from the state store. Unbounded state is the failure mode
+    of naive stream joins at 100 TB/day — the time bound is what makes
+    this run forever.
+    """
+    purchases = (
+        read_events_stream(spark, events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    prior = (
+        read_events_stream(spark, events_path)
+        .select("event_id", "user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+    )
+    joined = purchases.join(
+        prior,
+        F.expr(
+            "p_user_id = user_id AND ts >= p_ts - INTERVAL 1 HOUR AND ts < p_ts"
+        ),
+    ).select("p_event_id", "event_id", "value")
+    return (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -72,3 +72,13 @@ def test_embedding_quantization_bounds(spark):
         # |q| <= 127 per element => L1 bounded by 127 * dims (scale is max-abs)
         assert r["q_l1"] <= 127 * r["n_dims"]
         assert abs(r["q_sum"]) <= r["q_l1"]
+
+
+def test_decontaminate_plan_broadcasts_bench_grams(spark):
+    from chillastic_spark.queries.analytics3 import decontaminate_flags
+
+    df = decontaminate_flags(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus side must not shuffle for the semi-join: bench grams broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert df.count() >= 0

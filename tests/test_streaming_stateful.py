@@ -110,3 +110,25 @@ def test_windowed_distinct_users_matches_batch_hll(spark, tmp_path, events_dir):
         approx_batch, exact = batch[k]
         assert approx_stream == approx_batch, k
         assert abs(approx_stream - exact) <= max(2, 0.05 * exact), (k, approx_stream, exact)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path, events_dir):
+    from chillastic_spark.queries.analytics3 import purchase_prior_window
+    from chillastic_spark.streaming import purchase_attribution_stream
+
+    q = purchase_attribution_stream(
+        spark, events_dir, str(tmp_path / "ck-ssj"), query_name="ssj_t1"
+    )
+    q.awaitTermination(180)
+    got = {
+        r["p_event_id"]: r["n"]
+        for r in spark.table("ssj_t1")
+        .groupBy("p_event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        r["event_id"]: r["n_prior"]
+        for r in purchase_prior_window(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
