@@ -180,3 +180,83 @@ def resize_images(
             yield _pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height"])
 
     return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mean_rms", T.DoubleType()),
+        T.StructField("max_rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    frame_len: int = 400,
+    hop: int = 160,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Framewise audio features (RMS energy per 25 ms frame @16 kHz
+    defaults, global zero-crossing rate) over a binary audio column —
+    the speech-quality/VAD gate of an audio curation pipeline.
+
+    ``fake=False`` requires a real codec (soundfile/ffmpeg) — absent in
+    this container, so it raises; ``fake=True`` deterministically
+    expands the payload bytes to an int16 PCM array so the Spark-side
+    plumbing (Arrow batch shape, numpy vectorised framing, per-doc 1→1
+    schema) is real and testable. Framing is vectorised with
+    stride_tricks — no per-sample Python loop.
+    """
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                payload = bytes(rec[payload_col] or b"")
+                if not fake:
+                    raise NotImplementedError(
+                        "real audio decode needs soundfile/ffmpeg; pass fake=True"
+                    )
+                pcm = _np.frombuffer(
+                    (payload * ((8000 // max(len(payload), 1)) + 1))[:8000],
+                    dtype=_np.int16,
+                ).astype(_np.float64) / 32768.0
+                n = pcm.shape[0]
+                if n >= frame_len:
+                    n_frames = 1 + (n - frame_len) // hop
+                    idx = (
+                        _np.arange(frame_len)[None, :]
+                        + hop * _np.arange(n_frames)[:, None]
+                    )
+                    frames = pcm[idx]
+                    rms = _np.sqrt((frames * frames).mean(axis=1))
+                else:
+                    n_frames, rms = 0, _np.array([0.0])
+                zc = float((_np.signbit(pcm[1:]) != _np.signbit(pcm[:-1])).mean()) if n > 1 else 0.0
+                rows.append(
+                    {
+                        "doc_id": rec[id_col],
+                        "n_samples": n,
+                        "n_frames": n_frames,
+                        "mean_rms": float(rms.mean()),
+                        "max_rms": float(rms.max()),
+                        "zcr": zc,
+                    }
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "n_frames", "mean_rms", "max_rms", "zcr",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -82,3 +82,29 @@ def test_decontaminate_plan_broadcasts_bench_grams(spark):
     # the corpus side must not shuffle for the semi-join: bench grams broadcast
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert df.count() >= 0
+
+
+def test_audio_features_plumbing(spark):
+    from chillastic_spark.operators.multimodal import audio_features, with_binary_payload
+
+    d = with_binary_payload(load(spark, SF, "documents").limit(20))
+    out = audio_features(d, fake=True).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["n_samples"] == 4000  # 8000 fake bytes -> int16
+        assert r["n_frames"] == 1 + (4000 - 400) // 160
+        assert 0.0 <= r["zcr"] <= 1.0 and r["max_rms"] >= r["mean_rms"] >= 0.0
+    # deterministic across runs (retry-safe)
+    again = audio_features(d, fake=True).collect()
+    assert sorted((r["doc_id"], r["mean_rms"]) for r in again) == sorted(
+        (r["doc_id"], r["mean_rms"]) for r in out
+    )
+
+
+def test_audio_features_real_decode_is_gated(spark):
+    import pytest as _pytest
+    from chillastic_spark.operators.multimodal import audio_features, with_binary_payload
+
+    d = with_binary_payload(load(spark, SF, "documents").limit(1))
+    with _pytest.raises(Exception, match="audio decode"):
+        audio_features(d, fake=False).collect()
