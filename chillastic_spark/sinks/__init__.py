@@ -81,3 +81,40 @@ def _atomic_replace(
     os.rename(tmp, target)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def purge(
+    spark: SparkSession,
+    store: DocumentStore,
+    index: str,
+    ids: DataFrame | list[str],
+    type: "str | None" = None,
+) -> int:
+    """Targeted delete by document id (right-to-be-forgotten): rewrite
+    the index WITHOUT the given ``_id``s and atomically swap.
+
+    ``ids`` may be a list (small, driver-side) or a DataFrame with an
+    ``_id`` column (billions of ids: the anti-join broadcasts or
+    shuffles as Catalyst sees fit). Returns rows removed. The reverse
+    of upsert's effectively-once delivery — re-running a purge is a
+    no-op, so it composes with checkpointed task resume.
+    """
+    existing = store.read(spark, index)
+    if isinstance(ids, list):
+        id_df = spark.createDataFrame([(i,) for i in ids], "_id string")
+    else:
+        id_df = ids.select(F.col("_id").cast("string"))
+    victims = id_df.distinct()
+    if type is not None:
+        match = existing.filter(F.col("_type") == type).join(victims, "_id", "semi")
+        kept = existing.join(
+            match.select("_type", "_id"), ["_type", "_id"], "left_anti"
+        )
+        removed = match.count()
+    else:
+        kept = existing.join(victims, "_id", "left_anti")
+        removed = existing.count() - kept.count()
+    if removed == 0:
+        return 0
+    _atomic_replace(spark, store, index, _normalise(kept))
+    return removed

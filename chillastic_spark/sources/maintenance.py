@@ -64,6 +64,7 @@ def compact_index(
     index: str,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     min_files_to_compact: int = 2,
+    sort_by: "list[str] | None" = None,
 ) -> dict:
     """Rewrite one index's data files to ~target_file_bytes each.
 
@@ -74,17 +75,31 @@ def compact_index(
     crash mid-compaction leaves the original data untouched; row
     content is bit-identical (no re-encoding of values, only file
     boundaries move).
+
+    ``sort_by`` clusters the rewrite on those columns
+    (repartitionByRange + sortWithinPartitions): each output file gets
+    a disjoint min/max range in the parquet footer, so later range
+    predicates on those columns skip whole files/row-groups — the
+    Z-ORDER-lite layout step. Forces the rewrite even when file counts
+    are fine (layout, not size, is the point).
     """
     path = store.index_path(index)
     before = file_stats(path, small_file_bytes=target_file_bytes // 4)
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
-    if before["n_files"] <= max(n_out, min_files_to_compact - 1):
+    if sort_by is None and before["n_files"] <= max(n_out, min_files_to_compact - 1):
         return {"before": before, "after": before, "compacted": False}
 
     partitioned = _is_type_partitioned(path)
     df = spark.read.parquet(path).select(*[c for c in _ENVELOPE_COLS])
     tmp = path + ".compact-" + uuid.uuid4().hex[:8]
-    writer = df.repartition(n_out).write.mode("overwrite")
+    if sort_by:
+        from pyspark.sql import functions as F
+
+        shaped = df.repartitionByRange(n_out, *[F.col(c) for c in sort_by])
+        shaped = shaped.sortWithinPartitions(*sort_by)
+    else:
+        shaped = df.repartition(n_out)
+    writer = shaped.write.mode("overwrite")
     if partitioned:
         # one task writes at most one file per type ⇒ ≤ n_out files
         # per partition, and the pruned layout survives

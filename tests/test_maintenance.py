@@ -58,3 +58,33 @@ def test_compact_is_noop_when_already_compact(spark, tmp_path):
     out = compact_store(spark, store)
     assert out["idx3"]["compacted"] is False
     assert out["idx3"]["after"] == out["idx3"]["before"]
+
+
+def test_sorted_compaction_gives_disjoint_file_ranges(spark, tmp_path):
+    """sort_by clustering must leave each parquet file with a disjoint
+    _size min/max footer range — the property file/row-group skipping
+    needs for range predicates."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    store = DocumentStore(str(tmp_path / "store"))
+    df = _seed(spark, store, "idx4", n=4000, n_files=20)
+    out = compact_index(
+        spark, store, "idx4", target_file_bytes=16 * 1024, sort_by=["_size"]
+    )
+    assert out["compacted"] and out["after"]["n_files"] >= 2
+    ranges = []
+    for f in glob.glob(store.index_path("idx4") + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "_size"
+        )
+        stats = [md.row_group(g).column(col_idx).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary value may touch)
+    # content unchanged
+    assert store.read(spark, "idx4").count() == 4000
