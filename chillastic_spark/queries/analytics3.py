@@ -278,7 +278,50 @@ GROUP BY g.doc_id
 """
 
 
+# ------------------------------------------------- rollup cascade
+
+
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stats computed FROM the hourly pre-aggregate, not from raw
+    events — the continuous-aggregate / hypertable-rollup cascade. At
+    100 TB the hourly table is ~5 orders of magnitude smaller than the
+    raw stream, so the daily (and monthly, …) rollups re-aggregate a
+    tiny input; counts re-sum exactly, and value sums re-sum through
+    DECIMAL so the cascade is drift-free (summing the rounded doubles
+    would be order-dependent).
+    """
+    from chillastic_spark.queries.engine_parity import events_hourly
+
+    hourly = events_hourly(spark, sf_dir)
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum(F.col("sum_value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )
+
+
+EVENTS_DAILY_ROLLUP_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+         round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
+  FROM events GROUP BY 1, 2)
+SELECT date_trunc('day', hour) AS day, event_type,
+       sum(cnt) AS cnt,
+       round(sum(sum_value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value,
+       count(*) AS n_hours
+FROM hourly GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "events_daily_rollup": Query(events_daily_rollup, EVENTS_DAILY_ROLLUP_SQL),
     "sample_stratified": Query(sample_stratified, SAMPLE_STRATIFIED_SQL),
     "decontaminate_flags": Query(decontaminate_flags, DECONTAMINATE_SQL),
     "purchase_prior_window": Query(

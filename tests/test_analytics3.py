@@ -108,3 +108,30 @@ def test_audio_features_real_decode_is_gated(spark):
     d = with_binary_payload(load(spark, SF, "documents").limit(1))
     with _pytest.raises(Exception, match="audio decode"):
         audio_features(d, fake=False).collect()
+
+
+def test_daily_rollup_cascade_equals_direct(spark):
+    """Re-aggregating the hourly pre-aggregate must equal aggregating
+    raw events directly (counts exact, sums within rounding)."""
+    from chillastic_spark.queries.analytics3 import events_daily_rollup
+
+    got = {
+        (r["day"], r["event_type"]): (r["cnt"], round(r["sum_value"], 1))
+        for r in events_daily_rollup(spark, SF).collect()
+    }
+    e = load(spark, SF, "events")
+    direct = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    )
+    want = {
+        (r["day"], r["event_type"]): (r["cnt"], round(r["sum_value"], 1))
+        for r in direct
+    }
+    assert got == want and len(got) > 0
