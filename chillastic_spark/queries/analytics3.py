@@ -320,8 +320,26 @@ FROM hourly GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------- audio features (rows-only)
+
+
+def audio_features_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framewise audio features over binary payloads (operators.
+    multimodal.audio_features). Non-SQL-expressible (vectorised PCM
+    framing inside mapInPandas) → rows-only driver check; exactness is
+    covered by tests (frame-count formula, determinism, bounds)."""
+    from chillastic_spark.operators.multimodal import (
+        audio_features,
+        with_binary_payload,
+    )
+
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    return audio_features(d, fake=True)
+
+
 QUERIES = {
     "events_daily_rollup": Query(events_daily_rollup, EVENTS_DAILY_ROLLUP_SQL),
+    "audio_features_meta": Query(audio_features_meta, None),
     "sample_stratified": Query(sample_stratified, SAMPLE_STRATIFIED_SQL),
     "decontaminate_flags": Query(decontaminate_flags, DECONTAMINATE_SQL),
     "purchase_prior_window": Query(
