@@ -337,9 +337,79 @@ def audio_features_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(d, fake=True)
 
 
+# ------------------------------------------------- repetition scoring
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: fraction of
+    duplicate word-bigrams and the most-frequent-token concentration —
+    the standard boilerplate/spam gates of an LLM corpus filter.
+
+    dup_bigram_frac is a pure per-row array expression (narrow); the
+    token-concentration pass is one explode + two map-side-combining
+    aggregations keyed by doc — both shapes scan-bound at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", CF.words("text").alias("w"))
+    arr = w.select(
+        "doc_id",
+        F.size("w").alias("n_tok"),
+        F.size(CF.ngrams_of_words(F.col("w"), 2)).alias("n_distinct_bi"),
+    )
+    dup = arr.filter(F.col("n_tok") >= 2).select(
+        "doc_id",
+        "n_tok",
+        CF.round_det(
+            F.lit(1.0) - F.col("n_distinct_bi") / (F.col("n_tok") - 1).cast("double"),
+            4,
+        ).alias("dup_bigram_frac"),
+    )
+    tok_counts = (
+        w.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok"))
+    )
+    return (
+        dup.join(tok_counts, "doc_id")
+        .select(
+            "doc_id",
+            "dup_bigram_frac",
+            CF.round_det(F.col("max_tok") / F.col("n_tok").cast("double"), 4).alias(
+                "top_tok_frac"
+            ),
+        )
+    )
+
+
+_BI = (
+    f"list_distinct(list_transform(range(1, greatest(len({_W}) - 1, 0) + 1), "
+    f"i -> array_to_string(list_slice({_W}, i, i + 1), ' ')))"
+)
+
+REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_W} AS w, len({_W}) AS n_tok, len({_BI}) AS n_distinct_bi
+  FROM documents),
+tok AS (
+  SELECT doc_id, max(c) AS max_tok FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS t FROM w) GROUP BY doc_id, t)
+  GROUP BY doc_id)
+SELECT w.doc_id,
+  floor((1.0 - n_distinct_bi / CAST(n_tok - 1 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+    AS dup_bigram_frac,
+  floor((max_tok / CAST(n_tok AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS top_tok_frac
+FROM w JOIN tok ON w.doc_id = tok.doc_id
+WHERE n_tok >= 2
+"""
+
+
 QUERIES = {
     "events_daily_rollup": Query(events_daily_rollup, EVENTS_DAILY_ROLLUP_SQL),
     "audio_features_meta": Query(audio_features_meta, None),
+    "repetition_scores": Query(repetition_scores, REPETITION_SQL),
     "sample_stratified": Query(sample_stratified, SAMPLE_STRATIFIED_SQL),
     "decontaminate_flags": Query(decontaminate_flags, DECONTAMINATE_SQL),
     "purchase_prior_window": Query(
