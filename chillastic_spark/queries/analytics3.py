@@ -406,10 +406,51 @@ WHERE n_tok >= 2
 """
 
 
+# ------------------------------------------------- per-source report
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: doc counts, mean quality, mean
+    length, share of docs passing the quality gate. One
+    map-side-combining aggregation over the text-features projection;
+    averages derive from exact integer/4-digit-rounded sums so the
+    report is engine-reproducible."""
+    d = T.with_text_features(load(spark, sf_dir, "documents"))
+    q4 = F.col("quality").cast("decimal(8,4)")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            CF.round_det(
+                F.sum(q4).cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_quality"),
+            CF.round_det(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 2
+            ).alias("mean_tokens"),
+            F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0)).alias("n_pass"),
+        )
+    )
+
+
+SOURCE_QUALITY_SQL = f"""
+WITH tf AS ({TEXT_FEATURES_SQL}),
+joined AS (
+  SELECT d.source, tf.quality, tf.n_tokens
+  FROM documents d JOIN tf ON d.doc_id = tf.doc_id)
+SELECT source, count(*) AS n_docs,
+  floor((sum(quality::DECIMAL(8,4))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0
+    AS mean_quality,
+  floor((sum(n_tokens)::DOUBLE / count(*)) * 100.0 + 0.5) / 100.0 AS mean_tokens,
+  sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS n_pass
+FROM joined GROUP BY source
+"""
+
+
 QUERIES = {
     "events_daily_rollup": Query(events_daily_rollup, EVENTS_DAILY_ROLLUP_SQL),
     "audio_features_meta": Query(audio_features_meta, None),
     "repetition_scores": Query(repetition_scores, REPETITION_SQL),
+    "source_quality_report": Query(source_quality_report, SOURCE_QUALITY_SQL),
     "sample_stratified": Query(sample_stratified, SAMPLE_STRATIFIED_SQL),
     "decontaminate_flags": Query(decontaminate_flags, DECONTAMINATE_SQL),
     "purchase_prior_window": Query(
