@@ -6,6 +6,9 @@ Composes the operator library into the standard LLM-data flow:
       → scrub (URL/email/phone redaction)
       → text features (tokens / quality / lang-id / fingerprint)
       → quality gate            (drop low-quality docs)
+      → repetition gate         (Gopher-style dup-bigram / top-token caps)
+      → decontamination         (optional: drop docs sharing an n-gram
+                                 with a broadcast benchmark set)
       → exact dedup             (content fingerprint, keep min id)
       → near dedup              (MinHash-LSH pairs → drop the larger id)
       → chunking                (overlapping token windows)
@@ -33,6 +36,11 @@ class CurationConfig:
     scrub: bool = True  # redact URLs/emails/phones first (operators/scrub.py)
     min_quality: float = 0.3
     min_tokens: int = 8
+    # repetition gate (Gopher-style); 1.0 disables
+    max_dup_bigram_frac: float = 1.0
+    max_top_tok_frac: float = 1.0
+    # decontamination n-gram length (used when curate(benchmark=...) given)
+    decontaminate_n: int = 5
     near_dup_threshold: float = 0.5
     minhash_perms: int = 16
     minhash_bands: int = 4
@@ -49,6 +57,7 @@ class CurationReport:
     after_exact_dedup: int
     after_near_dedup: int
     chunks: int
+    after_decontamination: int | None = None  # None = no benchmark given
 
     def as_dict(self) -> dict:
         return vars(self)
@@ -59,6 +68,7 @@ def curate(
     config: CurationConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    benchmark: DataFrame | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the curation flow; returns (chunk_table, report).
 
@@ -80,7 +90,59 @@ def curate(
     )
     if cfg.keep_langs:
         gated = gated.filter(F.col("pred_lang").isin(cfg.keep_langs))
+    if cfg.max_dup_bigram_frac < 1.0 or cfg.max_top_tok_frac < 1.0:
+        # Gopher-style repetition gate, all narrow array math except the
+        # top-token pass (one map-side-combining agg)
+        from chillastic_spark import functions as CF
+
+        w = F.split(F.trim(F.col(text_col)), r"\s+")
+        gated = gated.withColumn(
+            "__dup_bi",
+            F.when(
+                F.size(w) >= 2,
+                F.lit(1.0)
+                - F.size(CF.ngrams_of_words(w, 2)) / (F.size(w) - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        ).filter(F.col("__dup_bi") <= cfg.max_dup_bigram_frac).drop("__dup_bi")
+        if cfg.max_top_tok_frac < 1.0:
+            top = (
+                gated.select(id_col, F.explode(w).alias("__t"))
+                .groupBy(id_col, "__t")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .groupBy(id_col)
+                .agg(F.max("__c").alias("__max_tok"))
+            )
+            gated = (
+                gated.join(top, id_col)
+                .filter(
+                    F.col("__max_tok") / F.size(w).cast("double")
+                    <= cfg.max_top_tok_frac
+                )
+                .drop("__max_tok")
+            )
     after_quality = gated.count()
+    after_decon = None
+    if benchmark is not None:
+        # drop any doc sharing a decontaminate_n-gram with the benchmark
+        # (broadcast semi-join; the corpus side never shuffles)
+        from chillastic_spark import functions as CF
+
+        def _grams(frame: DataFrame, idc: str) -> DataFrame:
+            wcol = F.split(F.trim(F.col(text_col)), r"\s+")
+            return frame.select(
+                F.col(idc).alias("__gid"),
+                F.explode(CF.ngrams_of_words(wcol, cfg.decontaminate_n)).alias("__g"),
+            ).select("__gid", CF.hash60("__g").alias("__gh"))
+
+        bench_grams = _grams(benchmark, benchmark.columns[0]).select("__gh").distinct()
+        tainted = (
+            _grams(gated, id_col)
+            .join(F.broadcast(bench_grams), "__gh")
+            .select(F.col("__gid").alias(id_col))
+            .distinct()
+        )
+        gated = gated.join(tainted, id_col, "left_anti")
+        after_decon = gated.count()
 
     # exact dedup on the full-content fingerprint (already computed)
     keep = gated.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
@@ -113,4 +175,5 @@ def curate(
         after_exact_dedup=after_exact,
         after_near_dedup=after_near,
         chunks=n_chunks,
+        after_decontamination=after_decon,
     )

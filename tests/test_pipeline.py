@@ -35,3 +35,32 @@ def test_curation_pipeline(spark):
     # the long doc got multiple overlapping windows
     n4 = chunks.filter("doc_id = 4").count()
     assert n4 >= 2
+
+
+REPETITIVE = " ".join(["spam ham"] * 40)  # dup-bigram frac ~1, varied enough to pass quality?
+
+
+def test_repetition_gate_and_decontamination(spark):
+    rows = [
+        (1, GOOD),
+        (4, LONG_GOOD),
+        (7, REPETITIVE),  # dup_bigram_frac ≈ 1 → repetition gate prunes
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    cfg = CurationConfig(
+        min_quality=0.0, min_tokens=8,
+        max_dup_bigram_frac=0.7, max_top_tok_frac=0.6,
+    )
+    # benchmark shares a 5-gram window with GOOD → doc 1 is tainted
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "bid: long, text: string"
+    )
+    chunks, report = curate(df, cfg, benchmark=bench)
+    survivors = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert survivors == {4}
+    assert report.after_quality_gate == 2          # repetitive doc 7 gone
+    assert report.after_decontamination == 1       # GOOD doc 1 gone
+    # without a benchmark the field stays None and doc 1 survives
+    chunks2, report2 = curate(df, cfg)
+    assert report2.after_decontamination is None
+    assert {r["doc_id"] for r in chunks2.select("doc_id").distinct().collect()} == {1, 4}
