@@ -446,8 +446,48 @@ FROM joined GROUP BY source
 """
 
 
+# ------------------------------------------------- edit-distance verify
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of near-dup candidates: pairs
+    blocked on the 8-word-prefix fingerprint (an inverted-index
+    equi-join — never all-pairs), scored by Levenshtein distance of
+    the 200-char prefixes. The blocked-candidates → exact-verify shape
+    is how edit-distance dedup stays feasible at corpus scale;
+    levenshtein is JVM-side (no Python)."""
+    d = load(spark, sf_dir, "documents")
+    w = CF.words("text")
+    fp = d.select(
+        "doc_id",
+        F.substring("text", 1, 200).alias("prefix"),
+        F.md5(F.concat_ws(" ", F.slice(w, 1, 8))).alias("pfp"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.pfp") == F.col("b.pfp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("edit_dist"),
+        )
+    )
+
+
+DEDUP_EDIT_DISTANCE_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, substr(text, 1, 200) AS prefix,
+         md5(array_to_string(list_slice({_W}, 1, 8), ' ')) AS pfp
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.prefix, b.prefix) AS edit_dist
+FROM fp a JOIN fp b ON a.pfp = b.pfp AND a.doc_id < b.doc_id
+"""
+
+
 QUERIES = {
     "events_daily_rollup": Query(events_daily_rollup, EVENTS_DAILY_ROLLUP_SQL),
+    "dedup_edit_distance": Query(dedup_edit_distance, DEDUP_EDIT_DISTANCE_SQL),
     "audio_features_meta": Query(audio_features_meta, None),
     "repetition_scores": Query(repetition_scores, REPETITION_SQL),
     "source_quality_report": Query(source_quality_report, SOURCE_QUALITY_SQL),
