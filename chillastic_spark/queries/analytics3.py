@@ -485,9 +485,52 @@ FROM fp a JOIN fp b ON a.pfp = b.pfp AND a.doc_id < b.doc_id
 """
 
 
+# ------------------------------------------------- cohort retention
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-active
+    week, counted per week-offset of later activity. Two
+    map-side-combining aggregations + one join on user_id — the
+    activity table is pre-deduped to (user, week) before the join so
+    the shuffle carries user-weeks, not raw events.
+    """
+    e = load(spark, sf_dir, "events")
+    w = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    firsts = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        w.join(firsts, "user_id")
+        .select(
+            F.col("cohort").alias("cohort_week"),
+            (F.floor(F.datediff(F.col("wk"), F.col("cohort")) / 7)).alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+USER_RETENTION_SQL = """
+WITH w AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+f AS (
+  SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id)
+SELECT f.cohort AS cohort_week,
+       (date_diff('day', f.cohort, w.wk) // 7)::BIGINT AS week_offset,
+       count(DISTINCT w.user_id) AS n_users
+FROM w JOIN f ON w.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_daily_rollup": Query(events_daily_rollup, EVENTS_DAILY_ROLLUP_SQL),
     "dedup_edit_distance": Query(dedup_edit_distance, DEDUP_EDIT_DISTANCE_SQL),
+    "user_retention_cohorts": Query(user_retention_cohorts, USER_RETENTION_SQL),
     "audio_features_meta": Query(audio_features_meta, None),
     "repetition_scores": Query(repetition_scores, REPETITION_SQL),
     "source_quality_report": Query(source_quality_report, SOURCE_QUALITY_SQL),
