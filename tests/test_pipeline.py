@@ -64,3 +64,12 @@ def test_repetition_gate_and_decontamination(spark):
     chunks2, report2 = curate(df, cfg)
     assert report2.after_decontamination is None
     assert {r["doc_id"] for r in chunks2.select("doc_id").distinct().collect()} == {1, 4}
+
+
+def test_curation_null_and_empty_text_dropped_not_crashed(spark):
+    rows = [(1, GOOD), (2, None), (3, ""), (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    chunks, report = curate(df, CurationConfig(min_quality=0.1, min_tokens=2))
+    survivors = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert survivors == {1}
+    assert report.input_docs == 4
