@@ -56,3 +56,12 @@ def test_dedup_has_no_cartesian(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """row_number()<=k must compile to Partial+Final WindowGroupLimit:
+    each map task keeps only k rows per group BEFORE the shuffle, so a
+    low-cardinality partition key (4 languages) is not a skew bomb."""
+    plan = _plan(spark, "quality_topk_per_lang")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "Partial" in plan  # the map-side phase is present
