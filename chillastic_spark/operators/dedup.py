@@ -124,6 +124,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT:
+    |A ∩ B| / min(|A|, |B|).
+
+    Jaccard misses the quote/excerpt case — a short doc fully embedded
+    in a much longer one has tiny |A∩B|/|A∪B| but containment 1.0.
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (gram-hash
+    equi-join, never all-pairs), so the scale properties are identical:
+    the only shuffles are the gram join and two small aggregations.
+    Reference analog: the dedup surface (SURVEY.md §2 training-data
+    extensions); containment is the standard companion measure.
+    """
+    g = shingles(df, id_col, text_col, n).withColumn(
+        "gh", CF.hash60("gram")
+    ).drop("gram")
+    g = g.localCheckpoint()  # feeds both join sides + the size agg
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = g.alias("a"), g.alias("b")
+    common = (
+        a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            CF.round_det(F.col("common") / F.least(F.col("sz_a"), F.col("sz_b")), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # -------------------------------------------------------------- MinHash LSH
 
 # Universal-hash permutation family over the 60-bit gram hash:

@@ -30,6 +30,7 @@ def all_queries() -> dict[str, Query]:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         documents,
         engine_parity,
         relational,
@@ -49,6 +50,7 @@ def all_queries() -> dict[str, Query]:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
