@@ -31,6 +31,7 @@ def all_queries() -> dict[str, Query]:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         documents,
         engine_parity,
         relational,
@@ -51,6 +52,7 @@ def all_queries() -> dict[str, Query]:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
