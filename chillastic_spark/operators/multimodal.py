@@ -260,3 +260,132 @@ def audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+# ----------------------------------------------------- perceptual hash
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """64-bit DCT perceptual hash (pHash) per image payload — the
+    image-modality twin of the text simhash: visually-similar images
+    land at small Hamming distance.
+
+    Real decode (PIL → grayscale 32×32) is stubbed like the other media
+    ops; ``fake=True`` tiles the raw payload bytes into the 32×32
+    luminance plane, which is LOCALITY-PRESERVING (payloads sharing
+    most bytes produce nearby hashes), so the end-to-end near-dup
+    behavior is exercised for real. The DCT + sign-vs-median math is
+    the production path either way.
+
+    Runs as Arrow-batched mapInPandas with the whole batch pushed
+    through one numpy einsum — no per-row Python in the hot loop.
+    """
+
+    def run(batches):
+        # self-contained closure: executors don't have the repo on path
+        import numpy as _np
+        import pandas as _pd
+
+        N = 32
+        k = _np.arange(N)
+        dct = _np.cos(_np.pi * (k[None, :] + 0.5) * k[:, None] / N)
+
+        for pdf in batches:
+            ids, imgs = [], []
+            for rec in pdf.to_dict("records"):
+                payload = bytes(rec[payload_col] or b"")
+                if not fake:
+                    raise NotImplementedError(
+                        "real image decode needs PIL; pass fake=True"
+                    )
+                buf = (payload * (1024 // max(len(payload), 1) + 1))[:1024]
+                imgs.append(
+                    _np.frombuffer(buf, dtype=_np.uint8)
+                    .astype(_np.float64)
+                    .reshape(N, N)
+                )
+                ids.append(rec[id_col])
+            if not ids:
+                yield _pd.DataFrame({"doc_id": [], "phash": []})
+                continue
+            stack = _np.stack(imgs)                       # (B, 32, 32)
+            freq = _np.einsum("ij,bjk,lk->bil", dct, stack, dct)
+            low = freq[:, :8, :8].copy()
+            low[:, 0, 0] = 0.0                            # drop DC term
+            med = _np.median(low.reshape(len(ids), 64), axis=1)
+            bits = low.reshape(len(ids), 64) > med[:, None]
+            weights = 1 << _np.arange(63, -1, -1, dtype=_np.uint64)
+            h = (bits.astype(_np.uint64) * weights).sum(axis=1)
+            yield _pd.DataFrame(
+                {"doc_id": ids, "phash": h.astype(_np.int64)}  # wrap to signed
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_pairs(
+    ph: DataFrame, max_hamming: int = 6, chunks: int = 8
+) -> DataFrame:
+    """Image near-dup pairs with Hamming(phash) ≤ max_hamming.
+
+    Same pigeonhole banding as the text simhash (dedup.simhash_pairs):
+    64 bits → ``chunks`` 8-bit chunks; any pair within Hamming ≤
+    chunks−1 shares at least one exact chunk, so candidates come from
+    an equi-join on (chunk_idx, chunk_value) — never a cross join.
+    Verification is JVM-side bit_count(xor).
+    """
+    width = 64 // chunks
+    sh = ph.localCheckpoint()  # feeds both join sides
+    chunked = sh.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("phash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "phash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -45,6 +45,10 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+    # hourly feeds two consumers (bounds + the grid join); materialise
+    # the small aggregate once or Catalyst re-derives BOTH subtrees from
+    # the raw scan — at 100 TB that is two full passes over events.
+    hourly = hourly.localCheckpoint()
     bounds = hourly.groupBy("event_type").agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )

@@ -279,6 +279,29 @@ FROM documents
 """
 
 
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via 64-bit DCT pHash + pigeonhole
+    Hamming join (operators/multimodal.py:phash_images/phash_pairs).
+
+    The payload is a fixed-size "thumbnail crop": the first 48 bytes of
+    the canonicalized text (real pHash downscales to a thumbnail before
+    the DCT; truncation is the fake-decode analog). The corpus has no
+    full-text dups, but its boilerplate-prefix docs (see dedup_exact)
+    share the crop → Hamming-0 pairs. Rows-only entry: the DCT over
+    decoded pixels is not SQL-expressible; determinism, locality, and
+    full planted-dup recall are pinned by tests/test_phash.py."""
+    from chillastic_spark.operators import multimodal as M
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "canon",
+        F.substring(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 1, 48
+        ),
+    )
+    p = M.with_binary_payload(d, text_col="canon")
+    return M.phash_pairs(M.phash_images(p, fake=True), max_hamming=6)
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters via iterative min-label
     connected components (operators/components.py). The oracle computes
@@ -331,4 +354,5 @@ QUERIES: dict[str, Query] = {
     "simhash_pairs": Query(simhash_pairs, _simhash_pairs_sql()),
     "chunk_windows": Query(chunk_windows, CHUNK_SQL),
     "multimodal_meta": Query(multimodal_meta, MULTIMODAL_META_SQL),
+    "image_phash_pairs": Query(image_phash_pairs, None),
 }

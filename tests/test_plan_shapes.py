@@ -65,3 +65,52 @@ def test_topk_per_group_uses_window_group_limit(spark):
     plan = _plan(spark, "quality_topk_per_lang")
     assert plan.count("WindowGroupLimit") >= 2
     assert "Partial" in plan  # the map-side phase is present
+
+
+def test_grouping_sets_is_one_scan_plus_expand(spark):
+    """Four grains must compile to ONE orders scan + Expand, not four
+    scans unioned — the whole point of GROUPING SETS at 100 TB."""
+    plan = _plan(spark, "revenue_grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("orders.parquet") == 1
+    assert "BroadcastHashJoin" in plan  # nation dim broadcast
+
+
+def test_gapfill_joins_aggregates_not_raw_events(spark):
+    """The grid join must sit ABOVE the hourly aggregation: exactly one
+    events scan feeds the agg, and no nested-loop shape appears."""
+    plan = _plan(spark, "events_gapfill")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the checkpointed hourly aggregate feeds both consumers: the raw
+    # events scan appears at most once (0 = lineage starts at the
+    # materialised aggregate, never a second raw scan)
+    assert plan.count("events.parquet") <= 1
+
+
+def test_basket_pairs_is_equi_join_topk(spark):
+    """Co-occurrence must run as an equi-join on l_orderkey (the range
+    predicate applied after), with top-k as TakeOrderedAndProject —
+    never a cross/nested-loop join or a global sort."""
+    plan = _plan(spark, "basket_part_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_referential_audit_prunes_to_key_columns(spark):
+    """Each anti-join side must read only its key column — the audit
+    never pays for full-width rows."""
+    plan = _plan(spark, "referential_integrity")
+    assert "struct<l_orderkey:bigint>" in plan
+    assert "struct<o_custkey:bigint>" in plan
+
+
+def test_percentiles_share_one_exchange_for_both_windows(spark):
+    """row_number and count(*) partition identically — the plan must
+    contain exactly one exchange on event_type for the window stage
+    (plus the final small group-by exchange)."""
+    plan = _plan(spark, "value_percentiles")
+    assert plan.count("events.parquet") == 1
+    # the two window functions ride the same hashpartitioning exchange
+    assert plan.count("hashpartitioning(event_type") <= 2
