@@ -308,6 +308,48 @@ GROUP BY user_id
 """
 
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE session_window (gap-merge
+    windows) — the declarative twin of the lag-flag ``sessionize``.
+
+    session_window semantics: an event extends the session while its
+    time is strictly BEFORE the current end (= last ts + gap), so a new
+    session starts at ts ≥ prev + gap — the oracle's flag uses ≥ to
+    match exactly. Output: one row per session with start, end
+    (last + gap), and event count.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH f AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload extraction (§2.8 JSON.parse analog): props.k stats
     per event_type."""
@@ -409,5 +451,6 @@ QUERIES: dict[str, Query] = {
     "mutate_pipeline": Query(mutate_pipeline, MUTATE_PIPELINE_SQL),
     "events_hourly": Query(events_hourly, EVENTS_HOURLY_SQL, headline=True),
     "sessionize": Query(sessionize, SESSIONIZE_SQL, headline=True),
+    "session_window_stats": Query(session_window_stats, SESSION_WINDOW_SQL),
     "events_json_extract": Query(events_json_extract, EVENTS_JSON_SQL),
 }
