@@ -32,6 +32,7 @@ def all_queries() -> dict[str, Query]:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         documents,
         engine_parity,
         relational,
@@ -53,6 +54,7 @@ def all_queries() -> dict[str, Query]:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

@@ -34,15 +34,19 @@ _HITS = lambda lang: (  # noqa: E731
     f"len(list_filter({_W}, x -> list_contains({_STOP[lang]}, x)))"
 )
 
-TEXT_FEATURES_SQL = f"""
-SELECT doc_id,
-  len({_W}) AS n_tokens,
-  floor((
+# Rounded quality score (round_det(quality_score(text), 4)) as a duckdb
+# expression — shared by text_features and the percentile-gate query.
+QUALITY_EXPR_SQL = f"""floor((
       0.4 * (len(list_distinct({_W})) / CAST(len({_W}) AS DOUBLE))
     + 0.3 * (least(CAST(len({_W}) AS DOUBLE), 200.0) / 200.0)
     + 0.2 * (1.0 - greatest({_HITS('en')} / CAST(len({_W}) AS DOUBLE) - 0.5, 0.0) * 2)
     + 0.1 * (least(greatest((length(regexp_replace(trim(text), '\\s+', '', 'g')) / CAST(len({_W}) AS DOUBLE) - 2) / 6.0, 0.0), 1.0))
-  ) * 10000.0 + 0.5) / 10000.0 AS quality,
+  ) * 10000.0 + 0.5) / 10000.0"""
+
+TEXT_FEATURES_SQL = f"""
+SELECT doc_id,
+  len({_W}) AS n_tokens,
+  {QUALITY_EXPR_SQL} AS quality,
   CASE WHEN {_HITS('en')} >= {_HITS('de')} AND {_HITS('en')} >= {_HITS('fr')} AND {_HITS('en')} > 0 THEN 'en'
        WHEN {_HITS('de')} >= {_HITS('fr')} AND {_HITS('de')} > 0 THEN 'de'
        WHEN {_HITS('fr')} > 0 THEN 'fr'
