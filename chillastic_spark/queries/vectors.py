@@ -91,10 +91,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e, q, k=10, n_cells=8, nprobe=3)
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with exact re-rank: corpus
+    compressed to m=16 4-bit codes (256 float bytes → 8 bytes/vector),
+    the compressed scan scores by summing m lookup-table entries
+    JVM-side and keeps a 5×k shortlist, and only the shortlist touches
+    full vectors again — the third ANN scale path (compressed-domain
+    search; billion-vector indexes store codes, not floats).
+    Approximate by design → rows-only check, recall (0.9 on this
+    corpus) pinned by tests/test_pq.py."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_topk(e, q, k=10, m=16, n_centroids=16, refine=5)
+
+
 QUERIES: dict[str, Query] = {
     "similarity_topk": Query(similarity_topk, SIMILARITY_TOPK_SQL, headline=True),
     "embedding_centroids": Query(embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "embedding_dup_pairs": Query(embedding_dup_pairs, EMBEDDING_DUP_SQL),
     "ann_lsh_topk": Query(ann_lsh_topk, None),
     "ann_ivf_topk": Query(ann_ivf_topk, None),
+    "ann_pq_topk": Query(ann_pq_topk, None),
 }

@@ -305,3 +305,83 @@ def purchase_attribution_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_window_rates(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    query_name: str = "sliding_rates",
+) -> StreamingQuery:
+    """Watermarked SLIDING-window aggregation (window ≠ slide): each
+    event contributes to window/slide overlapping windows — the
+    moving-rate monitor the tumbling twin can't express. State stays
+    bounded by the watermark; each window still emits exactly once
+    (append mode). Overlap factor is window/slide (4 here), so state
+    and output scale by that constant, not by the stream size."""
+    events = read_events_stream(spark, events_path)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def enriched_windowed_counts(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "enriched_counts",
+) -> StreamingQuery:
+    """Stream-static enrichment join + windowed rollup: the unbounded
+    event stream joins a small static dimension (event_type →
+    category) and aggregates per (window, category).
+
+    The static side is re-read and BROADCAST each micro-batch (hinted
+    explicitly) — the streaming twin of the batch broadcast-dim joins:
+    no shuffle ever touches the stream side for the join, and the
+    stateful agg keys on the coarser category domain."""
+    events = read_events_stream(spark, events_path)
+    enriched = events.join(F.broadcast(dim), "event_type", "left").withColumn(
+        "category", F.coalesce(F.col("category"), F.lit("other"))
+    )
+    agg = (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("category"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), "category", "cnt")
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
