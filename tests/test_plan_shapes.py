@@ -114,3 +114,24 @@ def test_percentiles_share_one_exchange_for_both_windows(spark):
     assert plan.count("events.parquet") == 1
     # the two window functions ride the same hashpartitioning exchange
     assert plan.count("hashpartitioning(event_type") <= 2
+
+
+def test_batch10_single_exchange_single_scan(spark):
+    """packing / TWA / OHLC: one window (or cumsum) shuffle whose
+    partitioning is reused by the groupBy — a second hash Exchange or a
+    duplicate scan is a regression."""
+    for name, table in (
+        ("sequence_packing", "documents"),
+        ("time_weighted_avg", "events"),
+        ("events_ohlc", "events"),
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("- Exchange") == 1, name
+        assert plan.count(f"{table}.parquet") == 1, name
+
+
+def test_quality_gate_scans_needed_columns_only(spark):
+    plan = _plan(spark, "quality_percentile_gate")
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" in read and "lang" in read and "doc_id" in read
+    assert "source" not in read and "n_chars" not in read
