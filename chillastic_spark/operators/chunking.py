@@ -61,3 +61,37 @@ def chunk_documents(
             "n_chunk_tokens"
         ),
     )
+
+
+def chunk_text_udtf(size: int = 50, stride: int = 40):
+    """The same windowing as a Python UDTF (Spark 4 table function) —
+    the §2.10 UDTF surface: the reference's null-dropping mutate is
+    "UDTF-like 1→0/1" (SURVEY §2.10); this is the full 1→N shape,
+    LATERAL-joinable from SQL once registered:
+
+        spark.udtf.register("chunk_text", chunk_text_udtf(50, 40))
+        spark.sql("SELECT doc_id, c.* FROM documents, "
+                  "LATERAL chunk_text(text) AS c")
+
+    The expression-based :func:`chunk_documents` stays the hot path
+    (codegen, no Python); the UDTF form exists for SQL users and for
+    chunkers whose logic outgrows column expressions. The class is
+    defined inside this factory so cloudpickle ships it BY VALUE —
+    executors don't import chillastic_spark (see operators/mutate.py).
+    """
+    from pyspark.sql.functions import udtf
+
+    win, step = int(size), int(stride)
+
+    class _ChunkText:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.strip().split()
+            n = max(len(toks), 1)
+            n_chunks = max((n - win + step - 1) // step + 1, 1)
+            for i in range(n_chunks):
+                piece = toks[i * step : i * step + win]
+                yield i, " ".join(piece), len(piece)
+
+    return udtf(_ChunkText, returnType="chunk_idx int, chunk_text string, n int")

@@ -65,6 +65,7 @@ def compact_index(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     min_files_to_compact: int = 2,
     sort_by: "list[str] | None" = None,
+    zorder_by: "list[str] | None" = None,
 ) -> dict:
     """Rewrite one index's data files to ~target_file_bytes each.
 
@@ -82,17 +83,25 @@ def compact_index(
     predicates on those columns skip whole files/row-groups — the
     Z-ORDER-lite layout step. Forces the rewrite even when file counts
     are fine (layout, not size, is the point).
+
+    ``zorder_by`` clusters on SEVERAL columns at once via the Morton
+    curve (see :func:`zorder_layout`) — range/equality predicates on
+    any of the zorder columns skip most files, where a linear sort
+    only serves its leading column.
     """
     path = store.index_path(index)
     before = file_stats(path, small_file_bytes=target_file_bytes // 4)
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
-    if sort_by is None and before["n_files"] <= max(n_out, min_files_to_compact - 1):
+    relayout = sort_by is not None or zorder_by is not None
+    if not relayout and before["n_files"] <= max(n_out, min_files_to_compact - 1):
         return {"before": before, "after": before, "compacted": False}
 
     partitioned = _is_type_partitioned(path)
     df = spark.read.parquet(path).select(*[c for c in _ENVELOPE_COLS])
     tmp = path + ".compact-" + uuid.uuid4().hex[:8]
-    if sort_by:
+    if zorder_by:
+        shaped = zorder_layout(df, zorder_by, n_out)
+    elif sort_by:
         from pyspark.sql import functions as F
 
         shaped = df.repartitionByRange(n_out, *[F.col(c) for c in sort_by])
@@ -128,3 +137,59 @@ def compact_store(
         index: compact_index(spark, store, index, target_file_bytes)
         for index in store.list_data_indices(pattern)
     }
+
+
+# ------------------------------------------------------------- Z-order
+
+
+def zorder_layout(df, cols: "list[str]", n_files: int, bits: int = 12):
+    """Shape a DataFrame so each output file clusters on ALL of
+    ``cols`` at once: interleave the bit representations of the
+    min/max-scaled columns (Morton / Z-order curve) and range-partition
+    + sort on the interleaved key.
+
+    A linear sort gives perfect file skipping on its leading column and
+    none on the others; the Z-curve trades a little of each for useful
+    min/max footer ranges on EVERY zorder column — the Delta/Iceberg
+    OPTIMIZE ZORDER layout, built from two narrow passes:
+    one tiny min/max agg (driver-side constants) + one
+    repartitionByRange on a pure-codegen bit-interleave expression.
+    String columns ride xxhash64, which clusters equality lookups but
+    not ranges (same caveat as the real OPTIMIZE ZORDER).
+    """
+    from pyspark.sql import functions as F
+
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double", "date"}
+    vals = []
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        v = F.col(c).cast("long") if dt in numeric else F.xxhash64(F.col(c))
+        vals.append(v)
+    stats = df.select(
+        *[F.min(v).alias(f"lo{i}") for i, v in enumerate(vals)],
+        *[F.max(v).alias(f"hi{i}") for i, v in enumerate(vals)],
+    ).collect()[0]
+
+    top = (1 << bits) - 1
+    scaled = []
+    for i, v in enumerate(vals):
+        lo, hi = stats[f"lo{i}"], stats[f"hi{i}"]
+        if lo is None or hi is None or hi == lo:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        # scale into [0, 2^bits) in DOUBLE space: hi-lo on xxhash64
+        # values spans the full int64 range and would overflow long math
+        width = max((hi - lo) / (top + 1), 1e-12)
+        s = F.floor(
+            (F.coalesce(v, F.lit(lo)).cast("double") - F.lit(float(lo))) / F.lit(width)
+        ).cast("long")
+        scaled.append(F.least(F.greatest(s, F.lit(0)), F.lit(top)))
+
+    key = F.lit(0).cast("long")
+    n = len(scaled)
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+
+    return df.repartitionByRange(max(n_files, 1), key).sortWithinPartitions(key)

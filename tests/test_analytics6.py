@@ -145,3 +145,25 @@ def test_heavy_hitters_bound_under_pressure(spark):
     for tok, n in truth.items():
         if n > err:
             assert tok in survivors, (tok, n, err)
+
+
+def test_chunk_udtf_matches_expression_chunker(spark):
+    """The SQL-facing UDTF must produce exactly the rows of the
+    codegen chunker (non-empty docs; the expression path represents an
+    empty doc as one empty chunk, the UDTF as zero rows)."""
+    from chillastic_spark.operators.chunking import chunk_documents, chunk_text_udtf
+
+    docs = load(spark, SF, "documents").limit(50)
+    spark.udtf.register("chunk_text_t", chunk_text_udtf(50, 40))
+    docs.createOrReplaceTempView("docs_t")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n"])
+        for r in spark.sql(
+            "SELECT doc_id, c.* FROM docs_t, LATERAL chunk_text_t(text) AS c"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(docs, size=50, stride=40).collect()
+    }
+    assert got == want

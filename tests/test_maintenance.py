@@ -88,3 +88,62 @@ def test_sorted_compaction_gives_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2  # disjoint (boundary value may touch)
     # content unchanged
     assert store.read(spark, "idx4").count() == 4000
+
+
+def _file_ranges(path, col):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == col
+        )
+        stats = [
+            md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)
+        ]
+        out.append((min(s.min for s in stats), max(s.max for s in stats)))
+    return out
+
+
+def test_zorder_layout_clusters_all_columns(spark, tmp_path):
+    """Morton layout: per-file footer ranges must be narrow on BOTH
+    zorder columns (file skipping works for either predicate), where a
+    linear sort leaves the trailing column unclustered."""
+    from pyspark.sql import functions as F
+
+    from chillastic_spark.sources.maintenance import zorder_layout
+
+    grid = spark.range(128 * 128).select(
+        (F.col("id") % 128).alias("x"), F.floor(F.col("id") / 128).alias("y")
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_layout(grid, ["x", "y"], n_files=16, bits=7).write.parquet(zpath)
+
+    for col in ("x", "y"):
+        widths = [hi - lo for lo, hi in _file_ranges(zpath, col)]
+        assert sum(widths) / len(widths) <= 0.55 * 127, (col, widths)
+
+    lpath = str(tmp_path / "linear")
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+    y_widths = [hi - lo for lo, hi in _file_ranges(lpath, "y")]
+    # the linear layout cannot skip on y — files span ~the whole range
+    assert sum(y_widths) / len(y_widths) >= 0.9 * 127
+
+
+def test_compact_zorder_preserves_rows(spark, tmp_path):
+    store = DocumentStore(str(tmp_path / "store"))
+    _seed(spark, store, "idxz", n=3000, n_files=12)
+    out = compact_index(
+        spark,
+        store,
+        "idxz",
+        target_file_bytes=16 * 1024,
+        zorder_by=["_size", "_id"],
+    )
+    assert out["compacted"]
+    assert store.read(spark, "idxz").count() == 3000
