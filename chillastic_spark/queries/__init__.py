@@ -38,6 +38,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         relational2,
         relational3,
+        search,
         vectors,
     )
 
@@ -55,6 +56,7 @@ def all_queries() -> dict[str, Query]:
         analytics4,
         analytics5,
         analytics6,
+        search,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

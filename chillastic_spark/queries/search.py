@@ -1,0 +1,154 @@
+"""Full-text search over the documents corpus: conjunctive keyword
+match + BM25 ranking — the search half of the Elasticsearch surface
+the reference reindexes into (the reference itself only moves docs;
+an engine claiming its storage model should also be able to QUERY it,
+reference README.md:1-10 positions chillastic as ES tooling).
+
+Scale shape: the corpus side never collects — term postings come from
+one explode+filter (the filter prunes to query terms BEFORE the
+shuffle, so the exchange moves O(matching tokens), not O(tokens));
+corpus-level constants (N, avgdl) ride a broadcast single-row join;
+doc-frequency idf is a broadcast |terms|-row join. Top-k emits via
+TakeOrderedAndProject — no global sort.
+
+Determinism: per-term scores are rounded then summed through
+DECIMAL(18,9) — the ≤|terms| summands are exact, so cross-engine float
+addition order cannot diverge (ln/exp precedent: geomean query).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chillastic_spark import functions as CF
+from chillastic_spark.queries import Query
+from chillastic_spark.queries.documents import _W
+from chillastic_spark.tables import load
+
+K1 = 1.2
+B = 0.75
+TERMS = ["table", "scan", "join"]
+TOP_K = 20
+
+
+def _postings(spark: SparkSession, sf_dir: str, terms: list[str]):
+    """(doc_id, term, tf, dl): term frequencies of query terms only,
+    plus each doc's token length. One tokenise, one explode; the
+    term filter runs before the groupBy shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", CF.words("text").alias("w"))
+    exploded = toks.select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+    ).filter(F.col("term").isin(terms))
+    return exploded.groupBy("doc_id", "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def keyword_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) keyword search: docs containing ALL query
+    terms, with per-doc total hits. Pure integer arithmetic; the
+    having-count filter is the classic postings intersection expressed
+    as a groupBy."""
+    p = _postings(spark, sf_dir, TERMS)
+    return (
+        p.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("tf").alias("total_hits"),
+        )
+        .filter(F.col("n_terms_matched") == len(TERMS))
+        .select("doc_id", "total_hits")
+    )
+
+
+_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in TERMS) + ")"
+
+_POSTINGS_SQL = f"""
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, len({_W}) AS dl, unnest({_W}) AS term FROM documents)
+  WHERE term IN {_TERMS_SQL}
+  GROUP BY doc_id, term
+"""
+
+KEYWORD_AND_SQL = f"""
+SELECT doc_id, sum(tf) AS total_hits
+FROM ({_POSTINGS_SQL})
+GROUP BY doc_id HAVING count(*) = {len(TERMS)}
+"""
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson/Okapi, the ES default ranking) top-20 for a
+    disjunctive query: score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl)), idf = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Constants (N, avgdl) and per-term df are tiny broadcast joins;
+    per-term scores round to 9 digits then sum exactly through
+    DECIMAL(18,9) so the ≤3-summand addition is order-free; final
+    rank by (rounded score desc, doc_id)."""
+    d = load(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", F.size(CF.words("text")).alias("dl"))
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    p = _postings(spark, sf_dir, TERMS)
+    dfreq = p.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        p.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "tscore",
+            CF.round_det(
+                F.col("idf")
+                * (F.col("tf") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ).cast("decimal(18,9)"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        CF.round_det(F.sum("tscore").cast("double"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    return per_doc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(TOP_K)
+
+
+BM25_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, len({_W}) AS dl FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM corpus),
+p AS ({_POSTINGS_SQL}),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+    ({CF.round_det_sql(
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+        f" * (tf * {K1 + 1.0}) / (tf + {K1} * ({1.0 - B} + {B} * dl / avgdl))", 9
+    )})::DECIMAL(18,9) AS tscore
+  FROM p JOIN dfreq ON p.term = dfreq.term CROSS JOIN stats)
+SELECT doc_id, {CF.round_det_sql("sum(tscore)::DOUBLE", 6)} AS bm25,
+       count(*) AS n_terms_matched
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT {TOP_K}
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "keyword_search_and": Query(keyword_search_and, KEYWORD_AND_SQL),
+    "bm25_topk": Query(bm25_topk, BM25_SQL),
+}

@@ -1,0 +1,62 @@
+"""Search-query tests: conjunctive match correctness and BM25 vs a
+local reference scorer."""
+import math
+
+from chillastic_spark.queries.search import (
+    B,
+    K1,
+    TERMS,
+    TOP_K,
+    bm25_topk,
+    keyword_search_and,
+)
+from chillastic_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    return {
+        r["doc_id"]: r["text"].strip().split()
+        for r in load(spark, SF, "documents").collect()
+    }
+
+
+def test_keyword_and_requires_all_terms(spark):
+    corpus = _corpus(spark)
+    got = {r["doc_id"]: r["total_hits"] for r in keyword_search_and(spark, SF).collect()}
+    want = {}
+    for doc_id, toks in corpus.items():
+        hits = [t for t in toks if t in TERMS]
+        if all(t in hits for t in TERMS):
+            want[doc_id] = len(hits)
+    assert got == want
+
+
+def test_bm25_matches_local_reference(spark):
+    corpus = _corpus(spark)
+    n_docs = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n_docs
+    df = {
+        t: sum(1 for toks in corpus.values() if t in toks) for t in TERMS
+    }
+    scores = {}
+    for doc_id, toks in corpus.items():
+        s = 0.0
+        for t in TERMS:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += round(
+                idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * len(toks) / avgdl)),
+                9,
+            )
+        if s > 0:
+            scores[doc_id] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+    got = bm25_topk(spark, SF).collect()
+    assert len(got) == len(want)
+    for row, (doc_id, score) in zip(got, want):
+        assert row["doc_id"] == doc_id
+        assert abs(row["bm25"] - score) < 1e-5, doc_id
