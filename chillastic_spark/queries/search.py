@@ -148,7 +148,111 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT {TOP_K}
 """
 
 
+# ------------------------------------------------ hybrid RRF search
+
+RRF_K = 60
+RRF_DEPTH = 50  # per-modality candidate depth
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 text
+    ranking (its top-20) and a vector-cosine ranking (top-``RRF_DEPTH``;
+    query = embedding of vec_id 0), the standard two-tower search
+    fusion: rrf(d) = Σ_modality 1/(k + rank_d). doc_id and vec_id
+    share the id domain (TESTDATA.md).
+
+    Determinism: each modality ranks by its ROUNDED score with id
+    tie-break; the fused score adds exactly two IEEE doubles in a fixed
+    written order. Scale: both rankings are rank-≤depth windows over
+    one-scan pipelines; the fusion join is depth×2 rows — driver-free
+    and broadcast-able."""
+    from pyspark.sql.window import Window
+
+    bm = bm25_topk(spark, sf_dir).select(
+        "doc_id", F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))).alias("rt")
+    ).filter(F.col("rt") <= RRF_DEPTH)
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            CF.as_double_array("embedding").alias("qvec")
+        )
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            CF.round_det(CF.cosine(CF.as_double_array("embedding"), F.col("qvec")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    vec = scored.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("vec_id"))).alias("rv"),
+    ).filter(F.col("rv") <= RRF_DEPTH)
+
+    fused = (
+        bm.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            CF.round_det(
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rt")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rv")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+            F.col("rt").alias("text_rank"),
+            F.col("rv").alias("vec_rank"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(TOP_K)
+
+
+HYBRID_RRF_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, len({_W}) AS dl FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM corpus),
+p AS ({_POSTINGS_SQL}),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+    ({CF.round_det_sql(
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+        f" * (tf * {K1 + 1.0}) / (tf + {K1} * ({1.0 - B} + {B} * dl / avgdl))", 9
+    )})::DECIMAL(18,9) AS tscore
+  FROM p JOIN dfreq ON p.term = dfreq.term CROSS JOIN stats),
+bm_full AS (
+  SELECT doc_id, {CF.round_det_sql("sum(tscore)::DOUBLE", 6)} AS bm25
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id ASC LIMIT {TOP_K}),
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rt
+  FROM bm_full QUALIFY rt <= {RRF_DEPTH}),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+cos_scored AS (
+  SELECT vec_id,
+    floor((list_dot_product(embedding::DOUBLE[], qvec)
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qvec, qvec)))) * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM embeddings CROSS JOIN q WHERE vec_id != 0),
+vec AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rv
+  FROM cos_scored QUALIFY rv <= {RRF_DEPTH})
+SELECT coalesce(bm.doc_id, vec.doc_id) AS doc_id,
+  {CF.round_det_sql(
+      f"coalesce(1.0 / ({RRF_K} + rt), 0.0) + coalesce(1.0 / ({RRF_K} + rv), 0.0)", 9
+  )} AS rrf,
+  rt AS text_rank, rv AS vec_rank
+FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT {TOP_K}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "keyword_search_and": Query(keyword_search_and, KEYWORD_AND_SQL),
     "bm25_topk": Query(bm25_topk, BM25_SQL),
+    "hybrid_search_rrf": Query(hybrid_search_rrf, HYBRID_RRF_SQL),
 }

@@ -60,3 +60,22 @@ def test_bm25_matches_local_reference(spark):
     for row, (doc_id, score) in zip(got, want):
         assert row["doc_id"] == doc_id
         assert abs(row["bm25"] - score) < 1e-5, doc_id
+
+
+def test_hybrid_rrf_fuses_both_modalities(spark):
+    """RRF output must contain docs reachable only via text rank and
+    only via vector rank, and every fused score must equal
+    1/(60+rt) + 1/(60+rv) of its observed ranks."""
+    from chillastic_spark.queries.search import RRF_K, hybrid_search_rrf
+
+    rows = hybrid_search_rrf(spark, SF).collect()
+    assert rows
+    assert any(r["text_rank"] is not None and r["vec_rank"] is None for r in rows)
+    assert any(r["vec_rank"] is not None and r["text_rank"] is None for r in rows)
+    for r in rows:
+        want = (1.0 / (RRF_K + r["text_rank"]) if r["text_rank"] else 0.0) + (
+            1.0 / (RRF_K + r["vec_rank"]) if r["vec_rank"] else 0.0
+        )
+        assert abs(r["rrf"] - want) < 1e-8
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
