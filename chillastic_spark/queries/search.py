@@ -251,8 +251,47 @@ ORDER BY rrf DESC, doc_id ASC LIMIT {TOP_K}
 """
 
 
+# ------------------------------------------------------ phrase search
+
+PHRASE = ["table", "scan"]
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ("table scan" as adjacent tokens) with
+    per-doc occurrence counts — the positional-postings op, expressed
+    with ZERO shuffle: adjacency is checked inside the token array
+    (filter over an index sequence), so 100 TB of text phrase-matches
+    in the scan stage. The words array is materialised before the
+    lambda (codegen pitfall, functions.ngrams_of_words)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", CF.words("text").alias("w"))
+    t1, t2 = PHRASE
+    hits = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1))),
+            lambda i: (F.element_at("w", i) == t1) & (F.element_at("w", i + 1) == t2),
+        )
+    )
+    return (
+        toks.select("doc_id", hits.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+PHRASE_SQL = f"""
+WITH t AS (SELECT doc_id, {_W} AS w FROM documents)
+SELECT doc_id,
+       len(list_filter(range(1, greatest(len(w) - 1, 1) + 1),
+           i -> w[i] = '{PHRASE[0]}' AND w[i + 1] = '{PHRASE[1]}')) AS n_occurrences
+FROM t
+WHERE len(list_filter(range(1, greatest(len(w) - 1, 1) + 1),
+          i -> w[i] = '{PHRASE[0]}' AND w[i + 1] = '{PHRASE[1]}')) > 0
+"""
+
+
 QUERIES: dict[str, Query] = {
     "keyword_search_and": Query(keyword_search_and, KEYWORD_AND_SQL),
     "bm25_topk": Query(bm25_topk, BM25_SQL),
     "hybrid_search_rrf": Query(hybrid_search_rrf, HYBRID_RRF_SQL),
+    "phrase_search": Query(phrase_search, PHRASE_SQL),
 }

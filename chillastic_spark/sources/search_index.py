@@ -1,0 +1,115 @@
+"""Materialized inverted index: build once, serve BM25 queries from
+postings instead of re-tokenising the corpus per query.
+
+Build writes three artifacts under ``index_dir``:
+  postings/    (term, doc_id, tf, dl) — denormalised doc length, so a
+               query never joins back to the corpus; range-partitioned
+               AND sorted by term → parquet footer min/max on `term`
+               skip whole files/row-groups for any term predicate
+  term_stats/  (term, df) — one row per vocab term (broadcast side)
+  stats.json   {n_docs, avgdl} corpus constants
+
+Query reads ONLY the postings of the query terms (In-filter pushed to
+the scan + footer skipping from the sorted layout): at 100 TB of text
+the per-query scan cost is proportional to the matched postings, not
+the corpus — the point of an inverted index. Scoring mirrors
+queries/search.py:bm25_topk exactly (same rounding), so the served
+result is bit-identical to the scan-time query.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chillastic_spark import functions as CF
+
+DEFAULT_POSTING_FILES = 8
+
+
+def build_inverted_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = DEFAULT_POSTING_FILES,
+) -> dict:
+    """Tokenise once, write postings/term_stats/corpus stats."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), CF.words(text_col).alias("w")
+    ).select("doc_id", F.size("w").alias("dl"), "w")
+    postings = (
+        toks.select("doc_id", "dl", F.explode("w").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    (
+        postings.repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    term_stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "term_stats")
+    )
+    row = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).collect()[0]
+    stats = {"n_docs": row["n_docs"], "avgdl": row["avgdl"]}
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    return stats
+
+
+def bm25_search_index(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve a BM25 top-k from the prebuilt index. Identical math and
+    rounding to queries/search.py:bm25_topk — the golden equivalence is
+    test-pinned."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    p = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("term").isin(terms)
+    )
+    dfreq = spark.read.parquet(os.path.join(index_dir, "term_stats")).filter(
+        F.col("term").isin(terms)
+    )
+    scored = (
+        p.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "tscore",
+            CF.round_det(
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                ),
+                9,
+            ).cast("decimal(18,9)"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        CF.round_det(F.sum("tscore").cast("double"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    return per_doc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)

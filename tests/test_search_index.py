@@ -1,0 +1,58 @@
+"""Inverted-index tests: golden equivalence with the scan-time BM25,
+term-pushdown in the served plan, and the sorted-postings skipping
+layout."""
+import glob
+
+import pyarrow.parquet as pq
+
+from chillastic_spark.queries.search import TERMS, bm25_topk
+from chillastic_spark.sources.search_index import (
+    bm25_search_index,
+    build_inverted_index,
+)
+from chillastic_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _build(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    stats = build_inverted_index(spark, load(spark, SF, "documents"), idx)
+    return idx, stats
+
+
+def test_index_serves_identical_bm25(spark, tmp_path):
+    idx, stats = _build(spark, tmp_path)
+    assert stats["n_docs"] == load(spark, SF, "documents").count()
+    got = [tuple(r) for r in bm25_search_index(spark, idx, TERMS, k=20).collect()]
+    want = [tuple(r) for r in bm25_topk(spark, SF).collect()]
+    assert got == want
+
+
+def test_index_plan_pushes_term_filter(spark, tmp_path):
+    idx, _ = _build(spark, tmp_path)
+    df = bm25_search_index(spark, idx, TERMS, k=20)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [In(term" in plan
+    # and the served query never touches the documents table
+    assert "documents.parquet" not in plan
+
+
+def test_postings_files_have_disjoint_term_ranges(spark, tmp_path):
+    idx, _ = _build(spark, tmp_path)
+    ranges = []
+    for f in glob.glob(idx + "/postings/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "term"
+        )
+        st = [md.row_group(g).column(col).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in st), max(s.max for s in st)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
