@@ -113,3 +113,80 @@ def bm25_search_index(
         F.count(F.lit(1)).alias("n_terms_matched"),
     )
     return per_doc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+
+
+def update_inverted_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = DEFAULT_POSTING_FILES,
+) -> dict:
+    """Incrementally fold a batch of NEW documents into an existing
+    index (the foreachBatch-able maintenance op): new postings union
+    the old ones (tf rows are per-doc, so new doc_ids append cleanly),
+    term df and corpus stats re-derive from the merged postings.
+
+    Cost is |old postings| + |batch| — one union + the same sorted
+    rewrite as build; at scale the rewrite is the same amortised
+    OPTIMIZE-style pass compaction already does, and reads never see a
+    half-written index (tmp dir + atomic rename). Re-adding an existing
+    doc_id is rejected (the store's upsert handles mutation; an index
+    rebuild covers it)."""
+    import shutil
+    import uuid
+
+    post_dir = os.path.join(index_dir, "postings")
+    old = spark.read.parquet(post_dir)
+    toks = new_docs.select(
+        F.col(id_col).alias("doc_id"), CF.words(text_col).alias("w")
+    ).select("doc_id", F.size("w").alias("dl"), "w")
+    dup = old.select("doc_id").distinct().join(
+        toks.select("doc_id").distinct(), "doc_id", "inner"
+    )
+    if dup.limit(1).count():
+        raise ValueError("doc_id already indexed; rebuild to mutate")
+    fresh = (
+        toks.select("doc_id", "dl", F.explode("w").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    merged = old.select("term", "doc_id", "dl", "tf").unionByName(
+        fresh.select("term", "doc_id", "dl", "tf")
+    )
+    tmp = post_dir + ".tmp-" + uuid.uuid4().hex[:8]
+    (
+        merged.repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    bak = post_dir + ".old-" + uuid.uuid4().hex[:8]
+    os.rename(post_dir, bak)
+    os.rename(tmp, post_dir)
+    shutil.rmtree(bak)
+
+    merged2 = spark.read.parquet(post_dir)
+    term_stats = merged2.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ts_dir = os.path.join(index_dir, "term_stats")
+    ts_tmp = ts_dir + ".tmp-" + uuid.uuid4().hex[:8]
+    term_stats.coalesce(1).write.mode("overwrite").parquet(ts_tmp)
+    ts_bak = ts_dir + ".old-" + uuid.uuid4().hex[:8]
+    os.rename(ts_dir, ts_bak)
+    os.rename(ts_tmp, ts_dir)
+    shutil.rmtree(ts_bak)
+
+    row = (
+        merged2.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        .collect()[0]
+    )
+    stats = {"n_docs": row["n_docs"], "avgdl": row["avgdl"]}
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    return stats

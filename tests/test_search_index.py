@@ -56,3 +56,27 @@ def test_postings_files_have_disjoint_term_ranges(spark, tmp_path):
     ranges.sort()
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_incremental_update_equals_full_rebuild(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from chillastic_spark.sources.search_index import update_inverted_index
+
+    docs = load(spark, SF, "documents")
+    inc_dir = str(tmp_path / "inc")
+    build_inverted_index(spark, docs.filter(F.col("doc_id") < 400), inc_dir)
+    stats_inc = update_inverted_index(
+        spark, docs.filter(F.col("doc_id") >= 400), inc_dir
+    )
+    full_dir = str(tmp_path / "full")
+    stats_full = build_inverted_index(spark, docs, full_dir)
+    assert stats_inc == stats_full
+    got = [tuple(r) for r in bm25_search_index(spark, inc_dir, TERMS, k=20).collect()]
+    want = [tuple(r) for r in bm25_search_index(spark, full_dir, TERMS, k=20).collect()]
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="already indexed"):
+        update_inverted_index(spark, docs.filter(F.col("doc_id") == 0), inc_dir)
