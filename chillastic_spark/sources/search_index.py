@@ -122,11 +122,16 @@ def update_inverted_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_files: int = DEFAULT_POSTING_FILES,
+    on_existing: str = "error",
 ) -> dict:
     """Incrementally fold a batch of NEW documents into an existing
     index (the foreachBatch-able maintenance op): new postings union
     the old ones (tf rows are per-doc, so new doc_ids append cleanly),
     term df and corpus stats re-derive from the merged postings.
+
+    ``on_existing='skip'`` drops batch docs whose doc_id is already
+    indexed (anti-join) instead of raising — the idempotence an
+    at-least-once streaming source needs on redelivery.
 
     Cost is |old postings| + |batch| — one union + the same sorted
     rewrite as build; at scale the rewrite is the same amortised
@@ -142,11 +147,25 @@ def update_inverted_index(
     toks = new_docs.select(
         F.col(id_col).alias("doc_id"), CF.words(text_col).alias("w")
     ).select("doc_id", F.size("w").alias("dl"), "w")
-    dup = old.select("doc_id").distinct().join(
-        toks.select("doc_id").distinct(), "doc_id", "inner"
-    )
-    if dup.limit(1).count():
-        raise ValueError("doc_id already indexed; rebuild to mutate")
+    if on_existing == "skip":
+        toks = toks.join(old.select("doc_id").distinct(), "doc_id", "left_anti")
+        if not toks.limit(1).count():
+            row = (
+                old.select("doc_id", "dl")
+                .distinct()
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+                )
+                .collect()[0]
+            )
+            return {"n_docs": row["n_docs"], "avgdl": row["avgdl"]}
+    else:
+        dup = old.select("doc_id").distinct().join(
+            toks.select("doc_id").distinct(), "doc_id", "inner"
+        )
+        if dup.limit(1).count():
+            raise ValueError("doc_id already indexed; rebuild to mutate")
     fresh = (
         toks.select("doc_id", "dl", F.explode("w").alias("term"))
         .groupBy("term", "doc_id", "dl")

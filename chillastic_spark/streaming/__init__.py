@@ -385,3 +385,51 @@ def enriched_windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def continuous_index_update(
+    spark: SparkSession,
+    docs_path: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "index_update",
+) -> StreamingQuery:
+    """Continuous search-index maintenance: a file stream of new
+    documents folds into the materialized inverted index
+    (sources/search_index.py) one micro-batch at a time via
+    foreachBatch. Exactly-once effect from at-least-once delivery:
+    checkpointed offsets + ``on_existing='skip'`` makes a redelivered
+    batch a no-op — same idempotence contract as the upsert sink
+    (SURVEY §2.9)."""
+    from chillastic_spark.sources.search_index import update_inverted_index
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_path)
+    )
+
+    def fold(batch_df, _batch_id):
+        batch = batch_df.dropDuplicates(["doc_id"])
+        if not batch.limit(1).count():
+            return
+        update_inverted_index(spark, batch, index_dir, on_existing="skip")
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

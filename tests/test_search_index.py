@@ -80,3 +80,44 @@ def test_incremental_update_equals_full_rebuild(spark, tmp_path):
 
     with pytest.raises(ValueError, match="already indexed"):
         update_inverted_index(spark, docs.filter(F.col("doc_id") == 0), inc_dir)
+
+
+def test_continuous_index_update_converges_to_full_rebuild(spark, tmp_path):
+    """Stream two document files into the index via foreachBatch; the
+    result must equal a batch rebuild, and replaying the stream with a
+    fresh checkpoint must be a no-op (idempotent redelivery)."""
+    from pyspark.sql import functions as F
+
+    from chillastic_spark.streaming import continuous_index_update
+
+    docs = load(spark, SF, "documents")
+    idx = str(tmp_path / "cidx")
+    build_inverted_index(spark, docs.filter(F.col("doc_id") < 100), idx)
+
+    stream_dir = tmp_path / "docstream"
+    stream_dir.mkdir()
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300)).coalesce(
+        1
+    ).write.parquet(str(stream_dir / "f1"))
+    docs.filter(F.col("doc_id") >= 300).coalesce(1).write.parquet(
+        str(stream_dir / "f2")
+    )
+
+    q = continuous_index_update(
+        spark, str(stream_dir / "*"), idx, str(tmp_path / "ck1"), query_name="cidx1"
+    )
+    q.awaitTermination(240)
+
+    full = str(tmp_path / "fullidx")
+    build_inverted_index(spark, docs, full)
+    got = [tuple(r) for r in bm25_search_index(spark, idx, TERMS, k=20).collect()]
+    want = [tuple(r) for r in bm25_search_index(spark, full, TERMS, k=20).collect()]
+    assert got == want
+
+    # replay with a fresh checkpoint: every doc already indexed → no-op
+    q2 = continuous_index_update(
+        spark, str(stream_dir / "*"), idx, str(tmp_path / "ck2"), query_name="cidx2"
+    )
+    q2.awaitTermination(240)
+    again = [tuple(r) for r in bm25_search_index(spark, idx, TERMS, k=20).collect()]
+    assert again == want
