@@ -39,6 +39,7 @@ def all_queries() -> dict[str, Query]:
         relational2,
         relational3,
         search,
+        search2,
         vectors,
     )
 
@@ -57,6 +58,7 @@ def all_queries() -> dict[str, Query]:
         analytics5,
         analytics6,
         search,
+        search2,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,265 @@
+"""Batch 13 — the rest of the search-engine surface: fuzzy matching,
+wildcard/prefix queries, facets, snippet highlighting, and keyset
+(search_after) pagination. Together with queries/search.py (BM25,
+AND/phrase, hybrid RRF) and sources/search_index.py (materialized /
+incrementally-maintained postings) this covers the query side of the
+Elasticsearch model the reference's reindexer feeds.
+
+Scale notes: every query here is one documents scan (no joins except
+the tiny facet dim / single-row cursor); fuzzy+wildcard filter tokens
+BEFORE any shuffle; with the materialized index the same shapes run
+off postings instead (prefix predicates ride the sorted-term footer
+ranges — tests/test_search_index.py pins the layout).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chillastic_spark import functions as CF
+from chillastic_spark.queries import Query
+from chillastic_spark.queries.documents import _W
+from chillastic_spark.queries.search import TERMS, _POSTINGS_SQL, _postings
+from chillastic_spark.tables import load
+
+# ------------------------------------------------------- fuzzy search
+
+FUZZY_QUERY = "tabl"  # deliberate misspelling of 'table' (1 edit)
+FUZZY_MAX_EDITS = 1
+
+
+def fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term query (ES `fuzziness: 1`): match tokens within
+    Levenshtein distance 1 of the (misspelled) query term. JVM-side
+    levenshtein on the exploded token stream, filtered before the
+    groupBy shuffle; per-doc hit count + the sorted set of matched
+    vocab terms."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(CF.words("text")).alias("term"))
+    hits = toks.filter(F.levenshtein("term", F.lit(FUZZY_QUERY)) <= FUZZY_MAX_EDITS)
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.concat_ws(",", F.array_sort(F.collect_set("term"))).alias("matched_terms"),
+    )
+
+
+FUZZY_SQL = f"""
+SELECT doc_id, count(*) AS n_hits,
+       array_to_string(list_sort(list_distinct(list(term))), ',') AS matched_terms
+FROM (SELECT doc_id, unnest({_W}) AS term FROM documents)
+WHERE levenshtein(term, '{FUZZY_QUERY}') <= {FUZZY_MAX_EDITS}
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------- wildcard search
+
+PREFIX = "sc"  # matches e.g. scan
+
+
+def wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix (wildcard `sc*`) query: per-doc counts of matching
+    tokens + the matched terms. On the materialized index the same
+    predicate becomes a contiguous range of the sorted postings
+    (footer-skipped); here it's the one-scan batch shape."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(CF.words("text")).alias("term"))
+    hits = toks.filter(F.col("term").startswith(PREFIX))
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.concat_ws(",", F.array_sort(F.collect_set("term"))).alias("matched_terms"),
+    )
+
+
+WILDCARD_SQL = f"""
+SELECT doc_id, count(*) AS n_hits,
+       array_to_string(list_sort(list_distinct(list(term))), ',') AS matched_terms
+FROM (SELECT doc_id, unnest({_W}) AS term FROM documents)
+WHERE term LIKE '{PREFIX}%'
+GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------ faceted search
+
+def search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-style facet aggregation on a conjunctive query: docs
+    matching ALL query terms, bucketed by (lang, source) with doc and
+    hit counts — the aggregation panel next to search results. The
+    match runs on postings (filter-before-shuffle); facets join the
+    matched ids back to the slim (doc_id, lang, source) projection."""
+    p = _postings(spark, sf_dir, TERMS)
+    matched = (
+        p.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nt"), F.sum("tf").alias("hits"))
+        .filter(F.col("nt") == len(TERMS))
+        .select("doc_id", "hits")
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return (
+        matched.join(d, "doc_id")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("hits").alias("total_hits"))
+    )
+
+
+_TERMS_LIST = "(" + ", ".join(f"'{t}'" for t in TERMS) + ")"
+
+FACETS_SQL = f"""
+WITH m AS (
+  SELECT doc_id, sum(tf) AS hits
+  FROM ({_POSTINGS_SQL})
+  GROUP BY doc_id HAVING count(*) = {len(TERMS)})
+SELECT lang, source, count(*) AS n_docs, sum(hits) AS total_hits
+FROM m JOIN documents USING (doc_id)
+GROUP BY lang, source
+"""
+
+
+# --------------------------------------------------------- highlights
+
+SNIPPET_TERM = TERMS[0]
+SNIPPET_RADIUS = 3
+
+
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlight/snippet extraction: the ±3-token window around the
+    FIRST occurrence of the query term — ES highlighting's fragment,
+    as pure array ops (array_position + slice), zero shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", CF.words("text").alias("w"))
+    pos = F.array_position("w", SNIPPET_TERM)
+    start = F.greatest(pos - SNIPPET_RADIUS, F.lit(1))
+    snippet = F.concat_ws(
+        " ", F.slice("w", start, F.lit(2 * SNIPPET_RADIUS + 1))
+    )
+    return (
+        toks.select("doc_id", pos.alias("pos"), snippet.alias("snippet"))
+        .filter(F.col("pos") > 0)
+        .select("doc_id", "pos", "snippet")
+    )
+
+
+SNIPPETS_SQL = f"""
+WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+p AS (SELECT doc_id, w, coalesce(list_position(w, '{SNIPPET_TERM}'), 0) AS pos FROM t)
+SELECT doc_id, pos,
+       array_to_string(list_slice(w, greatest(pos - {SNIPPET_RADIUS}, 1),
+                       greatest(pos - {SNIPPET_RADIUS}, 1) + {2 * SNIPPET_RADIUS}), ' ') AS snippet
+FROM p WHERE pos > 0
+"""
+
+
+# ------------------------------------------------- keyset pagination
+
+PAGE_SIZE = 20
+
+
+def search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 via keyset (ES `search_after`) semantics: the cursor is
+    the (bm25, doc_id) of the last row of page 1, and page 2 is
+    `WHERE score < cursor OR (score = cursor AND id > cursor_id)` —
+    NOT offset/limit. Deep pagination by offset re-sorts and discards
+    N·page rows; the keyset predicate prunes in the scan. The cursor
+    derives inside the query (rank-20 row as a 1-row broadcast), so
+    the whole page is one deterministic plan."""
+    from pyspark.sql.window import Window
+
+    full = _bm25_scored_full(spark, sf_dir)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    cursor = F.broadcast(
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == PAGE_SIZE)
+        .select(F.col("bm25").alias("cur_score"), F.col("doc_id").alias("cur_id"))
+    )
+    page2 = (
+        full.crossJoin(cursor)
+        .filter(
+            (F.col("bm25") < F.col("cur_score"))
+            | ((F.col("bm25") == F.col("cur_score")) & (F.col("doc_id") > F.col("cur_id")))
+        )
+        .select("doc_id", "bm25", "n_terms_matched")
+    )
+    return page2.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(PAGE_SIZE)
+
+
+def _bm25_scored_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlimited BM25 scoring (same math/rounding as bm25_topk)."""
+    from chillastic_spark.queries.search import B, K1
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", F.size(CF.words("text")).alias("dl"))
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    p = _postings(spark, sf_dir, TERMS)
+    dfreq = p.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        p.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "tscore",
+            CF.round_det(
+                F.col("idf")
+                * (F.col("tf") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ).cast("decimal(18,9)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        CF.round_det(F.sum("tscore").cast("double"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+
+
+from chillastic_spark.queries.search import B, K1  # noqa: E402
+
+SEARCH_AFTER_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, len({_W}) AS dl FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM corpus),
+p AS ({_POSTINGS_SQL}),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+    ({CF.round_det_sql(
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+        f" * (tf * {K1 + 1.0}) / (tf + {K1} * ({1.0 - B} + {B} * dl / avgdl))", 9
+    )})::DECIMAL(18,9) AS tscore
+  FROM p JOIN dfreq ON p.term = dfreq.term CROSS JOIN stats),
+full_rank AS (
+  SELECT doc_id, {CF.round_det_sql("sum(tscore)::DOUBLE", 6)} AS bm25,
+         count(*) AS n_terms_matched
+  FROM scored GROUP BY doc_id),
+cur AS (
+  SELECT bm25 AS cur_score, doc_id AS cur_id FROM full_rank
+  QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) = {PAGE_SIZE})
+SELECT doc_id, bm25, n_terms_matched
+FROM full_rank CROSS JOIN cur
+WHERE bm25 < cur_score OR (bm25 = cur_score AND doc_id > cur_id)
+ORDER BY bm25 DESC, doc_id ASC LIMIT {PAGE_SIZE}
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "fuzzy_search": Query(fuzzy_search, FUZZY_SQL),
+    "wildcard_search": Query(wildcard_search, WILDCARD_SQL),
+    "search_facets": Query(search_facets, FACETS_SQL),
+    "search_snippets": Query(search_snippets, SNIPPETS_SQL),
+    "search_after_page": Query(search_after_page, SEARCH_AFTER_SQL),
+}

@@ -79,3 +79,66 @@ def test_hybrid_rrf_fuses_both_modalities(spark):
         assert abs(r["rrf"] - want) < 1e-8
     scores = [r["rrf"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_search_after_is_exact_continuation(spark):
+    """Page 2 (keyset) must be exactly ranks 21-40 of the full
+    ranking, with no overlap against page 1."""
+    from chillastic_spark.queries.search2 import (
+        PAGE_SIZE,
+        _bm25_scored_full,
+        search_after_page,
+    )
+
+    full = sorted(
+        [(r["doc_id"], r["bm25"]) for r in _bm25_scored_full(spark, SF).collect()],
+        key=lambda t: (-t[1], t[0]),
+    )
+    want = [d for d, _ in full[PAGE_SIZE : 2 * PAGE_SIZE]]
+    got = [r["doc_id"] for r in search_after_page(spark, SF).collect()]
+    assert got == want
+    page1 = {d for d, _ in full[:PAGE_SIZE]}
+    assert not (set(got) & page1)
+
+
+def test_snippets_center_on_first_hit(spark):
+    from chillastic_spark.queries.search2 import (
+        SNIPPET_RADIUS,
+        SNIPPET_TERM,
+        search_snippets,
+    )
+
+    corpus = _corpus(spark)
+    rows = search_snippets(spark, SF).collect()
+    seen = {r["doc_id"] for r in rows}
+    expect = {d for d, toks in corpus.items() if SNIPPET_TERM in toks}
+    assert seen == expect
+    for r in rows[:50]:
+        toks = corpus[r["doc_id"]]
+        pos = toks.index(SNIPPET_TERM)  # 0-based
+        assert r["pos"] == pos + 1
+        start = max(pos - SNIPPET_RADIUS, 0)
+        assert r["snippet"] == " ".join(toks[start : start + 2 * SNIPPET_RADIUS + 1])
+        assert SNIPPET_TERM in r["snippet"].split()
+
+
+def test_fuzzy_matches_are_within_edit_distance(spark):
+    from chillastic_spark.queries.search2 import (
+        FUZZY_MAX_EDITS,
+        FUZZY_QUERY,
+        fuzzy_search,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    rows = fuzzy_search(spark, SF).collect()
+    assert rows
+    for r in rows[:50]:
+        for t in r["matched_terms"].split(","):
+            assert lev(t, FUZZY_QUERY) <= FUZZY_MAX_EDITS, t
