@@ -291,7 +291,7 @@ WHERE len(list_filter(range(1, greatest(len(w) - 1, 1) + 1),
 
 QUERIES: dict[str, Query] = {
     "keyword_search_and": Query(keyword_search_and, KEYWORD_AND_SQL),
-    "bm25_topk": Query(bm25_topk, BM25_SQL),
-    "hybrid_search_rrf": Query(hybrid_search_rrf, HYBRID_RRF_SQL),
+    "bm25_topk": Query(bm25_topk, BM25_SQL, headline=True),
+    "hybrid_search_rrf": Query(hybrid_search_rrf, HYBRID_RRF_SQL, headline=True),
     "phrase_search": Query(phrase_search, PHRASE_SQL),
 }

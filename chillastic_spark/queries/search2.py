@@ -256,7 +256,61 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT {PAGE_SIZE}
 """
 
 
+# ------------------------------------------------------- bool query
+
+MUST = ["table"]
+SHOULD = ["scan", "join"]  # minimum_should_match = 1
+MUST_NOT = ["slow"]
+
+
+def bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bool` query: must=[table], should=[scan, join] (min 1),
+    must_not=[slow]. One postings pass over the union of all clause
+    terms (filter-before-shuffle), then conditional aggregates decide
+    membership and score = total must+should hits. The must_not clause
+    is a conditional count, not a second anti-join pass."""
+    all_terms = MUST + SHOULD + MUST_NOT
+    p = _postings(spark, sf_dir, all_terms)
+    is_must = F.col("term").isin(MUST)
+    is_should = F.col("term").isin(SHOULD)
+    is_not = F.col("term").isin(MUST_NOT)
+    agg = p.groupBy("doc_id").agg(
+        F.sum(F.when(is_must, 1).otherwise(0)).alias("must_terms"),
+        F.sum(F.when(is_should, 1).otherwise(0)).alias("should_terms"),
+        F.sum(F.when(is_not, 1).otherwise(0)).alias("not_terms"),
+        F.sum(F.when(is_must | is_should, F.col("tf")).otherwise(0)).alias("score_hits"),
+    )
+    return agg.filter(
+        (F.col("must_terms") == len(MUST))
+        & (F.col("should_terms") >= 1)
+        & (F.col("not_terms") == 0)
+    ).select("doc_id", "should_terms", "score_hits")
+
+
+_ALL_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in MUST + SHOULD + MUST_NOT) + ")"
+_MUST_SQL = "(" + ", ".join(f"'{t}'" for t in MUST) + ")"
+_SHOULD_SQL = "(" + ", ".join(f"'{t}'" for t in SHOULD) + ")"
+_NOT_SQL = "(" + ", ".join(f"'{t}'" for t in MUST_NOT) + ")"
+
+BOOL_SEARCH_SQL = f"""
+WITH p AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_W}) AS term FROM documents)
+  WHERE term IN {_ALL_TERMS_SQL}
+  GROUP BY doc_id, term)
+SELECT doc_id,
+       sum(CASE WHEN term IN {_SHOULD_SQL} THEN 1 ELSE 0 END) AS should_terms,
+       sum(CASE WHEN term IN {_MUST_SQL} OR term IN {_SHOULD_SQL} THEN tf ELSE 0 END) AS score_hits
+FROM p
+GROUP BY doc_id
+HAVING sum(CASE WHEN term IN {_MUST_SQL} THEN 1 ELSE 0 END) = {len(MUST)}
+   AND sum(CASE WHEN term IN {_SHOULD_SQL} THEN 1 ELSE 0 END) >= 1
+   AND sum(CASE WHEN term IN {_NOT_SQL} THEN 1 ELSE 0 END) = 0
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "bool_search": Query(bool_search, BOOL_SEARCH_SQL),
     "fuzzy_search": Query(fuzzy_search, FUZZY_SQL),
     "wildcard_search": Query(wildcard_search, WILDCARD_SQL),
     "search_facets": Query(search_facets, FACETS_SQL),
