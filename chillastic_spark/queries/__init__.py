@@ -33,6 +33,7 @@ def all_queries() -> dict[str, Query]:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         documents,
         engine_parity,
         relational,
@@ -57,6 +58,7 @@ def all_queries() -> dict[str, Query]:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         search,
         search2,
     ):
