@@ -48,7 +48,11 @@ def task_from_json(body: dict) -> Task:
     )
 
 
-def create_app(engine: Engine, api_key: Optional[str] = None):
+def create_app(
+    engine: Engine,
+    api_key: Optional[str] = None,
+    search_index_dir: Optional[str] = None,
+):
     from flask import Flask, jsonify, request
 
     app = Flask("chillastic_spark")
@@ -77,6 +81,45 @@ def create_app(engine: Engine, api_key: Optional[str] = None):
     @app.get("/")
     def root():
         return jsonify(engine.status())
+
+    @app.get("/search")
+    def search():
+        # the query side of the ES surface: BM25 / prefix / suggest
+        # served from the materialized inverted index (search_index.py)
+        if search_index_dir is None:
+            return jsonify({"error": "no search index configured"}), 400
+        from chillastic_spark.sources.search_index import (
+            bm25_search_index,
+            suggest_terms,
+            wildcard_search_index,
+        )
+
+        def run():
+            k = int(request.args.get("k", "10"))
+            if request.args.get("suggest"):
+                return jsonify(
+                    {"suggest": suggest_terms(
+                        engine.spark, search_index_dir, request.args["suggest"], k=k
+                    )}
+                )
+            if request.args.get("prefix"):
+                rows = wildcard_search_index(
+                    engine.spark, search_index_dir, request.args["prefix"], k=k
+                ).collect()
+                return jsonify({"hits": [r.asDict() for r in rows]})
+            terms = [t for t in request.args.get("terms", "").split(",") if t]
+            if not terms:
+                raise ValueError("pass ?terms=a,b or ?prefix=p or ?suggest=p")
+            rows = bm25_search_index(
+                engine.spark, search_index_dir, terms, k=k
+            ).collect()
+            return jsonify(
+                {"hits": [
+                    {**r.asDict(), "bm25": float(r["bm25"])} for r in rows
+                ]}
+            )
+
+        return handle(run)
 
     @app.post("/_start")
     def start():

@@ -209,3 +209,41 @@ def update_inverted_index(
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
     return stats
+
+
+def wildcard_search_index(
+    spark: SparkSession, index_dir: str, prefix: str, k: int = 100
+) -> DataFrame:
+    """Prefix (wildcard) query served FROM the index: the
+    StringStartsWith predicate pushes into the postings scan, and the
+    sorted-term layout turns it into a contiguous range of files
+    (footer min/max skipping — the reason build sorts by term). Per-doc
+    hit counts + matched terms, top-k by hits."""
+    p = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("term").startswith(prefix)
+    )
+    return (
+        p.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_hits"),
+            F.concat_ws(",", F.array_sort(F.collect_set("term"))).alias("matched_terms"),
+        )
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def suggest_terms(
+    spark: SparkSession, index_dir: str, prefix: str, k: int = 10
+) -> list[str]:
+    """Autocomplete: most-frequent vocabulary terms with the given
+    prefix, straight off the tiny term_stats artifact (df = doc
+    frequency) — no postings touched."""
+    ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+    rows = (
+        ts.filter(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+        .collect()
+    )
+    return [r["term"] for r in rows]

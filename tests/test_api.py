@@ -99,3 +99,41 @@ def test_api_key_auth(spark, tmp_path, store_factory):
     assert c.get("/").status_code == 401
     assert c.get("/", headers={"api_key": "wrong"}).status_code == 401
     assert c.get("/", headers={"api_key": "sekrit"}).status_code == 200
+
+
+def test_search_endpoint_serves_index(spark, tmp_path, store_factory):
+    from chillastic_spark.queries.search import TERMS, bm25_topk
+    from chillastic_spark.sources.search_index import build_inverted_index
+    from chillastic_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "apidx")
+    build_inverted_index(spark, load(spark, sf, "documents"), idx)
+    eng = Engine(spark, str(tmp_path / "state-s"))
+    app = create_app(eng, search_index_dir=idx)
+    app.config["TESTING"] = True
+    c = app.test_client()
+
+    # BM25 over the wire must equal the scan-time query
+    r = c.get("/search?terms=" + ",".join(TERMS) + "&k=20")
+    assert r.status_code == 200
+    hits = r.get_json()["hits"]
+    want = bm25_topk(spark, sf).collect()
+    assert [(h["doc_id"], h["bm25"]) for h in hits] == [
+        (w["doc_id"], w["bm25"]) for w in want
+    ]
+
+    r = c.get("/search?prefix=sc&k=5")
+    assert r.status_code == 200
+    assert len(r.get_json()["hits"]) == 5
+
+    r = c.get("/search?suggest=sc")
+    sugg = r.get_json()["suggest"]
+    assert sugg and all(t.startswith("sc") for t in sugg)
+
+    r = c.get("/search")
+    assert r.status_code == 400
+
+    app2 = create_app(eng)
+    app2.config["TESTING"] = True
+    assert app2.test_client().get("/search?terms=x").status_code == 400

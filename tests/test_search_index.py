@@ -121,3 +121,18 @@ def test_continuous_index_update_converges_to_full_rebuild(spark, tmp_path):
     q2.awaitTermination(240)
     again = [tuple(r) for r in bm25_search_index(spark, idx, TERMS, k=20).collect()]
     assert again == want
+
+
+def test_wildcard_index_pushes_prefix_predicate(spark, tmp_path):
+    from chillastic_spark.sources.search_index import wildcard_search_index
+
+    idx, _ = _build(spark, tmp_path)
+    df = wildcard_search_index(spark, idx, "sc", k=10)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [IsNotNull(term), StringStartsWith(term,sc)]" in plan
+    rows = df.collect()
+    assert rows and all(
+        t.startswith("sc") for r in rows for t in r["matched_terms"].split(",")
+    )
