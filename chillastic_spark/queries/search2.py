@@ -309,8 +309,89 @@ HAVING sum(CASE WHEN term IN {_MUST_SQL} THEN 1 ELSE 0 END) = {len(MUST)}
 """
 
 
+# -------------------------------------------------- significant terms
+
+SIG_QUERY_TERM = "table"
+SIG_K = 15
+SIG_MIN_FG = 5
+
+
+def significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `significant_terms` aggregation: terms over-represented in
+    the matched set (docs containing the query term) relative to the
+    whole corpus — "what distinguishes these results". Score is the
+    simple lift (fg_rate / bg_rate) on doc frequencies; top-15 by
+    rounded score with term tie-break, self-matches excluded.
+
+    Shape: ONE tokenise feeds both the foreground flag and the
+    (doc, term) postings; fg/bg doc frequencies come from conditional
+    aggregates of the same groupBy — no second corpus scan; corpus
+    totals ride a 1-row broadcast."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        CF.words("text").alias("w"),
+    ).select(
+        "doc_id",
+        F.array_contains("w", SIG_QUERY_TERM).alias("fg"),
+        F.explode(F.array_distinct("w")).alias("term"),
+    )
+    per_term = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("fg"), 1).otherwise(0)).alias("fg_count"),
+        F.count(F.lit(1)).alias("bg_count"),
+    )
+    totals = d.select(
+        F.array_contains(CF.words("text"), SIG_QUERY_TERM).alias("fg")
+    ).agg(
+        F.sum(F.when(F.col("fg"), 1).otherwise(0)).cast("double").alias("fg_total"),
+        F.count(F.lit(1)).cast("double").alias("bg_total"),
+    )
+    scored = (
+        per_term.filter(
+            (F.col("term") != SIG_QUERY_TERM) & (F.col("fg_count") >= SIG_MIN_FG)
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "fg_count",
+            "bg_count",
+            CF.round_det(
+                (F.col("fg_count") / F.col("fg_total"))
+                / (F.col("bg_count") / F.col("bg_total")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("term")).limit(SIG_K)
+
+
+SIGNIFICANT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_W} AS w FROM documents),
+e AS (
+  SELECT doc_id, list_contains(w, '{SIG_QUERY_TERM}') AS fg,
+         unnest(list_distinct(w)) AS term
+  FROM t),
+per_term AS (
+  SELECT term,
+         sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fg_count,
+         count(*) AS bg_count
+  FROM e GROUP BY term),
+totals AS (
+  SELECT sum(CASE WHEN list_contains(w, '{SIG_QUERY_TERM}') THEN 1 ELSE 0 END)::DOUBLE AS fg_total,
+         count(*)::DOUBLE AS bg_total
+  FROM t)
+SELECT term, fg_count, bg_count,
+       {CF.round_det_sql("(fg_count / fg_total) / (bg_count / bg_total)", 6)} AS lift
+FROM per_term CROSS JOIN totals
+WHERE term != '{SIG_QUERY_TERM}' AND fg_count >= {SIG_MIN_FG}
+ORDER BY lift DESC, term ASC LIMIT {SIG_K}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "bool_search": Query(bool_search, BOOL_SEARCH_SQL),
+    "significant_terms": Query(significant_terms, SIGNIFICANT_SQL),
     "fuzzy_search": Query(fuzzy_search, FUZZY_SQL),
     "wildcard_search": Query(wildcard_search, WILDCARD_SQL),
     "search_facets": Query(search_facets, FACETS_SQL),

@@ -247,3 +247,85 @@ def suggest_terms(
         .collect()
     )
     return [r["term"] for r in rows]
+
+
+def bm25_rank(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Generic BM25 over any DataFrame: build postings for the query
+    terms in-plan (filter-before-shuffle), broadcast corpus stats and
+    per-term df, score with the engine's standard rounding. ``text_col``
+    may be a Column expression (e.g. get_json_object of an ES-envelope
+    `_source`)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = df.select(*id_cols, CF.words(c).alias("w"))
+    corpus = toks.select(*id_cols, F.size("w").alias("dl"))
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    p = (
+        toks.select(*id_cols, F.size("w").alias("dl"), F.explode("w").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("term", *id_cols, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = p.groupBy("term").agg(F.countDistinct(*id_cols).alias("df"))
+    scored = (
+        p.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "tscore",
+            CF.round_det(
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ).cast("decimal(18,9)"),
+        )
+    )
+    per_doc = scored.groupBy(*id_cols).agg(
+        CF.round_det(F.sum("tscore").cast("double"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    return per_doc.orderBy(F.desc("bm25"), *[F.asc(c_) for c_ in id_cols]).limit(k)
+
+
+def bm25_search_store(
+    spark: SparkSession,
+    store,
+    pattern: str,
+    terms: list[str],
+    k: int = 20,
+    source_path: str = "$.text",
+) -> DataFrame:
+    """ES multi-index search: run BM25 across every store index
+    matching the glob pattern (`log_data_*`-style), text extracted
+    from the JSON `_source` envelope. Index pruning happens at
+    planning time (only matching index dirs are read — the metadata
+    filters of SURVEY P3), and results carry (_index, _id)."""
+    indices = store.list_data_indices(pattern)
+    if not indices:
+        raise ValueError(f"no indices match {pattern!r}")
+    parts = [store.read(spark, ix) for ix in indices]
+    df = parts[0]
+    for p_ in parts[1:]:
+        df = df.unionByName(p_)
+    text = F.get_json_object(F.col("_source"), source_path)
+    return bm25_rank(df, ["_index", "_id"], text, terms, k=k)

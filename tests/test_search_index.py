@@ -136,3 +136,54 @@ def test_wildcard_index_pushes_prefix_predicate(spark, tmp_path):
     assert rows and all(
         t.startswith("sc") for r in rows for t in r["matched_terms"].split(",")
     )
+
+
+def test_multi_index_store_search(spark, store_factory):
+    """BM25 across a store index pattern: results span matching
+    indices only, scores verified against a local reference."""
+    import math
+
+    from chillastic_spark.sources.search_index import bm25_search_store
+
+    corpora = {
+        "logs_2024": ["table scan join", "scan scan table", "join join join"],
+        "logs_2025": ["table table scan", "filter sort merge"],
+        "metrics_x": ["table scan join table"],
+    }
+    docs = {
+        ix: [
+            {"_id": f"d{i}", "_type": "doc", "_source": {"text": t}}
+            for i, t in enumerate(texts)
+        ]
+        for ix, texts in corpora.items()
+    }
+    store = store_factory("searchstore", docs)
+    got = bm25_search_store(
+        spark, store, "logs_*", ["table", "scan"], k=10
+    ).collect()
+    assert {r["_index"] for r in got} <= {"logs_2024", "logs_2025"}
+
+    # local reference over the logs_* corpus
+    flat = [
+        (ix, f"d{i}", t.split())
+        for ix, texts in corpora.items()
+        if ix.startswith("logs_")
+        for i, t in enumerate(texts)
+    ]
+    n, avgdl = len(flat), sum(len(w) for *_, w in flat) / len(flat)
+    dfreq = {
+        t: sum(1 for *_, w in flat if t in w) for t in ("table", "scan")
+    }
+    want = {}
+    for ix, did, w in flat:
+        s = 0.0
+        for t in ("table", "scan"):
+            tf = w.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(w) / avgdl)), 9)
+        if s:
+            want[(ix, did)] = round(math.floor(s * 1e6 + 0.5) / 1e6, 6)
+    got_map = {(r["_index"], r["_id"]): r["bm25"] for r in got}
+    assert got_map == want
