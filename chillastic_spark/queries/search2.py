@@ -389,9 +389,87 @@ ORDER BY lift DESC, term ASC LIMIT {SIG_K}
 """
 
 
+# ---------------------------------------------------------- percolate
+
+STORED_QUERIES: dict[str, list[str]] = {
+    "alerts_db": ["table", "scan"],
+    "alerts_join": ["join"],
+    "alerts_perf": ["slow", "fast"],
+    "alerts_none": ["zzz_nonexistent_term"],
+}
+
+
+def percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator (reverse search): match every document against the
+    STORED conjunctive queries and report per-query match volume — the
+    alerting/routing primitive (stored queries watch the stream, not
+    the other way around).
+
+    Shape: stored queries are a literal |Σterms|-row broadcast joined
+    against one postings pass over the union of their terms; a query
+    matches a doc when its matched-distinct-term count equals the query
+    size. Zero-match queries survive via a left join from the query
+    domain."""
+    rows = [
+        (qid, t, len(terms))
+        for qid, terms in STORED_QUERIES.items()
+        for t in terms
+    ]
+    qdf = spark.createDataFrame(rows, "qid string, term string, qsize int")
+    all_terms = sorted({t for terms in STORED_QUERIES.values() for t in terms})
+    p = _postings(spark, sf_dir, all_terms)
+    matched = (
+        p.join(F.broadcast(qdf), "term")
+        .groupBy("qid", "qsize", "doc_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == F.col("qsize"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+    domain = spark.createDataFrame(
+        [(q,) for q in STORED_QUERIES], "qid string"
+    )
+    return domain.join(matched, "qid", "left").select(
+        "qid",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        "first_doc",
+    )
+
+
+_QVALUES = ", ".join(
+    f"('{qid}', '{t}', {len(terms)})"
+    for qid, terms in STORED_QUERIES.items()
+    for t in terms
+)
+_QDOMAIN = ", ".join(f"('{qid}')" for qid in STORED_QUERIES)
+_QALL_TERMS = "(" + ", ".join(
+    f"'{t}'" for t in sorted({t for ts in STORED_QUERIES.values() for t in ts})
+) + ")"
+
+PERCOLATE_SQL = f"""
+WITH q(qid, term, qsize) AS (VALUES {_QVALUES}),
+p AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_W}) AS term FROM documents)
+  WHERE term IN {_QALL_TERMS}
+  GROUP BY doc_id, term),
+m AS (
+  SELECT qid, doc_id
+  FROM p JOIN q USING (term)
+  GROUP BY qid, qsize, doc_id
+  HAVING count(*) = qsize),
+agg AS (
+  SELECT qid, count(*) AS n_docs, min(doc_id) AS first_doc FROM m GROUP BY qid),
+dom(qid) AS (VALUES {_QDOMAIN})
+SELECT dom.qid, coalesce(n_docs, 0) AS n_docs, first_doc
+FROM dom LEFT JOIN agg ON dom.qid = agg.qid
+"""
+
+
 QUERIES: dict[str, Query] = {
     "bool_search": Query(bool_search, BOOL_SEARCH_SQL),
     "significant_terms": Query(significant_terms, SIGNIFICANT_SQL),
+    "percolate": Query(percolate, PERCOLATE_SQL),
     "fuzzy_search": Query(fuzzy_search, FUZZY_SQL),
     "wildcard_search": Query(wildcard_search, WILDCARD_SQL),
     "search_facets": Query(search_facets, FACETS_SQL),

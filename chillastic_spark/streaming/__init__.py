@@ -433,3 +433,48 @@ def continuous_index_update(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def percolate_stream(
+    spark: SparkSession,
+    docs_path: str,
+    checkpoint_dir: str,
+    stored_queries: "dict[str, list[str]]",
+    query_name: str = "percolate_alerts",
+) -> StreamingQuery:
+    """Streaming percolator: every incoming document is matched
+    against the stored conjunctive queries and emits (qid, doc_id)
+    alert rows — ES's percolate as its native streaming shape (stored
+    queries watch the stream). The query table is a literal broadcast;
+    matching is the same postings-join + count==qsize contract as the
+    batch `percolate` query (queries/search2.py)."""
+    rows = [
+        (qid, t, len(terms)) for qid, terms in stored_queries.items() for t in terms
+    ]
+    qdf = spark.createDataFrame(rows, "qid string, term string, qsize int")
+    all_terms = [t for _, t, _ in rows]
+
+    docs = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(docs_path)
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).filter(F.col("term").isin(all_terms))
+    alerts = (
+        toks.dropDuplicates(["doc_id", "term"])
+        .join(F.broadcast(qdf), "term")
+        .groupBy("qid", "qsize", "doc_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == F.col("qsize"))
+        .select("qid", "doc_id")
+    )
+    return (
+        alerts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

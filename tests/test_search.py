@@ -142,3 +142,18 @@ def test_fuzzy_matches_are_within_edit_distance(spark):
     for r in rows[:50]:
         for t in r["matched_terms"].split(","):
             assert lev(t, FUZZY_QUERY) <= FUZZY_MAX_EDITS, t
+
+
+def test_percolate_matches_local_replay(spark):
+    from chillastic_spark.queries.search2 import STORED_QUERIES, percolate
+
+    corpus = _corpus(spark)
+    want = {}
+    for qid, terms in STORED_QUERIES.items():
+        matches = [d for d, toks in corpus.items() if all(t in toks for t in terms)]
+        want[qid] = (len(matches), min(matches) if matches else None)
+    got = {
+        r["qid"]: (r["n_docs"], r["first_doc"]) for r in percolate(spark, SF).collect()
+    }
+    assert got == want
+    assert got["alerts_none"] == (0, None)

@@ -85,3 +85,35 @@ def test_enriched_counts_match_batch(spark, tmp_path, events_dir):
     # the join actually classified: both mapped and fallback categories appear
     cats = {c for _, c in got}
     assert "other" in cats and ("engagement" in cats or "revenue" in cats)
+
+
+def test_percolate_stream_matches_batch(spark, tmp_path):
+    """Streaming percolator alerts must equal the batch percolate
+    matches for the same stored queries over the same docs."""
+    import shutil as _sh
+
+    from chillastic_spark.queries.search2 import STORED_QUERIES
+    from chillastic_spark.streaming import percolate_stream
+
+    d = tmp_path / "docstream"
+    d.mkdir()
+    _sh.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    q = percolate_stream(
+        spark, str(d), str(tmp_path / "ck-perc"), STORED_QUERIES, query_name="perc_t1"
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["qid"], r["doc_id"])
+        for r in spark.sql("SELECT * FROM perc_t1").collect()
+    }
+    docs = {
+        r["doc_id"]: set(r["text"].strip().split())
+        for r in load(spark, SF_DIR, "documents").collect()
+    }
+    want = {
+        (qid, did)
+        for qid, terms in STORED_QUERIES.items()
+        for did, toks in docs.items()
+        if all(t in toks for t in terms)
+    }
+    assert got == want
