@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from chillastic_spark import functions as CF
 from chillastic_spark.queries import Query
 from chillastic_spark.queries.documents import _W
-from chillastic_spark.queries.search import TERMS, _POSTINGS_SQL, _postings
+from chillastic_spark.queries.search import B, K1, TERMS, _POSTINGS_SQL, _postings
 from chillastic_spark.tables import load
 
 # ------------------------------------------------------- fuzzy search
@@ -225,7 +225,6 @@ def _bm25_scored_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from chillastic_spark.queries.search import B, K1  # noqa: E402
 
 SEARCH_AFTER_SQL = f"""
 WITH corpus AS (
@@ -466,10 +465,119 @@ FROM dom LEFT JOIN agg ON dom.qid = agg.qid
 """
 
 
+# ----------------------------------------------------------- rank eval
+
+_EVAL_K = 10
+
+
+def search_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_rank_eval`: precision@10, MRR, and NDCG@10 of the BM25
+    ranking, judged against a derivable relevance set (docs containing
+    ALL query terms — the conjunctive matches). One row of corpus-level
+    search-quality metrics.
+
+    Determinism: ranks come from the rounded-score ordering; every
+    metric sums ≤10 individually-rounded DECIMAL summands (gain
+    1/log2(rank+1)), and IDCG folds the same rounded terms — division
+    of two exact-to-double values on both engines."""
+    from pyspark.sql.window import Window
+
+    full = _bm25_scored_full(spark, sf_dir)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    topk = full.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _EVAL_K
+    )
+    from chillastic_spark.queries.search import keyword_search_and
+
+    rel = keyword_search_and(spark, sf_dir).select("doc_id", F.lit(1).alias("rel"))
+    judged = topk.join(F.broadcast(rel), "doc_id", "left").select(
+        "rn", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    gain = CF.round_det(F.lit(1.0) / F.log2(F.col("rn") + 1), 9)
+    inv_rank = CF.round_det(F.lit(1.0) / F.col("rn"), 9)
+    metrics = judged.agg(
+        (F.sum("rel") / F.lit(float(_EVAL_K))).alias("p_at_k"),
+        F.max(F.when(F.col("rel") == 1, inv_rank).otherwise(F.lit(0.0))).alias("mrr"),
+        F.sum(
+            F.when(F.col("rel") == 1, gain).otherwise(F.lit(0.0)).cast("decimal(18,9)")
+        )
+        .cast("double")
+        .alias("dcg"),
+    )
+    n_rel = rel.agg(F.count(F.lit(1)).alias("n_rel"))
+    ideal = (
+        n_rel.select(
+            "n_rel",
+            F.explode(F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(_EVAL_K)))).alias(
+                "i"
+            ),
+        )
+        .select(
+            "n_rel",
+            CF.round_det(F.lit(1.0) / F.log2(F.col("i") + 1), 9).cast("decimal(18,9)").alias(
+                "g"
+            ),
+        )
+        .groupBy("n_rel")
+        .agg(F.sum("g").cast("double").alias("idcg"))
+    )
+    return metrics.crossJoin(F.broadcast(ideal)).select(
+        "n_rel",
+        CF.round_det(F.col("p_at_k"), 6).alias("p_at_k"),
+        CF.round_det(F.col("mrr"), 6).alias("mrr"),
+        CF.round_det(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+    )
+
+
+RANK_EVAL_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, len({_W}) AS dl FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM corpus),
+p AS ({_POSTINGS_SQL}),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+    ({CF.round_det_sql(
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+        f" * (tf * {K1 + 1.0}) / (tf + {K1} * ({1.0 - B} + {B} * dl / avgdl))", 9
+    )})::DECIMAL(18,9) AS tscore
+  FROM p JOIN dfreq ON p.term = dfreq.term CROSS JOIN stats),
+full_rank AS (
+  SELECT doc_id, {CF.round_det_sql("sum(tscore)::DOUBLE", 6)} AS bm25
+  FROM scored GROUP BY doc_id),
+topk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+  FROM full_rank QUALIFY rn <= {_EVAL_K}),
+rel AS (
+  SELECT doc_id FROM ({_POSTINGS_SQL}) GROUP BY doc_id HAVING count(*) = {len(TERMS)}),
+judged AS (
+  SELECT rn, CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM topk LEFT JOIN rel ON topk.doc_id = rel.doc_id),
+m AS (
+  SELECT sum(rel) / {float(_EVAL_K)} AS p_at_k,
+         max(CASE WHEN rel = 1 THEN {CF.round_det_sql("1.0 / rn", 9)} ELSE 0.0 END) AS mrr,
+         sum((CASE WHEN rel = 1 THEN {CF.round_det_sql("1.0 / log2(rn + 1)", 9)} ELSE 0.0 END)::DECIMAL(18,9))::DOUBLE AS dcg
+  FROM judged),
+nr AS (SELECT count(*) AS n_rel FROM rel),
+ideal AS (
+  SELECT n_rel, sum(({CF.round_det_sql("1.0 / log2(i + 1)", 9)})::DECIMAL(18,9))::DOUBLE AS idcg
+  FROM nr, (SELECT unnest(range(1, least((SELECT n_rel FROM nr), {_EVAL_K}) + 1)) AS i)
+  GROUP BY n_rel)
+SELECT n_rel,
+       {CF.round_det_sql("p_at_k", 6)} AS p_at_k,
+       {CF.round_det_sql("mrr", 6)} AS mrr,
+       {CF.round_det_sql("dcg / idcg", 6)} AS ndcg_at_k
+FROM m CROSS JOIN ideal
+"""
+
+
 QUERIES: dict[str, Query] = {
     "bool_search": Query(bool_search, BOOL_SEARCH_SQL),
     "significant_terms": Query(significant_terms, SIGNIFICANT_SQL),
     "percolate": Query(percolate, PERCOLATE_SQL),
+    "search_rank_eval": Query(search_rank_eval, RANK_EVAL_SQL),
     "fuzzy_search": Query(fuzzy_search, FUZZY_SQL),
     "wildcard_search": Query(wildcard_search, WILDCARD_SQL),
     "search_facets": Query(search_facets, FACETS_SQL),

@@ -157,3 +157,33 @@ def test_percolate_matches_local_replay(spark):
     }
     assert got == want
     assert got["alerts_none"] == (0, None)
+
+
+def test_rank_eval_matches_local_metrics(spark):
+    import math
+
+    from chillastic_spark.queries.search2 import (
+        _EVAL_K,
+        _bm25_scored_full,
+        search_rank_eval,
+    )
+
+    full = sorted(
+        [(r["doc_id"], r["bm25"]) for r in _bm25_scored_full(spark, SF).collect()],
+        key=lambda t: (-t[1], t[0]),
+    )
+    topk = [d for d, _ in full[:_EVAL_K]]
+    corpus = _corpus(spark)
+    rel = {d for d, toks in corpus.items() if all(t in toks for t in TERMS)}
+    hits = [i + 1 for i, d in enumerate(topk) if d in rel]
+    p_at_k = len(hits) / _EVAL_K
+    mrr = 1.0 / hits[0] if hits else 0.0
+    dcg = sum(round(1.0 / math.log2(r + 1), 9) for r in hits)
+    idcg = sum(
+        round(1.0 / math.log2(i + 1), 9) for i in range(1, min(len(rel), _EVAL_K) + 1)
+    )
+    row = search_rank_eval(spark, SF).collect()[0]
+    assert row["n_rel"] == len(rel)
+    assert abs(row["p_at_k"] - p_at_k) < 1e-6
+    assert abs(row["mrr"] - mrr) < 1e-6
+    assert abs(row["ndcg_at_k"] - dcg / idcg) < 1e-6
