@@ -42,9 +42,14 @@ def build_inverted_index(
         F.col(id_col).alias("doc_id"), CF.words(text_col).alias("w")
     ).select("doc_id", F.size("w").alias("dl"), "w")
     postings = (
-        toks.select("doc_id", "dl", F.explode("w").alias("term"))
+        toks.select("doc_id", "dl", F.posexplode("w").alias("pos0", "term"))
         .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            # 1-based sorted positions — the Lucene-style positional
+            # postings phrase queries need (phrase_search_index)
+            F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"),
+        )
     )
     (
         postings.repartitionByRange(n_files, "term")
@@ -167,13 +172,15 @@ def update_inverted_index(
         if dup.limit(1).count():
             raise ValueError("doc_id already indexed; rebuild to mutate")
     fresh = (
-        toks.select("doc_id", "dl", F.explode("w").alias("term"))
+        toks.select("doc_id", "dl", F.posexplode("w").alias("pos0", "term"))
         .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"),
+        )
     )
-    merged = old.select("term", "doc_id", "dl", "tf").unionByName(
-        fresh.select("term", "doc_id", "dl", "tf")
-    )
+    cols = ["term", "doc_id", "dl", "tf", "positions"]
+    merged = old.select(*cols).unionByName(fresh.select(*cols))
     tmp = post_dir + ".tmp-" + uuid.uuid4().hex[:8]
     (
         merged.repartitionByRange(n_files, "term")
@@ -329,3 +336,43 @@ def bm25_search_store(
         df = df.unionByName(p_)
     text = F.get_json_object(F.col("_source"), source_path)
     return bm25_rank(df, ["_index", "_id"], text, terms, k=k)
+
+
+def phrase_search_index(
+    spark: SparkSession, index_dir: str, phrase: list[str], k: int = 100
+) -> DataFrame:
+    """Phrase query served from the POSITIONAL postings: join each
+    phrase term's postings on doc_id and count positions where the
+    terms are adjacent in order (position-list intersection — how
+    Lucene runs phrases). Only the phrase terms' postings are read
+    (term In-filter + sorted-layout skipping); the position check is a
+    JVM-side array intersect, no re-tokenisation of anything.
+
+    Adjacency for an m-term phrase: p ∈ positions(t0) such that
+    p+i ∈ positions(ti) for all i — folded as iterative array
+    intersects of shifted position lists."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least 2 terms")
+    posts = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("term").isin(phrase)
+    )
+    parts = [
+        posts.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"p{i}")
+        )
+        for i, t in enumerate(phrase)
+    ]
+    joined = parts[0]
+    for part in parts[1:]:
+        joined = joined.join(part, "doc_id")
+    # anchor positions of t0 that have every successor at the right offset
+    anchors = F.col("p0")
+    for i in range(1, len(phrase)):
+        shifted = F.transform(F.col(f"p{i}"), lambda x, d=i: x - d)
+        anchors = F.array_intersect(anchors, shifted)
+    return (
+        joined.select("doc_id", F.size(anchors).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(k)
+    )

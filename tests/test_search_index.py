@@ -187,3 +187,19 @@ def test_multi_index_store_search(spark, store_factory):
             want[(ix, did)] = round(math.floor(s * 1e6 + 0.5) / 1e6, 6)
     got_map = {(r["_index"], r["_id"]): r["bm25"] for r in got}
     assert got_map == want
+
+
+def test_phrase_from_index_matches_scan_time_phrase(spark, tmp_path):
+    from chillastic_spark.queries.search import PHRASE as P2, phrase_search
+    from chillastic_spark.sources.search_index import phrase_search_index
+
+    idx, _ = _build(spark, tmp_path)
+
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search_index(spark, idx, P2, k=10000).collect()
+    }
+    want = {
+        r["doc_id"]: r["n_occurrences"] for r in phrase_search(spark, SF).collect()
+    }
+    assert got == want
