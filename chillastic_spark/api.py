@@ -52,10 +52,19 @@ def create_app(
     engine: Engine,
     api_key: Optional[str] = None,
     search_index_dir: Optional[str] = None,
+    allow_code_registration: Optional[bool] = None,
 ):
     from flask import Flask, jsonify, request
 
     app = Flask("chillastic_spark")
+
+    # Code-string registration is exec()'d Python (registry.compile_source)
+    # — full remote code execution for whoever can reach the route. Serving
+    # it unauthenticated by default would be an open RCE, so it is enabled
+    # only when the app is key-protected (or explicitly opted in). Object /
+    # module registration via the embedding API is unaffected.
+    if allow_code_registration is None:
+        allow_code_registration = api_key is not None
 
     @app.before_request
     def check_key():  # routes.js:14-35
@@ -175,6 +184,17 @@ def create_app(
         @app.post(f"/{name}/<ns>/<obj_id>", endpoint=f"post_{name}")
         def post_obj(ns, obj_id):
             def run():
+                if not allow_code_registration:
+                    return (
+                        jsonify(
+                            {
+                                "error": "code-string registration is disabled on an "
+                                "unauthenticated API; set an api_key (or pass "
+                                "allow_code_registration=True) to enable it"
+                            }
+                        ),
+                        403,
+                    )
                 source = request.get_data(as_text=True)
                 registry.add(obj_id, source, namespace=ns)
                 return jsonify({"registered": f"{ns}/{obj_id}"})

@@ -247,6 +247,7 @@ class Engine:
         task = self.get_task(task_id)
         state = TaskState(self.state_root, task_id)
         state.data["backlog"] = []
+        state.data["progress"] = {}  # clear stale in-progress from failed runs
         state.data["total"] = sum(state.data["completed"].values())
         state.save()  # persist the clear even if nothing gets enqueued
         source = DocumentStore(task.source)
@@ -383,6 +384,9 @@ class Engine:
                     state.complete(sub)
             except Exception:
                 with lock:
+                    # a failed subtask is neither completed nor in progress
+                    # — it reappears only on backlog rebuild (worker.js:108-111)
+                    state.data["progress"].pop(sub.subtask_id(), None)
                     state.log_error(sub, traceback.format_exc(limit=5))
             return True
 

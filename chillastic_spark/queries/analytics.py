@@ -82,7 +82,7 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_PIVOT_SQL = f"""
 SELECT CAST(hour(ts) AS INT) AS hour_of_day,
-  {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}" for t in EVENT_TYPES)}
+  {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS {t}" for t in EVENT_TYPES)}
 FROM events GROUP BY 1 ORDER BY 1
 """
 

@@ -313,7 +313,7 @@ WITH hourly AS (
          round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
   FROM events GROUP BY 1, 2)
 SELECT date_trunc('day', hour) AS day, event_type,
-       sum(cnt) AS cnt,
+       sum(cnt)::BIGINT AS cnt,
        round(sum(sum_value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value,
        count(*) AS n_hours
 FROM hourly GROUP BY 1, 2
@@ -441,7 +441,7 @@ SELECT source, count(*) AS n_docs,
   floor((sum(quality::DECIMAL(8,4))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0
     AS mean_quality,
   floor((sum(n_tokens)::DOUBLE / count(*)) * 100.0 + 0.5) / 100.0 AS mean_tokens,
-  sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS n_pass
+  sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pass
 FROM joined GROUP BY source
 """
 

@@ -163,7 +163,7 @@ SELECT CASE
          WHEN ('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 15))::BIGINT % 100 < {SPLIT_BOUNDS[1]} THEN 'val'
          ELSE 'test'
        END AS split,
-       lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+       lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents
 GROUP BY 1, 2
 """

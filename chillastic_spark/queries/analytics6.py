@@ -76,10 +76,10 @@ c AS (
          coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
   FROM t)
-SELECT lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
-       (sum(n_tok) - 1) // {_PACK_BUDGET} + 1 AS n_packs,
+SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
+       ((sum(n_tok) - 1) // {_PACK_BUDGET} + 1)::BIGINT AS n_packs,
        sum(CASE WHEN excl // {_PACK_BUDGET}
-                  != (excl + n_tok - 1) // {_PACK_BUDGET} THEN 1 ELSE 0 END) AS n_spanning,
+                  != (excl + n_tok - 1) // {_PACK_BUDGET} THEN 1 ELSE 0 END)::BIGINT AS n_spanning,
        max(n_tok) AS max_doc_tokens
 FROM c GROUP BY lang
 """
@@ -128,7 +128,7 @@ r AS (
   SELECT lang, q, n_tok,
          percent_rank() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS pr
   FROM s)
-SELECT lang, count(*) AS n_kept, min(q) AS q_threshold, sum(n_tok) AS tokens_kept
+SELECT lang, count(*) AS n_kept, min(q) AS q_threshold, sum(n_tok)::BIGINT AS tokens_kept
 FROM r WHERE pr <= {_GATE_TOP} GROUP BY lang
 """
 
@@ -148,7 +148,10 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    dt_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    # ts reads as TIMESTAMP_NTZ; unix_micros requires TIMESTAMP. The cast
+    # is an identity reinterpretation under the UTC session timezone.
+    ts = F.col("ts").cast("timestamp")
+    dt_us = F.unix_micros(F.lead(ts).over(w)) - F.unix_micros(ts)
     r = e.select(
         "event_type",
         F.col("value").cast("decimal(18,6)").alias("v"),

@@ -79,8 +79,8 @@ t AS (
       + CASE WHEN rn = ceil(1.0 + {_P_HI} * (n - 1)) THEN value * (1.0 + {_P_HI} * (n - 1) - floor(1.0 + {_P_HI} * (n - 1))) ELSE 0.0 END) AS hi
   FROM r GROUP BY event_type)
 SELECT e.event_type, count(*) AS n,
-       sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS n_clipped_lo,
-       sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS n_clipped_hi,
+       sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+       sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
        {CF.round_det_sql("sum(least(greatest(value, lo), hi)::DECIMAL(18,6))::DOUBLE / count(*)", 6)} AS winsorized_mean
 FROM events e JOIN t ON e.event_type = t.event_type
 GROUP BY e.event_type

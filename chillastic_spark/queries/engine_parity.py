@@ -108,7 +108,7 @@ def backlog_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BACKLOG_TOTALS_SQL = """
-SELECT sum(cnt) AS total_docs, count(*) AS n_slices
+SELECT sum(cnt)::BIGINT AS total_docs, count(*) AS n_slices
 FROM (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang)
 """
 
@@ -299,7 +299,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SESSIONIZE_SQL = """
-SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id,
     CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
          THEN 1 ELSE 0 END AS new_s

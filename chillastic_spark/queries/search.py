@@ -72,7 +72,7 @@ _POSTINGS_SQL = f"""
 """
 
 KEYWORD_AND_SQL = f"""
-SELECT doc_id, sum(tf) AS total_hits
+SELECT doc_id, sum(tf)::BIGINT AS total_hits
 FROM ({_POSTINGS_SQL})
 GROUP BY doc_id HAVING count(*) = {len(TERMS)}
 """

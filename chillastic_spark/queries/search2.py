@@ -110,7 +110,7 @@ WITH m AS (
   SELECT doc_id, sum(tf) AS hits
   FROM ({_POSTINGS_SQL})
   GROUP BY doc_id HAVING count(*) = {len(TERMS)})
-SELECT lang, source, count(*) AS n_docs, sum(hits) AS total_hits
+SELECT lang, source, count(*) AS n_docs, sum(hits)::BIGINT AS total_hits
 FROM m JOIN documents USING (doc_id)
 GROUP BY lang, source
 """
@@ -298,8 +298,8 @@ WITH p AS (
   WHERE term IN {_ALL_TERMS_SQL}
   GROUP BY doc_id, term)
 SELECT doc_id,
-       sum(CASE WHEN term IN {_SHOULD_SQL} THEN 1 ELSE 0 END) AS should_terms,
-       sum(CASE WHEN term IN {_MUST_SQL} OR term IN {_SHOULD_SQL} THEN tf ELSE 0 END) AS score_hits
+       sum(CASE WHEN term IN {_SHOULD_SQL} THEN 1 ELSE 0 END)::BIGINT AS should_terms,
+       sum(CASE WHEN term IN {_MUST_SQL} OR term IN {_SHOULD_SQL} THEN tf ELSE 0 END)::BIGINT AS score_hits
 FROM p
 GROUP BY doc_id
 HAVING sum(CASE WHEN term IN {_MUST_SQL} THEN 1 ELSE 0 END) = {len(MUST)}
@@ -373,7 +373,7 @@ e AS (
   FROM t),
 per_term AS (
   SELECT term,
-         sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fg_count,
+         sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fg_count,
          count(*) AS bg_count
   FROM e GROUP BY term),
 totals AS (

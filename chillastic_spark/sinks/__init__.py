@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,19 @@ from pyspark.sql.window import Window
 from chillastic_spark.sources import ENVELOPE_SCHEMA, DocumentStore
 
 KEY = ["_index", "_type", "_id"]
+
+# The parquet store has no transaction log, so one-writer-per-index is
+# enforced here: concurrent read-merge-swap on the same index dir
+# (Engine.run_task parallelism>1, or two REST /_run calls in the same
+# process) would lose one writer's rows or crash mid-os.rename. Delta/
+# Iceberg MERGE replaces this with real transactions at scale.
+_INDEX_LOCKS: dict[str, threading.Lock] = {}
+_INDEX_LOCKS_GUARD = threading.Lock()
+
+
+def _index_lock(path: str) -> threading.Lock:
+    with _INDEX_LOCKS_GUARD:
+        return _INDEX_LOCKS.setdefault(os.path.abspath(path), threading.Lock())
 
 
 def _normalise(df: DataFrame) -> DataFrame:
@@ -59,11 +73,12 @@ def upsert(spark: SparkSession, store: DocumentStore, df: DataFrame) -> int:
         for index in indices:
             batch = df.filter(F.col("_index") == index)
             delivered += batch.count()  # rows delivered = batch size
-            existing = store.read(spark, index)
-            merged = _normalise(
-                existing.join(batch, KEY, "left_anti").unionByName(batch)
-            )
-            _atomic_replace(spark, store, index, merged)
+            with _index_lock(store.index_path(index)):
+                existing = store.read(spark, index)
+                merged = _normalise(
+                    existing.join(batch, KEY, "left_anti").unionByName(batch)
+                )
+                _atomic_replace(spark, store, index, merged)
         return delivered
     finally:
         df.unpersist()
@@ -99,22 +114,23 @@ def purge(
     of upsert's effectively-once delivery — re-running a purge is a
     no-op, so it composes with checkpointed task resume.
     """
-    existing = store.read(spark, index)
     if isinstance(ids, list):
         id_df = spark.createDataFrame([(i,) for i in ids], "_id string")
     else:
         id_df = ids.select(F.col("_id").cast("string"))
     victims = id_df.distinct()
-    if type is not None:
-        match = existing.filter(F.col("_type") == type).join(victims, "_id", "semi")
-        kept = existing.join(
-            match.select("_type", "_id"), ["_type", "_id"], "left_anti"
-        )
-        removed = match.count()
-    else:
-        kept = existing.join(victims, "_id", "left_anti")
-        removed = existing.count() - kept.count()
-    if removed == 0:
-        return 0
-    _atomic_replace(spark, store, index, _normalise(kept))
+    with _index_lock(store.index_path(index)):
+        existing = store.read(spark, index)
+        if type is not None:
+            match = existing.filter(F.col("_type") == type).join(victims, "_id", "semi")
+            kept = existing.join(
+                match.select("_type", "_id"), ["_type", "_id"], "left_anti"
+            )
+            removed = match.count()
+        else:
+            kept = existing.join(victims, "_id", "left_anti")
+            removed = existing.count() - kept.count()
+        if removed == 0:
+            return 0
+        _atomic_replace(spark, store, index, _normalise(kept))
     return removed

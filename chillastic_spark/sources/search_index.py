@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chillastic_spark import functions as CF
@@ -365,11 +365,16 @@ def phrase_search_index(
     joined = parts[0]
     for part in parts[1:]:
         joined = joined.join(part, "doc_id")
-    # anchor positions of t0 that have every successor at the right offset
+    # anchor positions of t0 that have every successor at the right offset.
+    # NB: the shift lambda must take exactly ONE parameter — pyspark calls a
+    # two-parameter lambda as (element, array_index), so a `d=i` default
+    # would be silently overridden by the element's position in the array.
+    def _shift_by(col: Column, d: int) -> Column:
+        return F.transform(col, lambda x: x - F.lit(d))
+
     anchors = F.col("p0")
     for i in range(1, len(phrase)):
-        shifted = F.transform(F.col(f"p{i}"), lambda x, d=i: x - d)
-        anchors = F.array_intersect(anchors, shifted)
+        anchors = F.array_intersect(anchors, _shift_by(F.col(f"p{i}"), i))
     return (
         joined.select("doc_id", F.size(anchors).alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)

@@ -40,7 +40,10 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         .option("maxFilesPerTrigger", 4)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # stream-dir contract: ts is raw int64 epoch-MICROS (see
+    # tests/conftest.stage_events_stream — a timestamp-typed column would
+    # tie this reader to the file's parquet time unit)
+    return raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
 
 
 def continuous_reindex(

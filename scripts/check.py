@@ -26,12 +26,17 @@ from chillastic_spark.tables import TABLES
 
 def value_hash(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalise dtypes: everything to string with stable float formatting
+    # dtype-faithful normalisation: ints and floats must NOT collide
+    # (a DuckDB HUGEINT→float64 7.0 is a real mismatch vs Spark int64 7,
+    # and the driver's gate sees it — so must we), and floats keep full
+    # repr precision rather than 9 significant digits.
     def norm(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
+        if isinstance(v, bool):
+            return "T" if v else "F"
         if isinstance(v, float):
-            return f"{v:.9g}"
+            return repr(float(v))
         return str(v)
 
     rows = sorted(

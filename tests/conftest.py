@@ -26,6 +26,42 @@ def spark():
     yield s
 
 
+def stage_events_stream(tmp_path, n_files: int = 16) -> str:
+    """Stage events.parquet as ``n_files`` TIME-ORDERED stream files.
+
+    Append-mode watermark semantics: the watermark only advances AFTER a
+    micro-batch, so a single-file source processed in one availableNow
+    batch emits NOTHING. Splitting the input into time-ordered files with
+    ascending mtimes gives the file source multiple batches in event-time
+    order — the watermark advances between them and closed windows emit,
+    while no in-order data is ever late-dropped.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    tbl = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    df = tbl.to_pandas().sort_values("ts", kind="mergesort").reset_index(drop=True)
+    # stream-dir contract: ts as raw int64 epoch-MICROS, whatever time
+    # unit the source parquet uses (read_events_stream reads LongType)
+    df["ts"] = df["ts"].astype("datetime64[us]").astype("int64")
+    base = 1_600_000_000
+    step = max(1, len(df) // n_files)
+    for i in range(n_files):
+        chunk = df.iloc[i * step :] if i == n_files - 1 else df.iloc[i * step : (i + 1) * step]
+        if len(chunk) == 0:
+            continue
+        path = str(d / f"part-{i:04d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            path,
+            version="2.6",  # keep nanosecond timestamps as in the source
+        )
+        os.utime(path, (base + i, base + i))  # mtime order == event-time order
+    return str(d)
+
+
 @pytest.fixture
 def store_factory(spark, tmp_path):
     """Build DocumentStores with envelope corpora (FIXTURES.md F1/F3)."""

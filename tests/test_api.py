@@ -65,8 +65,21 @@ def test_admission_failures_over_http(client):
     assert c.get("/tasks/ghost").status_code == 400
 
 
-def test_registry_crud_over_http(client):
+def test_code_registration_refused_without_auth(client):
+    """An unauthenticated API must refuse exec()-able code strings —
+    default-open would be remote code execution (registry docstring)."""
     c, _, _ = client
+    assert c.post("/mutators/global/myMut", data=MUTATOR).status_code == 403
+    assert c.post(
+        "/filters/global/f1", data="TYPE='index'\ndef predicate(i,a):\n    return True\n"
+    ).status_code == 403
+
+
+def test_registry_crud_over_http(spark, tmp_path, store_factory):
+    eng = Engine(spark, str(tmp_path / "state-crud"))
+    app = create_app(eng, api_key=None, allow_code_registration=True)
+    app.config["TESTING"] = True
+    c = app.test_client()
     r = c.post("/mutators/global/myMut", data=MUTATOR)
     assert r.status_code == 200
     assert c.get("/mutators/global/myMut").get_json()["type"] == "data"

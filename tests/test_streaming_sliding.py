@@ -1,7 +1,5 @@
 """Sliding-window streaming agg + stream-static enrichment join,
 each checked against its batch twin on the same file."""
-import shutil
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -13,10 +11,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture
 def events_dir(tmp_path):
-    d = tmp_path / "events_stream"
-    d.mkdir()
-    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
-    return str(d)
+    """Time-ordered multi-file staging — see conftest.stage_events_stream."""
+    from conftest import stage_events_stream
+
+    return stage_events_stream(tmp_path)
 
 
 def test_sliding_windows_match_batch(spark, tmp_path, events_dir):

@@ -1,7 +1,5 @@
 """Watermarked windowed aggregation + applyInPandasWithState custom
 stateful operator, checked against their batch twins."""
-import shutil
-
 import pytest
 
 from pyspark.sql import functions as F
@@ -13,11 +11,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture
 def events_dir(tmp_path):
-    """File-stream sources are directories; stage the events file."""
-    d = tmp_path / "events_stream"
-    d.mkdir()
-    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
-    return str(d)
+    """Time-ordered multi-file staging — see conftest.stage_events_stream."""
+    from conftest import stage_events_stream
+
+    return stage_events_stream(tmp_path)
 
 
 def test_windowed_counts_match_batch(spark, tmp_path, events_dir):
