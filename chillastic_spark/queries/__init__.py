@@ -41,6 +41,7 @@ def all_queries() -> dict[str, Query]:
         relational3,
         search,
         search2,
+        search3,
         vectors,
     )
 
@@ -61,6 +62,7 @@ def all_queries() -> dict[str, Query]:
         analytics7,
         search,
         search2,
+        search3,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
