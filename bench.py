@@ -6,6 +6,13 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Each query is timed N times (default 3, $SPARK_GRAFT_BENCH_RUNS) in
+interleaved rounds — round-robin over the query set, not back-to-back
+repeats — so shared-host drift hits every query equally instead of
+whichever one it coincides with. The reported per-query figure is the
+MEDIAN across rounds; per-query min/max spread is included so a
+round-over-round delta can be judged against run-to-run noise.
+
 Timing excludes JVM/session startup (measured once, reported
 separately) and uses a cheap count() materialisation per query so the
 full plan executes without driver-side collect overhead dominating.
@@ -14,12 +21,14 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
 def main() -> None:
@@ -48,14 +57,24 @@ def main() -> None:
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
     warmup = time.time() - t
 
-    timings: dict[str, float] = {}
-    for name, q in qs.items():
-        t = time.time()
-        df = q.fn(spark, SF_DIR)
-        n = df.count()  # materialise the full plan
-        timings[name] = round(time.time() - t, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    rows: dict[str, int] = {}
+    for run in range(N_RUNS):
+        for name, q in qs.items():
+            t = time.time()
+            df = q.fn(spark, SF_DIR)
+            rows[name] = df.count()  # materialise the full plan
+            dt = time.time() - t
+            samples[name].append(dt)
+            print(
+                f"# run {run + 1}/{N_RUNS} {name}: {dt:.2f}s ({rows[name]} rows)",
+                file=sys.stderr,
+            )
 
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {
+        n: [round(min(s), 3), round(max(s), 3)] for n, s in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -69,6 +88,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_spread": spread,
+                "runs_per_query": N_RUNS,
                 "sf": sf_val,
                 "startup_sec": round(startup, 3),
                 "warmup_sec": round(warmup, 3),

@@ -17,6 +17,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import SparkSession
 
+from chillastic_spark.locks import FileLock, LockHeld
 from chillastic_spark.model import ActionRef, Progress, Subtask, Task, validate_object_id
 from chillastic_spark.operators.mutate import apply_data_mutators, mutate_objects
 from chillastic_spark.plans import Bound, DataFrameSizeStats, plan_bounds
@@ -37,6 +38,8 @@ class TaskState:
     def __init__(self, state_root: str, task_id: str):
         os.makedirs(state_root, exist_ok=True)
         self.path = os.path.join(state_root, f"task-{task_id}.json")
+        self.task_id = task_id
+        self._lock = FileLock(self.path + ".lock")
         self.data = {
             "task": None,
             "backlog": [],  # FIFO of [subtask_id, count]
@@ -54,6 +57,31 @@ class TaskState:
         with open(tmp, "w") as f:
             json.dump(self.data, f, indent=1)
         os.replace(tmp, self.path)
+
+    # -- cross-process writer exclusion (the Redis-atomics analog,
+    # subtasks.js:45-69; see locks.py). Writers (build_backlog,
+    # run_task) take this; status readers never do.
+    def acquire_writer(self, blocking: bool = False) -> "TaskState":
+        try:
+            self._lock.acquire(blocking=blocking)
+        except LockHeld as e:
+            raise TaskError(
+                f"task {self.task_id} state is being written by another process"
+            ) from e
+        # another process may have advanced the state while we waited
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.data = json.load(f)
+        return self
+
+    def release_writer(self) -> None:
+        self._lock.release()
+
+    def __enter__(self) -> "TaskState":
+        return self.acquire_writer()
+
+    def __exit__(self, *exc) -> None:
+        self.release_writer()
 
     # -- queue ops (FIFO + dedup, subtasks.js:45-69) ---------------------
     def enqueue(self, subtask: Subtask, save: bool = True) -> bool:
@@ -245,7 +273,13 @@ class Engine:
         """subtasks.js:369-396: generate index + template + document
         subtasks, subtract completed, count, enqueue FIFO."""
         task = self.get_task(task_id)
-        state = TaskState(self.state_root, task_id)
+        state = TaskState(self.state_root, task_id).acquire_writer()
+        try:
+            return self._build_backlog_locked(task, state)
+        finally:
+            state.release_writer()
+
+    def _build_backlog_locked(self, task: Task, state: TaskState) -> TaskState:
         state.data["backlog"] = []
         state.data["progress"] = {}  # clear stale in-progress from failed runs
         state.data["total"] = sum(state.data["completed"].values())
@@ -345,7 +379,9 @@ class Engine:
         import threading
 
         task = self.get_task(task_id)
-        state = TaskState(self.state_root, task_id)
+        # exclusive writer: a second process running the same task fails
+        # fast here instead of racing the backlog pops / progress saves
+        state = TaskState(self.state_root, task_id).acquire_writer()
         source = DocumentStore(task.source)
         dest = DocumentStore(task.destination)
         mutators = self.mutators.load_by_type(task.mutators, task.arguments)
@@ -390,20 +426,23 @@ class Engine:
                     state.log_error(sub, traceback.format_exc(limit=5))
             return True
 
-        if parallelism <= 1:
-            while run_one():
-                pass
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            def drain():
+        try:
+            if parallelism <= 1:
                 while run_one():
                     pass
+            else:
+                from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=parallelism) as pool:
-                for _ in range(parallelism):
-                    pool.submit(drain)
-        return state.status()
+                def drain():
+                    while run_one():
+                        pass
+
+                with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                    for _ in range(parallelism):
+                        pool.submit(drain)
+            return state.status()
+        finally:
+            state.release_writer()
 
     def run_all(self) -> dict:
         """Round-robin across tasks, one subtask each per cycle

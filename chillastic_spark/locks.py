@@ -1,0 +1,66 @@
+"""Cross-process file locks for the parquet state/store layer.
+
+The reference coordinates N worker processes through Redis atomics
+(subtasks.js:45-69 rpush/hset; worker.js:61-123). This repo's parquet
+store and JSON task state have no transaction log, so the documented
+single-writer rule (sinks/__init__.py) is enforced here with
+``fcntl.flock`` instead of being silently assumed: a second PROCESS
+touching the same task state fails fast (or blocks, for index merges)
+rather than corrupting the backlog or losing a directory swap.
+
+flock is advisory and per-open-file-description: every acquisition
+opens its own fd, so two threads in one process contend exactly like
+two processes do. Locks die with the process — a crashed worker never
+wedges the task (the Redis-TTL analog for free). Caveat: flock over
+NFS is historically unreliable; on a real cluster deployment the state
+layer should be a database/Delta log, not a shared filesystem.
+"""
+from __future__ import annotations
+
+import errno
+import fcntl
+import os
+from typing import Optional
+
+
+class LockHeld(RuntimeError):
+    """The lock is held by another process (or another fd)."""
+
+
+class FileLock:
+    """An exclusive advisory lock on ``path`` (created if absent).
+
+    Use as a context manager (blocking) or call :meth:`acquire`
+    with ``blocking=False`` to fail fast with :class:`LockHeld`.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fd: Optional[int] = None
+
+    def acquire(self, blocking: bool = True) -> "FileLock":
+        if self._fd is not None:  # re-entrant no-op within the holder
+            return self
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        fd = os.open(self.path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB))
+        except OSError as e:
+            os.close(fd)
+            if e.errno in (errno.EAGAIN, errno.EACCES):
+                raise LockHeld(f"{self.path} is locked by another process") from e
+            raise
+        self._fd = fd
+        return self
+
+    def release(self) -> None:
+        if self._fd is not None:
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
+
+    def __enter__(self) -> "FileLock":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()

@@ -15,10 +15,37 @@ Design notes for 100 TB scale
 """
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from chillastic_spark import functions as CF
+
+# How multi-consumer intermediates (shingle sets, minhash signatures)
+# are materialised. ``local`` (default) = localCheckpoint: fastest on
+# one machine but stores blocks on driver-local disk — fine for
+# local[32], wrong for a 1000-executor cluster. ``disk`` =
+# persist(DISK_ONLY): blocks live on the executors that computed them,
+# replicated nowhere the driver must hold — the cluster setting.
+# ``none`` = recompute per consumer (cheapest memory, pays the shingle
+# pass twice). Env: CHILLASTIC_DEDUP_PERSIST ∈ {local, disk, none}.
+PERSIST_MODE = os.environ.get("CHILLASTIC_DEDUP_PERSIST", "local")
+
+
+def materialize(df: DataFrame, mode: "str | None" = None) -> DataFrame:
+    """Pin a multi-consumer intermediate per PERSIST_MODE (see above)."""
+    mode = mode or PERSIST_MODE
+    if mode == "local":
+        return df.localCheckpoint()
+    if mode == "disk":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    if mode == "none":
+        return df
+    raise ValueError(f"unknown dedup persist mode {mode!r}")
+
 
 # ------------------------------------------------------------------ exact
 
@@ -99,7 +126,7 @@ def ngram_jaccard_pairs(
     # the shingle table feeds three consumers (both join sides + sizes);
     # materialise it once instead of re-tokenising per consumer — at
     # cluster scale this is a persist/checkpoint of the inverted index
-    g = g.localCheckpoint()
+    g = materialize(g)
     sizes = g.groupBy("doc_id", *keys).agg(F.count("*").alias("sz"))
     a, b = g.alias("a"), g.alias("b")
     cond = (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -145,7 +172,7 @@ def ngram_containment_pairs(
     g = shingles(df, id_col, text_col, n).withColumn(
         "gh", CF.hash60("gram")
     ).drop("gram")
-    g = g.localCheckpoint()  # feeds both join sides + the size agg
+    g = materialize(g)  # feeds both join sides + the size agg
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = g.alias("a"), g.alias("b")
     common = (
@@ -235,7 +262,7 @@ def minhash_lsh_pairs(
         )
     rows = num_perm // bands
     # signatures feed banding + both verify-join sides: materialise once
-    sig = minhash_signatures_wide(df, id_col, text_col, n, num_perm).localCheckpoint()
+    sig = materialize(minhash_signatures_wide(df, id_col, text_col, n, num_perm))
     band_keys = F.array(
         *[
             F.concat_ws(",", *[F.col(f"mh{b * rows + j}").cast("string") for j in range(rows)])
@@ -306,7 +333,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     pair within Hamming ≤ chunks−1 shares ≥1 exact chunk, so candidates
     come from an equi-join on (chunk_idx, chunk_value) — no cross join.
     """
-    sh = simhash(df, id_col, text_col).localCheckpoint()
+    sh = materialize(simhash(df, id_col, text_col))
     width = SIMHASH_BITS // chunks
     chunked = sh.select(
         "doc_id",

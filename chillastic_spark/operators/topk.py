@@ -1,0 +1,58 @@
+"""Window-free global top-k ranking (the 100 TB-safe search-ranking shape).
+
+A global ``Window.orderBy(...)`` + ``row_number`` forces the ENTIRE
+input through one task — fine at test scale, a serialization point at
+corpus scale. The Spark-native shape is ``orderBy().limit(k)``
+(TakeOrderedAndProject: every partition computes a local top-k in
+parallel, the driver merges P·k candidate rows), then ranks are derived
+on the ≤k survivors with a single-row collect_list → array_sort →
+posexplode — no WindowExec anywhere in the plan, and nothing larger
+than k rows ever flows through one task. ``tests/test_plan_shapes.py``
+pins both properties for every consumer.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ranked_topk(
+    df: DataFrame, score: str, id_col: str, k: int, rank_name: str = "rank"
+) -> DataFrame:
+    """Top-``k`` of ``df`` by (``score`` desc, ``id_col`` asc) with a
+    1-based dense position column ``rank_name``.
+
+    Returns columns ``(rank_name, id_col, score)``. Deterministic: the
+    rank is the row's position under the exact (score desc, id asc)
+    total order, independent of partitioning.
+    """
+    top = df.orderBy(F.desc(score), F.asc(id_col)).limit(k)
+    # rank the ≤k survivors in-plan: negated score makes the ascending
+    # struct sort equal to (score desc, id asc)
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct((-F.col(score)).alias("_ns"), F.col(id_col).alias("_id"))
+            )
+        ).alias("_a")
+    )
+    return packed.select(F.posexplode("_a").alias("_r", "_x")).select(
+        (F.col("_r") + 1).alias(rank_name),
+        F.col("_x._id").alias(id_col),
+        (-F.col("_x._ns")).alias(score),
+    )
+
+
+def last_of_topk(df: DataFrame, score: str, id_col: str, k: int) -> DataFrame:
+    """The k-th row under (``score`` desc, ``id_col`` asc) as a 1-row
+    DataFrame ``(cur_score, cur_id)`` — the keyset-pagination cursor,
+    without a global window. Empty input yields one all-NULL row."""
+    top = df.orderBy(F.desc(score), F.asc(id_col)).limit(k)
+    # the order-k row is the struct-max of (−score, id) over the top-k
+    return top.agg(
+        F.max(
+            F.struct((-F.col(score)).alias("_ns"), F.col(id_col).alias("_id"))
+        ).alias("_c")
+    ).select(
+        (-F.col("_c._ns")).alias("cur_score"), F.col("_c._id").alias("cur_id")
+    )

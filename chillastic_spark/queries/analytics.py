@@ -20,17 +20,23 @@ _W = r"regexp_split_to_array(trim(text), '\s+')"
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document: tf·ln(N/df), ranked by the
     rounded score with term tie-break. Two shuffles (doc-term counts,
-    df counts); the df table is tiny → broadcast."""
+    df counts); the df table is tiny → broadcast. N rides an in-plan
+    1-row broadcast aggregate (bm25_topk stats pattern) — no separate
+    driver count() job."""
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()
+    stats = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_t), "term").withColumn(
-        "score",
-        CF.round_det(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            CF.round_det(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (

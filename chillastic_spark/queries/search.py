@@ -163,14 +163,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: each modality ranks by its ROUNDED score with id
     tie-break; the fused score adds exactly two IEEE doubles in a fixed
-    written order. Scale: both rankings are rank-≤depth windows over
-    one-scan pipelines; the fusion join is depth×2 rows — driver-free
-    and broadcast-able."""
-    from pyspark.sql.window import Window
+    written order. Scale: both rankings are TakeOrderedAndProject
+    top-k's (parallel partial top-k per partition — NO global window,
+    so no corpus-sized single task); the fusion join is depth×2 rows —
+    driver-free and broadcast-able."""
+    from chillastic_spark.operators.topk import ranked_topk
 
-    bm = bm25_topk(spark, sf_dir).select(
-        "doc_id", F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))).alias("rt")
-    ).filter(F.col("rt") <= RRF_DEPTH)
+    bm = ranked_topk(bm25_topk(spark, sf_dir), "bm25", "doc_id", RRF_DEPTH, "rt").select(
+        "doc_id", "rt"
+    )
 
     e = load(spark, sf_dir, "embeddings")
     qv = F.broadcast(
@@ -188,10 +189,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    vec = scored.select(
-        F.col("vec_id").alias("doc_id"),
-        F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("vec_id"))).alias("rv"),
-    ).filter(F.col("rv") <= RRF_DEPTH)
+    vec = ranked_topk(scored, "cos", "vec_id", RRF_DEPTH, "rv").select(
+        F.col("vec_id").alias("doc_id"), "rv"
+    )
 
     fused = (
         bm.join(vec, "doc_id", "full_outer")

@@ -161,17 +161,13 @@ def search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     `WHERE score < cursor OR (score = cursor AND id > cursor_id)` —
     NOT offset/limit. Deep pagination by offset re-sorts and discards
     N·page rows; the keyset predicate prunes in the scan. The cursor
-    derives inside the query (rank-20 row as a 1-row broadcast), so
-    the whole page is one deterministic plan."""
-    from pyspark.sql.window import Window
+    derives inside the query (rank-20 row as a 1-row broadcast) via a
+    TakeOrderedAndProject top-k + struct-max — NOT a global row_number
+    window, so no corpus-sized ranking serializes through one task."""
+    from chillastic_spark.operators.topk import last_of_topk
 
     full = _bm25_scored_full(spark, sf_dir)
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    cursor = F.broadcast(
-        full.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == PAGE_SIZE)
-        .select(F.col("bm25").alias("cur_score"), F.col("doc_id").alias("cur_id"))
-    )
+    cursor = F.broadcast(last_of_topk(full, "bm25", "doc_id", PAGE_SIZE))
     page2 = (
         full.crossJoin(cursor)
         .filter(
@@ -479,14 +475,13 @@ def search_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ranks come from the rounded-score ordering; every
     metric sums ≤10 individually-rounded DECIMAL summands (gain
     1/log2(rank+1)), and IDCG folds the same rounded terms — division
-    of two exact-to-double values on both engines."""
-    from pyspark.sql.window import Window
+    of two exact-to-double values on both engines. The top-10 comes
+    from a TakeOrderedAndProject + in-plan re-rank (operators.topk),
+    not a global window."""
+    from chillastic_spark.operators.topk import ranked_topk
 
     full = _bm25_scored_full(spark, sf_dir)
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    topk = full.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= _EVAL_K
-    )
+    topk = ranked_topk(full, "bm25", "doc_id", _EVAL_K, "rn")
     from chillastic_spark.queries.search import keyword_search_and
 
     rel = keyword_search_and(spark, sf_dir).select("doc_id", F.lit(1).alias("rel"))

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from chillastic_spark import functions as CF
 from chillastic_spark.queries import Query
@@ -89,13 +88,17 @@ def search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a phrase-proximity bonus — final = query_weight·bm25 +
     rescore_weight·(adjacent-"table scan" count). Docs outside the
     window keep their primary order and never reach the second scorer
-    (we emit the re-ranked window top-``RESCORE_K``)."""
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    (we emit the re-ranked window top-``RESCORE_K``).
+
+    Scale: the candidate window is a TakeOrderedAndProject top-k (no
+    global row_number window), then BROADCAST into the documents scan so
+    the expensive phrase pass tokenizes only the ≤window docs — the
+    second scorer literally never sees a non-candidate, exactly like ES
+    rescore."""
     cand = (
         _bm25_all(spark, sf_dir)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= RESCORE_WINDOW)
-        .drop("rnk")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RESCORE_WINDOW)
     )
     d = load(spark, sf_dir, "documents")
     t1, t2 = PHRASE
@@ -105,13 +108,13 @@ def search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: (F.element_at("w", i) == t1) & (F.element_at("w", i + 1) == t2),
         )
     )
-    phr = d.select("doc_id", CF.words("text").alias("w")).select(
-        "doc_id", phrase_n.alias("phrase_n")
+    phr = (
+        d.join(F.broadcast(cand), "doc_id")
+        .select("doc_id", "bm25", CF.words("text").alias("w"))
+        .select("doc_id", "bm25", phrase_n.alias("phrase_n"))
     )
     return (
-        cand.join(phr, "doc_id", "left")
-        .withColumn("phrase_n", F.coalesce("phrase_n", F.lit(0)))
-        .withColumn(
+        phr.withColumn(
             "score",
             F.col("bm25") * F.lit(QUERY_WEIGHT)
             + F.col("phrase_n").cast("double") * F.lit(RESCORE_WEIGHT),
@@ -174,9 +177,11 @@ def multi_match_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One tokenise, one posexplode; the field tag is derived from token
     POSITION, so both "fields" ride a single scan and one shuffle.
-    idf is per (field, term) — a broadcast 2×|terms| join."""
+    idf is per (field, term) — a broadcast 2×|terms| join. N comes from
+    an in-plan 1-row broadcast aggregate (the bm25_topk stats pattern),
+    not a separate driver count() job."""
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()  # driver-side scalar, one tiny job (count-star scan)
+    stats = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = d.select("doc_id", CF.words("text").alias("w"))
     tagged = toks.select(
         "doc_id", F.posexplode("w").alias("pos", "term")
@@ -191,8 +196,9 @@ def multi_match_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(dfreq), ["field", "term"])
+        .crossJoin(F.broadcast(stats))
         .withColumn(
-            "idf", F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
+            "idf", F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
         )
         .withColumn(
             "tscore",

@@ -14,6 +14,7 @@ Registration is namespaced ``{namespace}/{id}`` with ``global`` default
 """
 from __future__ import annotations
 
+import ast
 import json
 import os
 import types
@@ -24,32 +25,119 @@ from chillastic_spark.model import DEFAULT_NAMESPACE, ActionRef, validate_object
 MUTATOR_TYPES = ("data", "index", "template")  # mutators.js:127-131
 FILTER_TYPES = ("index", "type")  # filters.js:130-133
 
-# Modules pre-seeded into compiled code strings for convenience — the
-# moment/lodash analog (reference README.md:172). NOTE: this is NOT a
-# security boundary: exec'd Python retains full builtins (as the
-# reference's require-from-string retains full Node). Code-string
-# registration must only be exposed to trusted callers — gate the REST
-# routes with the api-key and/or pre-register Python objects instead.
+# Modules available to compiled code strings — the exact analog of the
+# reference handing user JS only moment+lodash (README.md:172,
+# compiler.js:6-12). Pre-seeded as names AND importable via the
+# restricted __import__ below; everything else (os, sys, ...) is
+# rejected at registration time.
 SANDBOX_MODULES = ("re", "math", "datetime", "json")
+
+# Builtins user mutator/filter code may use. Deliberately excludes the
+# escape hatches: open/__import__/exec/eval/compile/input/globals/vars/
+# getattr/setattr/delattr/breakpoint/memoryview/object.__subclasses__
+# reachers. Registration of source using them fails fast (the analog of
+# the reference rejecting invalid mutator modules). Defense-in-depth on
+# top of the REST api-key gate, not a substitute for it.
+_SAFE_BUILTIN_NAMES = (
+    "abs", "all", "any", "ascii", "bin", "bool", "bytearray", "bytes",
+    "callable", "chr", "dict", "divmod", "enumerate", "filter", "float",
+    "format", "frozenset", "hash", "hex", "int", "isinstance",
+    "issubclass", "iter", "len", "list", "map", "max", "min", "next",
+    "oct", "ord", "pow", "print", "range", "repr", "reversed", "round",
+    "set", "slice", "sorted", "str", "sum", "tuple", "zip",
+    # exception types user predicates legitimately raise/catch
+    "ArithmeticError", "AttributeError", "Exception", "IndexError",
+    "KeyError", "LookupError", "RuntimeError", "StopIteration",
+    "TypeError", "ValueError", "ZeroDivisionError",
+    "True", "False", "None", "NotImplemented",
+    # class statements need this; it does not grant I/O
+    "__build_class__",
+)
 
 
 class RegistryError(ValueError):
     pass
 
 
+def _restricted_import(name, globals=None, locals=None, fromlist=(), level=0):
+    """``import X`` inside registered source, allowlist-only."""
+    root = name.split(".")[0]
+    if root in SANDBOX_MODULES:
+        return __import__(name, globals, locals, fromlist, level)
+    raise ImportError(
+        f"module {name!r} is not available to registered code "
+        f"(allowed: {', '.join(SANDBOX_MODULES)})"
+    )
+
+
+def _sandbox_builtins() -> dict[str, Any]:
+    import builtins
+
+    safe = {
+        n: getattr(builtins, n) for n in _SAFE_BUILTIN_NAMES if hasattr(builtins, n)
+    }
+    safe["__import__"] = _restricted_import
+    return safe
+
+
+# Names whose mere appearance in registered source is rejected at
+# registration time (not first call): I/O + introspection escapes.
+_FORBIDDEN_NAMES = frozenset(
+    {
+        "open", "eval", "exec", "compile", "input", "globals", "locals",
+        "vars", "getattr", "setattr", "delattr", "breakpoint", "dir",
+        "help", "exit", "quit", "memoryview", "__import__", "__builtins__",
+    }
+)
+
+
+def _scan_source(tree: "ast.Module") -> None:
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            mods = (
+                [a.name for a in node.names]
+                if isinstance(node, ast.Import)
+                else [node.module or ""]
+            )
+            for m in mods:
+                if m.split(".")[0] not in SANDBOX_MODULES:
+                    raise RegistryError(
+                        f"import of {m!r} is not allowed in registered code "
+                        f"(allowed: {', '.join(SANDBOX_MODULES)})"
+                    )
+        elif isinstance(node, ast.Name) and node.id in _FORBIDDEN_NAMES:
+            raise RegistryError(
+                f"use of {node.id!r} is not allowed in registered code"
+            )
+        elif isinstance(node, ast.Attribute) and (
+            node.attr.startswith("__") and node.attr.endswith("__")
+        ):
+            # blocks the classic f.__globals__ / ().__class__ escapes
+            raise RegistryError(
+                f"dunder attribute access {node.attr!r} is not allowed in registered code"
+            )
+
+
 def compile_source(source: str) -> dict[str, Any]:
     """Compile a Python mutator/filter source string into a namespace.
 
-    The require-from-string analog. The namespace is seeded with a
-    whitelist of stdlib modules; exec errors surface as RegistryError
-    (matching the reference's invalid-JS rejection,
+    The require-from-string analog (compiler.js:6-12). The namespace is
+    seeded with the SANDBOX_MODULES allowlist and a restricted builtins
+    table, and the source is AST-scanned so ``open``/``import os``/
+    ``eval``/dunder escapes fail at REGISTRATION, mirroring the
+    reference giving user code only moment+lodash. Exec errors surface
+    as RegistryError (matching the reference's invalid-JS rejection,
     tests/services/invalidMutators/notAJsFile).
     """
-    ns: dict[str, Any] = {"__builtins__": __builtins__}
+    ns: dict[str, Any] = {"__builtins__": _sandbox_builtins(), "__name__": "<registered-code>"}
     for mod in SANDBOX_MODULES:
         ns[mod] = __import__(mod)
     try:
-        exec(compile(source, "<registered-code>", "exec"), ns)
+        tree = ast.parse(source, "<registered-code>")
+        _scan_source(tree)
+        exec(compile(tree, "<registered-code>", "exec"), ns)
+    except RegistryError:
+        raise
     except Exception as e:  # noqa: BLE001 — any compile/run error is invalid
         raise RegistryError(f"source failed to compile: {e}") from e
     return ns

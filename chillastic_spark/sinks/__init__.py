@@ -5,12 +5,20 @@ scroll + ``doc_as_upsert`` bulk updates (transfer.js:175-189). The
 Spark-native equivalent is a MERGE on ``(_index,_type,_id)``: new rows
 replace existing rows with the same key, unseen keys append.
 
-On parquet (this repo's storage) the merge is implemented as
-``existing ⟕anti new ∪ new`` with an atomic directory swap per index —
-one shuffle on the key, correct under re-runs. On a real deployment the
-same call maps 1:1 to Delta/Iceberg ``MERGE INTO`` (transactional,
-partition-pruned), which is the 100 TB path; the swap here exists only
-because plain parquet has no transaction log.
+On parquet (this repo's storage) the merge is BUCKET-SCOPED: every
+index is laid out in N hash buckets of ``_id`` (sources.bucket_expr),
+and a batch rewrites only the buckets containing its keys — read the
+touched 1/N-th, ``existing ⟕anti new ∪ new``, atomic per-bucket dir
+swap. Write amplification is O(|index|·touched/N) per batch instead of
+O(|index|): a 1k-doc micro-batch against a 1 TB index touches ≤1k
+buckets' worth of data, not the whole terabyte. On a real deployment
+the same call maps 1:1 to Delta/Iceberg ``MERGE INTO`` over a
+bucket-partitioned table (transactional, partition-pruned), which is
+the 100 TB path; the dir swap here exists only because plain parquet
+has no transaction log.
+
+The first upsert against a flat index migrates it to the bucketed
+layout (one full rewrite, once), mirroring how a Delta conversion works.
 """
 from __future__ import annotations
 
@@ -23,15 +31,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from chillastic_spark.sources import ENVELOPE_SCHEMA, DocumentStore
+from chillastic_spark.locks import FileLock
+from chillastic_spark.sources import (
+    ENVELOPE_SCHEMA,
+    N_BUCKETS_DEFAULT,
+    DocumentStore,
+    bucket_expr,
+)
 
 KEY = ["_index", "_type", "_id"]
 
 # The parquet store has no transaction log, so one-writer-per-index is
 # enforced here: concurrent read-merge-swap on the same index dir
 # (Engine.run_task parallelism>1, or two REST /_run calls in the same
-# process) would lose one writer's rows or crash mid-os.rename. Delta/
-# Iceberg MERGE replaces this with real transactions at scale.
+# process) would lose one writer's rows or crash mid-os.rename. Cross-
+# PROCESS safety comes from the fcntl lock in locks.py. Delta/Iceberg
+# MERGE replaces both with real transactions at scale.
 _INDEX_LOCKS: dict[str, threading.Lock] = {}
 _INDEX_LOCKS_GUARD = threading.Lock()
 
@@ -51,11 +66,18 @@ def _normalise(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
-def upsert(spark: SparkSession, store: DocumentStore, df: DataFrame) -> int:
+def upsert(
+    spark: SparkSession,
+    store: DocumentStore,
+    df: DataFrame,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> int:
     """MERGE ``df`` into ``store`` keyed on (_index,_type,_id).
 
     Within-batch duplicates keep the last occurrence (bulk-update
-    semantics: later ops win). Returns rows delivered.
+    semantics: later ops win). Returns rows delivered. ``n_buckets``
+    applies only when an index is first converted to the bucketed
+    layout; an already-bucketed index keeps its pinned N.
     """
     df = _normalise(df)
     # Within-batch conflicts on the same key keep ONE row chosen by a
@@ -73,27 +95,104 @@ def upsert(spark: SparkSession, store: DocumentStore, df: DataFrame) -> int:
         for index in indices:
             batch = df.filter(F.col("_index") == index)
             delivered += batch.count()  # rows delivered = batch size
-            with _index_lock(store.index_path(index)):
-                existing = store.read(spark, index)
-                merged = _normalise(
-                    existing.join(batch, KEY, "left_anti").unionByName(batch)
-                )
-                _atomic_replace(spark, store, index, merged)
+            # thread lock serializes in-process writers; the flock makes
+            # a second PROCESS wait instead of racing the dir swaps
+            with _index_lock(store.index_path(index)), FileLock(
+                store.index_path(index) + ".lock"
+            ):
+                nb = store.bucket_count(index)
+                if nb is None:
+                    # one-time migration: flat (or empty) → bucketed
+                    existing = store.read(spark, index)
+                    merged = _normalise(
+                        existing.join(batch, KEY, "left_anti").unionByName(batch)
+                    )
+                    _replace_index_bucketed(store, index, merged, n_buckets)
+                else:
+                    touched = sorted(
+                        r["b"]
+                        for r in batch.select(bucket_expr(nb).alias("b"))
+                        .distinct()
+                        .collect()
+                    )
+                    existing = store.read(spark, index, buckets=touched)
+                    merged = _normalise(
+                        existing.join(batch, KEY, "left_anti").unionByName(batch)
+                    )
+                    _replace_buckets(store, index, nb, merged, touched)
         return delivered
     finally:
         df.unpersist()
 
 
-def _atomic_replace(
-    spark: SparkSession, store: DocumentStore, index: str, merged: DataFrame
-) -> None:
-    target = store.index_path(index)
-    tmp = target + ".tmp-" + uuid.uuid4().hex[:8]
-    merged.write.mode("overwrite").parquet(tmp)
+def _write_bucket_tmp(
+    store: DocumentStore, index: str, df: DataFrame, n_buckets: int
+) -> str:
+    """Materialise ``df`` into a temp dir partitioned by hash bucket.
+
+    The write runs BEFORE any live dir is touched, so a crash mid-merge
+    leaves the index exactly as it was."""
+    tmp = store.index_path(index) + ".merge-" + uuid.uuid4().hex[:8]
+    df.withColumn("__bucket", bucket_expr(n_buckets)).write.partitionBy(
+        "__bucket"
+    ).parquet(tmp)
+    return tmp
+
+
+def _swap_bucket(tmp: str, store: DocumentStore, index: str, b: int) -> None:
+    """Atomically install ``tmp/__bucket=b`` as the live bucket dir;
+    a bucket with no surviving rows is deleted (absent == empty)."""
+    src = os.path.join(tmp, f"__bucket={b}")
+    target = store.bucket_path(index, b)
     old = target + ".old-" + uuid.uuid4().hex[:8]
     if os.path.exists(target):
         os.rename(target, old)
-    os.rename(tmp, target)
+    if os.path.isdir(src):
+        os.rename(src, target)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def _replace_buckets(
+    store: DocumentStore, index: str, n_buckets: int, merged: DataFrame,
+    touched: list[int],
+) -> None:
+    """Rewrite ONLY the touched buckets. Untouched bucket dirs (the
+    other N−|touched|) are never opened, listed, or rewritten."""
+    tmp = _write_bucket_tmp(store, index, merged, n_buckets)
+    try:
+        for b in touched:
+            _swap_bucket(tmp, store, index, b)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _replace_index_bucketed(
+    store: DocumentStore, index: str, merged: DataFrame, n_buckets: int
+) -> None:
+    """Full rewrite into the bucketed layout (migration / first write)."""
+    from chillastic_spark.sources import BUCKET_MARKER
+
+    target = store.index_path(index)
+    tmp = _write_bucket_tmp(store, index, merged, n_buckets)
+    new = target + ".new-" + uuid.uuid4().hex[:8]
+    os.makedirs(new)
+    for d in os.listdir(tmp):
+        if d.startswith("__bucket="):
+            b = int(d.split("=", 1)[1])
+            os.rename(
+                os.path.join(tmp, d),
+                os.path.join(new, f"{os.path.basename(store.bucket_path(index, b))}"),
+            )
+    shutil.rmtree(tmp, ignore_errors=True)
+    # marker rides the swap: the new dir is born bucketed, so no crash
+    # window exists where bucket dirs are visible under a "flat" index
+    with open(os.path.join(new, BUCKET_MARKER), "w") as f:
+        f.write(str(n_buckets))
+    old = target + ".old-" + uuid.uuid4().hex[:8]
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(new, target)
     if os.path.exists(old):
         shutil.rmtree(old)
 
@@ -106,7 +205,8 @@ def purge(
     type: "str | None" = None,
 ) -> int:
     """Targeted delete by document id (right-to-be-forgotten): rewrite
-    the index WITHOUT the given ``_id``s and atomically swap.
+    WITHOUT the given ``_id``s and atomically swap — bucket-scoped on a
+    bucketed index (only buckets holding victim ids are rewritten).
 
     ``ids`` may be a list (small, driver-side) or a DataFrame with an
     ``_id`` column (billions of ids: the anti-join broadcasts or
@@ -119,8 +219,19 @@ def purge(
     else:
         id_df = ids.select(F.col("_id").cast("string"))
     victims = id_df.distinct()
-    with _index_lock(store.index_path(index)):
-        existing = store.read(spark, index)
+    with _index_lock(store.index_path(index)), FileLock(
+        store.index_path(index) + ".lock"
+    ):
+        nb = store.bucket_count(index)
+        buckets = None
+        if nb is not None:
+            buckets = sorted(
+                r["b"]
+                for r in victims.select(bucket_expr(nb).alias("b"))
+                .distinct()
+                .collect()
+            )
+        existing = store.read(spark, index, buckets=buckets)
         if type is not None:
             match = existing.filter(F.col("_type") == type).join(victims, "_id", "semi")
             kept = existing.join(
@@ -132,5 +243,21 @@ def purge(
             removed = existing.count() - kept.count()
         if removed == 0:
             return 0
-        _atomic_replace(spark, store, index, _normalise(kept))
+        if nb is not None:
+            _replace_buckets(store, index, nb, _normalise(kept), buckets)
+        else:
+            _atomic_replace(store, index, _normalise(kept))
     return removed
+
+
+def _atomic_replace(store: DocumentStore, index: str, merged: DataFrame) -> None:
+    """Whole-dir swap for a FLAT index (purge on never-upserted data)."""
+    target = store.index_path(index)
+    tmp = target + ".tmp-" + uuid.uuid4().hex[:8]
+    merged.write.mode("overwrite").parquet(tmp)
+    old = target + ".old-" + uuid.uuid4().hex[:8]
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(tmp, target)
+    if os.path.exists(old):
+        shutil.rmtree(old)

@@ -4,8 +4,10 @@ A store root holds one parquet dataset per index plus a JSON catalog of
 index configs and templates (the ES settings/mappings/templates analog):
 
     {root}/
-      data/{index}/*.parquet     — envelope rows
-      catalog/indices.json       — {name: {settings, mappings, aliases}}
+      data/{index}/*.parquet     — envelope rows (flat layout), OR
+      data/{index}/bucket-NNNN/  — hash-bucketed layout (see below)
+      data/{index}/.n_buckets    — bucket-count marker (bucketed only)
+      catalog/indices.json       — {name: {settings, mappings, aliases, warmers}}
       catalog/templates.json     — {name: {index_patterns, settings, ...}}
 
 Document envelope (transfer.js:175-189): ``_index, _type, _id`` strings,
@@ -13,6 +15,16 @@ Document envelope (transfer.js:175-189): ``_index, _type, _id`` strings,
 At 100 TB the data/ dir maps 1:1 onto a partitioned table (one partition
 per index/type); reads below always prune to the requested index and
 push the type + size-range predicates into the parquet scan.
+
+**Bucketed layout** (what `sinks.upsert` converts an index to on first
+merge): documents hash into ``N`` fixed buckets by ``xxhash64(_id)``,
+one subdirectory each. A MERGE of k docs then rewrites only the buckets
+containing those keys — O(batch·|index|/N) instead of O(|index|) write
+amplification per batch, which is the difference between a usable and
+an unusable streaming sink at 100 TB (the ES analog routes on _id the
+same way; Delta/Iceberg MERGE gets this from partition pruning on a
+bucket column). N is pinned per index in ``.n_buckets`` because the
+merge anti-join is only correct when both sides agree on the hash.
 """
 from __future__ import annotations
 
@@ -37,6 +49,20 @@ ENVELOPE_SCHEMA = T.StructType(
 
 # settings stripped before create (transfer.js:234-243)
 NON_PORTABLE_SETTINGS = ("uuid", "creation_date", "provided_name")
+
+# hash-bucketed index layout (see module docstring)
+N_BUCKETS_DEFAULT = int(os.environ.get("CHILLASTIC_STORE_BUCKETS", "32"))
+BUCKET_PREFIX = "bucket-"
+BUCKET_MARKER = ".n_buckets"
+
+
+def bucket_expr(n_buckets: int) -> F.Column:
+    """Deterministic bucket of a document: pmod(xxhash64(_id), N).
+
+    xxhash64 is seed-stable across runs/sessions, so the same _id lands
+    in the same bucket forever — the invariant the bucket-scoped merge
+    anti-join rests on."""
+    return F.pmod(F.xxhash64(F.col("_id")), F.lit(n_buckets)).cast("int")
 
 
 class StoreError(RuntimeError):
@@ -141,13 +167,56 @@ class DocumentStore:
             for name, t in sorted((index_cfg.get("mappings") or {}).items())
         ]
 
+    # ------------------------------------------------------ buckets
+    def bucket_count(self, index: str) -> Optional[int]:
+        """N for a bucketed index, None for flat/absent layout."""
+        p = os.path.join(self.index_path(index), BUCKET_MARKER)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def set_bucket_count(self, index: str, n: int) -> None:
+        os.makedirs(self.index_path(index), exist_ok=True)
+        p = os.path.join(self.index_path(index), BUCKET_MARKER)
+        with open(p, "w") as f:
+            f.write(str(n))
+
+    def bucket_path(self, index: str, bucket: int) -> str:
+        return os.path.join(self.index_path(index), f"{BUCKET_PREFIX}{bucket:04d}")
+
+    def bucket_paths(
+        self, index: str, buckets: "Optional[list[int]]" = None
+    ) -> list[str]:
+        """Existing bucket dirs (all, or pruned to ``buckets``). A
+        missing dir is an EMPTY bucket — never an error."""
+        if buckets is not None:
+            cand = [self.bucket_path(index, b) for b in sorted(set(buckets))]
+        else:
+            root = self.index_path(index)
+            cand = [
+                os.path.join(root, d)
+                for d in sorted(os.listdir(root))
+                if d.startswith(BUCKET_PREFIX)
+            ] if os.path.isdir(root) else []
+        return [p for p in cand if os.path.isdir(p)]
+
+    def stream_path(self, index: str) -> str:
+        """Path/glob for readStream over one index, either layout."""
+        if self.bucket_count(index) is not None:
+            return os.path.join(self.index_path(index), BUCKET_PREFIX + "*")
+        return self.index_path(index)
+
     # --------------------------------------------------------- data
+    _SCRATCH_TAGS = (".tmp-", ".old-", ".new-", ".merge-", ".append-", ".compact-")
+
     def list_data_indices(self, pattern: str = "*") -> list[str]:
         data = os.path.join(self.root, "data")
         return sorted(
             d for d in os.listdir(data)
             if fnmatch.fnmatch(d, pattern)
             and os.path.isdir(os.path.join(data, d))
+            and not any(t in d for t in self._SCRATCH_TAGS)
         )
 
     def read(
@@ -157,14 +226,25 @@ class DocumentStore:
         type: Optional[str] = None,
         min_size: float = -1,
         max_size: float = -1,
+        buckets: "Optional[list[int]]" = None,
     ) -> DataFrame:
         """Partitioned scan of one (index[,type]) slice with the size
         range pushed down (the scroll-scan analog, transfer.js:103-151;
-        range query subtask.js:61-74)."""
+        range query subtask.js:61-74).
+
+        ``buckets`` prunes a bucketed index to the given hash buckets —
+        the MERGE fast path reads only the touched 1/N-th of the index.
+        """
         path = self.index_path(index)
         if not os.path.isdir(path):
             return spark.createDataFrame([], ENVELOPE_SCHEMA)
-        df = spark.read.schema(ENVELOPE_SCHEMA).parquet(path)
+        if self.bucket_count(index) is not None:
+            paths = self.bucket_paths(index, buckets)
+            if not paths:
+                return spark.createDataFrame([], ENVELOPE_SCHEMA)
+            df = spark.read.schema(ENVELOPE_SCHEMA).parquet(*paths)
+        else:
+            df = spark.read.schema(ENVELOPE_SCHEMA).parquet(path)
         df = df.withColumn("_index", F.lit(index))
         if type is not None:
             df = df.filter(F.col("_type") == type)
@@ -192,14 +272,50 @@ class DocumentStore:
         per-type scans become partition-PRUNED reads (the metadata-level
         type filter of SURVEY P4, enforced by the storage layout) —
         the recommended layout at scale.
+
+        Appending to a BUCKETED index routes rows into their hash
+        buckets (so the layout invariant survives raw writes);
+        overwriting one drops the bucket marker and returns the index
+        to the flat layout the caller asked for.
         """
-        writer = df.select(
+        cols = [
             "_index", "_type", "_id", "_source",
             *( ["_size"] if "_size" in df.columns else [F.lit(None).cast("long").alias("_size")]),
-        ).write.mode(mode)
+        ]
+        nb = self.bucket_count(index)
+        if nb is not None and mode == "append":
+            self._append_bucketed(df.select(*cols), index, nb)
+            return
+        if nb is not None and mode == "overwrite":
+            os.remove(os.path.join(self.index_path(index), BUCKET_MARKER))
+        writer = df.select(*cols).write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.index_path(index))
+
+    def _append_bucketed(self, df: DataFrame, index: str, n_buckets: int) -> None:
+        """Append rows into their hash buckets: one partitioned write
+        to a temp dir, then move the (uniquely-named) part files into
+        the live bucket dirs — no existing file is rewritten."""
+        import shutil
+        import uuid as _uuid
+
+        tmp = self.index_path(index) + ".append-" + _uuid.uuid4().hex[:8]
+        df.withColumn("__bucket", bucket_expr(n_buckets)).write.partitionBy(
+            "__bucket"
+        ).parquet(tmp)
+        try:
+            for d in os.listdir(tmp):
+                if not d.startswith("__bucket="):
+                    continue
+                b = int(d.split("=", 1)[1])
+                dest = self.bucket_path(index, b)
+                os.makedirs(dest, exist_ok=True)
+                for f in os.listdir(os.path.join(tmp, d)):
+                    if f.endswith(".parquet"):
+                        os.rename(os.path.join(tmp, d, f), os.path.join(dest, f))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def count(self, spark: SparkSession, index: str, type: Optional[str] = None,
               min_size: float = -1, max_size: float = -1) -> int:

@@ -27,6 +27,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 ES_FORMAT = "org.elasticsearch.spark.sql"
 
+SCROLL_TTL = "30m"  # subtask.js:58
+
+
+def _range_body(min_size, max_size) -> dict:
+    """The scroll-scan range body, field-for-field (subtask.js:61-73).
+    ``None`` bounds are omitted exactly like JSON.stringify drops
+    undefined members."""
+    rng = {}
+    if min_size is not None:
+        rng["gte"] = min_size
+    if max_size is not None:
+        rng["lt"] = max_size
+    return {"query": {"range": {"_size": rng}}}
+
+
+def scan_request(
+    index: str,
+    doc_type: Optional[str] = None,
+    flush_size: int = 100,
+    min_size: Optional[float] = None,
+    max_size: Optional[float] = None,
+) -> dict:
+    """The reference's generated scroll query verbatim
+    (Subtask.createQuery, subtask.js:50-77) — including the JS ``||``
+    defaulting quirks: a falsy minSize plans as 0, a falsy maxSize as
+    -1 (which disables the range body). Used by the golden contract
+    test to prove the DSL this module pushes at ES is byte-identical
+    to what the reference sends."""
+    request: dict = {"index": index, "type": doc_type, "size": flush_size}
+    if flush_size > 0:
+        request["scroll"] = SCROLL_TTL
+    final_min = min_size or 0
+    final_max = max_size or -1
+    if final_min >= 0 and final_max >= 0:
+        request["body"] = _range_body(min_size, max_size)
+    return request
+
 
 def es_options(
     host: str,
@@ -68,9 +105,11 @@ def es_options(
     if path_prefix:
         opts["es.nodes.path.prefix"] = path_prefix
     if min_size >= 0 and max_size >= 0:
-        # subtask range predicate pushed into the ES query DSL
+        # subtask range predicate pushed into the ES query DSL — the
+        # SAME body scan_request builds, serialized compactly the way
+        # JSON.stringify does, so the wire bytes match the reference's
         opts["es.query"] = json.dumps(
-            {"query": {"range": {"_size": {"gte": min_size, "lt": max_size}}}}
+            _range_body(min_size, max_size), separators=(",", ":")
         )
     return opts
 

@@ -88,7 +88,17 @@ def compact_index(
     curve (see :func:`zorder_layout`) — range/equality predicates on
     any of the zorder columns skip most files, where a linear sort
     only serves its leading column.
+
+    A hash-BUCKETED index (the upsert-sink layout) compacts each bucket
+    dir independently — rows never cross buckets, so the bucket-scoped
+    MERGE invariant survives OPTIMIZE, exactly as Delta compaction
+    respects table partitioning.
     """
+    if store.bucket_count(index) is not None:
+        return _compact_bucketed(
+            spark, store, index, target_file_bytes, min_files_to_compact,
+            sort_by, zorder_by,
+        )
     path = store.index_path(index)
     before = file_stats(path, small_file_bytes=target_file_bytes // 4)
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
@@ -124,6 +134,57 @@ def compact_index(
         "after": file_stats(path, small_file_bytes=target_file_bytes // 4),
         "compacted": True,
     }
+
+
+def _compact_bucketed(
+    spark: SparkSession,
+    store: DocumentStore,
+    index: str,
+    target_file_bytes: int,
+    min_files_to_compact: int,
+    sort_by: "list[str] | None",
+    zorder_by: "list[str] | None",
+) -> dict:
+    """Per-bucket compaction: each bucket dir is its own little parquet
+    dataset and is rewritten (or skipped) on its own file stats."""
+    from pyspark.sql import functions as F
+
+    agg_before: dict = {"n_files": 0, "total_bytes": 0, "small_files": 0}
+    agg_after: dict = {"n_files": 0, "total_bytes": 0, "small_files": 0}
+    compacted_any = False
+    for bpath in store.bucket_paths(index):
+        before = file_stats(bpath, small_file_bytes=target_file_bytes // 4)
+        n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+        relayout = sort_by is not None or zorder_by is not None
+        skip = not relayout and before["n_files"] <= max(
+            n_out, min_files_to_compact - 1
+        )
+        after = before
+        if not skip and before["n_files"] > 0:
+            df = spark.read.parquet(bpath).select(*_ENVELOPE_COLS)
+            if zorder_by:
+                shaped = zorder_layout(df, zorder_by, n_out)
+            elif sort_by:
+                shaped = df.repartitionByRange(n_out, *[F.col(c) for c in sort_by])
+                shaped = shaped.sortWithinPartitions(*sort_by)
+            else:
+                shaped = df.repartition(n_out)
+            tmp = bpath + ".compact-" + uuid.uuid4().hex[:8]
+            shaped.write.mode("overwrite").parquet(tmp)
+            old = bpath + ".old-" + uuid.uuid4().hex[:8]
+            os.rename(bpath, old)
+            os.rename(tmp, bpath)
+            shutil.rmtree(old)
+            compacted_any = True
+            after = file_stats(bpath, small_file_bytes=target_file_bytes // 4)
+        for k in agg_before:
+            agg_before[k] += before[k]
+            agg_after[k] += after[k]
+    for agg in (agg_before, agg_after):
+        agg["avg_file_bytes"] = (
+            agg["total_bytes"] // agg["n_files"] if agg["n_files"] else 0
+        )
+    return {"before": agg_before, "after": agg_after, "compacted": compacted_any}
 
 
 def compact_store(

@@ -19,8 +19,10 @@ from chillastic_spark.operators.mutate import apply_data_mutators
 from chillastic_spark.sinks import upsert
 from chillastic_spark.sources import ENVELOPE_SCHEMA, DocumentStore
 
-# events.parquet carries TIMESTAMP(NANOS); streams read it as long and
-# floor-convert (same convention as tables.load)
+# Stream-dir contract: ``ts`` is a raw int64 epoch-MICROS column (see
+# tests/conftest.stage_events_stream). A nanos-unit timestamp parquet
+# (e.g. testdata events.parquet copied verbatim) must FAIL to read, not
+# silently misparse — hence no legacy nanosAsLong fallback below.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -34,7 +36,6 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 4)
@@ -64,7 +65,7 @@ def continuous_reindex(
     stream = (
         spark.readStream.schema(ENVELOPE_SCHEMA)
         .option("maxFilesPerTrigger", 8)
-        .parquet(source.index_path(index))
+        .parquet(source.stream_path(index))
     )
     if type_filter is not None:
         stream = stream.filter(stream["_type"] == type_filter)
@@ -176,7 +177,7 @@ def deduplicated_ingest(
     stream = (
         spark.readStream.schema(ENVELOPE_SCHEMA)
         .option("maxFilesPerTrigger", 2)
-        .parquet(source.index_path(index))
+        .parquet(source.stream_path(index))
     )
     deduped = stream.withColumn(
         "__fp", CF.fingerprint(F.col("_source"))

@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 import __spark_entry__ as entrymod
@@ -33,7 +34,7 @@ def value_hash(df: pd.DataFrame) -> str:
     def norm(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
-        if isinstance(v, bool):
+        if isinstance(v, (bool, np.bool_)):
             return "T" if v else "F"
         if isinstance(v, float):
             return repr(float(v))

@@ -56,7 +56,7 @@ def stage_events_stream(tmp_path, n_files: int = 16) -> str:
         pq.write_table(
             pa.Table.from_pandas(chunk, preserve_index=False),
             path,
-            version="2.6",  # keep nanosecond timestamps as in the source
+            version="2.6",  # int64 ts column — no timestamp logical type left
         )
         os.utime(path, (base + i, base + i))  # mtime order == event-time order
     return str(d)

@@ -155,6 +155,9 @@ def test_index_config_transfer_strips_nonportable(spark, tmp_path, store_factory
             },
             "mappings": {"mytype1": {}},
             "aliases": {"alias_1": {}},
+            # warmers ride along like any other config blob
+            # (transfer.js:364-372, transfer.spec.js:240)
+            "warmers": {"warmer_1": {"types": [], "source": {"query": {"match_all": {}}}}},
         }
     }
     src = store_factory("src", {}, indices_cfg=cfg)
@@ -168,6 +171,9 @@ def test_index_config_transfer_strips_nonportable(spark, tmp_path, store_factory
         assert bad not in idx
     assert "created" not in idx.get("version", {})
     assert got["aliases"] == {"alias_1": {}}
+    assert got["warmers"] == {
+        "warmer_1": {"types": [], "source": {"query": {"match_all": {}}}}
+    }
 
 
 def test_template_transfer_excludes_system(spark, tmp_path, store_factory):

@@ -1,0 +1,64 @@
+"""Cross-process writer exclusion (VERDICT r2 item 4): two TaskState
+writers on the same state file must not race — the second fails cleanly
+(fcntl.flock, the Redis-atomics analog, subtasks.js:45-69)."""
+import multiprocessing as mp
+
+import pytest
+
+from chillastic_spark.engine import TaskError, TaskState
+from chillastic_spark.locks import FileLock, LockHeld
+
+
+def test_filelock_excludes_second_holder(tmp_path):
+    p = str(tmp_path / "x.lock")
+    a = FileLock(p).acquire()
+    with pytest.raises(LockHeld):
+        FileLock(p).acquire(blocking=False)
+    a.release()
+    FileLock(p).acquire(blocking=False).release()  # free after release
+
+
+def test_filelock_reentrant_within_holder(tmp_path):
+    p = str(tmp_path / "x.lock")
+    a = FileLock(p).acquire()
+    a.acquire(blocking=False)  # no-op, not a deadlock
+    a.release()
+
+
+def _child_try_acquire(state_root, q):
+    try:
+        TaskState(state_root, "t1").acquire_writer(blocking=False)
+        q.put("acquired")
+    except TaskError:
+        q.put("refused")
+    except Exception as e:  # noqa: BLE001
+        q.put(f"unexpected:{e}")
+
+
+def test_second_process_writer_fails_cleanly(tmp_path):
+    root = str(tmp_path / "state")
+    holder = TaskState(root, "t1").acquire_writer()
+    holder.data["total"] = 7
+    holder.save()
+    try:
+        ctx = mp.get_context("fork")
+        q = ctx.Queue()
+        proc = ctx.Process(target=_child_try_acquire, args=(root, q))
+        proc.start()
+        proc.join(timeout=30)
+        assert q.get(timeout=5) == "refused"
+    finally:
+        holder.release_writer()
+    # once released, another process-equivalent writer succeeds and sees
+    # the holder's last saved state
+    again = TaskState(root, "t1").acquire_writer()
+    assert again.data["total"] == 7
+    again.release_writer()
+
+
+def test_writer_lock_released_on_exception(tmp_path):
+    root = str(tmp_path / "state")
+    with pytest.raises(RuntimeError):
+        with TaskState(root, "t1"):
+            raise RuntimeError("boom")
+    TaskState(root, "t1").acquire_writer(blocking=False).release_writer()

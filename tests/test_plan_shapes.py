@@ -130,6 +130,37 @@ def test_batch10_single_exchange_single_scan(spark):
         assert plan.count(f"{table}.parquet") == 1, name
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "hybrid_search_rrf",
+        "search_rescore",
+        "search_after_page",
+        "search_rank_eval",
+    ],
+)
+def test_search_rankings_have_no_global_window(spark, name):
+    """Corpus-scale rankings must be TakeOrderedAndProject top-k's
+    (parallel partial top-k per partition) — a Window with an EMPTY
+    partition spec serializes the whole ranking through one task at
+    100 TB. operators/topk.py is the sanctioned shape."""
+    plan = _plan(spark, name)
+    assert "TakeOrderedAndProject" in plan, name
+    assert "Window" not in plan, name  # no WindowExec at all in these
+
+
+def test_no_separate_driver_count_job(spark):
+    """tfidf/multi_match derive N via an in-plan 1-row broadcast
+    aggregate — the documents scan count must equal the plan's own
+    needs, with no collected scalar baked in as a literal."""
+    for name in ("tfidf_top_terms", "multi_match_best_fields"):
+        plan = _plan(spark, name)
+        assert "BroadcastExchange" in plan, name
+        # the N aggregate rides the same plan: ≥2 documents scans in ONE
+        # plan (corpus + stats), rather than a prior .count() job
+        assert plan.count("documents.parquet") >= 2, name
+
+
 def test_quality_gate_scans_needed_columns_only(spark):
     plan = _plan(spark, "quality_percentile_gate")
     read = plan.split("ReadSchema: ")[1].split("\n")[0]

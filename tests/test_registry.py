@@ -128,6 +128,55 @@ def test_persistence_roundtrip(tmp_path):
     assert m2.get("indexDate").type == "data"
 
 
+SANDBOX_ESCAPES = {
+    "open": "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    open('/etc/passwd')\n    return d\n",
+    "importOs": "TYPE='data'\nimport os\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    return d\n",
+    "importFromOs": "TYPE='data'\nfrom os import path\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    return d\n",
+    "dunderImport": "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    __import__('os')\n    return d\n",
+    "eval": "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    return eval('d')\n",
+    "globalsEscape": "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    predicate.__globals__\n    return d\n",
+    "classEscape": "TYPE='data'\ndef predicate(d,a):\n    return ().__class__ is tuple\ndef mutate(d,a):\n    return d\n",
+}
+
+
+@pytest.mark.parametrize("name,src", SANDBOX_ESCAPES.items())
+def test_sandbox_escapes_rejected_at_registration(name, src):
+    """compile_source is the moment+lodash-only analog (reference
+    README.md:172, compiler.js:6-12): user code gets re/math/datetime/
+    json and a restricted builtins table, nothing else."""
+    m = Mutators()
+    with pytest.raises(RegistryError):
+        m.add("bad", src)
+
+
+def test_sandbox_allows_whitelisted_imports_and_builtins():
+    src = (
+        "TYPE='data'\n"
+        "import math\n"
+        "from datetime import timedelta\n"
+        "def predicate(d,a):\n"
+        "    return len(d) > 0 and isinstance(d, dict)\n"
+        "def mutate(d,a):\n"
+        "    d['_source'] = json.dumps({'pi': round(math.pi, 2),"
+        " 'day': str(timedelta(days=1))})\n"
+        "    return d\n"
+    )
+    m = Mutators()
+    m.add("mathy", src)
+    out = m.get("mathy").mutate({"_index": "i", "_source": "{}"}, None)
+    assert '"pi": 3.14' in out["_source"]
+
+
+def test_sandbox_runtime_builtins_restricted():
+    # even if a forbidden name sneaks past the static scan via an alias,
+    # the exec namespace simply does not contain it
+    from chillastic_spark.registry import compile_source
+
+    ns = compile_source("TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    return d\n")
+    assert "open" not in ns["__builtins__"]
+    assert ns["__builtins__"]["__import__"].__name__ == "_restricted_import"
+
+
 def test_mutator_functions_work():
     m = Mutators()
     m.add("indexDate", DATA_MUTATOR)
