@@ -58,9 +58,22 @@ class TaskState:
             json.dump(self.data, f, indent=1)
         os.replace(tmp, self.path)
 
-    # -- cross-process writer exclusion (the Redis-atomics analog,
-    # subtasks.js:45-69; see locks.py). Writers (build_backlog,
-    # run_task) take this; status readers never do.
+    def reload(self) -> None:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.data = json.load(f)
+
+    # -- cross-process coordination (the Redis-atomics analog,
+    # subtasks.js:45-69; see locks.py). Two modes, mirroring the
+    # reference's deployment shapes:
+    #   * EXCLUSIVE (acquire_writer): one process owns the whole run —
+    #     build_backlog and default run_task. A second process fails
+    #     fast instead of racing.
+    #   * SHARED: every mutating op below is an atomic
+    #     lock→reload→mutate→save round, so N worker PROCESSES can
+    #     cooperatively drain one backlog (worker.js:61-123: N workers
+    #     popping one Redis queue) — run_task(shared=True).
+    # Status readers never lock.
     def acquire_writer(self, blocking: bool = False) -> "TaskState":
         try:
             self._lock.acquire(blocking=blocking)
@@ -69,9 +82,7 @@ class TaskState:
                 f"task {self.task_id} state is being written by another process"
             ) from e
         # another process may have advanced the state while we waited
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                self.data = json.load(f)
+        self.reload()
         return self
 
     def release_writer(self) -> None:
@@ -82,6 +93,20 @@ class TaskState:
 
     def __exit__(self, *exc) -> None:
         self.release_writer()
+
+    def _atomic(self, fn):
+        """Run one read-modify-write against the LATEST on-disk state.
+        Under an exclusive writer the lock is re-entrant and the reload
+        is skipped (our in-memory copy is authoritative); in shared
+        mode each op syncs with whatever other processes saved."""
+        held = self._lock._fd is not None
+        self._lock.acquire(blocking=True)
+        try:
+            if not held:
+                self.reload()
+            return fn()
+        finally:
+            self._lock.release()
 
     # -- queue ops (FIFO + dedup, subtasks.js:45-69) ---------------------
     def enqueue(self, subtask: Subtask, save: bool = True) -> bool:
@@ -98,26 +123,38 @@ class TaskState:
         return True
 
     def pop(self) -> Optional[Subtask]:
-        if not self.data["backlog"]:
-            return None
-        sid, count = self.data["backlog"].pop(0)
-        self.save()
-        return Subtask.from_id(sid, count)
+        def _pop():
+            if not self.data["backlog"]:
+                return None
+            sid, count = self.data["backlog"].pop(0)
+            self.save()
+            return Subtask.from_id(sid, count)
+
+        return self._atomic(_pop)
 
     def complete(self, subtask: Subtask) -> None:
-        sid = subtask.subtask_id()
-        self.data["progress"].pop(sid, None)
-        self.data["completed"][sid] = subtask.count
-        self.save()
+        def _complete():
+            sid = subtask.subtask_id()
+            self.data["progress"].pop(sid, None)
+            self.data["completed"][sid] = subtask.count
+            self.save()
+
+        self._atomic(_complete)
 
     def completed_ids(self) -> set[str]:
         return set(self.data["completed"])
 
     def update_progress(self, subtask: Subtask, progress: Progress) -> None:
-        self.data["progress"][subtask.subtask_id()] = vars(progress.validate())
-        self.save()
+        def _update():
+            self.data["progress"][subtask.subtask_id()] = vars(progress.validate())
+            self.save()
+
+        self._atomic(_update)
 
     def log_error(self, subtask: Optional[Subtask], message: str) -> None:
+        self._atomic(lambda: self._log_error_unlocked(subtask, message))
+
+    def _log_error_unlocked(self, subtask: Optional[Subtask], message: str) -> None:
         self.data["errors"].append(
             {
                 "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
@@ -126,6 +163,16 @@ class TaskState:
             }
         )
         self.save()
+
+    def fail(self, subtask: Subtask, message: str) -> None:
+        """A failed subtask is neither completed nor in progress — it
+        reappears only on backlog rebuild (worker.js:108-111)."""
+
+        def _fail():
+            self.data["progress"].pop(subtask.subtask_id(), None)
+            self._log_error_unlocked(subtask, message)
+
+        self._atomic(_fail)
 
     # -- status (tasks.controller.js:14-27) ------------------------------
     def status(self) -> dict:
@@ -238,6 +285,7 @@ class Engine:
         try:
             self.mutators.ensure_exist(task.mutators)
             self.filters.ensure_exist(task.transfer.filters)
+            self._index_comparator(task)  # bad comparator fails admission
         except Exception as e:  # admission surfaces one error kind (tasks.js:72-82)
             raise TaskError(str(e)) from e
         self._tasks[task_id] = task
@@ -313,6 +361,20 @@ class Engine:
         state.save()
         return state
 
+    def _index_comparator(self, task: Task):
+        """Compile the task's optional index-name comparator (O1,
+        examples/comparators/indices.js: e.g. newest-dated index first).
+        Registered-code sandbox rules apply (registry.compile_source)."""
+        src = task.transfer.index_comparator
+        if not src:
+            return None
+        from chillastic_spark.registry import compile_source
+
+        cmp = compile_source(src).get("compare")
+        if not callable(cmp):
+            raise TaskError("index_comparator must define compare(a, b)")
+        return cmp
+
     def _document_subtasks(self, task: Task, source: DocumentStore) -> list[Subtask]:
         """Filter pruning + adaptive size bucketing per (index, type)
         (subtasks.js:144-361)."""
@@ -328,7 +390,13 @@ class Engine:
 
         out: list[Subtask] = []
         flush_override = task.transfer.flush_size
-        for cfg in keep(loaded.get("index"), source.get_indices(task.transfer.from_indices)):
+        cfgs = keep(loaded.get("index"), source.get_indices(task.transfer.from_indices))
+        cmp = self._index_comparator(task)
+        if cmp is not None:
+            import functools
+
+            cfgs.sort(key=functools.cmp_to_key(lambda a, b: cmp(a["name"], b["name"])))
+        for cfg in cfgs:
             shards = int(
                 ((cfg.get("settings") or {}).get("index") or {}).get("number_of_shards", 1)
             )
@@ -359,6 +427,7 @@ class Engine:
         task_id: str,
         max_subtasks: Optional[int] = None,
         parallelism: int = 1,
+        shared: bool = False,
     ) -> dict:
         """Drain the backlog (worker.js:61-144 collapsed: Spark is the
         worker pool; each subtask is one distributed job). Errors are
@@ -370,18 +439,27 @@ class Engine:
         N worker processes, useful when subtasks are small relative to
         cluster capacity. State mutations serialize on a lock.
 
+        ``shared=True`` opts into MULTI-PROCESS draining (the
+        reference's N-worker deployment, worker.js:61-123): instead of
+        holding the exclusive writer lock for the whole run, every
+        state op is an atomic lock→reload→mutate→save round, so any
+        number of processes can pop the same backlog without double-
+        processing a subtask. The index-dir flock in sinks serializes
+        their writes to a shared destination index.
+
         CAVEAT: concurrent subtasks that write the SAME destination
-        index would race the parquet directory swap — safe on Delta
-        (transactional MERGE), so parallelism here applies per subtask
-        regardless, but on the parquet store keep one writer per index
-        (subtasks for different indices/types are the intended case).
+        index serialize on the index lock — subtasks for different
+        indices/types are the parallel case. On Delta (transactional
+        MERGE) they could truly interleave.
         """
         import threading
 
         task = self.get_task(task_id)
-        # exclusive writer: a second process running the same task fails
-        # fast here instead of racing the backlog pops / progress saves
-        state = TaskState(self.state_root, task_id).acquire_writer()
+        state = TaskState(self.state_root, task_id)
+        if not shared:
+            # exclusive writer: a second process running the same task
+            # fails fast instead of racing the backlog pops
+            state.acquire_writer()
         source = DocumentStore(task.source)
         dest = DocumentStore(task.destination)
         mutators = self.mutators.load_by_type(task.mutators, task.arguments)
@@ -420,10 +498,7 @@ class Engine:
                     state.complete(sub)
             except Exception:
                 with lock:
-                    # a failed subtask is neither completed nor in progress
-                    # — it reappears only on backlog rebuild (worker.js:108-111)
-                    state.data["progress"].pop(sub.subtask_id(), None)
-                    state.log_error(sub, traceback.format_exc(limit=5))
+                    state.fail(sub, traceback.format_exc(limit=5))
             return True
 
         try:
@@ -440,9 +515,12 @@ class Engine:
                 with ThreadPoolExecutor(max_workers=parallelism) as pool:
                     for _ in range(parallelism):
                         pool.submit(drain)
+            if shared:
+                state.reload()  # fold in what other workers finished
             return state.status()
         finally:
-            state.release_writer()
+            if not shared:
+                state.release_writer()
 
     def run_all(self) -> dict:
         """Round-robin across tasks, one subtask each per cycle

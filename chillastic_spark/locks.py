@@ -37,9 +37,11 @@ class FileLock:
     def __init__(self, path: str):
         self.path = path
         self._fd: Optional[int] = None
+        self._depth = 0
 
     def acquire(self, blocking: bool = True) -> "FileLock":
-        if self._fd is not None:  # re-entrant no-op within the holder
+        if self._fd is not None:  # re-entrant within the holder object
+            self._depth += 1
             return self
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         fd = os.open(self.path, os.O_CREAT | os.O_RDWR, 0o644)
@@ -51,10 +53,14 @@ class FileLock:
                 raise LockHeld(f"{self.path} is locked by another process") from e
             raise
         self._fd = fd
+        self._depth = 1
         return self
 
     def release(self) -> None:
         if self._fd is not None:
+            self._depth -= 1
+            if self._depth > 0:
+                return  # an outer holder still owns the lock
             fcntl.flock(self._fd, fcntl.LOCK_UN)
             os.close(self._fd)
             self._fd = None

@@ -60,6 +60,10 @@ class TransferSpec:
     from_indices: Optional[str] = None  # glob pattern of document indices
     filters: list[ActionRef] = field(default_factory=list)
     flush_size: Optional[int] = None
+    # optional registered-code comparator ordering document indices in
+    # the backlog (examples/comparators/indices.js: process newest-dated
+    # indices first). Source must define compare(a, b) -> -/0/+.
+    index_comparator: Optional[str] = None
 
 
 @dataclass

@@ -59,10 +59,16 @@ class RegistryError(ValueError):
     pass
 
 
+# stdlib internals the ALLOWED modules lazily import from the caller's
+# frame at first use (datetime.strptime → _strptime); not user-visible
+# names, just transitive machinery of the whitelist
+_SANDBOX_SUPPORT = frozenset({"_strptime"})
+
+
 def _restricted_import(name, globals=None, locals=None, fromlist=(), level=0):
     """``import X`` inside registered source, allowlist-only."""
     root = name.split(".")[0]
-    if root in SANDBOX_MODULES:
+    if root in SANDBOX_MODULES or root in _SANDBOX_SUPPORT:
         return __import__(name, globals, locals, fromlist, level)
     raise ImportError(
         f"module {name!r} is not available to registered code "

@@ -86,6 +86,91 @@ def test_two_index_worker_golden(spark, tmp_path, store_factory):
     assert dst.count(spark, "myindex2") == 5
 
 
+def test_shared_mode_run_and_second_exclusive_writer_refused(spark, tmp_path, store_factory):
+    """run_task(shared=True) drains via per-op atomic state rounds (the
+    N-worker protocol) and produces the same golden result; meanwhile
+    the DEFAULT mode still refuses a second concurrent writer."""
+    src = store_factory(
+        "src", {"myindex1": docs_f1(10), "myindex2": docs_f1(5, "mytype2")}
+    )
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    eng.add_task("t1", _task(src, dst, transfer={"from_indices": "myindex*"}))
+    status = eng.run_task("t1", shared=True)
+    assert status["completed"] == 15
+    assert dst.count(spark, "myindex1") == 10
+    # exclusive-mode exclusion is still enforced against a live holder
+    holder = TaskState(str(tmp_path / "state"), "t1").acquire_writer()
+    try:
+        other = TaskState.__new__(TaskState)  # fresh lock fd, same file
+        other.__init__(str(tmp_path / "state"), "t1")
+        with pytest.raises(TaskError):
+            other.acquire_writer(blocking=False)
+    finally:
+        holder.release_writer()
+
+
+# O1 index comparator (examples/comparators/indices.js re-expressed in
+# sandboxed Python: dated indices sort NEWEST first, non-dated lead,
+# alphabetical tie-break)
+DATE_COMPARATOR = """
+import re
+import datetime
+OLD = re.compile(r"[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+def _key(s):
+    m = OLD.search(s)
+    return datetime.datetime.strptime(m.group(0), "%Y-%m-%d") if m else None
+def compare(a, b):
+    ka, kb = _key(a), _key(b)
+    if ka is not None and kb is not None:
+        if ka != kb:
+            return 1 if kb > ka else -1
+        return (a > b) - (a < b)
+    if ka is not None:
+        return 1
+    if kb is not None:
+        return -1
+    return (a > b) - (a < b)
+"""
+
+
+def test_index_comparator_orders_backlog(spark, tmp_path, store_factory):
+    src = store_factory(
+        "src",
+        {
+            "logs_2020-01-01": docs_f1(2),
+            "logs_2021-06-01": docs_f1(2),
+            "alpha": docs_f1(2),
+        },
+    )
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    state = eng.add_task(
+        "t1",
+        _task(src, dst, transfer={
+            "from_indices": "*", "index_comparator": DATE_COMPARATOR,
+        }),
+    )
+    order = [json.loads(sid)["index"] for sid, _ in state.data["backlog"]]
+    assert order == ["alpha", "logs_2021-06-01", "logs_2020-01-01"]
+    # and a broken comparator is an admission error, not a runtime one
+    with pytest.raises(TaskError):
+        eng.add_task(
+            "t2",
+            _task(src, dst, transfer={
+                "from_indices": "*", "index_comparator": "compare = 3",
+            }),
+        )
+    with pytest.raises(TaskError):  # sandbox applies to comparators too
+        eng.add_task(
+            "t3",
+            _task(src, dst, transfer={
+                "from_indices": "*",
+                "index_comparator": "import os\ndef compare(a,b):\n    return 0",
+            }),
+        )
+
+
 # ---------------------------------------------------------- data mutators
 
 

@@ -56,6 +56,52 @@ def test_second_process_writer_fails_cleanly(tmp_path):
     again.release_writer()
 
 
+def _worker_drain(state_root, out_q):
+    """One cooperating worker process: pop→complete until the shared
+    backlog drains (run_task(shared=True)'s state protocol)."""
+    st = TaskState(state_root, "coop")
+    mine = []
+    while True:
+        sub = st.pop()
+        if sub is None:
+            break
+        mine.append(sub.subtask_id())
+        st.complete(sub)
+    out_q.put(mine)
+
+
+def test_two_processes_cooperatively_drain_one_backlog(tmp_path):
+    """The reference's N-worker deployment (worker.js:61-123): multiple
+    processes pop one queue; every subtask runs exactly once."""
+    from chillastic_spark.model import Subtask
+
+    root = str(tmp_path / "state")
+    st = TaskState(root, "coop")
+    with st:  # exclusive while planning, like build_backlog
+        for i in range(40):
+            st.enqueue(Subtask(kind="index", names=f"ix{i:02d}", count=1), save=False)
+        st.save()
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_worker_drain, args=(root, q)) for _ in range(2)
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=60) for _ in procs]
+    for p in procs:
+        p.join(timeout=30)
+
+    a, b = results
+    assert not (set(a) & set(b)), "a subtask was processed by both workers"
+    assert len(a) + len(b) == 40
+    final = TaskState(root, "coop")
+    assert len(final.data["completed"]) == 40
+    assert final.data["backlog"] == []
+    assert final.status()["percentComplete"] == 100.0
+
+
 def test_writer_lock_released_on_exception(tmp_path):
     root = str(tmp_path / "state")
     with pytest.raises(RuntimeError):
