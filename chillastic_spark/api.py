@@ -169,7 +169,16 @@ def create_app(
 
     @app.post("/tasks/<task_id>/_run")
     def run_task(task_id):
-        return handle(lambda: jsonify(engine.run_task(task_id)))
+        # ?workers=N → N driver threads; ?shared=true → multi-process
+        # cooperative draining (another API replica may drain the same
+        # backlog; see TaskState shared mode)
+        workers = request.args.get("workers", default=1, type=int)
+        shared = request.args.get("shared", "false").lower() == "true"
+        return handle(
+            lambda: jsonify(
+                engine.run_task(task_id, parallelism=max(1, workers), shared=shared)
+            )
+        )
 
     # --------------------------------------------- mutators / filters CRUD
     def registry_routes(name: str, registry):

@@ -72,6 +72,59 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return w.join(keep, [ "__fp", id_col], "left_semi").drop("__fp")
 
 
+# ------------------------------------------------------ substring coverage
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 12,
+) -> DataFrame:
+    """Per-document duplicated-substring coverage: the fraction of a
+    doc's ``window``-token sliding windows whose exact text occurs more
+    than once in the corpus (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — the ExactSubstr criterion,
+    re-expressed as a window-hash aggregation instead of a suffix
+    array).
+
+    Returns (doc_id, total_windows, dup_windows, dup_frac) for docs with
+    at least one duplicated window. Scale shape: ALL windows (not
+    distinct — coverage counts instances) hash to 60-bit longs, one
+    corpus-wide count per hash, one semi-join back, two per-doc aggs —
+    shuffle volume O(corpus tokens), never pairwise.
+    """
+    w = df.select(F.col(id_col).alias("doc_id"), CF.words(text_col).alias("__w"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - (window - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, window)),
+    )
+    wins = w.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("__w") >= window, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("win"),
+    )
+    g = materialize(wins.select("doc_id", CF.hash60("win").alias("wh")))
+    dup = g.groupBy("wh").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    totals = g.groupBy("doc_id").agg(F.count("*").alias("total_windows"))
+    dups = (
+        g.join(dup.select("wh"), "wh", "semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_windows"))
+    )
+    return (
+        totals.join(dups, "doc_id")
+        .withColumn(
+            "dup_frac",
+            CF.round_det(F.col("dup_windows") / F.col("total_windows"), 4),
+        )
+        .select("doc_id", "total_windows", "dup_windows", "dup_frac")
+    )
+
+
 # ---------------------------------------------------------- n-gram Jaccard
 
 

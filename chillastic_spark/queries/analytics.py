@@ -29,7 +29,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df from tf, not terms.distinct(): tf already holds one row per
+    # (doc, term), so this reuses tf's exchange (ReusedExchange in the
+    # plan) instead of re-shuffling the whole exploded corpus
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))

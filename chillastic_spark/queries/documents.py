@@ -348,8 +348,39 @@ FROM reach GROUP BY n ORDER BY doc_id
 """
 
 
+# --------------------------------------------------- substring coverage
+
+_SUBSTR_W = 12  # tokens per sliding window
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup coverage (Lee et al. 2022) — per-doc fraction
+    of 12-token windows duplicated anywhere in the corpus."""
+    d = load(spark, sf_dir, "documents")
+    return D.substring_dup_stats(d, window=_SUBSTR_W)
+
+
+SUBSTRING_SPANS_SQL = f"""
+WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+wins AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(w[i:i+{_SUBSTR_W - 1}], ' ')), 1, 15))::BIGINT AS wh
+  FROM t, unnest(range(1, len(w) - {_SUBSTR_W - 1} + 1)) AS u(i)
+  WHERE len(w) >= {_SUBSTR_W}),
+dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1),
+totals AS (SELECT doc_id, count(*) AS total_windows FROM wins GROUP BY doc_id),
+dups AS (
+  SELECT doc_id, count(*) AS dup_windows
+  FROM wins JOIN dup USING (wh) GROUP BY doc_id)
+SELECT doc_id, total_windows, dup_windows,
+       {CF.round_det_sql("dup_windows / total_windows", 4)} AS dup_frac
+FROM totals JOIN dups USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "text_features": Query(text_features, TEXT_FEATURES_SQL, headline=True),
+    "dedup_substring_spans": Query(dedup_substring_spans, SUBSTRING_SPANS_SQL),
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, DEDUP_NGRAM_SQL, headline=True),
     "dedup_minhash_lsh": Query(dedup_minhash_lsh, DEDUP_MINHASH_SQL, headline=True),

@@ -44,6 +44,19 @@ def test_task_lifecycle_over_http(spark, client):
     assert c.get("/tasks").get_json() == {}
 
 
+def test_run_accepts_workers_and_shared_params(spark, client):
+    c, src, dst = client
+    body = {
+        "source": src.root,
+        "destination": dst.root,
+        "transfer": {"documents": {"fromIndices": "myindex*"}},
+    }
+    assert c.post("/tasks/job2", json=body).status_code == 200
+    r = c.post("/tasks/job2/_run?workers=2&shared=true")
+    assert r.get_json()["percentComplete"] == 100.0
+    assert dst.count(spark, "myindex1") == 5
+
+
 def test_admission_failures_over_http(client):
     c, src, dst = client
     # bad id (regex)   routes.it.spec.js:13-68

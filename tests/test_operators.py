@@ -251,3 +251,28 @@ def test_connected_components_chain_clique_pair(spark):
     canon = {r["doc_id"] for r in clusters if r["is_canonical"]}
     assert canon == {1, 10, 20}
     assert len(clusters) == 10
+
+
+def test_substring_dup_stats_planted_span(spark):
+    """ExactSubstr coverage: a 6-token span shared verbatim by two docs
+    is found; a doc repeating a span internally counts both instances;
+    unique docs don't appear."""
+    span = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"intro words here {span} trailing tail words"),
+        (2, f"{span} completely different ending text now"),
+        (3, "entirely unrelated content with no repeated spans at all ok"),
+        (4, f"{span} middle filler {span}"),  # internal repeat ×2
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in
+           __import__("chillastic_spark.operators.dedup", fromlist=["d"])
+           .substring_dup_stats(df, window=6).collect()}
+    assert set(out) == {1, 2, 4}  # doc 3 has no duplicated window
+    # doc 2: 11 tokens -> 6 windows, only the leading span window dups
+    assert out[2]["total_windows"] == 6 and out[2]["dup_windows"] == 1
+    assert out[2]["dup_frac"] == 0.1667
+    # doc 4 contains the span twice -> both instances count
+    assert out[4]["dup_windows"] >= 2
+    # doc 1 embeds the span mid-text -> exactly one duplicated window
+    assert out[1]["dup_windows"] == 1
