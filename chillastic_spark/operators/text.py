@@ -33,8 +33,23 @@ def _w(text: Column | str | None, w: Column | None) -> Column:
 
 
 def token_count(text: Column | str | None = None, w: Column | None = None) -> Column:
-    """Whitespace token count (the BPE-ish regex split)."""
+    """Whitespace token count."""
     return F.size(_w(text, w))
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs with
+# identical leftmost-first semantics in Java regex (Spark) and RE2
+# (DuckDB) — verified token-for-token in tests. Contractions split off,
+# words/digits/punctuation runs carry their leading space.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish subword-ish token count: how a GPT-2-family tokenizer's
+    pre-tokenization would segment the text (the standard proxy for
+    LLM token budgeting when the merges table isn't applied)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0)))
 
 
 def stopword_hits(

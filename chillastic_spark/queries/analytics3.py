@@ -144,6 +144,50 @@ SELECT pred_lang, rk, doc_id, quality FROM langed WHERE rk <= 5
 """
 
 
+# ------------------------------------------------- BPE token budget
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language LLM token budget: whitespace vs BPE-ish pre-token
+    counts and their ratio (the fertility proxy used for corpus token
+    accounting). One scan, one tiny-key shuffle."""
+    from chillastic_spark.operators.text import bpe_token_count
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(CF.words("text")).alias("ws"),
+        bpe_token_count("text").alias("bpe"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+        )
+        .withColumn(
+            "bpe_per_ws",
+            CF.round_det(F.col("bpe_tokens") / F.col("ws_tokens"), 6),
+        )
+    )
+
+
+_BPE_PAT_SQL = (
+    "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+)
+
+BPE_TOKEN_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       sum(len({_W}))::BIGINT AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')))::BIGINT AS bpe_tokens,
+       {CF.round_det_sql(
+           "sum(len(regexp_extract_all(text, '" + _BPE_PAT_SQL + "')))::BIGINT"
+           f" / sum(len({_W}))::BIGINT", 6)} AS bpe_per_ws
+FROM documents GROUP BY lang
+"""
+
+
 # ------------------------------------------------- corpus histogram
 
 
@@ -541,5 +585,6 @@ QUERIES = {
     ),
     "quality_topk_per_lang": Query(quality_topk_per_lang, QUALITY_TOPK_SQL),
     "token_histogram": Query(token_histogram, TOKEN_HISTOGRAM_SQL),
+    "bpe_token_stats": Query(bpe_token_stats, BPE_TOKEN_SQL),
     "embedding_int8_checksum": Query(embedding_int8_checksum, EMBEDDING_INT8_SQL),
 }

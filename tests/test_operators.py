@@ -276,3 +276,36 @@ def test_substring_dup_stats_planted_span(spark):
     assert out[4]["dup_windows"] >= 2
     # doc 1 embeds the span mid-text -> exactly one duplicated window
     assert out[1]["dup_windows"] == 1
+
+
+def test_bpe_pattern_cross_engine_parity(spark):
+    """BPE_PATTERN must tokenize identically under Java regex (Spark)
+    and RE2 (DuckDB) — the property the bpe_token_stats oracle rests on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from chillastic_spark.operators.text import BPE_PATTERN
+
+    tests = [
+        "I don't think it's 100% obvious...",
+        "hello,   world!! x2",
+        "they'll we've i'm you'd o'clock",
+        "tab\tsep and line\nbreak 3.14",
+        "",
+        "   ",
+        "CamelCase under_scores kebab-case a1b2c3",
+    ]
+    con = duckdb.connect()
+    duck = [
+        con.execute("SELECT regexp_extract_all(?, ?)", [t, BPE_PATTERN]).fetchone()[0]
+        for t in tests
+    ]
+    df = spark.createDataFrame([(t,) for t in tests], "t string")
+    got = {
+        r["t"]: r["x"]
+        for r in df.select(
+            "t", F.regexp_extract_all("t", F.lit(BPE_PATTERN), F.lit(0)).alias("x")
+        ).collect()
+    }
+    spark_toks = [got[t] for t in tests]
+    assert spark_toks == duck

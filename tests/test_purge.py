@@ -39,3 +39,13 @@ def test_purge_accepts_dataframe_ids(spark, tmp_path):
     ids = spark.range(10).select(F.col("id").cast("string").alias("_id"))
     assert purge(spark, store, "idx", ids) == 10
     assert store.read(spark, "idx").count() == 20
+
+
+def test_purge_flat_index_without_upsert(spark, tmp_path):
+    """A never-upserted (flat-layout) index purges via whole-dir swap."""
+    store = DocumentStore(str(tmp_path / "s"))
+    store.write_documents(_corpus(spark, 12), "idx")
+    assert store.bucket_count("idx") is None
+    assert purge(spark, store, "idx", ["1", "2"]) == 2
+    assert store.read(spark, "idx").count() == 10
+    assert store.bucket_count("idx") is None  # purge keeps the layout
