@@ -208,6 +208,68 @@ def lsh_topk(
     )
 
 
+def plane_coefficients(planes: int, dims: int, seed: str = "rp") -> list[list[float]]:
+    """The EXACT hyperplane matrix random_hyperplane_buckets evaluates,
+    computed driver-side: coefficient[p][d] = (hash60(f"{seed}:{p}:{d}")
+    % 2000001) / 1e6 − 1. Same md5 math as the Spark expression, so an
+    external engine (the DuckDB oracle) can reproduce bucket ids
+    bit-for-bit from these literals."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:15], 16) % 2000001)
+            / 1e6
+            - 1.0
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 5,
+    planes: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN graph: for EVERY vector, its top-k cosine
+    neighbors among vectors sharing its LSH bucket — the all-nodes twin
+    of :func:`lsh_topk` (near-dup clustering, diversity sampling, and
+    graph-based curation all start from this edge list).
+
+    Scale shape: bucket once (pure column expressions), self equi-join
+    on the bucket key (AQE splits hot buckets), per-node top-k via a
+    PARTITIONED window (compiles to WindowGroupLimit: each map task
+    keeps k rows per node before the shuffle). Pairs are O(Σ bucket²),
+    never corpus² — ``planes`` tunes bucket occupancy (≈ n/2^planes).
+    Deterministic: hash-derived hyperplanes, rounded scores, id
+    tie-breaks — exactly reproducible in ANSI SQL (oracle-checked).
+    """
+    b = vectors.select(
+        F.col(id_col).alias("id"),
+        CF.as_double_array(vec_col).alias("v"),
+        random_hyperplane_buckets(vec_col, planes).alias("bkt"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    scored = a.join(
+        c, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") != F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("src"),
+        F.col("b.id").alias("dst"),
+        CF.round_det(CF.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst", "cos")
+    )
+
+
 def ivf_coarse_centroids(
     vectors: DataFrame,
     n_cells: int = 16,

@@ -107,8 +107,47 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(e, q, k=10, m=16, n_centroids=16, refine=5)
 
 
+# ------------------------------------------------------------ kNN graph
+
+_KNN_K = 5
+_KNN_PLANES = 5
+_DIMS = 64  # embeddings.embedding is array<float>[64] (TESTDATA.md)
+
+
+def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the whole embeddings table (top-5
+    cosine neighbors within each LSH bucket). Deterministic hash-derived
+    hyperplanes make even this "approximate" operator exactly
+    SQL-checkable — the oracle embeds the same plane matrix as
+    literals."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.knn_graph(e, k=_KNN_K, planes=_KNN_PLANES)
+
+
+def _knn_graph_sql() -> str:
+    coeffs = S.plane_coefficients(_KNN_PLANES, _DIMS)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(c) for c in row)}]) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(coeffs)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bkt FROM e),
+scored AS (
+  SELECT a.vec_id AS src, b2.vec_id AS dst,
+         floor((list_dot_product(a.v, b2.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))))
+               * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id != b2.vec_id)
+SELECT src, dst, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= {_KNN_K}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "similarity_topk": Query(similarity_topk, SIMILARITY_TOPK_SQL, headline=True),
+    "knn_graph_edges": Query(knn_graph_edges, _knn_graph_sql()),
     "embedding_centroids": Query(embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "embedding_dup_pairs": Query(embedding_dup_pairs, EMBEDDING_DUP_SQL),
     "ann_lsh_topk": Query(ann_lsh_topk, None),

@@ -309,3 +309,34 @@ def test_bpe_pattern_cross_engine_parity(spark):
     }
     spark_toks = [got[t] for t in tests]
     assert spark_toks == duck
+
+
+def test_knn_graph_finds_planted_neighbor(spark, vectors):
+    """vec 99 is a +0.001 perturbation of vec 0: identical LSH bucket
+    (hyperplane signs can't flip on a tiny perturbation of a generic
+    vector), so each must be the other's top neighbor with cos≈1."""
+    from chillastic_spark.operators.similarity import knn_graph
+
+    edges = knn_graph(vectors, k=3, planes=3)
+    by_src = {}
+    for r in edges.collect():
+        by_src.setdefault(r["src"], []).append((r["dst"], r["cos"]))
+    top0 = max(by_src[0], key=lambda t: t[1])
+    assert top0[0] == 99 and top0[1] > 0.999
+    top99 = max(by_src[99], key=lambda t: t[1])
+    assert top99[0] == 0
+    # k bound respected for every node
+    assert all(len(v) <= 3 for v in by_src.values())
+
+
+def test_knn_graph_plan_is_bucket_join_group_limit(spark, vectors):
+    """No cartesian/nested-loop pair generation, and the per-node top-k
+    compiles to WindowGroupLimit (map-side k per node before shuffle)."""
+    from chillastic_spark.operators.similarity import knn_graph
+
+    plan = knn_graph(vectors, k=3, planes=3)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
