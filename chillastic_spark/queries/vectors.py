@@ -70,13 +70,39 @@ WHERE floor(({_COS}) * 10000.0 + 0.5) / 10000.0 >= 0.3
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane buckets — the 100 TB
-    path (probe one bucket instead of the corpus). Approximate by
-    design → rows-only check; recall is pinned by unit tests."""
+    path (probe one bucket instead of the corpus). Approximate vs
+    brute force, but DETERMINISTIC (hash-derived planes), so it gets a
+    full SQL oracle; recall is additionally pinned by unit tests."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_topk(e, q, k=10, planes=6)
+    return S.lsh_topk(e, q, k=10, planes=_LSH_PLANES)
+
+
+_LSH_PLANES = 6
+
+
+def _ann_lsh_sql() -> str:
+    coeffs = S.plane_coefficients(_LSH_PLANES, _DIMS)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(c) for c in row)}]) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(coeffs)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bkt FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         floor((list_dot_product(b.v, q.qv) /
+                (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))))
+               * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM b JOIN q ON b.bkt = q.bkt AND b.vec_id != q.query_id)
+SELECT query_id, neighbor_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+"""
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,7 +176,7 @@ QUERIES: dict[str, Query] = {
     "knn_graph_edges": Query(knn_graph_edges, _knn_graph_sql()),
     "embedding_centroids": Query(embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "embedding_dup_pairs": Query(embedding_dup_pairs, EMBEDDING_DUP_SQL),
-    "ann_lsh_topk": Query(ann_lsh_topk, None),
+    "ann_lsh_topk": Query(ann_lsh_topk, _ann_lsh_sql()),
     "ann_ivf_topk": Query(ann_ivf_topk, None),
     "ann_pq_topk": Query(ann_pq_topk, None),
 }
