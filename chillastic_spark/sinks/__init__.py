@@ -66,18 +66,39 @@ def _normalise(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+def _auto_buckets(index_path: str) -> int:
+    """Bucket count for a first-time migration: one bucket per ~256 MB
+    of existing data, power of two, clamped to [N_BUCKETS_DEFAULT, 4096].
+
+    The merge prunes to the buckets holding batch keys, and k uniform
+    keys touch ~k buckets — so the pruning only bites when N is well
+    above the batch size. Sizing N by bytes keeps both properties at
+    any scale: a 1 TB index gets 4096 buckets (a 1k-doc batch rewrites
+    ≤¼ of it, a 100-doc micro-batch ≤2.5%), while a test-sized index
+    stays at the floor and out of small-file territory."""
+    import math
+
+    from chillastic_spark.sources.maintenance import file_stats
+
+    total = file_stats(index_path)["total_bytes"] if os.path.isdir(index_path) else 0
+    target = max(total // (256 << 20), 1)
+    n = 1 << math.ceil(math.log2(target)) if target > 1 else 1
+    return min(max(n, N_BUCKETS_DEFAULT), 4096)
+
+
 def upsert(
     spark: SparkSession,
     store: DocumentStore,
     df: DataFrame,
-    n_buckets: int = N_BUCKETS_DEFAULT,
+    n_buckets: "int | None" = None,
 ) -> int:
     """MERGE ``df`` into ``store`` keyed on (_index,_type,_id).
 
     Within-batch duplicates keep the last occurrence (bulk-update
     semantics: later ops win). Returns rows delivered. ``n_buckets``
     applies only when an index is first converted to the bucketed
-    layout; an already-bucketed index keeps its pinned N.
+    layout (default: sized from the index bytes, see _auto_buckets);
+    an already-bucketed index keeps its pinned N.
     """
     df = _normalise(df)
     # Within-batch conflicts on the same key keep ONE row chosen by a
@@ -103,11 +124,12 @@ def upsert(
                 nb = store.bucket_count(index)
                 if nb is None:
                     # one-time migration: flat (or empty) → bucketed
+                    n = n_buckets or _auto_buckets(store.index_path(index))
                     existing = store.read(spark, index)
                     merged = _normalise(
                         existing.join(batch, KEY, "left_anti").unionByName(batch)
                     )
-                    _replace_index_bucketed(store, index, merged, n_buckets)
+                    _replace_index_bucketed(store, index, merged, n)
                 else:
                     touched = sorted(
                         r["b"]
