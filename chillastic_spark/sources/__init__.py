@@ -194,10 +194,14 @@ class DocumentStore:
             cand = [self.bucket_path(index, b) for b in sorted(set(buckets))]
         else:
             root = self.index_path(index)
+            # strict bucket-NNNN match: a crash-orphaned
+            # "bucket-0000.old-x" swap leftover must never be read as
+            # live data (it would double-count the bucket)
             cand = [
                 os.path.join(root, d)
                 for d in sorted(os.listdir(root))
                 if d.startswith(BUCKET_PREFIX)
+                and d[len(BUCKET_PREFIX):].isdigit()
             ] if os.path.isdir(root) else []
         return [p for p in cand if os.path.isdir(p)]
 

@@ -169,3 +169,24 @@ def test_bucketed_compaction_preserves_layout_and_content(spark, tmp_path):
     for name, sig in before.items():
         if name not in touched:
             assert after[name] == sig
+
+
+def test_stray_scratch_dirs_do_not_break_reads(spark, tmp_path):
+    """A crash can leave .merge-/.old- scratch dirs behind; reads and
+    index listings must ignore them."""
+    import os
+
+    import shutil
+
+    store = DocumentStore(str(tmp_path / "s"))
+    upsert(spark, store, _corpus(spark, 30), n_buckets=N_BUCKETS)
+    os.makedirs(store.index_path("ix") + ".merge-deadbeef/__bucket=0")
+    os.makedirs(store.index_path("ix") + ".old-cafe")
+    # a DATA-BEARING swap leftover: copy a live bucket to bucket-NNNN.old-x
+    live = store.bucket_paths("ix")[0]
+    shutil.copytree(live, live + ".old-1234")
+    assert store.list_data_indices() == ["ix"]
+    assert store.read(spark, "ix").count() == 30  # no double-count
+    # and a subsequent merge still works
+    upsert(spark, store, _batch(spark, [("z", 1)]), n_buckets=N_BUCKETS)
+    assert store.read(spark, "ix").count() == 31
