@@ -1,0 +1,124 @@
+"""Executed end-to-end contract test of the reference's ES data plane:
+scan-and-scroll → mutate → bulk doc_as_upsert over real HTTP
+(transfer.js:79-189), against the in-process wire fixture."""
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chillastic_spark.operators.mutate import apply_data_mutators
+from chillastic_spark.registry import Mutators
+from chillastic_spark.sources import es_rest
+from es_fixture import FakeES
+
+DATE_MUTATOR = """
+TYPE = "data"
+OLD = re.compile(r"^(.*)_(\\d{4}-\\d{2})-\\d{2}$")
+def predicate(doc, args):
+    return bool(OLD.match(doc["_index"]))
+def mutate(doc, args):
+    doc["_index"] = OLD.sub(r"\\1_\\2", doc["_index"])
+    return doc
+"""
+
+
+@pytest.fixture
+def es_pair():
+    src, dst = FakeES(), FakeES()
+    src_url, dst_url = src.start(), dst.start()
+    yield src, src_url, dst, dst_url
+    src.stop()
+    dst.stop()
+
+
+def _seed(src, n=25, index="log_2016-12-01", typ="t1"):
+    src.seed(index, typ, {
+        f"id{i}": {"field": f"value {i}", "__size": 10 * i} for i in range(n)
+    })
+
+
+def test_scan_scroll_pages_through_everything(spark, es_pair):
+    src, src_url, _dst, _ = es_pair
+    _seed(src, n=25)
+    # flush_size 7 → 1 search page + 3 scroll pages (transfer.js loop)
+    df = es_rest.scan_to_df(spark, src_url, "log_2016-12-01", "t1", flush_size=7)
+    assert df.count() == 25
+    assert set(df.columns) == {"_index", "_type", "_id", "_source", "_size"}
+    assert len(src.scrolls) == 1  # one scroll context served every page
+
+
+def test_size_range_pushed_into_search_body(spark, es_pair):
+    src, src_url, _dst, _ = es_pair
+    _seed(src, n=25)
+    df = es_rest.scan_to_df(
+        spark, src_url, "log_2016-12-01", "t1", flush_size=100,
+        min_size=50, max_size=100,
+    )
+    # __size = 10i, 50 <= 10i < 100 → i in 5..9
+    assert sorted(r["_id"] for r in df.collect()) == [f"id{i}" for i in range(5, 10)]
+
+
+def test_full_transfer_scan_mutate_bulk(spark, es_pair):
+    """The reference's whole data plane in one pass: scroll out of the
+    source cluster, run the registered date-reroute mutator, bulk
+    doc_as_upsert into the destination cluster (worker golden,
+    transfer.spec.js:487-511 reshaped over the wire)."""
+    src, src_url, dst, dst_url = es_pair
+    _seed(src, n=20)
+    m = Mutators()
+    m.add("indexDate", DATE_MUTATOR)
+    df = es_rest.scan_to_df(spark, src_url, "log_2016-12-01", "t1", flush_size=6)
+    mutated = apply_data_mutators(df, m.load([__import__(
+        "chillastic_spark.model", fromlist=["m"]).ActionRef(id="indexDate")]))
+    assert es_rest.bulk_upsert(mutated, dst_url, flush_size=6) == 20
+    got = dst.contents("log_2016-12")  # rerouted to the month index
+    assert len(got) == 20
+    assert got["id7"]["field"] == "value 7"
+    # re-delivery is a no-op on content (doc_as_upsert idempotence)
+    es_rest.bulk_upsert(mutated, dst_url, flush_size=6)
+    assert dst.contents("log_2016-12") == got
+
+
+def test_bulk_ndjson_bytes_match_reference_docToBulk(spark, es_pair):
+    _src, _, dst, dst_url = es_pair
+    df = spark.createDataFrame(
+        [("ix", "t", "a", json.dumps({"k": 1}), None)],
+        "_index string, _type string, _id string, _source string, _size long",
+    )
+    es_rest.bulk_upsert(df, dst_url)
+    body = dst.bulk_bodies[-1]
+    assert body == (
+        '{"update":{"_index":"ix","_type":"t","_id":"a"}}\n'
+        '{"doc":{"k":1},"doc_as_upsert":true}\n'
+    )
+
+
+def test_bulk_retries_on_rejected_execution(spark):
+    dst = FakeES(reject_first_bulks=2)
+    url = dst.start()
+    try:
+        df = spark.range(5).select(
+            F.lit("ix").alias("_index"), F.lit("t").alias("_type"),
+            F.col("id").cast("string").alias("_id"),
+            F.to_json(F.struct("id")).alias("_source"),
+            F.lit(None).cast("long").alias("_size"),
+        )
+        assert es_rest.bulk_upsert(df, url, max_retries=5) == 5
+        assert len(dst.contents("ix")) == 5
+        assert len(dst.bulk_bodies) == 3  # 2 rejections + 1 success
+    finally:
+        dst.stop()
+
+
+def test_partial_doc_merge_semantics(spark, es_pair):
+    """doc_as_upsert merges partial docs into existing ones — the update
+    API behavior the reference relies on for re-delivery."""
+    _src, _, dst, dst_url = es_pair
+    dst.seed("ix", "t", {"a": {"old": 1, "keep": True}})
+    df = spark.createDataFrame(
+        [("ix", "t", "a", json.dumps({"old": 2, "new": 3}), None)],
+        "_index string, _type string, _id string, _source string, _size long",
+    )
+    es_rest.bulk_upsert(df, dst_url)
+    assert dst.contents("ix")["a"] == {"old": 2, "keep": True, "new": 3}
