@@ -23,7 +23,7 @@ from chillastic_spark.operators.mutate import apply_data_mutators, mutate_object
 from chillastic_spark.plans import Bound, DataFrameSizeStats, plan_bounds
 from chillastic_spark.registry import Filters, Mutators
 from chillastic_spark.sinks import upsert
-from chillastic_spark.sources import DocumentStore
+from chillastic_spark.sources import DocumentStore, open_store
 
 
 class TaskError(RuntimeError):
@@ -225,7 +225,12 @@ class Transfer:
             self.spark, subtask.index, subtask.type, subtask.min_size, subtask.max_size
         )
         df = apply_data_mutators(df, self.mutators_by_type.get("data"))
-        delivered = upsert(self.spark, self.dest, df)
+        # sink dispatch: ES destinations deliver via _bulk doc_as_upsert,
+        # parquet stores via the bucket-scoped MERGE — same semantics
+        if hasattr(self.dest, "deliver"):
+            delivered = self.dest.deliver(self.spark, df)
+        else:
+            delivered = upsert(self.spark, self.dest, df)
         if self.update_callback:
             self.update_callback(delivered, subtask.count)
         return delivered
@@ -280,7 +285,7 @@ class Engine:
             raise TaskError(f"task {task_id} already exists")
         task.validate()
         for path in (task.source, task.destination):
-            if not os.path.isdir(path):
+            if not open_store(path, create=False).reachable():
                 raise TaskError(f"store not reachable: {path}")
         try:
             self.mutators.ensure_exist(task.mutators)
@@ -332,7 +337,7 @@ class Engine:
         state.data["progress"] = {}  # clear stale in-progress from failed runs
         state.data["total"] = sum(state.data["completed"].values())
         state.save()  # persist the clear even if nothing gets enqueued
-        source = DocumentStore(task.source)
+        source = open_store(task.source)
 
         potential: list[Subtask] = []
         t = task.transfer
@@ -460,8 +465,8 @@ class Engine:
             # exclusive writer: a second process running the same task
             # fails fast instead of racing the backlog pops
             state.acquire_writer()
-        source = DocumentStore(task.source)
-        dest = DocumentStore(task.destination)
+        source = open_store(task.source)
+        dest = open_store(task.destination)
         mutators = self.mutators.load_by_type(task.mutators, task.arguments)
         transfer = Transfer(self.spark, source, dest, mutators)
         lock = threading.Lock()

@@ -69,11 +69,47 @@ class StoreError(RuntimeError):
     pass
 
 
+def clean_index_settings(index: dict) -> None:
+    """Strip non-portable settings in place (transfer.js:234-243)."""
+    settings = index.get("settings", {}).get("index")
+    if isinstance(settings, dict):
+        for k in NON_PORTABLE_SETTINGS:
+            settings.pop(k, None)
+        if isinstance(settings.get("version"), dict):
+            settings["version"].pop("created", None)
+
+
+def types_of_config(index_cfg: dict) -> list[dict]:
+    """Mapping types of an index config, name injected
+    (subtasks.js:165 getTypesFromMappings)."""
+    return [
+        dict(t or {}, name=name)
+        for name, t in sorted((index_cfg.get("mappings") or {}).items())
+    ]
+
+
+def open_store(path_or_url: str, create: bool = True):
+    """Store factory: a filesystem path opens the parquet
+    DocumentStore; an http(s) URL opens the ES wire-protocol store —
+    so a Task can point source/destination at either, exactly like the
+    reference's host configs (models/task.js source/destination).
+
+    ``create=False`` opens without materialising directories — the
+    admission-time reachability probe must not conjure the store it is
+    checking for."""
+    if isinstance(path_or_url, str) and path_or_url.startswith(("http://", "https://")):
+        from chillastic_spark.sources.es_rest import ESStore
+
+        return ESStore(path_or_url)
+    return DocumentStore(path_or_url, create=create)
+
+
 class DocumentStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, create: bool = True):
         self.root = root
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        os.makedirs(os.path.join(root, "catalog"), exist_ok=True)
+        if create:
+            os.makedirs(os.path.join(root, "data"), exist_ok=True)
+            os.makedirs(os.path.join(root, "catalog"), exist_ok=True)
 
     # ---------------------------------------------------------- paths
     def index_path(self, index: str) -> str:
@@ -119,14 +155,12 @@ class DocumentStore:
             name = index.pop("name", None)
             if not isinstance(name, str):
                 raise StoreError("index config must carry a string name")
-            settings = index.get("settings", {}).get("index")
-            if isinstance(settings, dict):
-                for k in NON_PORTABLE_SETTINGS:
-                    settings.pop(k, None)
-                if isinstance(settings.get("version"), dict):
-                    settings["version"].pop("created", None)
+            clean_index_settings(index)
             cat[name] = index
         self._write_catalog("indices", cat)
+
+    def reachable(self) -> bool:
+        return os.path.isdir(self.root)
 
     # ---------------------------------------------------- templates
     def get_templates(self, pattern: str) -> list[dict]:
@@ -162,10 +196,7 @@ class DocumentStore:
     def types_of(self, index_cfg: dict) -> list[dict]:
         """Mapping types of an index config, name injected
         (subtasks.js:165 getTypesFromMappings)."""
-        return [
-            dict(t or {}, name=name)
-            for name, t in sorted((index_cfg.get("mappings") or {}).items())
-        ]
+        return types_of_config(index_cfg)
 
     # ------------------------------------------------------ buckets
     def bucket_count(self, index: str) -> Optional[int]:

@@ -25,12 +25,35 @@ import urllib.error
 import urllib.request
 from typing import Iterable, Optional
 
+import fnmatch
+
 from pyspark.sql import DataFrame, SparkSession
 
-from chillastic_spark.sources import ENVELOPE_SCHEMA
+from chillastic_spark.sources import (
+    ENVELOPE_SCHEMA,
+    StoreError,
+    clean_index_settings,
+    types_of_config,
+)
 from chillastic_spark.sources.elasticsearch import SCROLL_TTL, _range_body
 
 BULK_REJECTED = "es_rejected_execution_exception"
+
+
+def _get(url: str) -> dict:
+    with urllib.request.urlopen(url) as resp:
+        return json.loads(resp.read().decode())
+
+
+def _put(url: str, body: dict) -> dict:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="PUT",
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read().decode())
 
 
 def _post(url: str, body: "dict | str | None", ndjson: bool = False) -> dict:
@@ -160,3 +183,120 @@ def bulk_upsert(
             flush()
     flush()
     return delivered
+
+
+class ESStore:
+    """The DocumentStore surface spoken over the ES wire protocol, so a
+    Task's source/destination can be an http(s) URL and the SAME Engine
+    pipeline (admission → backlog planning → scan → mutate → deliver)
+    runs against an Elasticsearch cluster — what the reference does
+    natively (its source/destination are ES host configs,
+    models/task.js).
+
+    Catalog ops map to the index/template APIs the reference's client
+    calls (transfer.js:364-372 indices.get, :224-258 indices.create,
+    :383-406 getTemplate/putTemplate); data ops ride scan_to_df /
+    bulk_upsert above. Planning reads (count, size-stats sample) are
+    ``size=0`` searches and scrolls, exactly the reference's
+    subtasks.js:97-100 count query.
+    """
+
+    def __init__(self, base_url: str):
+        self.root = base_url.rstrip("/")
+
+    def reachable(self) -> bool:
+        try:
+            _get(self.root + "/")
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+
+    # ---------------------------------------------------- index configs
+    def get_indices(self, pattern: str) -> list[dict]:
+        if not isinstance(pattern, str) or not pattern:
+            raise StoreError("pattern must be a non-empty string")
+        resp = _get(f"{self.root}/{pattern}")
+        return [dict(cfg, name=name) for name, cfg in sorted(resp.items())]
+
+    def put_indices(self, indices: list[dict]) -> None:
+        if not isinstance(indices, list):
+            raise StoreError("indices must be a list")
+        for index in indices:
+            index = json.loads(json.dumps(index))
+            name = index.pop("name", None)
+            if not isinstance(name, str):
+                raise StoreError("index config must carry a string name")
+            clean_index_settings(index)  # transfer.js:234-243
+            _put(f"{self.root}/{name}", index)
+
+    # ------------------------------------------------------- templates
+    def get_templates(self, pattern: str) -> list[dict]:
+        if not isinstance(pattern, str) or not pattern:
+            raise StoreError("pattern must be a non-empty string")
+        try:
+            resp = _get(f"{self.root}/_template/{pattern}")
+        except urllib.error.HTTPError as e:
+            if e.code == 404:  # transfer.js:397-401
+                raise StoreError("Templates asked to be copied, but none found") from e
+            raise
+        found = [
+            dict(cfg, name=name)
+            for name, cfg in sorted(resp.items())
+            if not any(p.startswith(".") for p in cfg.get("index_patterns", []))
+        ]
+        if not found:
+            raise StoreError("Templates asked to be copied, but none found")
+        return found
+
+    def put_templates(self, templates: list[dict]) -> None:
+        if not isinstance(templates, list):
+            raise StoreError("templates must be a list")
+        for template in templates:
+            template = json.loads(json.dumps(template))
+            name = template.pop("name", None)
+            if not isinstance(name, str):
+                raise StoreError("template must carry a string name")
+            _put(f"{self.root}/_template/{name}", template)
+
+    # ------------------------------------------------------------ types
+    def types_of(self, index_cfg: dict) -> list[dict]:
+        return types_of_config(index_cfg)
+
+    # ------------------------------------------------------------- data
+    def list_data_indices(self, pattern: str = "*") -> list[str]:
+        return sorted(
+            fnmatch.filter((c["name"] for c in self.get_indices("*")), pattern)
+        )
+
+    def read(
+        self,
+        spark: SparkSession,
+        index: str,
+        type: Optional[str] = None,
+        min_size: float = -1,
+        max_size: float = -1,
+    ) -> DataFrame:
+        return scan_to_df(
+            spark, self.root, index, type,
+            min_size=min_size, max_size=max_size,
+        )
+
+    def count(
+        self,
+        spark: SparkSession,
+        index: str,
+        type: Optional[str] = None,
+        min_size: float = -1,
+        max_size: float = -1,
+    ) -> int:
+        """size=0 count search (subtasks.js:97-100)."""
+        path = f"{self.root}/{index}" + (f"/{type}" if type else "")
+        body = _range_body(min_size, max_size) if (min_size >= 0 and max_size >= 0) else None
+        return _post(f"{path}/_search?size=0", body)["hits"]["total"]
+
+    def deliver(self, spark: SparkSession, df: DataFrame) -> int:
+        """Sink dispatch target for Transfer: bulk doc_as_upsert."""
+        return bulk_upsert(df, self.root)
+
+    def index_path(self, index: str) -> str:  # lock key for Transfer
+        return f"{self.root}/{index}"

@@ -24,6 +24,8 @@ class FakeES:
     def __init__(self, reject_first_bulks: int = 0):
         # {(index, type, id): source}
         self.docs: dict[tuple, dict] = {}
+        self.index_cfgs: dict[str, dict] = {}
+        self.templates: dict[str, dict] = {}
         self.bulk_bodies: list[str] = []
         self.scrolls: dict[str, dict] = {}
         self.reject_remaining = reject_first_bulks
@@ -35,6 +37,17 @@ class FakeES:
     def seed(self, index: str, doc_type: str, docs: dict[str, dict]) -> None:
         for _id, src in docs.items():
             self.docs[(index, doc_type, str(_id))] = dict(src)
+        self.index_cfgs.setdefault(
+            index,
+            {"settings": {"index": {"number_of_shards": 1}},
+             "mappings": {doc_type: {}}, "aliases": {}},
+        ).setdefault("mappings", {}).setdefault(doc_type, {})
+
+    def seed_index_cfg(self, index: str, cfg: dict) -> None:
+        self.index_cfgs[index] = cfg
+
+    def seed_template(self, name: str, template: dict) -> None:
+        self.templates[name] = template
 
     def contents(self, index: str) -> dict[str, dict]:
         return {
@@ -43,7 +56,40 @@ class FakeES:
 
     # ------------------------------------------------------------- app
     def _build(self) -> Flask:
+        import fnmatch
+
         app = Flask("fake-es")
+
+        @app.get("/")
+        def root():  # cluster-info ping
+            return {"cluster_name": "fake-es", "version": {"number": "5.6.0"}}
+
+        @app.get("/_template/<pattern>")
+        def get_template(pattern):
+            found = {
+                n: t for n, t in self.templates.items() if fnmatch.fnmatch(n, pattern)
+            }
+            if not found:
+                return {"error": "not found"}, 404
+            return found
+
+        @app.put("/_template/<name>")
+        def put_template(name):
+            self.templates[name] = request.get_json()
+            return {"acknowledged": True}
+
+        @app.get("/<pattern>")
+        def get_indices(pattern):  # indices.get with glob (transfer.js:364-372)
+            return {
+                n: cfg
+                for n, cfg in self.index_cfgs.items()
+                if fnmatch.fnmatch(n, pattern)
+            }
+
+        @app.put("/<index>")
+        def create_index(index):  # indices.create (transfer.js:251-256)
+            self.index_cfgs[index] = request.get_json() or {}
+            return {"acknowledged": True}
 
         def matches(src_size: Optional[int], body: Optional[dict]) -> bool:
             if not body:

@@ -1,0 +1,109 @@
+"""The reference's full deployment shape, executed: an Engine Task
+whose source AND destination are ES clusters (http URLs) — admission →
+catalog transfer → backlog planning (count queries) → scan-scroll →
+mutator chain → bulk doc_as_upsert — against two in-process wire
+fixtures. A chillastic user's task runs here unchanged."""
+import pytest
+
+from chillastic_spark.engine import Engine, TaskError
+from chillastic_spark.model import ActionRef, Task, TransferSpec
+from es_fixture import FakeES
+
+DATE_MUTATOR = """
+TYPE = "data"
+OLD = re.compile(r"^(.*)_(\\d{4}-\\d{2})-\\d{2}$")
+def predicate(doc, args):
+    return bool(OLD.match(doc["_index"]))
+def mutate(doc, args):
+    doc["_index"] = OLD.sub(r"\\1_\\2", doc["_index"])
+    return doc
+"""
+
+
+@pytest.fixture
+def clusters():
+    src, dst = FakeES(), FakeES()
+    yield src, src.start(), dst, dst.start()
+    src.stop()
+    dst.stop()
+
+
+def test_engine_task_es_to_es(spark, tmp_path, clusters):
+    src, src_url, dst, dst_url = clusters
+    src.seed("log_2016-12-01", "t1", {
+        f"id{i}": {"field": f"value {i}"} for i in range(15)
+    })
+    src.seed_index_cfg("log_2016-12-01", {
+        "settings": {"index": {
+            "number_of_shards": 2, "uuid": "abc", "creation_date": 1,
+            "provided_name": "log_2016-12-01", "version": {"created": 5000},
+        }},
+        "mappings": {"t1": {}},
+        "aliases": {"logs": {}},
+        "warmers": {"w1": {"types": [], "source": {}}},
+    })
+    src.seed_template("log_tpl", {"index_patterns": ["log_*"],
+                                  "settings": {"number_of_shards": 2}})
+    src.seed_template(".system_tpl", {"index_patterns": [".monitoring*"]})
+
+    eng = Engine(spark, str(tmp_path / "state"))
+    eng.mutators.add("indexDate", DATE_MUTATOR)
+    eng.add_task("es2es", Task(
+        source=src_url, destination=dst_url,
+        transfer=TransferSpec(
+            from_indices="log_*", index_names="log_*", template_names="log_*",
+        ),
+        mutators=[ActionRef(id="indexDate")],
+    ))
+    status = eng.run_task("es2es")
+    assert status["percentComplete"] == 100.0
+    assert status["completed"] == 15
+
+    # documents rerouted by the mutator and bulk-upserted over the wire
+    got = dst.contents("log_2016-12")
+    assert len(got) == 15 and got["id7"] == {"field": "value 7"}
+    # index config created on the destination with non-portable settings
+    # stripped and warmers carried (transfer.js:224-258, :364-372)
+    cfg = dst.index_cfgs["log_2016-12-01"]
+    assert cfg["settings"]["index"]["number_of_shards"] == 2
+    for bad in ("uuid", "creation_date", "provided_name"):
+        assert bad not in cfg["settings"]["index"]
+    assert "created" not in cfg["settings"]["index"].get("version", {})
+    assert cfg["warmers"] == {"w1": {"types": [], "source": {}}}
+    # non-system template transferred, system template excluded
+    assert "log_tpl" in dst.templates and ".system_tpl" not in dst.templates
+
+    # resume semantics survive the wire: rebuild + rerun is a no-op
+    eng.build_backlog("es2es")
+    status = eng.run_task("es2es")
+    assert status["backlog"] == 0
+    assert dst.contents("log_2016-12") == got
+
+
+def test_unreachable_es_fails_admission(spark, tmp_path, clusters):
+    _src, src_url, _dst, _ = clusters
+    eng = Engine(spark, str(tmp_path / "state"))
+    with pytest.raises(TaskError, match="not reachable"):
+        eng.add_task("bad", Task(
+            source=src_url, destination="http://127.0.0.1:9",  # closed port
+            transfer=TransferSpec(from_indices="x*"),
+        ))
+
+
+def test_es_to_parquet_store(spark, tmp_path, clusters):
+    """Hybrid deployment: scroll out of ES into the parquet store (the
+    offload/archive direction)."""
+    from chillastic_spark.sources import DocumentStore
+
+    src, src_url, _dst, _ = clusters
+    src.seed("myindex1", "t1", {f"d{i}": {"v": i} for i in range(8)})
+    dst = DocumentStore(str(tmp_path / "pq"))
+    eng = Engine(spark, str(tmp_path / "state"))
+    eng.add_task("es2pq", Task(
+        source=src_url, destination=dst.root,
+        transfer=TransferSpec(from_indices="myindex*"),
+    ))
+    status = eng.run_task("es2pq")
+    assert status["completed"] == 8
+    assert dst.count(spark, "myindex1") == 8
+    assert dst.bucket_count("myindex1") is not None  # landed bucketed
