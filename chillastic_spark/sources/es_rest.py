@@ -300,3 +300,50 @@ class ESStore:
 
     def index_path(self, index: str) -> str:  # lock key for Transfer
         return f"{self.root}/{index}"
+
+    def purge(
+        self,
+        spark: SparkSession,
+        index: str,
+        ids: "DataFrame | list[str]",
+        type: Optional[str] = None,
+    ) -> int:
+        """sinks.purge twin over the wire: resolve victim (type, id)
+        keys with a scroll (types aren't client-known), then _bulk
+        delete actions."""
+        if isinstance(ids, list):
+            victims = set(ids)
+        else:
+            victims = {r["_id"] for r in ids.select("_id").distinct().collect()}
+        keys = [
+            (h.get("_type"), str(h["_id"]))
+            for h in scan(self.root, index, type)
+            if str(h["_id"]) in victims
+        ]
+        return bulk_delete(self.root, index, keys)
+
+
+def bulk_delete(
+    base_url: str,
+    index: str,
+    keys: "list[tuple[str, str]]",
+    flush_size: int = 100,
+) -> int:
+    """Targeted per-id delete via ``_bulk`` ``delete`` actions — the ES
+    twin of sinks.purge (right-to-be-forgotten). ``keys`` are
+    (doc_type, _id) pairs. Returns docs actually deleted (idempotent:
+    re-running yields not_found, counted 0)."""
+    deleted = 0
+    for start in range(0, len(keys), flush_size):
+        lines = [
+            json.dumps(
+                {"delete": {"_index": index, "_type": t, "_id": i}},
+                separators=(",", ":"),
+            )
+            for t, i in keys[start : start + flush_size]
+        ]
+        resp = _post(f"{base_url}/_bulk", "\n".join(lines) + "\n", ndjson=True)
+        for item in resp.get("items", []):
+            if item.get("delete", {}).get("result") == "deleted":
+                deleted += 1
+    return deleted

@@ -152,14 +152,28 @@ class FakeES:
                     ],
                 }
             items = []
-            for action, doc in zip(lines[::2], lines[1::2]):
+            i = 0
+            while i < len(lines):
+                action = lines[i]
+                if "delete" in action:  # action-only line, no doc follows
+                    meta = action["delete"]
+                    key = (meta["_index"], meta["_type"], str(meta["_id"]))
+                    found = self.docs.pop(key, None) is not None
+                    items.append({"delete": {
+                        "status": 200 if found else 404,
+                        "result": "deleted" if found else "not_found",
+                    }})
+                    i += 1
+                    continue
                 meta = action["update"]
+                doc = lines[i + 1]
                 key = (meta["_index"], meta["_type"], str(meta["_id"]))
                 assert doc.get("doc_as_upsert") is True  # the S4 contract
                 existing = self.docs.get(key, {})
                 existing.update(doc["doc"])  # partial-doc merge semantics
                 self.docs[key] = existing
                 items.append({"update": {"status": 200}})
+                i += 2
             return {"errors": False, "items": items}
 
         return app

@@ -122,3 +122,14 @@ def test_partial_doc_merge_semantics(spark, es_pair):
     )
     es_rest.bulk_upsert(df, dst_url)
     assert dst.contents("ix")["a"] == {"old": 2, "keep": True, "new": 3}
+
+
+def test_es_purge_deletes_victims_idempotently(spark, es_pair):
+    from chillastic_spark.sources.es_rest import ESStore
+
+    src, src_url, _dst, _ = es_pair
+    _seed(src, n=10)
+    store = ESStore(src_url)
+    assert store.purge(spark, "log_2016-12-01", ["id3", "id7", "ghost"]) == 2
+    assert len(src.contents("log_2016-12-01")) == 8
+    assert store.purge(spark, "log_2016-12-01", ["id3", "id7"]) == 0  # no-op
