@@ -221,14 +221,22 @@ class Transfer:
         mutator chain, MERGE into dest (transfer.js:103-151 reshaped:
         the scroll loop IS the partitioned scan; flush buffering IS the
         write; retries are Spark task retries)."""
+        flush = subtask.flush_size if (subtask.flush_size or 0) > 0 else 100
+        read_kw = {}
+        if hasattr(self.source, "deliver"):  # ES source pages at flushSize
+            read_kw["flush_size"] = flush
         df = self.source.read(
-            self.spark, subtask.index, subtask.type, subtask.min_size, subtask.max_size
+            self.spark, subtask.index, subtask.type, subtask.min_size,
+            subtask.max_size, **read_kw,
         )
         df = apply_data_mutators(df, self.mutators_by_type.get("data"))
         # sink dispatch: ES destinations deliver via _bulk doc_as_upsert,
-        # parquet stores via the bucket-scoped MERGE — same semantics
+        # parquet stores via the bucket-scoped MERGE — same semantics.
+        # The planned per-subtask flushSize drives scroll page size and
+        # bulk batch size, exactly the reference contract
+        # (transfer.js:145, :159-167).
         if hasattr(self.dest, "deliver"):
-            delivered = self.dest.deliver(self.spark, df)
+            delivered = self.dest.deliver(self.spark, df, flush_size=flush)
         else:
             delivered = upsert(self.spark, self.dest, df)
         if self.update_callback:
@@ -465,10 +473,18 @@ class Engine:
             # exclusive writer: a second process running the same task
             # fails fast instead of racing the backlog pops
             state.acquire_writer()
-        source = open_store(task.source)
-        dest = open_store(task.destination)
-        mutators = self.mutators.load_by_type(task.mutators, task.arguments)
-        transfer = Transfer(self.spark, source, dest, mutators)
+        try:
+            # everything below the acquire runs inside the release guard:
+            # a setup failure (deleted mutator, dead store) must not leak
+            # the flock and wedge the task for the process lifetime
+            source = open_store(task.source)
+            dest = open_store(task.destination)
+            mutators = self.mutators.load_by_type(task.mutators, task.arguments)
+            transfer = Transfer(self.spark, source, dest, mutators)
+        except Exception:
+            if not shared:
+                state.release_writer()
+            raise
         lock = threading.Lock()
         done = [0]
 

@@ -237,9 +237,16 @@ class DocumentStore:
         return [p for p in cand if os.path.isdir(p)]
 
     def stream_path(self, index: str) -> str:
-        """Path/glob for readStream over one index, either layout."""
+        """Path/glob for readStream over one index, either layout.
+
+        The glob matches STRICT bucket-NNNN names only — a crash
+        leftover like ``bucket-0007.old-ab12`` or an in-flight
+        ``.compact-`` dir must not be streamed (double reads /
+        half-written files)."""
         if self.bucket_count(index) is not None:
-            return os.path.join(self.index_path(index), BUCKET_PREFIX + "*")
+            return os.path.join(
+                self.index_path(index), BUCKET_PREFIX + "[0-9][0-9][0-9][0-9]"
+            )
         return self.index_path(index)
 
     # --------------------------------------------------------- data

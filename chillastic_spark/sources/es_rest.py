@@ -73,13 +73,15 @@ def scan(
     flush_size: int = 100,
     min_size: float = -1,
     max_size: float = -1,
+    body: "Optional[dict]" = None,
 ) -> "Iterable[dict]":
     """Scan-and-scroll generator yielding raw hit dicts — the
     transfer.js:119-146 loop: page, then keep scrolling until
-    ``hits.total`` documents have been seen."""
+    ``hits.total`` documents have been seen. ``body`` overrides the
+    query (e.g. an ids query for purge); the default is the subtask
+    ``_size``-range body when bounds are given."""
     path = f"{base_url}/{index}" + (f"/{doc_type}" if doc_type else "")
-    body = None
-    if min_size >= 0 and max_size >= 0:
+    if body is None and min_size >= 0 and max_size >= 0:
         body = _range_body(min_size, max_size)  # subtask.js:61-74
     resp = _post(f"{path}/_search?scroll={SCROLL_TTL}&size={flush_size}", body)
     scrolled = 0
@@ -90,7 +92,10 @@ def scan(
             yield h
         if scrolled >= resp["hits"]["total"] or not hits:
             return
-        resp = _post(  # transfer.js:79-83
+        # continuation keep-alive is '1h' exactly like the reference
+        # (transfer.js:79-83 scroll: '1h'); like the reference, contexts
+        # expire by TTL — no explicit DELETE _search/scroll
+        resp = _post(
             f"{base_url}/_search/scroll",
             {"scroll_id": resp["_scroll_id"], "scroll": "1h"},
         )
@@ -123,11 +128,11 @@ def scan_to_df(
 def doc_to_bulk(doc: dict) -> list[str]:
     """One document → its two NDJSON bulk lines, field-for-field the
     reference's docToBulk (transfer.js:175-189)."""
+    meta = {"_index": doc["_index"], "_type": doc["_type"], "_id": doc["_id"]}
+    if meta["_type"] is None:
+        del meta["_type"]  # JSON.stringify drops undefined; ES rejects null
     return [
-        json.dumps(
-            {"update": {"_index": doc["_index"], "_type": doc["_type"], "_id": doc["_id"]}},
-            separators=(",", ":"),
-        ),
+        json.dumps({"update": meta}, separators=(",", ":")),
         json.dumps(
             {"doc": doc["_source"], "doc_as_upsert": True}, separators=(",", ":")
         ),
@@ -159,13 +164,18 @@ def bulk_upsert(
         payload = "\n".join(batch) + "\n"
         for attempt in range(max_retries + 1):
             resp = _post(f"{base_url}/_bulk", payload, ndjson=True)
-            rejected = resp.get("errors") and any(
-                BULK_REJECTED in json.dumps(item) for item in resp.get("items", [])
-            )
-            if not rejected:
+            if not resp.get("errors"):
                 delivered += pending
                 batch, pending = [], 0
                 return
+            items = resp.get("items", [])
+            rejected = any(BULK_REJECTED in json.dumps(i) for i in items)
+            if not rejected:
+                # mapper/validation failures are NOT retryable and must
+                # not be silently counted as delivered — the subtask
+                # errors and reappears on backlog rebuild
+                bad = [i for i in items if "error" in json.dumps(i)][:3]
+                raise RuntimeError(f"bulk item failures: {bad}")
             if attempt == max_retries:
                 raise RuntimeError(f"bulk rejected after {max_retries} retries")
             time.sleep(backoff_sec * (2**attempt))
@@ -215,7 +225,12 @@ class ESStore:
     def get_indices(self, pattern: str) -> list[dict]:
         if not isinstance(pattern, str) or not pattern:
             raise StoreError("pattern must be a non-empty string")
-        resp = _get(f"{self.root}/{pattern}")
+        try:
+            resp = _get(f"{self.root}/{pattern}")
+        except urllib.error.HTTPError as e:
+            if e.code == 404:  # no matching index — plan zero subtasks,
+                return []      # same as the DocumentStore twin
+            raise
         return [dict(cfg, name=name) for name, cfg in sorted(resp.items())]
 
     def put_indices(self, indices: list[dict]) -> None:
@@ -275,9 +290,10 @@ class ESStore:
         type: Optional[str] = None,
         min_size: float = -1,
         max_size: float = -1,
+        flush_size: int = 100,
     ) -> DataFrame:
         return scan_to_df(
-            spark, self.root, index, type,
+            spark, self.root, index, type, flush_size=flush_size,
             min_size=min_size, max_size=max_size,
         )
 
@@ -294,9 +310,10 @@ class ESStore:
         body = _range_body(min_size, max_size) if (min_size >= 0 and max_size >= 0) else None
         return _post(f"{path}/_search?size=0", body)["hits"]["total"]
 
-    def deliver(self, spark: SparkSession, df: DataFrame) -> int:
-        """Sink dispatch target for Transfer: bulk doc_as_upsert."""
-        return bulk_upsert(df, self.root)
+    def deliver(self, spark: SparkSession, df: DataFrame, flush_size: int = 100) -> int:
+        """Sink dispatch target for Transfer: bulk doc_as_upsert at the
+        planned flushSize (transfer.js:159-167)."""
+        return bulk_upsert(df, self.root, flush_size=flush_size)
 
     def index_path(self, index: str) -> str:  # lock key for Transfer
         return f"{self.root}/{index}"
@@ -312,12 +329,18 @@ class ESStore:
         keys with a scroll (types aren't client-known), then _bulk
         delete actions."""
         if isinstance(ids, list):
-            victims = set(ids)
+            victims = {str(i) for i in ids}
         else:
-            victims = {r["_id"] for r in ids.select("_id").distinct().collect()}
+            victims = {
+                str(r["_id"]) for r in ids.select("_id").distinct().collect()
+            }
+        if not victims:
+            return 0
+        # ids query: only the victims travel, not the index
+        body = {"query": {"ids": {"values": sorted(victims)}}}
         keys = [
             (h.get("_type"), str(h["_id"]))
-            for h in scan(self.root, index, type)
+            for h in scan(self.root, index, type, body=body)
             if str(h["_id"]) in victims
         ]
         return bulk_delete(self.root, index, keys)

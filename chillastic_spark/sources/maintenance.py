@@ -93,7 +93,32 @@ def compact_index(
     dir independently — rows never cross buckets, so the bucket-scoped
     MERGE invariant survives OPTIMIZE, exactly as Delta compaction
     respects table partitioning.
+
+    Compaction takes the SAME per-index locks as upsert/purge: a
+    rewrite racing a concurrent merge would otherwise rename stale
+    compacted data over the batch the merge just landed.
     """
+    from chillastic_spark.locks import FileLock
+    from chillastic_spark.sinks import _index_lock
+
+    with _index_lock(store.index_path(index)), FileLock(
+        store.index_path(index) + ".lock"
+    ):
+        return _compact_index_locked(
+            spark, store, index, target_file_bytes, min_files_to_compact,
+            sort_by, zorder_by,
+        )
+
+
+def _compact_index_locked(
+    spark: SparkSession,
+    store: DocumentStore,
+    index: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files_to_compact: int = 2,
+    sort_by: "list[str] | None" = None,
+    zorder_by: "list[str] | None" = None,
+) -> dict:
     if store.bucket_count(index) is not None:
         return _compact_bucketed(
             spark, store, index, target_file_bytes, min_files_to_compact,

@@ -91,10 +91,13 @@ class FakeES:
             self.index_cfgs[index] = request.get_json() or {}
             return {"acknowledged": True}
 
-        def matches(src_size: Optional[int], body: Optional[dict]) -> bool:
+        def matches(_id: str, src_size: Optional[int], body: Optional[dict]) -> bool:
             if not body:
                 return True
-            rng = body["query"]["range"]["_size"]
+            q = body["query"]
+            if "ids" in q:
+                return _id in q["ids"]["values"]
+            rng = q["range"]["_size"]
             size = src_size if src_size is not None else 0
             if "gte" in rng and not size >= rng["gte"]:
                 return False
@@ -118,7 +121,7 @@ class FakeES:
                 for (ix, t, _id), src in sorted(self.docs.items())
                 if ix == index
                 and (doc_type is None or t == doc_type)
-                and matches(src.get("__size"), body)
+                and matches(_id, src.get("__size"), body)
             ]
             sid = uuid.uuid4().hex
             self.scrolls[sid] = {"rest": hits[size:], "total": len(hits), "size": size}
@@ -167,7 +170,7 @@ class FakeES:
                     continue
                 meta = action["update"]
                 doc = lines[i + 1]
-                key = (meta["_index"], meta["_type"], str(meta["_id"]))
+                key = (meta["_index"], meta.get("_type"), str(meta["_id"]))
                 assert doc.get("doc_as_upsert") is True  # the S4 contract
                 existing = self.docs.get(key, {})
                 existing.update(doc["doc"])  # partial-doc merge semantics

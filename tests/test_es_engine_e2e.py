@@ -107,3 +107,23 @@ def test_es_to_parquet_store(spark, tmp_path, clusters):
     assert status["completed"] == 8
     assert dst.count(spark, "myindex1") == 8
     assert dst.bucket_count("myindex1") is not None  # landed bucketed
+
+
+def test_planned_flush_size_drives_scroll_and_bulk(spark, tmp_path, clusters):
+    """The subtask's flushSize reaches the wire: scroll page size AND
+    bulk batch size (transfer.js:145, :159-167)."""
+    src, src_url, dst, dst_url = clusters
+    src.seed("myindex1", "t1", {f"d{i}": {"v": i} for i in range(12)})
+    eng = Engine(spark, str(tmp_path / "state"))
+    eng.add_task("flushy", Task(
+        source=src_url, destination=dst_url,
+        transfer=TransferSpec(from_indices="myindex*", flush_size=5),
+    ))
+    eng.run_task("flushy")
+    assert len(dst.contents("myindex1")) == 12
+    # the TRANSFER scan paged at the planned flushSize (the size-100
+    # scroll earlier in the set is backlog planning's stats read)
+    assert 5 in {st["size"] for st in src.scrolls.values()}
+    # bulk bodies batched at 5 docs (10 NDJSON lines) except the tail
+    sizes = [len(b.strip().splitlines()) // 2 for b in dst.bulk_bodies]
+    assert max(sizes) == 5 and sum(sizes) == 12

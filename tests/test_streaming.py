@@ -76,3 +76,28 @@ def test_deduplicated_ingest_across_batches(spark, tmp_path, store_factory):
     q2 = deduplicated_ingest(spark, src, "idx1", dst, ckpt)
     q2.awaitTermination(120)
     assert dst.count(spark, "idx1") == 7  # 6 originals + 1 fresh
+
+
+def test_stream_over_bucketed_source_ignores_scratch_dirs(spark, tmp_path, store_factory):
+    """A bucketed source index streams via the strict bucket-NNNN glob:
+    crash leftovers (bucket-0000.old-x with real files) are not read."""
+    import shutil
+
+    from chillastic_spark.sinks import upsert
+
+    src = store_factory("src-b")
+    dst = store_factory("dst-b")
+    docs = spark.createDataFrame(
+        [("bix", "t", f"d{i}", json.dumps({"someField_1": f"s{i}"}), 10)
+         for i in range(12)],
+        ENVELOPE_SCHEMA,
+    )
+    upsert(spark, src, docs, n_buckets=4)
+    assert src.bucket_count("bix") == 4
+    # plant a data-bearing crash leftover next to a live bucket
+    live = src.bucket_paths("bix")[0]
+    shutil.copytree(live, live + ".old-dead")
+
+    q = continuous_reindex(spark, src, "bix", dst, str(tmp_path / "ckb"))
+    q.awaitTermination(120)
+    assert dst.count(spark, "bix") == 12  # no double reads
