@@ -72,6 +72,75 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return w.join(keep, [ "__fp", id_col], "left_semi").drop("__fp")
 
 
+# ------------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): hash every k-token gram, slide a ``window`` over the
+    gram-hash sequence, keep each window's MINIMUM — the classic
+    rolling-hash fingerprinting scheme with the guarantee that any
+    shared run of ≥ window+k−1 tokens yields at least one shared
+    fingerprint.
+
+    Returns exploded (doc_id, fp) rows, distinct per doc. Everything is
+    array-native column math inside one projection — zero shuffles, and
+    the fingerprint set is ~1/window the gram count (the whole point:
+    a sub-linear sketch that still localises matches).
+    """
+    w = df.select(F.col(id_col).alias("doc_id"), CF.words(text_col).alias("__w"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - (k - 1)),
+        lambda i: CF.hash60(F.concat_ws(" ", F.slice(F.col("__w"), i, k))),
+    )
+    g = w.select(
+        "doc_id",
+        F.when(F.size("__w") >= k, grams)
+        .otherwise(F.array().cast("array<long>"))
+        .alias("__g"),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("__g") - (window - 1)),
+        lambda j: F.array_min(F.slice(F.col("__g"), j, window)),
+    )
+    fps = g.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(F.size("__g") >= window, mins).otherwise(F.col("__g"))
+            )
+        ).alias("fp"),
+    )
+    return fps
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints — the
+    same inverted-index equi-join shape as every other dedup operator
+    (never all-pairs), but over the ~1/window-sized fingerprint sets."""
+    fps = materialize(winnow_fingerprints(df, id_col, text_col, k, window))
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 # ------------------------------------------------------ substring coverage
 
 

@@ -348,6 +348,41 @@ FROM reach GROUP BY n ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------- winnowing
+
+_WK, _WWIN = 5, 4
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprint near-dup pairs (Schleimer
+    et al. 2003): any shared token run ≥ window+k−1 long guarantees a
+    shared fingerprint, at ~1/window the gram volume."""
+    d = load(spark, sf_dir, "documents")
+    return D.winnow_pairs(d, k=_WK, window=_WWIN, min_shared=2)
+
+
+WINNOW_PAIRS_SQL = f"""
+WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= {_WK}
+      THEN list_transform(range(1, len(w) - {_WK - 1} + 1),
+           i -> ('0x' || substr(md5(array_to_string(w[i:i+{_WK - 1}], ' ')), 1, 15))::BIGINT)
+      ELSE []::BIGINT[] END AS gh
+  FROM t),
+fps AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(gh) >= {_WWIN}
+      THEN list_distinct(list_transform(range(1, len(gh) - {_WWIN - 1} + 1),
+           j -> list_aggregate(gh[j:j+{_WWIN - 1}], 'min')))
+      ELSE list_distinct(gh) END) AS fp
+  FROM g)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 # --------------------------------------------------- substring coverage
 
 _SUBSTR_W = 12  # tokens per sliding window
@@ -381,6 +416,7 @@ FROM totals JOIN dups USING (doc_id)
 QUERIES: dict[str, Query] = {
     "text_features": Query(text_features, TEXT_FEATURES_SQL, headline=True),
     "dedup_substring_spans": Query(dedup_substring_spans, SUBSTRING_SPANS_SQL),
+    "dedup_winnow_pairs": Query(dedup_winnow_pairs, WINNOW_PAIRS_SQL),
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, DEDUP_NGRAM_SQL, headline=True),
     "dedup_minhash_lsh": Query(dedup_minhash_lsh, DEDUP_MINHASH_SQL, headline=True),

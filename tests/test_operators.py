@@ -340,3 +340,29 @@ def test_knn_graph_plan_is_bucket_join_group_limit(spark, vectors):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_winnowing_guarantee_and_compression(spark):
+    """Winnowing invariants (Schleimer et al. 2003): (1) any shared
+    token run of >= window+k-1 tokens yields >= 1 shared fingerprint;
+    (2) the fingerprint set is smaller than the gram set; (3) disjoint
+    docs share nothing."""
+    from chillastic_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    shared = "one two three four five six seven eight"  # 8 tokens >= win+k-1
+    rows = [
+        (1, f"aa bb cc {shared} dd ee"),
+        (2, f"{shared} xx yy zz qq rr"),
+        (3, "totally different words without any overlap here at all now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fps = winnow_fingerprints(df, k=5, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # compression: fingerprints < grams (doc 1: 10 grams of k=5)
+    assert len(by_doc[1]) < 10
+    pairs = {(r["id_a"], r["id_b"]) for r in winnow_pairs(df, min_shared=1).collect()}
+    assert pairs == {(1, 2)}
