@@ -415,12 +415,24 @@ class Engine:
             )
             types = keep(loaded.get("type"), source.types_of(cfg))
             for type_cfg in types:
-                df = source.read(self.spark, cfg["name"], type_cfg["name"])
-                bounds = (
-                    [Bound(-1, -1, flush_override)]
-                    if flush_override
-                    else plan_bounds(DataFrameSizeStats(df, shards=shards))
-                )
+                if flush_override:
+                    bounds = [Bound(-1, -1, flush_override)]
+                else:
+                    df = source.read(self.spark, cfg["name"], type_cfg["name"])
+                    # planning probes stats + histograms (several
+                    # actions); a wire source would re-scroll the
+                    # cluster per action, so pin the one-column sample
+                    # for the duration of the search
+                    stats_df = df.select("_size")
+                    if hasattr(source, "deliver"):
+                        stats_df = stats_df.persist()
+                    try:
+                        bounds = plan_bounds(
+                            DataFrameSizeStats(stats_df, shards=shards)
+                        )
+                    finally:
+                        if hasattr(source, "deliver"):
+                            stats_df.unpersist()
                 for b in bounds:
                     out.append(
                         Subtask(

@@ -3,27 +3,50 @@ bulk-upsert data plane over plain HTTP.
 
 Two ES paths exist in this repo:
 
-* ``sources/elasticsearch.py`` — the DISTRIBUTED path: es-hadoop
-  connector options (jar-gated; every executor scrolls its own shard
-  slice). Use on a cluster.
-* this module — the CONTRACT path: a small driver-paged client that
-  speaks the exact protocol the reference speaks (transfer.js:79-151:
-  ``_search?scroll=30m&size=N`` → repeated ``_search/scroll`` until
-  ``hits.total`` is drained; transfer.js:159-189: ``_bulk`` NDJSON of
+* ``sources/elasticsearch.py`` — the es-hadoop connector options
+  (jar-gated; the JVM-native cluster path).
+* this module — a self-contained wire client that speaks the exact
+  protocol the reference speaks (transfer.js:79-151:
+  ``_search?scroll=30m&size=N`` → repeated ``_search/scroll`` until the
+  slice is drained; transfer.js:159-189: ``_bulk`` NDJSON of
   ``{"update": {...}}\\n{"doc": ..., "doc_as_upsert": true}``;
   transfer.js:306-352: retry with backoff on
-  ``es_rejected_execution_exception``). Driver-paged is exactly how the
-  reference itself moves data (one Node process per subtask); here it
-  exists so the ES wire contract is EXECUTED end-to-end in tests, not
-  merely option-mapped.
+  ``es_rejected_execution_exception``).
+
+Scale model (r3 verdict #1): the scan is EXECUTOR-SIDE. ``scan_to_df``
+parallelizes N sliced scrolls (the ES ``slice`` search parameter,
+ES >= 5.0) so each Spark task drains its own disjoint 1/N of the slice
+— the reference's parallel-workers-each-scrolling-a-slice shape
+(worker.js:61-123, transfer.js:103-151) mapped onto Spark tasks. The
+slice never materializes on the driver. Delivery is likewise
+distributed (``bulk_upsert_distributed``): each task flushes its own
+``_bulk`` batches at the planned flushSize. The driver-paged
+``pipe()`` remains as the constant-memory single-process fallback with
+the reference's exact page → mutate → deliver loop.
+
+On a real cluster ship this package to the Python workers
+(``--py-files`` / a cluster-wide env) — the executor closures import it.
+
+Config parity with the reference's client factory
+(config/elasticsearch.js:42-138): ``AUTH_TOKEN`` becomes a verbatim
+``Authorization`` header on every request, https/path-prefix URLs are
+honored as given, a version probe runs on ``ESStore.reachable()`` and
+gates version-dependent features (sliced scroll needs >= 5; exact
+``track_total_hits`` counts need >= 7 — on 7.x ``hits.total`` is an
+object and capped at 10k by default, so the scroll loop never trusts an
+inexact total and drains to the empty page instead). All requests carry
+a timeout; scroll contexts are cleared on drain instead of waiting out
+the TTL.
 """
 from __future__ import annotations
 
 import json
+import os
+import ssl
 import time
 import urllib.error
 import urllib.request
-from typing import Iterable, Optional
+from typing import Iterable, Optional, Union
 
 import fnmatch
 
@@ -38,91 +61,240 @@ from chillastic_spark.sources import (
 from chillastic_spark.sources.elasticsearch import SCROLL_TTL, _range_body
 
 BULK_REJECTED = "es_rejected_execution_exception"
+DEFAULT_TIMEOUT = float(os.environ.get("CHILLASTIC_ES_TIMEOUT", "30"))
+# per-slice scroll fan-out; "auto" sizes off spark.defaultParallelism
+DEFAULT_SLICES = os.environ.get("CHILLASTIC_ES_SLICES", "auto")
+WORKER_HEADER = "X-Chillastic-Worker"
 
 
-def _get(url: str) -> dict:
-    with urllib.request.urlopen(url) as resp:
-        return json.loads(resp.read().decode())
+class Wire:
+    """Picklable per-cluster HTTP config: base URL (scheme, host, and
+    any path prefix preserved verbatim — ``https://host:443/es`` keeps
+    ``/es`` on every request), optional ``Authorization`` header (the
+    reference forwards ``AUTH_TOKEN`` on every request,
+    config/elasticsearch.js:54-57), request timeout, and extra headers.
+    Executor scan/deliver tasks carry a Wire into their closures."""
+
+    def __init__(
+        self,
+        base_url: str,
+        auth_token: Optional[str] = None,
+        timeout: float = DEFAULT_TIMEOUT,
+        headers: Optional[dict] = None,
+        insecure: bool = False,
+    ):
+        self.base_url = base_url.rstrip("/")
+        if auth_token is None:
+            auth_token = os.environ.get("AUTH_TOKEN")
+        self.auth_token = auth_token
+        self.timeout = timeout
+        self.headers = dict(headers or {})
+        self.insecure = insecure
+        self._version: Optional[tuple] = None
+
+    # ------------------------------------------------------------ http
+    @property
+    def is_https(self) -> bool:
+        return self.base_url.startswith("https://")
+
+    def _ssl_context(self):
+        if not self.is_https:
+            return None
+        ctx = ssl.create_default_context()
+        if self.insecure:
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        return ctx
+
+    def with_headers(self, **hdrs: str) -> "Wire":
+        w = Wire(self.base_url, self.auth_token, self.timeout,
+                 {**self.headers, **hdrs}, self.insecure)
+        w._version = self._version
+        return w
+
+    def request(
+        self, method: str, path: str, body: "dict | list | str | None" = None,
+        ndjson: bool = False,
+    ) -> dict:
+        headers = {
+            "Content-Type": "application/x-ndjson" if ndjson else "application/json"
+        }
+        if self.auth_token:
+            headers["Authorization"] = self.auth_token
+        headers.update(self.headers)
+        data = None
+        if body is not None:
+            data = (body if isinstance(body, str) else json.dumps(body)).encode()
+        req = urllib.request.Request(
+            self.base_url + path, data=data, headers=headers, method=method
+        )
+        with urllib.request.urlopen(
+            req, timeout=self.timeout, context=self._ssl_context()
+        ) as resp:
+            return json.loads(resp.read().decode())
+
+    def get(self, path: str) -> dict:
+        return self.request("GET", path)
+
+    def put(self, path: str, body: dict) -> dict:
+        return self.request("PUT", path, body)
+
+    def post(self, path: str, body: "dict | str | None", ndjson: bool = False) -> dict:
+        return self.request("POST", path, body, ndjson=ndjson)
+
+    # --------------------------------------------------------- version
+    def version(self) -> tuple:
+        """Cluster version as an int tuple, probed once from ``GET /``
+        (the reference's blocking version negotiation,
+        config/elasticsearch.js:80-104). ``()`` when unreachable or
+        unparsable — callers degrade to the conservative choice."""
+        if self._version is None:
+            try:
+                num = self.get("/")["version"]["number"]
+                self._version = tuple(
+                    int(p) for p in num.split(".") if p.isdigit()
+                )
+            except Exception:  # noqa: BLE001 — probe is best-effort; a
+                return ()      # failure is NOT cached (cluster may come up)
+        return self._version
+
+    def major_version(self) -> int:
+        v = self.version()
+        return v[0] if v else 0
 
 
-def _put(url: str, body: dict) -> dict:
-    req = urllib.request.Request(
-        url,
-        data=json.dumps(body).encode(),
-        headers={"Content-Type": "application/json"},
-        method="PUT",
-    )
-    with urllib.request.urlopen(req) as resp:
-        return json.loads(resp.read().decode())
+WireLike = Union[str, Wire]
 
 
-def _post(url: str, body: "dict | str | None", ndjson: bool = False) -> dict:
-    data = None
-    headers = {"Content-Type": "application/x-ndjson" if ndjson else "application/json"}
-    if body is not None:
-        data = (body if isinstance(body, str) else json.dumps(body)).encode()
-    req = urllib.request.Request(url, data=data, headers=headers, method="POST")
-    with urllib.request.urlopen(req) as resp:
-        return json.loads(resp.read().decode())
+def as_wire(x: WireLike) -> Wire:
+    return x if isinstance(x, Wire) else Wire(x)
+
+
+def _total_of(resp: dict) -> "tuple[int, bool]":
+    """(total, exact): ES < 7 returns an int; >= 7 an object whose
+    ``relation`` may be ``gte`` (capped at 10k without
+    ``track_total_hits``) — an inexact total must never terminate a
+    scroll early."""
+    t = resp["hits"]["total"]
+    if isinstance(t, dict):
+        return int(t.get("value", 0)), t.get("relation", "eq") == "eq"
+    return int(t), True
 
 
 def scan(
-    base_url: str,
+    base_url: WireLike,
     index: str,
     doc_type: Optional[str] = None,
     flush_size: int = 100,
     min_size: float = -1,
     max_size: float = -1,
     body: "Optional[dict]" = None,
+    slice_id: Optional[int] = None,
+    slice_max: Optional[int] = None,
 ) -> "Iterable[dict]":
     """Scan-and-scroll generator yielding raw hit dicts — the
-    transfer.js:119-146 loop: page, then keep scrolling until
-    ``hits.total`` documents have been seen. ``body`` overrides the
-    query (e.g. an ids query for purge); the default is the subtask
-    ``_size``-range body when bounds are given."""
-    path = f"{base_url}/{index}" + (f"/{doc_type}" if doc_type else "")
+    transfer.js:119-146 loop: page, then keep scrolling until the slice
+    is drained (exact-total shortcut when available, empty-page stop
+    otherwise). ``body`` overrides the query (e.g. an ids query for
+    purge); the default is the subtask ``_size``-range body when bounds
+    are given. ``slice_id``/``slice_max`` request a sliced scroll
+    (disjoint 1/max of the hits — the executor-parallel scan unit).
+    The scroll context is cleared when the generator finishes."""
+    wire = as_wire(base_url)
+    path = f"/{index}" + (f"/{doc_type}" if doc_type else "")
     if body is None and min_size >= 0 and max_size >= 0:
         body = _range_body(min_size, max_size)  # subtask.js:61-74
-    resp = _post(f"{path}/_search?scroll={SCROLL_TTL}&size={flush_size}", body)
+    if slice_max is not None and slice_max > 1:
+        body = dict(body or {})
+        body["slice"] = {"id": int(slice_id or 0), "max": int(slice_max)}
+    resp = wire.post(f"{path}/_search?scroll={SCROLL_TTL}&size={flush_size}", body)
     scrolled = 0
-    while True:
-        hits = resp["hits"]["hits"]
-        for h in hits:
-            scrolled += 1
-            yield h
-        if scrolled >= resp["hits"]["total"] or not hits:
-            return
-        # continuation keep-alive is '1h' exactly like the reference
-        # (transfer.js:79-83 scroll: '1h'); like the reference, contexts
-        # expire by TTL — no explicit DELETE _search/scroll
-        resp = _post(
-            f"{base_url}/_search/scroll",
-            {"scroll_id": resp["_scroll_id"], "scroll": "1h"},
-        )
+    scroll_id = resp.get("_scroll_id")
+    try:
+        while True:
+            hits = resp["hits"]["hits"]
+            for h in hits:
+                scrolled += 1
+                yield h
+            total, exact = _total_of(resp)
+            if not hits or (exact and scrolled >= total):
+                return
+            # continuation keep-alive is '1h' exactly like the reference
+            # (transfer.js:79-83 scroll: '1h')
+            resp = wire.post(
+                "/_search/scroll", {"scroll_id": scroll_id, "scroll": "1h"}
+            )
+            scroll_id = resp.get("_scroll_id", scroll_id)
+    finally:
+        if scroll_id:  # free the context now, not at TTL expiry
+            try:
+                wire.request("DELETE", "/_search/scroll",
+                             {"scroll_id": [scroll_id]})
+            except Exception:  # noqa: BLE001 — cleanup is best-effort
+                pass
+
+
+def _resolve_slices(wire: Wire, slices, spark: Optional[SparkSession]) -> int:
+    """Slice fan-out for one scan: explicit int wins; "auto" sizes off
+    the session's parallelism (capped — each slice is its own scroll
+    context on the cluster); forced to 1 on ES < 5.0 (no sliced
+    scroll) or when the version probe fails."""
+    if slices is None:
+        slices = DEFAULT_SLICES
+    if isinstance(slices, str):
+        if slices == "auto":
+            par = spark.sparkContext.defaultParallelism if spark is not None else 1
+            n = max(1, min(4, par))
+        else:
+            n = int(slices)
+    else:
+        n = int(slices)
+    if n > 1 and wire.major_version() < 5:
+        n = 1
+    return max(1, n)
 
 
 def scan_to_df(
     spark: SparkSession,
-    base_url: str,
+    base_url: WireLike,
     index: str,
     doc_type: Optional[str] = None,
     flush_size: int = 100,
     min_size: float = -1,
     max_size: float = -1,
+    slices=None,
 ) -> DataFrame:
-    """Scroll one (index[,type][,size-range]) slice into an envelope
-    DataFrame (the store.read twin over the wire)."""
-    rows = [
-        (
-            h["_index"],
-            h.get("_type"),
-            str(h["_id"]),
-            json.dumps(h["_source"], sort_keys=True),
-            h.get("_size"),
-        )
-        for h in scan(base_url, index, doc_type, flush_size, min_size, max_size)
-    ]
-    return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+    """Executor-side partitioned scan of one (index[,type][,size-range])
+    slice: N Spark tasks each drain their own sliced scroll and yield
+    envelope rows — no page, let alone the whole slice, is ever
+    buffered on the driver (this replaces the r3 driver-side
+    materialization). Each task tags its requests with a worker header
+    so tests (and cluster operators) can attribute wire traffic to
+    tasks."""
+    wire = as_wire(base_url)
+    n = _resolve_slices(wire, slices, spark)
+
+    def scan_partition(slice_ids):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        for sid in slice_ids:
+            worker = str(ctx.partitionId()) if ctx is not None else str(sid)
+            w = wire.with_headers(**{WORKER_HEADER: worker})
+            for h in scan(
+                w, index, doc_type, flush_size, min_size, max_size,
+                slice_id=sid, slice_max=n if n > 1 else None,
+            ):
+                yield (
+                    h["_index"],
+                    h.get("_type"),
+                    str(h["_id"]),
+                    json.dumps(h["_source"], sort_keys=True),
+                    h.get("_size"),
+                )
+
+    rdd = spark.sparkContext.parallelize(range(n), n).mapPartitions(scan_partition)
+    return spark.createDataFrame(rdd, ENVELOPE_SCHEMA)
 
 
 def doc_to_bulk(doc: dict) -> list[str]:
@@ -139,48 +311,46 @@ def doc_to_bulk(doc: dict) -> list[str]:
     ]
 
 
-def bulk_upsert(
-    df: DataFrame,
-    base_url: str,
+def _send_bulk(
+    wire: Wire, lines: list[str], n_docs: int,
+    max_retries: int = 5, backoff_sec: float = 0.01,
+) -> int:
+    """POST one ``_bulk`` payload; whole-batch retry with backoff on
+    ``es_rejected_execution_exception`` items (transfer.js:306-352 —
+    safe because doc_as_upsert / delete are idempotent); any other item
+    error raises (mapper/validation failures must not be silently
+    counted as delivered)."""
+    payload = "\n".join(lines) + "\n"
+    for attempt in range(max_retries + 1):
+        resp = wire.post("/_bulk", payload, ndjson=True)
+        if not resp.get("errors"):
+            return n_docs
+        items = resp.get("items", [])
+        rejected = any(BULK_REJECTED in json.dumps(i) for i in items)
+        if not rejected:
+            bad = [i for i in items if "error" in json.dumps(i)][:3]
+            raise RuntimeError(f"bulk item failures: {bad}")
+        if attempt == max_retries:
+            raise RuntimeError(f"bulk rejected after {max_retries} retries")
+        time.sleep(backoff_sec * (2**attempt))
+    return n_docs
+
+
+def _deliver_rows(
+    rows: Iterable,
+    wire: Wire,
     flush_size: int = 100,
     max_retries: int = 5,
     backoff_sec: float = 0.01,
 ) -> int:
-    """Deliver an envelope DataFrame as ``_bulk`` doc_as_upsert batches.
-
-    Batches of ``flush_size`` docs (transfer.js:159-167 flush
-    threshold); a batch whose response carries
-    ``es_rejected_execution_exception`` items is retried whole with
-    backoff (transfer.js:306-352) — safe because doc_as_upsert is
-    idempotent. Returns docs delivered."""
+    """Stream envelope rows (Row or dict) into ``_bulk`` doc_as_upsert
+    batches of ``flush_size`` docs (transfer.js:159-167 flush
+    threshold). Constant memory: at most one pending batch is ever
+    buffered. Returns docs delivered."""
     delivered = 0
     batch: list[str] = []
     pending = 0
-
-    def flush() -> None:
-        nonlocal delivered, batch, pending
-        if not batch:
-            return
-        payload = "\n".join(batch) + "\n"
-        for attempt in range(max_retries + 1):
-            resp = _post(f"{base_url}/_bulk", payload, ndjson=True)
-            if not resp.get("errors"):
-                delivered += pending
-                batch, pending = [], 0
-                return
-            items = resp.get("items", [])
-            rejected = any(BULK_REJECTED in json.dumps(i) for i in items)
-            if not rejected:
-                # mapper/validation failures are NOT retryable and must
-                # not be silently counted as delivered — the subtask
-                # errors and reappears on backlog rebuild
-                bad = [i for i in items if "error" in json.dumps(i)][:3]
-                raise RuntimeError(f"bulk item failures: {bad}")
-            if attempt == max_retries:
-                raise RuntimeError(f"bulk rejected after {max_retries} retries")
-            time.sleep(backoff_sec * (2**attempt))
-
-    for row in df.toLocalIterator():
+    for row in rows:
         doc = {
             "_index": row["_index"],
             "_type": row["_type"],
@@ -190,9 +360,103 @@ def bulk_upsert(
         batch.extend(doc_to_bulk(doc))
         pending += 1
         if pending >= flush_size:
-            flush()
-    flush()
+            delivered += _send_bulk(wire, batch, pending, max_retries, backoff_sec)
+            batch, pending = [], 0
+    if batch:
+        delivered += _send_bulk(wire, batch, pending, max_retries, backoff_sec)
     return delivered
+
+
+def bulk_upsert(
+    df: DataFrame,
+    base_url: WireLike,
+    flush_size: int = 100,
+    max_retries: int = 5,
+    backoff_sec: float = 0.01,
+) -> int:
+    """Driver-paged delivery of an envelope DataFrame (constant memory
+    via toLocalIterator). Prefer ``bulk_upsert_distributed`` when the
+    DataFrame is already partitioned across executors."""
+    return _deliver_rows(
+        df.toLocalIterator(), as_wire(base_url), flush_size, max_retries, backoff_sec
+    )
+
+
+def bulk_upsert_distributed(
+    df: DataFrame,
+    base_url: WireLike,
+    flush_size: int = 100,
+    max_retries: int = 5,
+    backoff_sec: float = 0.01,
+) -> int:
+    """Executor-side delivery: each partition flushes its own ``_bulk``
+    batches directly to the cluster — rows never travel through the
+    driver. With ``scan_to_df`` upstream this makes the whole
+    scan → mutate → deliver pipeline distributed (the reference's
+    worker data plane, worker.js:61-123, as Spark tasks)."""
+    wire = as_wire(base_url)
+
+    def deliver_partition(rows):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        worker = str(ctx.partitionId()) if ctx is not None else "0"
+        w = wire.with_headers(**{WORKER_HEADER: worker})
+        yield _deliver_rows(rows, w, flush_size, max_retries, backoff_sec)
+
+    return df.rdd.mapPartitions(deliver_partition).sum()
+
+
+def pipe(
+    source: WireLike,
+    dest: WireLike,
+    index: str,
+    doc_type: Optional[str] = None,
+    flush_size: int = 100,
+    min_size: float = -1,
+    max_size: float = -1,
+    mutators: Optional[list] = None,
+    max_retries: int = 5,
+    backoff_sec: float = 0.01,
+) -> dict:
+    """Constant-memory driver-paged transfer — the reference's exact
+    page pipeline (transfer.js:119-166): each scroll page is mutated
+    and delivered before the next page is fetched; at no point are more
+    than ~2·flush_size docs in memory (one in-flight page + one pending
+    bulk batch). The distributed path (``scan_to_df`` →
+    ``bulk_upsert_distributed``) is preferred on a cluster; this is the
+    single-process fallback with the reference's memory profile.
+
+    Returns ``{"delivered", "scanned", "peak_buffered"}`` where
+    ``peak_buffered`` is the high-water mark of docs pending delivery —
+    asserted ≤ flush_size in tests regardless of slice size."""
+    from chillastic_spark.operators.mutate import apply_chain
+
+    src, dst = as_wire(source), as_wire(dest)
+    batch: list[str] = []
+    pending = delivered = scanned = peak = 0
+    for h in scan(src, index, doc_type, flush_size, min_size, max_size):
+        scanned += 1
+        doc = {
+            "_index": h["_index"],
+            "_type": h.get("_type"),
+            "_id": str(h["_id"]),
+            "_source": h["_source"],
+            "_size": h.get("_size"),
+        }
+        if mutators:
+            doc = apply_chain(doc, mutators)
+            if doc is None:
+                continue
+        batch.extend(doc_to_bulk(doc))
+        pending += 1
+        peak = max(peak, pending)
+        if pending >= flush_size:
+            delivered += _send_bulk(dst, batch, pending, max_retries, backoff_sec)
+            batch, pending = [], 0
+    if batch:
+        delivered += _send_bulk(dst, batch, pending, max_retries, backoff_sec)
+    return {"delivered": delivered, "scanned": scanned, "peak_buffered": peak}
 
 
 class ESStore:
@@ -205,28 +469,46 @@ class ESStore:
 
     Catalog ops map to the index/template APIs the reference's client
     calls (transfer.js:364-372 indices.get, :224-258 indices.create,
-    :383-406 getTemplate/putTemplate); data ops ride scan_to_df /
-    bulk_upsert above. Planning reads (count, size-stats sample) are
-    ``size=0`` searches and scrolls, exactly the reference's
-    subtasks.js:97-100 count query.
+    :383-406 getTemplate/putTemplate); data ops ride the executor-side
+    scan_to_df / bulk_upsert_distributed above. Planning reads (count,
+    size-stats sample) are ``size=0`` searches and scrolls, exactly the
+    reference's subtasks.js:97-100 count query.
+
+    ``auth_token`` defaults to the ``AUTH_TOKEN`` env var and is sent
+    verbatim as the ``Authorization`` header on every request —
+    catalog, search, scroll, and bulk alike (the reference's client
+    factory, config/elasticsearch.js:54-57). ``reachable()`` doubles as
+    the version probe (config/elasticsearch.js:80-110): the negotiated
+    major version gates sliced scrolls (>= 5) and exact totals (>= 7).
     """
 
-    def __init__(self, base_url: str):
-        self.root = base_url.rstrip("/")
+    def __init__(
+        self,
+        base_url: str,
+        auth_token: Optional[str] = None,
+        timeout: float = DEFAULT_TIMEOUT,
+        slices=None,
+        insecure: bool = False,
+        purge_chunk: int = 10_000,
+    ):
+        self.wire = Wire(base_url, auth_token, timeout, insecure=insecure)
+        self.root = self.wire.base_url
+        self.slices = slices
+        self.purge_chunk = purge_chunk
 
     def reachable(self) -> bool:
-        try:
-            _get(self.root + "/")
-            return True
-        except Exception:  # noqa: BLE001
-            return False
+        """Liveness + version probe in one round-trip: an unparsable or
+        unreachable cluster is not admissible (the reference refuses to
+        construct a client without a negotiated version,
+        config/elasticsearch.js:109-111)."""
+        return bool(self.wire.version())
 
     # ---------------------------------------------------- index configs
     def get_indices(self, pattern: str) -> list[dict]:
         if not isinstance(pattern, str) or not pattern:
             raise StoreError("pattern must be a non-empty string")
         try:
-            resp = _get(f"{self.root}/{pattern}")
+            resp = self.wire.get(f"/{pattern}")
         except urllib.error.HTTPError as e:
             if e.code == 404:  # no matching index — plan zero subtasks,
                 return []      # same as the DocumentStore twin
@@ -242,14 +524,14 @@ class ESStore:
             if not isinstance(name, str):
                 raise StoreError("index config must carry a string name")
             clean_index_settings(index)  # transfer.js:234-243
-            _put(f"{self.root}/{name}", index)
+            self.wire.put(f"/{name}", index)
 
     # ------------------------------------------------------- templates
     def get_templates(self, pattern: str) -> list[dict]:
         if not isinstance(pattern, str) or not pattern:
             raise StoreError("pattern must be a non-empty string")
         try:
-            resp = _get(f"{self.root}/_template/{pattern}")
+            resp = self.wire.get(f"/_template/{pattern}")
         except urllib.error.HTTPError as e:
             if e.code == 404:  # transfer.js:397-401
                 raise StoreError("Templates asked to be copied, but none found") from e
@@ -271,7 +553,7 @@ class ESStore:
             name = template.pop("name", None)
             if not isinstance(name, str):
                 raise StoreError("template must carry a string name")
-            _put(f"{self.root}/_template/{name}", template)
+            self.wire.put(f"/_template/{name}", template)
 
     # ------------------------------------------------------------ types
     def types_of(self, index_cfg: dict) -> list[dict]:
@@ -293,8 +575,8 @@ class ESStore:
         flush_size: int = 100,
     ) -> DataFrame:
         return scan_to_df(
-            spark, self.root, index, type, flush_size=flush_size,
-            min_size=min_size, max_size=max_size,
+            spark, self.wire, index, type, flush_size=flush_size,
+            min_size=min_size, max_size=max_size, slices=self.slices,
         )
 
     def count(
@@ -305,15 +587,22 @@ class ESStore:
         min_size: float = -1,
         max_size: float = -1,
     ) -> int:
-        """size=0 count search (subtasks.js:97-100)."""
-        path = f"{self.root}/{index}" + (f"/{type}" if type else "")
+        """size=0 count search (subtasks.js:97-100). On ES >= 7 the
+        default total is capped at 10k, so the body requests
+        ``track_total_hits`` for an exact planning count."""
+        path = f"/{index}" + (f"/{type}" if type else "")
         body = _range_body(min_size, max_size) if (min_size >= 0 and max_size >= 0) else None
-        return _post(f"{path}/_search?size=0", body)["hits"]["total"]
+        if self.wire.major_version() >= 7:
+            body = dict(body or {})
+            body["track_total_hits"] = True
+        total, _exact = _total_of(self.wire.post(f"{path}/_search?size=0", body))
+        return total
 
     def deliver(self, spark: SparkSession, df: DataFrame, flush_size: int = 100) -> int:
-        """Sink dispatch target for Transfer: bulk doc_as_upsert at the
-        planned flushSize (transfer.js:159-167)."""
-        return bulk_upsert(df, self.root, flush_size=flush_size)
+        """Sink dispatch target for Transfer: executor-side bulk
+        doc_as_upsert at the planned flushSize (transfer.js:159-167) —
+        each partition delivers its own batches."""
+        return bulk_upsert_distributed(df, self.wire, flush_size=flush_size)
 
     def index_path(self, index: str) -> str:  # lock key for Transfer
         return f"{self.root}/{index}"
@@ -325,48 +614,83 @@ class ESStore:
         ids: "DataFrame | list[str]",
         type: Optional[str] = None,
     ) -> int:
-        """sinks.purge twin over the wire: resolve victim (type, id)
-        keys with a scroll (types aren't client-known), then _bulk
-        delete actions."""
-        if isinstance(ids, list):
-            victims = {str(i) for i in ids}
-        else:
-            victims = {
-                str(r["_id"]) for r in ids.select("_id").distinct().collect()
-            }
-        if not victims:
-            return 0
-        # ids query: only the victims travel, not the index
-        body = {"query": {"ids": {"values": sorted(victims)}}}
-        keys = [
-            (h.get("_type"), str(h["_id"]))
-            for h in scan(self.root, index, type, body=body)
-            if str(h["_id"]) in victims
-        ]
-        return bulk_delete(self.root, index, keys)
+        """sinks.purge twin over the wire, sized for very large victim
+        sets: ids stream off the DataFrame in ``purge_chunk`` batches
+        (toLocalIterator — never a whole-set collect), and each chunk
+        is one ids-query scroll + bulk delete. Driver memory is bounded
+        by the chunk size regardless of how many billions of ids the
+        DataFrame holds (parity with sinks/__init__.py purge)."""
+        def id_chunks():
+            if isinstance(ids, list):
+                vals = sorted({str(i) for i in ids})
+                for s in range(0, len(vals), self.purge_chunk):
+                    yield vals[s : s + self.purge_chunk]
+            else:
+                buf: list[str] = []
+                for r in ids.select("_id").distinct().toLocalIterator():
+                    buf.append(str(r["_id"]))
+                    if len(buf) >= self.purge_chunk:
+                        yield sorted(buf)
+                        buf = []
+                if buf:
+                    yield sorted(buf)
+
+        deleted = 0
+        for vals in id_chunks():
+            victims = set(vals)
+            # ids query: only the victims travel, not the index
+            body = {"query": {"ids": {"values": vals}}}
+            keys = [
+                (h.get("_type"), str(h["_id"]))
+                for h in scan(self.wire, index, type, body=body)
+                if str(h["_id"]) in victims
+            ]
+            deleted += bulk_delete(self.wire, index, keys)
+        return deleted
 
 
 def bulk_delete(
-    base_url: str,
+    base_url: WireLike,
     index: str,
     keys: "list[tuple[str, str]]",
     flush_size: int = 100,
+    max_retries: int = 5,
+    backoff_sec: float = 0.01,
 ) -> int:
     """Targeted per-id delete via ``_bulk`` ``delete`` actions — the ES
     twin of sinks.purge (right-to-be-forgotten). ``keys`` are
-    (doc_type, _id) pairs. Returns docs actually deleted (idempotent:
-    re-running yields not_found, counted 0)."""
+    (doc_type, _id) pairs; a None doc_type is omitted from the action
+    (ES rejects an explicit null, mirroring doc_to_bulk). Returns docs
+    actually deleted (idempotent: re-running yields not_found, counted
+    0). Batches rejected with ``es_rejected_execution_exception`` are
+    retried whole with backoff (safe — delete is idempotent); any other
+    item error raises so a right-to-be-forgotten purge can never
+    silently under-delete."""
+    wire = as_wire(base_url)
     deleted = 0
     for start in range(0, len(keys), flush_size):
-        lines = [
-            json.dumps(
-                {"delete": {"_index": index, "_type": t, "_id": i}},
-                separators=(",", ":"),
-            )
-            for t, i in keys[start : start + flush_size]
-        ]
-        resp = _post(f"{base_url}/_bulk", "\n".join(lines) + "\n", ndjson=True)
-        for item in resp.get("items", []):
-            if item.get("delete", {}).get("result") == "deleted":
-                deleted += 1
+        lines = []
+        for t, i in keys[start : start + flush_size]:
+            action = {"_index": index, "_type": t, "_id": i}
+            if action["_type"] is None:
+                del action["_type"]
+            lines.append(json.dumps({"delete": action}, separators=(",", ":")))
+        payload = "\n".join(lines) + "\n"
+        for attempt in range(max_retries + 1):
+            resp = wire.post("/_bulk", payload, ndjson=True)
+            items = resp.get("items", [])
+            rejected = any(BULK_REJECTED in json.dumps(i) for i in items)
+            if rejected:
+                if attempt == max_retries:
+                    raise RuntimeError(
+                        f"bulk delete rejected after {max_retries} retries"
+                    )
+                time.sleep(backoff_sec * (2**attempt))
+                continue
+            results = [i.get("delete", {}) for i in items]
+            bad = [r for r in results if r.get("result") not in ("deleted", "not_found")]
+            if bad:
+                raise RuntimeError(f"bulk delete item failures: {bad[:3]}")
+            deleted += sum(1 for r in results if r.get("result") == "deleted")
+            break
     return deleted

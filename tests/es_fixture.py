@@ -2,36 +2,72 @@
 
 Speaks the minimal subset of the ES HTTP API the reference engine uses
 (transfer.js:79-151, 159-189): ``_search?scroll&size`` with an optional
-``_size``-range body, ``_search/scroll`` continuation, and ``_bulk``
-doc_as_upsert NDJSON. Backed by a dict; records every bulk payload so
-tests can assert the exact bytes on the wire. ``reject_first_bulks=N``
-makes the first N bulk calls answer with
-``es_rejected_execution_exception`` items to exercise the reference's
-retry/backoff contract.
+``_size``-range body, sliced scrolls (the ``slice`` search parameter,
+ES >= 5.0 — documents partition by crc32(_id) % max), ``_search/scroll``
+continuation and DELETE (context clearing), and ``_bulk``
+doc_as_upsert / delete NDJSON. Backed by a dict; records every bulk
+payload AND a chronological ``request_log`` (method, path,
+Authorization, worker header, slice) so tests can assert the exact wire
+traffic — which task scanned what, whether bulks interleave with
+scrolls, whether auth reached every request type.
+
+Knobs:
+- ``reject_first_bulks=N``: first N bulk calls answer with
+  ``es_rejected_execution_exception`` items (retry/backoff contract).
+- ``version="7.10.0"``: report that version from ``GET /`` and return
+  ``hits.total`` as the ES 7 object form; ``total_cap`` caps the
+  reported total with relation ``gte`` (the 10k default cap) to prove
+  scans never trust an inexact total.
+- ``auth_token="..."``: every request must carry exactly this
+  Authorization header or get a 401.
+- ``path_prefix="/es"``: the whole API mounts under the prefix; bare
+  paths 404 (path-prefix config parity).
+- ``fail_delete_ids={...}``: bulk delete actions for these ids answer
+  with a 400 mapper item error (under-delete detection contract).
 """
 from __future__ import annotations
 
 import json
 import threading
 import uuid
+import zlib
 from typing import Optional
 
 from flask import Flask, request
+from werkzeug.exceptions import NotFound
+from werkzeug.middleware.dispatcher import DispatcherMiddleware
 from werkzeug.serving import make_server
 
 
 class FakeES:
-    def __init__(self, reject_first_bulks: int = 0):
+    def __init__(
+        self,
+        reject_first_bulks: int = 0,
+        version: str = "5.6.0",
+        total_cap: Optional[int] = None,
+        auth_token: Optional[str] = None,
+        path_prefix: str = "",
+        fail_delete_ids: Optional[set] = None,
+    ):
         # {(index, type, id): source}
         self.docs: dict[tuple, dict] = {}
         self.index_cfgs: dict[str, dict] = {}
         self.templates: dict[str, dict] = {}
         self.bulk_bodies: list[str] = []
         self.scrolls: dict[str, dict] = {}
+        self.cleared_scrolls: list[str] = []
+        self.request_log: list[dict] = []
         self.reject_remaining = reject_first_bulks
+        self.version = version
+        self.major = int(version.split(".")[0])
+        self.total_cap = total_cap
+        self.auth_token = auth_token
+        self.path_prefix = path_prefix.rstrip("/")
+        self.fail_delete_ids = fail_delete_ids or set()
         self.app = self._build()
         self._server = None
         self._thread = None
+        self._lock = threading.Lock()
 
     # ------------------------------------------------------------ data
     def seed(self, index: str, doc_type: str, docs: dict[str, dict]) -> None:
@@ -54,15 +90,60 @@ class FakeES:
             _id: src for (ix, _t, _id), src in self.docs.items() if ix == index
         }
 
+    # ------------------------------------------------- log conveniences
+    def requests_of(self, kind: str) -> list[dict]:
+        """request_log rows by kind: search | scroll | clear_scroll |
+        bulk | catalog | template | root."""
+        return [r for r in self.request_log if r["kind"] == kind]
+
+    def workers_seen(self, kind: Optional[str] = None) -> set:
+        rows = self.request_log if kind is None else self.requests_of(kind)
+        return {r["worker"] for r in rows if r["worker"]}
+
+    def _total(self, n: int) -> "int | dict":
+        if self.total_cap is not None and n > self.total_cap:
+            return {"value": self.total_cap, "relation": "gte"}
+        if self.major >= 7:
+            return {"value": n, "relation": "eq"}
+        return n
+
     # ------------------------------------------------------------- app
     def _build(self) -> Flask:
         import fnmatch
 
         app = Flask("fake-es")
 
+        def classify(path: str, method: str) -> str:
+            if path == "/":
+                return "root"
+            if path.endswith("/_bulk"):
+                return "bulk"
+            if path == "/_search/scroll":
+                return "clear_scroll" if method == "DELETE" else "scroll"
+            if path.endswith("/_search"):
+                return "search"
+            if "/_template/" in path:
+                return "template"
+            return "catalog"
+
+        @app.before_request
+        def log_and_auth():
+            with self._lock:
+                self.request_log.append({
+                    "method": request.method,
+                    "path": request.path,
+                    "kind": classify(request.path, request.method),
+                    "auth": request.headers.get("Authorization"),
+                    "worker": request.headers.get("X-Chillastic-Worker"),
+                })
+            if self.auth_token is not None:
+                if request.headers.get("Authorization") != self.auth_token:
+                    return {"error": "missing authentication credentials"}, 401
+            return None
+
         @app.get("/")
-        def root():  # cluster-info ping
-            return {"cluster_name": "fake-es", "version": {"number": "5.6.0"}}
+        def root():  # cluster-info ping + version probe
+            return {"cluster_name": "fake-es", "version": {"number": self.version}}
 
         @app.get("/_template/<pattern>")
         def get_template(pattern):
@@ -92,9 +173,9 @@ class FakeES:
             return {"acknowledged": True}
 
         def matches(_id: str, src_size: Optional[int], body: Optional[dict]) -> bool:
-            if not body:
+            q = (body or {}).get("query")
+            if not q:
                 return True
-            q = body["query"]
             if "ids" in q:
                 return _id in q["ids"]["values"]
             rng = q["range"]["_size"]
@@ -104,6 +185,12 @@ class FakeES:
             if "lt" in rng and not size < rng["lt"]:
                 return False
             return True
+
+        def in_slice(_id: str, body: Optional[dict]) -> bool:
+            sl = (body or {}).get("slice")
+            if not sl:
+                return True
+            return zlib.crc32(_id.encode()) % int(sl["max"]) == int(sl["id"])
 
         @app.post("/<index>/<doc_type>/_search")
         @app.post("/<index>/_search", defaults={"doc_type": None})
@@ -122,71 +209,107 @@ class FakeES:
                 if ix == index
                 and (doc_type is None or t == doc_type)
                 and matches(_id, src.get("__size"), body)
+                and in_slice(_id, body)
             ]
             sid = uuid.uuid4().hex
-            self.scrolls[sid] = {"rest": hits[size:], "total": len(hits), "size": size}
+            with self._lock:
+                self.scrolls[sid] = {
+                    "rest": hits[size:], "total": len(hits), "size": size,
+                    "slice": (body or {}).get("slice"),
+                }
             return {
                 "_scroll_id": sid,
-                "hits": {"total": len(hits), "hits": hits[:size]},
+                "hits": {"total": self._total(len(hits)), "hits": hits[:size]},
             }
 
         @app.post("/_search/scroll")
         def scroll():
             body = request.get_json()
             st = self.scrolls[body["scroll_id"]]
-            page, st["rest"] = st["rest"][: st["size"]], st["rest"][st["size"]:]
+            with self._lock:
+                page, st["rest"] = st["rest"][: st["size"]], st["rest"][st["size"]:]
             return {
                 "_scroll_id": body["scroll_id"],
-                "hits": {"total": st["total"], "hits": page},
+                "hits": {"total": self._total(st["total"]), "hits": page},
             }
+
+        @app.delete("/_search/scroll")
+        def clear_scroll():
+            body = request.get_json(silent=True) or {}
+            sids = body.get("scroll_id", [])
+            if isinstance(sids, str):
+                sids = [sids]
+            n = 0
+            with self._lock:
+                for sid in sids:
+                    if sid in self.scrolls:
+                        self.scrolls[sid]["cleared"] = True
+                        self.cleared_scrolls.append(sid)
+                        n += 1
+            return {"succeeded": True, "num_freed": n}
 
         @app.post("/_bulk")
         def bulk():
             payload = request.get_data(as_text=True)
-            self.bulk_bodies.append(payload)
-            lines = [json.loads(line) for line in payload.splitlines() if line]
-            if self.reject_remaining > 0:
-                self.reject_remaining -= 1
-                return {
-                    "errors": True,
-                    "items": [
-                        {"update": {"status": 429, "error": {
-                            "type": "es_rejected_execution_exception"}}}
-                    ],
-                }
-            items = []
-            i = 0
-            while i < len(lines):
-                action = lines[i]
-                if "delete" in action:  # action-only line, no doc follows
-                    meta = action["delete"]
-                    key = (meta["_index"], meta["_type"], str(meta["_id"]))
-                    found = self.docs.pop(key, None) is not None
-                    items.append({"delete": {
-                        "status": 200 if found else 404,
-                        "result": "deleted" if found else "not_found",
-                    }})
-                    i += 1
-                    continue
-                meta = action["update"]
-                doc = lines[i + 1]
-                key = (meta["_index"], meta.get("_type"), str(meta["_id"]))
-                assert doc.get("doc_as_upsert") is True  # the S4 contract
-                existing = self.docs.get(key, {})
-                existing.update(doc["doc"])  # partial-doc merge semantics
-                self.docs[key] = existing
-                items.append({"update": {"status": 200}})
-                i += 2
-            return {"errors": False, "items": items}
+            with self._lock:
+                self.bulk_bodies.append(payload)
+                if self.reject_remaining > 0:
+                    self.reject_remaining -= 1
+                    return {
+                        "errors": True,
+                        "items": [
+                            {"update": {"status": 429, "error": {
+                                "type": "es_rejected_execution_exception"}}}
+                        ],
+                    }
+                lines = [json.loads(line) for line in payload.splitlines() if line]
+                items = []
+                errors = False
+                i = 0
+                while i < len(lines):
+                    action = lines[i]
+                    if "delete" in action:  # action-only line, no doc follows
+                        meta = action["delete"]
+                        assert "_type" not in meta or meta["_type"] is not None
+                        if str(meta["_id"]) in self.fail_delete_ids:
+                            items.append({"delete": {
+                                "status": 400,
+                                "error": {"type": "mapper_parsing_exception"},
+                            }})
+                            errors = True
+                            i += 1
+                            continue
+                        key = (meta["_index"], meta.get("_type"), str(meta["_id"]))
+                        found = self.docs.pop(key, None) is not None
+                        items.append({"delete": {
+                            "status": 200 if found else 404,
+                            "result": "deleted" if found else "not_found",
+                        }})
+                        i += 1
+                        continue
+                    meta = action["update"]
+                    doc = lines[i + 1]
+                    key = (meta["_index"], meta.get("_type"), str(meta["_id"]))
+                    assert doc.get("doc_as_upsert") is True  # the S4 contract
+                    existing = self.docs.get(key, {})
+                    existing.update(doc["doc"])  # partial-doc merge semantics
+                    self.docs[key] = existing
+                    items.append({"update": {"status": 200}})
+                    i += 2
+                return {"errors": errors, "items": items}
 
         return app
 
     # ---------------------------------------------------------- server
     def start(self) -> str:
-        self._server = make_server("127.0.0.1", 0, self.app)
+        wsgi = self.app
+        if self.path_prefix:
+            wsgi = DispatcherMiddleware(NotFound(), {self.path_prefix: self.app})
+        # threaded: executor tasks scroll their slices concurrently
+        self._server = make_server("127.0.0.1", 0, wsgi, threaded=True)
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()
-        return f"http://127.0.0.1:{self._server.server_port}"
+        return f"http://127.0.0.1:{self._server.server_port}{self.path_prefix}"
 
     def stop(self) -> None:
         if self._server:

@@ -124,6 +124,16 @@ def test_planned_flush_size_drives_scroll_and_bulk(spark, tmp_path, clusters):
     # the TRANSFER scan paged at the planned flushSize (the size-100
     # scroll earlier in the set is backlog planning's stats read)
     assert 5 in {st["size"] for st in src.scrolls.values()}
-    # bulk bodies batched at 5 docs (10 NDJSON lines) except the tail
+    # every task's bulk batches bounded by the planned flushSize (the
+    # scan is sliced across executor tasks, so each delivers its own
+    # ≤5-doc batches); nothing lost or duplicated
     sizes = [len(b.strip().splitlines()) // 2 for b in dst.bulk_bodies]
-    assert max(sizes) == 5 and sum(sizes) == 12
+    assert max(sizes) <= 5 and sum(sizes) == 12
+    # the engine transfer provably scanned in parallel executor tasks:
+    # sliced scroll contexts from distinct workers (r3 verdict #1)
+    assert len(src.workers_seen("search")) >= 2
+    slice_specs = {
+        (st["slice"]["id"], st["slice"]["max"])
+        for st in src.scrolls.values() if st.get("slice")
+    }
+    assert len(slice_specs) >= 2  # disjoint slices, one scroll each

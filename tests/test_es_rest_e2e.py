@@ -42,10 +42,38 @@ def test_scan_scroll_pages_through_everything(spark, es_pair):
     src, src_url, _dst, _ = es_pair
     _seed(src, n=25)
     # flush_size 7 → 1 search page + 3 scroll pages (transfer.js loop)
-    df = es_rest.scan_to_df(spark, src_url, "log_2016-12-01", "t1", flush_size=7)
+    df = es_rest.scan_to_df(
+        spark, src_url, "log_2016-12-01", "t1", flush_size=7, slices=1
+    )
     assert df.count() == 25
     assert set(df.columns) == {"_index", "_type", "_id", "_source", "_size"}
     assert len(src.scrolls) == 1  # one scroll context served every page
+    # context freed on drain, not left to the 1h TTL
+    assert src.cleared_scrolls == list(src.scrolls)
+
+
+def test_sliced_scan_runs_in_executor_tasks(spark, es_pair):
+    """The r3 #1 item, proven on the wire: a multi-slice scan is N
+    Spark tasks each draining their OWN sliced scroll (worker.js:61-123
+    as executor tasks) — the driver never materializes the slice."""
+    src, src_url, _dst, _ = es_pair
+    _seed(src, n=40)
+    df = es_rest.scan_to_df(
+        spark, src_url, "log_2016-12-01", "t1", flush_size=5, slices=4
+    )
+    rows = df.collect()
+    assert len(rows) == 40
+    assert sorted(r["_id"] for r in rows) == sorted(f"id{i}" for i in range(40))
+    # four scroll contexts, one per disjoint slice
+    slices = [st["slice"] for st in src.scrolls.values()]
+    assert sorted((s["id"], s["max"]) for s in slices) == [
+        (i, 4) for i in range(4)
+    ]
+    # each search was issued from a distinct Spark task (worker header
+    # recorded per request by the fixture)
+    assert src.workers_seen("search") == {"0", "1", "2", "3"}
+    # every context cleared after its task drained it
+    assert sorted(src.cleared_scrolls) == sorted(src.scrolls)
 
 
 def test_size_range_pushed_into_search_body(spark, es_pair):
