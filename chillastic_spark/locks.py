@@ -20,6 +20,7 @@ from __future__ import annotations
 import errno
 import fcntl
 import os
+import threading
 from typing import Optional
 
 
@@ -32,38 +33,63 @@ class FileLock:
 
     Use as a context manager (blocking) or call :meth:`acquire`
     with ``blocking=False`` to fail fast with :class:`LockHeld`.
-    """
+
+    Thread semantics match process semantics: re-entrancy is granted
+    only to the thread currently holding the lock through this object;
+    any OTHER thread's acquisition opens a fresh fd, whose flock
+    contends with the holder's fd exactly as a second process would
+    (flock is per-open-file-description, including within one
+    process). Holder bookkeeping (``_fd``/``_depth``/``_owner``) is
+    guarded by an internal mutex, so concurrent acquire/release on one
+    shared FileLock cannot corrupt the depth count."""
 
     def __init__(self, path: str):
         self.path = path
         self._fd: Optional[int] = None
         self._depth = 0
+        self._owner: Optional[int] = None
+        self._guard = threading.Lock()
 
     def acquire(self, blocking: bool = True) -> "FileLock":
-        if self._fd is not None:  # re-entrant within the holder object
-            self._depth += 1
-            return self
+        me = threading.get_ident()
+        with self._guard:
+            if self._fd is not None and self._owner == me:
+                self._depth += 1  # re-entrant within the holder thread
+                return self
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         fd = os.open(self.path, os.O_CREAT | os.O_RDWR, 0o644)
         try:
+            # blocks (or EWOULDBLOCKs) against the current holder even
+            # when that holder is another thread of this process —
+            # distinct fds are distinct open file descriptions
             fcntl.flock(fd, fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB))
         except OSError as e:
             os.close(fd)
             if e.errno in (errno.EAGAIN, errno.EACCES):
                 raise LockHeld(f"{self.path} is locked by another process") from e
             raise
-        self._fd = fd
-        self._depth = 1
+        with self._guard:
+            self._fd = fd
+            self._depth = 1
+            self._owner = me
         return self
 
     def release(self) -> None:
-        if self._fd is not None:
+        with self._guard:
+            if self._fd is None:
+                return
+            if self._owner != threading.get_ident():
+                raise RuntimeError(
+                    f"{self.path}: release() from a thread that does not "
+                    "hold the lock"
+                )
             self._depth -= 1
             if self._depth > 0:
                 return  # an outer holder still owns the lock
             fcntl.flock(self._fd, fcntl.LOCK_UN)
             os.close(self._fd)
             self._fd = None
+            self._owner = None
 
     def __enter__(self) -> "FileLock":
         return self.acquire()

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from chillastic_spark import functions as CF
+from chillastic_spark.operators.topk import ranked_topk
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
 
@@ -160,12 +161,14 @@ def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .select("term", CF.round_det(F.col("tf") * idf, 6).alias("w"), "df", "n_docs")
     )
-    w_rank = Window.orderBy(F.desc("w"), F.asc("term"))
-    interesting = (
-        src.withColumn("rk", F.row_number().over(w_rank))
-        .filter(F.col("rk") <= _MLT_TERMS)
-        .select("term", CF.round_det(idf, 9).alias("tidf"))
-    )
+    # window-free top-terms selection: the input is one document's
+    # vocabulary so a global window would not be a true scale hazard,
+    # but ranked_topk keeps every ranking in the repo WindowExec-free
+    # (tests/test_plan_shapes.py pins it)
+    top_terms = ranked_topk(src.select("term", "w"), "w", "term", _MLT_TERMS)
+    interesting = src.join(
+        F.broadcast(top_terms.select("term")), "term"
+    ).select("term", CF.round_det(idf, 9).alias("tidf"))
     scored = (
         posts.filter(F.col("doc_id") != _MLT_SRC)
         .join(F.broadcast(interesting), "term")

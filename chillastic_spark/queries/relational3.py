@@ -265,9 +265,11 @@ ORDER BY custdist DESC, c_count DESC
 
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: supplier(s) with max revenue in 1997Q1 — revenue CTE
-    reused for both the ranking and the scalar max (window max avoids
-    recomputing the view, rounded revenue keeps the equality exact)."""
+    """TPC-H Q15: supplier(s) with max revenue in 1997Q1. The scalar
+    max is a 1-row aggregate broadcast back onto the revenue view
+    (equality join on the rounded revenue keeps it exact) — a global
+    window max would funnel every supplier through one task at fact
+    scale, this shape keeps the per-supplier aggregate fully parallel."""
     l = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
@@ -276,10 +278,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = l.groupBy("l_suppkey").agg(
         F.round(F.sum(_disc_price()), 2).cast("double").alias("total_revenue")
     )
-    w = Window.partitionBy()
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (
-        rev.withColumn("_mx", F.max("total_revenue").over(w))
-        .filter(F.col("total_revenue") == F.col("_mx"))
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")

@@ -25,6 +25,52 @@ def test_filelock_reentrant_within_holder(tmp_path):
     a.release()
 
 
+def test_filelock_threads_contend_like_processes(tmp_path):
+    """Two threads sharing ONE FileLock object must exclude each other
+    (re-entrancy is per holder thread, not per object) — the r3 advice
+    hole where both threads could enter the critical section."""
+    import threading
+
+    p = str(tmp_path / "x.lock")
+    lock = FileLock(p).acquire()
+    results = {}
+
+    def contender():
+        try:
+            lock.acquire(blocking=False)
+            results["entered"] = True
+            lock.release()
+        except LockHeld:
+            results["entered"] = False
+
+    t = threading.Thread(target=contender)
+    t.start()
+    t.join(timeout=10)
+    assert results["entered"] is False  # second thread was excluded
+    # release from a non-holder thread is a bug, not a silent unlock
+    def bad_release():
+        try:
+            lock.release()
+            results["released"] = True
+        except RuntimeError:
+            results["released"] = False
+
+    t2 = threading.Thread(target=bad_release)
+    t2.start()
+    t2.join(timeout=10)
+    assert results["released"] is False
+    lock.release()
+    # free for a fresh thread once the holder is done
+    def fresh():
+        FileLock(p).acquire(blocking=False).release()
+        results["fresh"] = True
+
+    t3 = threading.Thread(target=fresh)
+    t3.start()
+    t3.join(timeout=10)
+    assert results.get("fresh") is True
+
+
 def _child_try_acquire(state_root, q):
     try:
         TaskState(state_root, "t1").acquire_writer(blocking=False)

@@ -149,6 +149,16 @@ def test_search_rankings_have_no_global_window(spark, name):
     assert "Window" not in plan, name  # no WindowExec at all in these
 
 
+@pytest.mark.parametrize("name", ["q15_top_supplier", "more_like_this"])
+def test_last_global_windows_are_gone(spark, name):
+    """The r3 verdict's final two global windows: q15's scalar max is
+    now a 1-row broadcast aggregate + equality join, more_like_this
+    ranks interesting terms via ranked_topk — no WindowExec anywhere."""
+    plan = _plan(spark, name)
+    assert "Window" not in plan, name
+    assert "BroadcastExchange" in plan, name
+
+
 def test_no_separate_driver_count_job(spark):
     """tfidf/multi_match derive N via an in-plan 1-row broadcast
     aggregate — the documents scan count must equal the plan's own
