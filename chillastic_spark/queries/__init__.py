@@ -26,36 +26,50 @@ class Query:
 
 
 # The correctness driver samples the FIRST 50 registered queries, so
-# registration order IS panel selection. This list front-loads a
-# representative cross-section — TPC-H joins/aggs, engine parity,
-# dedup, vectors, full-text search, sketch/windows analytics — so the
-# driver-verified evidence spans every operator family instead of the
-# first four modules. Every query passes the local oracle twin
-# (scripts/check.py), so panel membership is interchangeable.
+# registration order IS panel selection. The list ROTATES each round
+# (r3 verdict #7) so driver-verified coverage compounds: ~20 keepers
+# anchor one representative per operator family (all driver-green in
+# CORRECTNESS_r03), and the other 30 slots go to queries that so far
+# had only local-twin evidence. Rotated out in r4 (driver-green in
+# r03, still locally twinned every round): q6_forecast_revenue,
+# top_customers, q4_late_orders, rollup_nation_status, event_funnel,
+# q2_min_cost_parts, q21_sole_returned_supplier,
+# asof_view_before_purchase, scalar_functions, size_histogram,
+# backlog_totals, latest_event_per_user, text_features,
+# dedup_clusters, dedup_simhash, dedup_ngram_containment,
+# dedup_edit_distance, embedding_centroids, keyword_search_and,
+# phrase_search, search_rank_eval, search_after_page, search_rescore,
+# multi_match_best_fields, q19_discounted_revenue,
+# quality_topk_per_lang, revenue_grouping_sets, value_percentiles,
+# sequence_packing, time_weighted_avg.
 PANEL_FIRST = [
-    # relational core
-    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
-    "top_customers", "q4_late_orders", "q18_large_orders",
-    "rollup_nation_status", "event_funnel", "q2_min_cost_parts",
-    "q9_product_profit", "q21_sole_returned_supplier",
+    # relational core (keepers, then never-sampled TPC-H flavours)
+    "q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
+    "q9_product_profit",
+    "q5_local_supplier_volume", "q7_nation_trade", "q8_market_share",
+    "q10_returned_items", "q12_priority_shipping",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_part_supplier_counts", "q17_small_quantity_revenue",
+    "q20_bulk_suppliers", "q22_dormant_customers",
     # engine parity (reference operators)
-    "scan_projection", "asof_view_before_purchase", "scalar_functions",
-    "size_histogram", "backlog_totals", "resume_anti_join",
-    "mutate_pipeline", "sessionize", "latest_event_per_user",
+    "scan_projection", "mutate_pipeline", "resume_anti_join",
+    "sessionize",
+    "count_per_slice", "size_stats", "distinct_slices", "backlog_union",
+    "reroute_by_month", "session_window_stats", "events_hourly",
     # documents / dedup family
-    "text_features", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
-    "chunk_windows", "dedup_ngram_containment", "dedup_edit_distance",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "chunk_windows",
+    "dedup_substring_spans", "dedup_winnow_pairs", "simhash_pairs",
+    "repetition_scores", "bpe_token_stats",
     # vectors
-    "similarity_topk", "embedding_centroids", "embedding_dup_pairs",
+    "similarity_topk", "embedding_dup_pairs",
+    "knn_graph_edges", "ann_lsh_topk", "embedding_int8_checksum",
     # search
-    "keyword_search_and", "bm25_topk", "hybrid_search_rrf",
-    "phrase_search", "percolate", "search_rank_eval",
-    "search_after_page", "search_rescore", "multi_match_best_fields",
+    "bm25_topk", "hybrid_search_rrf", "percolate",
+    "fuzzy_search", "search_facets", "significant_terms",
+    "more_like_this",
     # analytics
-    "tfidf_top_terms", "q19_discounted_revenue", "decontaminate_flags",
-    "quality_topk_per_lang", "events_gapfill", "revenue_grouping_sets",
-    "value_percentiles", "sequence_packing", "time_weighted_avg",
+    "tfidf_top_terms", "events_gapfill", "decontaminate_flags",
 ]
 
 
