@@ -223,6 +223,33 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     )
 
 
+def cap_hot_grams(
+    g: DataFrame, df: DataFrame, max_doc_frac: float
+) -> DataFrame:
+    """Drop grams present in more than ``max_doc_frac`` of documents
+    from an inverted-index table ``g`` (doc_id, gh, ...).
+
+    Standard near-dup practice (boilerplate/stopword shingles): a gram
+    shared by x% of an N-doc corpus produces an O((xN)²) bucket in the
+    gram self-join — the worst skew bucket by far. Capping document
+    frequency bounds every bucket by (max_doc_frac·N)² instead of
+    leaving the hot keys to AQE skew-splitting; true near-dup pairs
+    keep plenty of discriminative grams, so pair recall is unaffected
+    (pinned by tests/test_operators.py). Costs one extra count per
+    gram (same shuffle key as the join) and a semi-join.
+
+    Shingle tables are distinct-per-doc, so count(*) per gram IS the
+    document frequency."""
+    nd = df.agg(F.count(F.lit(1)).alias("__nd"))
+    dfreq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("__df"))
+    keep = (
+        dfreq.crossJoin(F.broadcast(nd))  # 1-row broadcast, no shuffle
+        .filter(F.col("__df") <= F.col("__nd") * max_doc_frac)
+        .select("gh")
+    )
+    return g.join(keep, "gh", "semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -230,6 +257,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.05,
     partition_cols: list[str] | None = None,
+    max_doc_frac: float | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by word-n-gram Jaccard similarity.
 
@@ -240,11 +268,18 @@ def ngram_jaccard_pairs(
       3. Jaccard = common / (|A| + |B| − common), filter ≥ threshold.
 
     The only shuffles are the gram-key join and two small aggregations.
+    ``max_doc_frac`` (off by default — the oracle twin checks the
+    uncapped semantics) excludes boilerplate grams shared by more than
+    that fraction of docs from the shingle universe before the join —
+    see :func:`cap_hot_grams`; sizes and scores are computed over the
+    capped universe so the measure stays a true Jaccard.
     """
     keys = list(partition_cols or [])
     g = shingles(df, id_col, text_col, n, extra_cols=keys).withColumn(
         "gh", CF.hash60("gram")
     ).drop("gram")
+    if max_doc_frac is not None:
+        g = cap_hot_grams(g, df, max_doc_frac)
     # the shingle table feeds three consumers (both join sides + sizes);
     # materialise it once instead of re-tokenising per consumer — at
     # cluster scale this is a persist/checkpoint of the inverted index
@@ -279,6 +314,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.9,
+    max_doc_frac: float | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by n-gram CONTAINMENT:
     |A ∩ B| / min(|A|, |B|).
@@ -287,13 +323,16 @@ def ngram_containment_pairs(
     in a much longer one has tiny |A∩B|/|A∪B| but containment 1.0.
     Same inverted-index shape as :func:`ngram_jaccard_pairs` (gram-hash
     equi-join, never all-pairs), so the scale properties are identical:
-    the only shuffles are the gram join and two small aggregations.
+    the only shuffles are the gram join and two small aggregations;
+    ``max_doc_frac`` is the same hot-gram cap (:func:`cap_hot_grams`).
     Reference analog: the dedup surface (SURVEY.md §2 training-data
     extensions); containment is the standard companion measure.
     """
     g = shingles(df, id_col, text_col, n).withColumn(
         "gh", CF.hash60("gram")
     ).drop("gram")
+    if max_doc_frac is not None:
+        g = cap_hot_grams(g, df, max_doc_frac)
     g = materialize(g)  # feeds both join sides + the size agg
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = g.alias("a"), g.alias("b")

@@ -2,10 +2,16 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schema, batching, partition shape) is real and
-tested; the actual decoders are stubs because the media libraries are
-not in this container — ``decode_media`` raises NotImplementedError
-unless ``fake=True``, which produces the deterministic hash-derived
-metadata pinned by the ``multimodal_meta`` oracle query.
+tested. Decoders probe for the media libraries AT RUNTIME inside the
+executor closure: with PIL present the image ops (``decode_media``,
+``resize_images``, ``phash_images``) decode real payloads; audio
+decodes via soundfile when importable, falling back to the stdlib
+``wave`` reader for 16-bit PCM WAV payloads (so the real path runs
+even in codec-less containers). Absent codecs raise
+NotImplementedError unless ``fake=True``, which produces the
+deterministic hash-derived output pinned by the ``multimodal_meta``
+oracle query — the fake keeps schema/batch shape identical to the real
+path.
 
 At scale: binaries stay in parquet/object storage, metadata extraction
 runs as Arrow-batched mapInPandas (one Python roundtrip per batch), and
@@ -40,27 +46,46 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
     """Extract (n_bytes, width, height, format) from a binary payload
     column via Arrow-batched mapInPandas.
 
-    ``fake=False`` requires real media libs (PIL/ffmpeg) — not present
-    here, so it raises; ``fake=True`` derives deterministic metadata
-    from the payload hash (matches functions.hash60 on the utf-8
-    string, i.e. the multimodal_meta oracle).
+    ``fake=False`` decodes with PIL when importable on the executors
+    and raises NotImplementedError otherwise; ``fake=True`` derives
+    deterministic metadata from the payload hash (matches
+    functions.hash60 on the utf-8 string, i.e. the multimodal_meta
+    oracle).
     """
 
     def run(batches):
         # self-contained: executors must not need chillastic_spark on
         # their path (see operators.mutate.apply_data_mutators)
         import hashlib as _hashlib
+        import io as _io
 
         import pandas as _pd
+
+        image_mod = None
+        if not fake:
+            try:
+                from PIL import Image as image_mod  # noqa: N813
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real media decode needs PIL (pillow); pass fake=True"
+                ) from e
 
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
                 payload = rec[payload_col] or b""
                 if not fake:
-                    raise NotImplementedError(
-                        "real media decode needs PIL/ffmpeg; pass fake=True"
-                    )
+                    with image_mod.open(_io.BytesIO(bytes(payload))) as img:
+                        rows.append(
+                            {
+                                "doc_id": rec[id_col],
+                                "n_bytes": len(payload),
+                                "width": img.width,
+                                "height": img.height,
+                                "format": (img.format or "unknown").lower(),
+                            }
+                        )
+                    continue
                 h = int(_hashlib.md5(bytes(payload)).hexdigest()[:15], 16)
                 rows.append(
                     {
@@ -152,23 +177,39 @@ def resize_images(
     fake: bool = False,
 ) -> DataFrame:
     """Image resize plumbing (1→1 mapInPandas, payload in / payload
-    out). Real PIL resize is stubbed: ``fake=True`` truncates/pads the
-    payload to width·height/64 bytes deterministically — the batch
-    shape, schema, and size contract a real decoder would have."""
+    out). ``fake=False`` resizes with PIL when importable (PNG bytes
+    out, deterministic) and raises NotImplementedError otherwise;
+    ``fake=True`` truncates/pads the payload to width·height/64 bytes
+    deterministically — the batch shape, schema, and size contract of
+    the real decoder."""
     target = max(width * height // 64, 1)
 
     def run(batches):
+        import io as _io
+
         import pandas as _pd
+
+        image_mod = None
+        if not fake:
+            try:
+                from PIL import Image as image_mod  # noqa: N813
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real image resize needs PIL (pillow); pass fake=True"
+                ) from e
 
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
                 payload = bytes(rec[payload_col] or b"")
                 if not fake:
-                    raise NotImplementedError(
-                        "real image resize needs PIL; pass fake=True"
-                    )
-                out = (payload * (target // max(len(payload), 1) + 1))[:target]
+                    with image_mod.open(_io.BytesIO(payload)) as img:
+                        resized = img.resize((width, height))
+                        buf = _io.BytesIO()
+                        resized.save(buf, format="PNG")
+                    out = buf.getvalue()
+                else:
+                    out = (payload * (target // max(len(payload), 1) + 1))[:target]
                 rows.append(
                     {
                         "doc_id": rec[id_col],
@@ -206,30 +247,68 @@ def audio_features(
     defaults, global zero-crossing rate) over a binary audio column —
     the speech-quality/VAD gate of an audio curation pipeline.
 
-    ``fake=False`` requires a real codec (soundfile/ffmpeg) — absent in
-    this container, so it raises; ``fake=True`` deterministically
+    ``fake=False`` decodes with soundfile when importable, else falls
+    back to the stdlib ``wave`` reader for 16-bit PCM WAV payloads (so
+    the real path runs even in codec-less containers); undecodable
+    payloads raise NotImplementedError. ``fake=True`` deterministically
     expands the payload bytes to an int16 PCM array so the Spark-side
     plumbing (Arrow batch shape, numpy vectorised framing, per-doc 1→1
-    schema) is real and testable. Framing is vectorised with
+    schema) is exercised either way. Framing is vectorised with
     stride_tricks — no per-sample Python loop.
     """
 
     def run(batches):
+        import io as _io
+
         import numpy as _np
         import pandas as _pd
+
+        def decode_pcm(payload: bytes):
+            """payload → mono float64 PCM in [-1, 1): soundfile when
+            present, stdlib wave (16-bit PCM) otherwise."""
+            try:
+                import soundfile as _sf
+            except ImportError:
+                _sf = None
+            if _sf is not None:
+                try:
+                    data, _sr = _sf.read(
+                        _io.BytesIO(payload), dtype="float64", always_2d=True
+                    )
+                    return data.mean(axis=1)
+                except Exception as e:  # noqa: BLE001 — codec boundary
+                    raise NotImplementedError(
+                        f"undecodable audio payload: {e}; pass fake=True"
+                    ) from e
+            import wave as _wave
+
+            try:
+                with _wave.open(_io.BytesIO(payload), "rb") as w:
+                    nch, sw = w.getnchannels(), w.getsampwidth()
+                    raw = w.readframes(w.getnframes())
+            except Exception as e:  # noqa: BLE001 — codec boundary
+                raise NotImplementedError(
+                    "real audio decode needs soundfile, or 16-bit PCM WAV "
+                    "payloads for the stdlib fallback; pass fake=True"
+                ) from e
+            if sw != 2:
+                raise NotImplementedError(
+                    "stdlib WAV fallback reads 16-bit PCM only"
+                )
+            arr = _np.frombuffer(raw, dtype=_np.int16).astype(_np.float64) / 32768.0
+            return arr.reshape(-1, nch).mean(axis=1)
 
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
                 payload = bytes(rec[payload_col] or b"")
                 if not fake:
-                    raise NotImplementedError(
-                        "real audio decode needs soundfile/ffmpeg; pass fake=True"
-                    )
-                pcm = _np.frombuffer(
-                    (payload * ((8000 // max(len(payload), 1)) + 1))[:8000],
-                    dtype=_np.int16,
-                ).astype(_np.float64) / 32768.0
+                    pcm = decode_pcm(payload)
+                else:
+                    pcm = _np.frombuffer(
+                        (payload * ((8000 // max(len(payload), 1)) + 1))[:8000],
+                        dtype=_np.int16,
+                    ).astype(_np.float64) / 32768.0
                 n = pcm.shape[0]
                 if n >= frame_len:
                     n_frames = 1 + (n - frame_len) // hop
@@ -282,12 +361,13 @@ def phash_images(
     image-modality twin of the text simhash: visually-similar images
     land at small Hamming distance.
 
-    Real decode (PIL → grayscale 32×32) is stubbed like the other media
-    ops; ``fake=True`` tiles the raw payload bytes into the 32×32
-    luminance plane, which is LOCALITY-PRESERVING (payloads sharing
-    most bytes produce nearby hashes), so the end-to-end near-dup
-    behavior is exercised for real. The DCT + sign-vs-median math is
-    the production path either way.
+    ``fake=False`` decodes with PIL when importable (grayscale 32×32,
+    the standard pHash pipeline) and raises otherwise; ``fake=True``
+    tiles the raw payload bytes into the 32×32 luminance plane, which
+    is LOCALITY-PRESERVING (payloads sharing most bytes produce nearby
+    hashes), so the end-to-end near-dup behavior is exercised either
+    way. The DCT + sign-vs-median math is the production path in both
+    modes.
 
     Runs as Arrow-batched mapInPandas with the whole batch pushed
     through one numpy einsum — no per-row Python in the hot loop.
@@ -295,6 +375,8 @@ def phash_images(
 
     def run(batches):
         # self-contained closure: executors don't have the repo on path
+        import io as _io
+
         import numpy as _np
         import pandas as _pd
 
@@ -302,14 +384,27 @@ def phash_images(
         k = _np.arange(N)
         dct = _np.cos(_np.pi * (k[None, :] + 0.5) * k[:, None] / N)
 
+        image_mod = None
+        if not fake:
+            try:
+                from PIL import Image as image_mod  # noqa: N813
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real image decode needs PIL (pillow); pass fake=True"
+                ) from e
+
         for pdf in batches:
             ids, imgs = [], []
             for rec in pdf.to_dict("records"):
                 payload = bytes(rec[payload_col] or b"")
                 if not fake:
-                    raise NotImplementedError(
-                        "real image decode needs PIL; pass fake=True"
-                    )
+                    with image_mod.open(_io.BytesIO(payload)) as img:
+                        plane = _np.asarray(
+                            img.convert("L").resize((N, N)), dtype=_np.float64
+                        )
+                    imgs.append(plane)
+                    ids.append(rec[id_col])
+                    continue
                 buf = (payload * (1024 // max(len(payload), 1) + 1))[:1024]
                 imgs.append(
                     _np.frombuffer(buf, dtype=_np.uint8)

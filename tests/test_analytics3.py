@@ -102,12 +102,48 @@ def test_audio_features_plumbing(spark):
 
 
 def test_audio_features_real_decode_is_gated(spark):
+    """Non-audio payloads must raise, not silently mis-decode — with or
+    without a codec installed."""
     import pytest as _pytest
     from chillastic_spark.operators.multimodal import audio_features, with_binary_payload
 
     d = with_binary_payload(load(spark, SF, "documents").limit(1))
-    with _pytest.raises(Exception, match="audio decode"):
+    with _pytest.raises(Exception, match="audio"):
         audio_features(d, fake=False).collect()
+
+
+def test_audio_features_real_wav_decode(spark):
+    """The REAL decode path on real 16-bit PCM WAV bytes (stdlib wave
+    fallback — runs even without soundfile): a 440 Hz sine at half
+    amplitude has RMS ≈ 0.5/√2 and a zero-crossing rate ≈ 2·f/sr."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    from chillastic_spark.operators.multimodal import audio_features
+
+    sr, n, freq, amp = 16000, 8000, 440.0, 0.5
+    t = np.arange(n) / sr
+    pcm = (amp * np.sin(2 * math.pi * freq * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    wav_bytes = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_bytes))], "doc_id long, payload binary"
+    )
+    row = audio_features(df, fake=False).collect()[0]
+    assert row["n_samples"] == n
+    assert row["n_frames"] == 1 + (n - 400) // 160
+    assert abs(row["mean_rms"] - amp / math.sqrt(2)) < 0.01
+    assert abs(row["zcr"] - 2 * freq / sr) < 0.01
+    assert row["max_rms"] >= row["mean_rms"]
 
 
 def test_daily_rollup_cascade_equals_direct(spark):

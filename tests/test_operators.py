@@ -48,6 +48,47 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert (1, 4) not in pairs and (3, 4) not in pairs
 
 
+def test_hot_gram_cap_preserves_pair_recall(spark):
+    """max_doc_frac drops boilerplate grams (the worst skew buckets in
+    the gram self-join) WITHOUT losing true near-dup pairs: on a corpus
+    where every doc shares a boilerplate footer, the capped run at 50%
+    finds exactly the same pairs as the uncapped run."""
+    footer = "subscribe to our newsletter for updates terms of service apply"
+    uniq = [
+        f"document number {i} discusses topic {i * 7} in depth with words "
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i}"
+        for i in range(20)
+    ]
+    rows = [(i, f"{uniq[i]} {footer}") for i in range(20)]
+    rows.append((20, f"{uniq[3]} {footer}"))   # exact dup of 3
+    rows.append((21, f"{uniq[5].replace('in depth', 'in detail')} {footer}"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def pairset(**kw):
+        return {(r["id_a"], r["id_b"])
+                for r in D.ngram_jaccard_pairs(df, threshold=0.3, **kw).collect()}
+
+    uncapped = pairset()
+    capped = pairset(max_doc_frac=0.5)
+    assert (3, 20) in uncapped and (5, 21) in uncapped
+    assert capped == uncapped  # recall unchanged with the cap at 50%
+    # and the cap genuinely removed the boilerplate grams: a footer
+    # gram present in every doc survives only the uncapped index
+    from chillastic_spark import functions as CF
+    g = D.shingles(df, "doc_id", "text", 3).withColumn("gh", CF.hash60("gram"))
+    hot = g.groupBy("gh").count().filter(F.col("count") > 11).count()
+    assert hot > 0  # the skew buckets exist ...
+    kept = D.cap_hot_grams(g, df, 0.5)
+    assert kept.groupBy("gh").count().filter(F.col("count") > 11).count() == 0
+
+
+def test_containment_supports_hot_gram_cap(spark, docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in D.ngram_containment_pairs(
+                 docs, threshold=0.9, max_doc_frac=0.9).collect()}
+    assert (1, 2) in pairs  # exact dup survives the cap
+
+
 def test_minhash_lsh_finds_near_dup(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
              for r in D.minhash_lsh_pairs(docs, threshold=0.25).collect()}

@@ -98,3 +98,66 @@ def test_phash_pairs_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------- real decode (PIL-gated)
+
+def _pil():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(_pil() is None, reason="PIL not installed")
+def test_phash_real_png_decode(spark):
+    """With PIL present, pHash runs on REAL PNG bytes: identical images
+    hash identically, a lightly-edited image stays close, an unrelated
+    image lands far (the same contract the fake path pins)."""
+    import io
+
+    import numpy as np
+
+    Image = _pil()
+
+    def png(arr):
+        img = Image.fromarray(arr.astype("uint8"), mode="L")
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, size=(64, 64))
+    near = base.copy()
+    near[:4, :4] = 0  # small local edit
+    other = rng.integers(0, 255, size=(64, 64))
+    df = _payload_df(spark, [png(base), png(base), png(near), png(other)])
+    h = {r["doc_id"]: r["phash"] for r in M.phash_images(df, fake=False).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert h[0] == h[1]
+    assert ham(h[0], h[2]) <= 12
+    assert ham(h[0], h[3]) > ham(h[0], h[2])
+
+
+@pytest.mark.skipif(_pil() is None, reason="PIL not installed")
+def test_decode_and_resize_real_png(spark):
+    import io
+
+    import numpy as np
+
+    Image = _pil()
+    img = Image.fromarray(
+        (np.arange(40 * 30) % 255).reshape(30, 40).astype("uint8"), mode="L"
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = _payload_df(spark, [buf.getvalue()])
+    meta = M.decode_media(df, fake=False).collect()[0]
+    assert (meta["width"], meta["height"], meta["format"]) == (40, 30, "png")
+    out = M.resize_images(df, width=16, height=16, fake=False).collect()[0]
+    with Image.open(io.BytesIO(bytes(out["payload"]))) as r:
+        assert r.size == (16, 16)
