@@ -1,0 +1,170 @@
+"""Delta Lake MERGE adapter for the upsert/purge sink (jar-gated).
+
+The parquet DocumentStore implements MERGE semantics by hand
+(bucket-scoped read → anti-join → atomic dir swap, sinks/__init__.py)
+because plain parquet has no transaction log. On a real deployment the
+same delivery contract maps 1:1 onto ``MERGE INTO`` over a Delta (or
+Iceberg — identical SQL surface) table partitioned by the hash-bucket
+column:
+
+    upsert (doc_as_upsert, transfer.js:175-189) →
+        MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+        THEN INSERT * — transactional, idempotent re-delivery
+    purge (right-to-be-forgotten)               →
+        MERGE ... WHEN MATCHED THEN DELETE
+    bucket pruning (sources.bucket_expr)        →
+        t.__bucket = s.__bucket in the ON clause — the engine prunes
+        the scan to touched partitions, the same O(touched/N) write
+        amplification the dir-swap store measures
+
+Like the es-hadoop module (sources/elasticsearch.py), the delta-spark
+jar is not in this container: SQL/option translation below is pure and
+unit-tested; the executing entry points probe the classpath and raise a
+clear error when the extension is absent. The parquet path is
+completely untouched — ``DeltaStore`` is opt-in via a ``delta:`` URL.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chillastic_spark.sources import N_BUCKETS_DEFAULT, bucket_expr
+
+# null-safe on _type: typeless envelopes must match typeless rows, not
+# silently never-match (NULL = NULL is NULL in plain SQL)
+MERGE_KEY = "t._index = s._index AND t._type <=> s._type AND t._id = s._id"
+
+
+def bucket_sql(n_buckets: int) -> str:
+    """The SQL twin of sources.bucket_expr — both sides of a MERGE must
+    agree on the hash for partition pruning to be correct."""
+    return f"CAST(pmod(xxhash64(_id), {n_buckets}) AS INT)"
+
+
+def create_table_sql(table: str, n_buckets: int = N_BUCKETS_DEFAULT) -> str:
+    """DDL for the envelope table, partitioned by the hash bucket —
+    the Delta/Iceberg analog of the bucketed store layout."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} (\n"
+        "  _index STRING, _type STRING, _id STRING,\n"
+        "  _source STRING, _size BIGINT,\n"
+        f"  __bucket INT\n"
+        ") USING delta PARTITIONED BY (__bucket)"
+    )
+
+
+def merge_upsert_sql(table: str, source_view: str = "__batch") -> str:
+    """Idempotent doc_as_upsert as one transactional MERGE. The source
+    view must carry a ``__bucket`` column (add_bucket_column); matching
+    it in the ON clause lets the engine prune to touched partitions."""
+    return (
+        f"MERGE INTO {table} t\n"
+        f"USING {source_view} s\n"
+        f"ON {MERGE_KEY} AND t.__bucket = s.__bucket\n"
+        "WHEN MATCHED THEN UPDATE SET *\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def merge_purge_sql(
+    table: str, ids_view: str = "__victims", doc_type: Optional[str] = None
+) -> str:
+    """Right-to-be-forgotten as MERGE ... DELETE. ``ids_view`` carries
+    (_id, __bucket); the bucket equality prunes like upsert."""
+    type_pred = f" AND t._type = '{doc_type}'" if doc_type is not None else ""
+    return (
+        f"MERGE INTO {table} t\n"
+        f"USING {ids_view} s\n"
+        f"ON t._id = s._id AND t.__bucket = s.__bucket{type_pred}\n"
+        "WHEN MATCHED THEN DELETE"
+    )
+
+
+def delta_session_options() -> dict[str, str]:
+    """Session config required for the Delta SQL surface — the
+    deployment recipe the jar gate error points at."""
+    return {
+        "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
+        "spark.sql.catalog.spark_catalog":
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        "spark.jars.packages": "io.delta:delta-spark_2.13:4.0.0",
+    }
+
+
+def add_bucket_column(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("__bucket", bucket_expr(n_buckets))
+
+
+def delta_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "io.delta.sql.DeltaSparkSessionExtension"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — classpath probe
+        return False
+
+
+def _require_delta(spark: SparkSession) -> None:
+    if not delta_available(spark):
+        opts = ", ".join(f"{k}={v}" for k, v in delta_session_options().items())
+        raise RuntimeError(
+            f"delta-spark jar not on the classpath; start the session with {opts}"
+        )
+
+
+class DeltaStore:
+    """Destination adapter speaking the sink surface (deliver/purge)
+    over Delta MERGE — opt-in via ``open_store("delta:<table>")``.
+
+    One Delta table holds all indices (the ``_index`` column is part of
+    the merge key), partitioned by ``__bucket``; ``n_buckets`` must be
+    stable for the table's lifetime, exactly like the parquet store's
+    ``.n_buckets`` marker."""
+
+    def __init__(self, table: str, n_buckets: int = N_BUCKETS_DEFAULT):
+        self.table = table
+        self.n_buckets = n_buckets
+
+    def reachable(self) -> bool:  # admission probe: jar present?
+        spark = SparkSession.getActiveSession()
+        return spark is not None and delta_available(spark)
+
+    def index_path(self, index: str) -> str:  # lock key for Transfer
+        return f"delta:{self.table}/{index}"
+
+    def ensure_table(self, spark: SparkSession) -> None:
+        _require_delta(spark)
+        spark.sql(create_table_sql(self.table, self.n_buckets))
+
+    def deliver(self, spark: SparkSession, df: DataFrame, flush_size: int = 100) -> int:
+        """Transactional MERGE of an envelope DataFrame (flush_size is
+        a no-op here — the transaction replaces batch flushing)."""
+        self.ensure_table(spark)
+        batch = add_bucket_column(df, self.n_buckets)
+        n = batch.count()
+        batch.createOrReplaceTempView("__batch")
+        spark.sql(merge_upsert_sql(self.table))
+        return n
+
+    def purge(
+        self,
+        spark: SparkSession,
+        index: str,
+        ids: "DataFrame | list[str]",
+        type: Optional[str] = None,
+    ) -> int:
+        _require_delta(spark)
+        if isinstance(ids, list):
+            id_df = spark.createDataFrame([(str(i),) for i in ids], "_id string")
+        else:
+            id_df = ids.select(F.col("_id").cast("string"))
+        victims = add_bucket_column(
+            id_df.distinct().withColumn("_index", F.lit(index)), self.n_buckets
+        )
+        victims.createOrReplaceTempView("__victims")
+        before = spark.table(self.table).count()
+        spark.sql(merge_purge_sql(self.table, doc_type=type))
+        return before - spark.table(self.table).count()

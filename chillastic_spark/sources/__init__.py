@@ -101,6 +101,11 @@ def open_store(path_or_url: str, create: bool = True):
         from chillastic_spark.sources.es_rest import ESStore
 
         return ESStore(path_or_url)
+    if isinstance(path_or_url, str) and path_or_url.startswith("delta:"):
+        # jar-gated Delta MERGE sink (sinks/delta.py): "delta:<table>"
+        from chillastic_spark.sinks.delta import DeltaStore
+
+        return DeltaStore(path_or_url[len("delta:"):])
     return DocumentStore(path_or_url, create=create)
 
 

@@ -1,0 +1,84 @@
+"""Delta MERGE sink adapter: pure SQL/option translation tests (the
+jar is absent in this container, exactly like es-hadoop — execution is
+gated behind a classpath probe with a clear remediation error)."""
+import pytest
+
+from chillastic_spark.sinks import delta as DL
+from chillastic_spark.sources import open_store
+
+
+def test_merge_upsert_sql_golden():
+    sql = DL.merge_upsert_sql("docs")
+    assert sql == (
+        "MERGE INTO docs t\n"
+        "USING __batch s\n"
+        "ON t._index = s._index AND t._type <=> s._type AND t._id = s._id"
+        " AND t.__bucket = s.__bucket\n"
+        "WHEN MATCHED THEN UPDATE SET *\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def test_merge_key_is_null_safe_on_type():
+    # a typeless envelope must MATCH an existing typeless row — plain
+    # equality would never-match on NULL and duplicate the doc
+    assert "t._type <=> s._type" in DL.MERGE_KEY
+
+
+def test_merge_purge_sql_with_and_without_type():
+    sql = DL.merge_purge_sql("docs")
+    assert "WHEN MATCHED THEN DELETE" in sql
+    assert "t._id = s._id AND t.__bucket = s.__bucket" in sql
+    typed = DL.merge_purge_sql("docs", doc_type="t1")
+    assert "AND t._type = 't1'" in typed
+
+
+def test_create_table_partitions_by_bucket():
+    ddl = DL.create_table_sql("docs", n_buckets=64)
+    assert "USING delta PARTITIONED BY (__bucket)" in ddl
+    assert "_source STRING" in ddl and "_size BIGINT" in ddl
+
+
+def test_bucket_sql_matches_bucket_expr(spark):
+    """The SQL-side bucket hash must equal sources.bucket_expr row for
+    row — a mismatch silently breaks MERGE partition pruning."""
+    from pyspark.sql import functions as F
+
+    from chillastic_spark.sources import bucket_expr
+
+    df = spark.createDataFrame([(f"id{i}",) for i in range(100)], "_id string")
+    got = df.select(
+        bucket_expr(32).alias("a"),
+        F.expr(DL.bucket_sql(32)).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    assert got.count() == 0
+
+
+def test_session_options_name_extension_and_catalog():
+    opts = DL.delta_session_options()
+    assert opts["spark.sql.extensions"] == "io.delta.sql.DeltaSparkSessionExtension"
+    assert "DeltaCatalog" in opts["spark.sql.catalog.spark_catalog"]
+
+
+def test_open_store_routes_delta_urls():
+    store = open_store("delta:analytics.docs")
+    assert isinstance(store, DL.DeltaStore)
+    assert store.table == "analytics.docs"
+    assert store.index_path("ix").startswith("delta:analytics.docs")
+
+
+def test_execution_is_jar_gated(spark):
+    """Without the delta-spark jar every executing entry point fails
+    fast with the deployment recipe — never a confusing AnalysisException
+    mid-merge. The parquet path is untouched by any of this."""
+    assert not DL.delta_available(spark)
+    store = DL.DeltaStore("docs")
+    df = spark.createDataFrame(
+        [("ix", "t", "1", "{}", None)],
+        "_index string, _type string, _id string, _source string, _size long",
+    )
+    with pytest.raises(RuntimeError, match="delta-spark jar"):
+        store.deliver(spark, df)
+    with pytest.raises(RuntimeError, match="delta-spark jar"):
+        store.purge(spark, "ix", ["1"])
+    assert store.reachable() is False  # admission refuses before running
