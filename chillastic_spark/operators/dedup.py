@@ -456,6 +456,89 @@ def minhash_lsh_pairs(
     return est.filter(F.col("est_jaccard") >= threshold)
 
 
+def minhash_lsh_incremental(
+    df: DataFrame,
+    incoming: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Incremental dedup: flag INCOMING docs that near-duplicate the
+    EXISTING corpus — the shape of a daily-ingest pipeline (new crawl
+    batch vs the already-curated pool), where pairing incoming×incoming
+    or existing×existing would be wasted work.
+
+    ``incoming`` is a boolean Column over ``df`` splitting the pool.
+    Signatures are computed in ONE pass over the whole table (shared
+    shuffle); the band join is incoming→existing only, so candidate
+    volume scales with the batch, not the corpus. Returns one row per
+    flagged incoming doc: (doc_id, match_id, est_jaccard) where
+    match_id is the best existing match (highest estimate, smallest id
+    tie-break).
+    """
+    if bands <= 0 or bands > num_perm or num_perm % bands != 0:
+        raise ValueError(
+            f"bands must divide num_perm (got num_perm={num_perm}, bands={bands})"
+        )
+    rows = num_perm // bands
+    flagged = df.withColumn("__inc", incoming)
+    g = shingles(flagged, id_col, text_col, n, extra_cols=["__inc"]).select(
+        "doc_id", "__inc", CF.hash60("gram").alias("gh")
+    )
+    hmod = F.col("gh") % MINHASH_P
+    aggs = [
+        F.min((F.lit(a) * hmod + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_perm_constants(num_perm))
+    ]
+    sig = materialize(g.groupBy("doc_id", "__inc").agg(*aggs))
+    band_keys = F.array(
+        *[
+            F.concat_ws(",", *[F.col(f"mh{b * rows + j}").cast("string") for j in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "__inc", F.posexplode(band_keys).alias("band", "bkey")
+    )
+    inc = banded.filter(F.col("__inc")).select("doc_id", "band", "bkey")
+    ex = banded.filter(~F.col("__inc")).select(
+        F.col("doc_id").alias("match_id"), "band", "bkey"
+    )
+    cand = inc.join(ex, ["band", "bkey"]).select("doc_id", "match_id").distinct()
+    sa = sig.select("doc_id", *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)])
+    sb = sig.select(
+        F.col("doc_id").alias("match_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)],
+    )
+    eq_count = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    est = (
+        cand.join(sa, "doc_id")
+        .join(sb, "match_id")
+        .withColumn("est_jaccard", CF.round_det(eq_count / F.lit(float(num_perm)), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    # best existing match per incoming doc: (est desc, match_id asc) —
+    # a struct-max groupBy, no window
+    best = est.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("est_jaccard").alias("e"), (-F.col("match_id")).alias("nm")
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        "doc_id",
+        (-F.col("_b.nm")).alias("match_id"),
+        F.col("_b.e").alias("est_jaccard"),
+    )
+
+
 # ------------------------------------------------------------------ SimHash
 
 SIMHASH_BITS = 60  # fits the 60-bit oracle-reproducible hash

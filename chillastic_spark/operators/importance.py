@@ -1,0 +1,117 @@
+"""DSIR-style importance weighting for data selection (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+arXiv:2302.03169): score every raw document by how target-like its
+hashed unigram features are, so a curation run can resample the raw
+pool toward a target domain.
+
+Spark-first shape (designed for the 100 TB pool):
+* features are HASHED into a fixed bucket table (default 4096), so the
+  "language model" of both distributions is a bounded ``buckets``-row
+  aggregate no matter the corpus size;
+* one tokenise feeds a single conditional groupBy (raw and target
+  counts in the same shuffle — the target is a predicate over the same
+  pool, per the paper's setup);
+* the per-bucket log-ratio table is broadcast back onto the token
+  stream, so scoring is one map-side join + one groupBy(doc) — no
+  second wide shuffle;
+* per-token log-ratios are rounded (`round_det`) and summed through
+  DECIMAL, making the doc weight independent of partitioning/engine —
+  which is what lets the DuckDB oracle hash-check this operator.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chillastic_spark import functions as CF
+
+DEFAULT_BUCKETS = 4096
+LAM_DIGITS = 6  # per-bucket log-ratio rounding (pre-DECIMAL-sum)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+    extra_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """(doc_id, *extra_cols, n_tokens, weight): per-document importance
+    weight = Σ_tokens λ(bucket(token)), where λ is the add-1-smoothed
+    log-ratio of the target vs raw hashed-unigram distributions.
+
+    ``target`` is a boolean Column over ``df``'s rows marking the
+    target-domain subset (e.g. ``F.col("lang") == "en"``). Positive
+    weights mean "looks like the target".
+    """
+    extra = list(extra_cols or [])
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra],
+        target.alias("__tgt"),
+        F.explode(CF.words(text_col)).alias("tok"),
+    ).withColumn("bkt", CF.hash60("tok") % buckets)
+
+    counts = toks.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("raw_ct"),
+        F.sum(F.col("__tgt").cast("long")).alias("tgt_ct"),
+    )
+    totals = counts.agg(
+        F.sum("raw_ct").alias("raw_tot"), F.sum("tgt_ct").alias("tgt_tot")
+    )
+    b = F.lit(buckets)
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "bkt",
+        CF.round_det(
+            F.log((F.col("tgt_ct") + 1) / (F.col("tgt_tot") + b))
+            - F.log((F.col("raw_ct") + 1) / (F.col("raw_tot") + b)),
+            LAM_DIGITS,
+        ).alias("lam"),
+    )
+    return (
+        toks.join(F.broadcast(lam), "bkt")
+        .groupBy("doc_id", *extra)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("lam").cast("decimal(28,6)")).cast("double").alias("weight"),
+        )
+    )
+
+
+def dsir_weights_sql(
+    target_sql: str,
+    buckets: int = DEFAULT_BUCKETS,
+    extra_cols: "list[str] | None" = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`dsir_weights` — identical hashing,
+    smoothing, rounding, and DECIMAL summation."""
+    extra = list(extra_cols or [])
+    ex_sel = "".join(f", {c}" for c in extra)
+    ex_grp = "".join(f", {c}" for c in extra)
+    lam_expr = CF.round_det_sql(
+        f"ln((tgt_ct + 1) / (tgt_tot + {buckets}))"
+        f" - ln((raw_ct + 1) / (raw_tot + {buckets}))",
+        LAM_DIGITS,
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id{ex_sel}, tgt,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {buckets} AS bkt
+  FROM (SELECT doc_id{ex_sel}, ({target_sql}) AS tgt,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM {table})
+), counts AS (
+  SELECT bkt, count(*) AS raw_ct, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_ct
+  FROM toks GROUP BY bkt
+), totals AS (
+  SELECT sum(raw_ct) AS raw_tot, sum(tgt_ct) AS tgt_tot FROM counts
+), lam AS (
+  SELECT bkt, {lam_expr} AS lam FROM counts CROSS JOIN totals
+)
+SELECT doc_id{ex_grp}, count(*) AS n_tokens,
+       sum(lam::DECIMAL(28,6))::DOUBLE AS weight
+FROM toks JOIN lam USING (bkt)
+GROUP BY doc_id{ex_grp}
+"""

@@ -82,6 +82,7 @@ def all_queries() -> dict[str, Query]:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         documents,
         engine_parity,
         relational,
@@ -108,6 +109,7 @@ def all_queries() -> dict[str, Query]:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         search,
         search2,
         search3,
