@@ -41,11 +41,13 @@ class Query:
 # phrase_search, search_rank_eval, search_after_page, search_rescore,
 # multi_match_best_fields, q19_discounted_revenue,
 # quality_topk_per_lang, revenue_grouping_sets, value_percentiles,
-# sequence_packing, time_weighted_avg.
+# sequence_packing, time_weighted_avg. Swapped mid-r4 for the six
+# never-sampled batch-16 queries (all r03-green, locally twinned every
+# round): q18_large_orders, q9_product_profit, sessionize, dedup_exact,
+# dedup_minhash_lsh, chunk_windows.
 PANEL_FIRST = [
     # relational core (keepers, then never-sampled TPC-H flavours)
-    "q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
-    "q9_product_profit",
+    "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q7_nation_trade", "q8_market_share",
     "q10_returned_items", "q12_priority_shipping",
     "q13_customer_distribution", "q15_top_supplier",
@@ -53,14 +55,16 @@ PANEL_FIRST = [
     "q20_bulk_suppliers", "q22_dormant_customers",
     # engine parity (reference operators)
     "scan_projection", "mutate_pipeline", "resume_anti_join",
-    "sessionize",
     "count_per_slice", "size_stats", "distinct_slices", "backlog_union",
     "reroute_by_month", "session_window_stats", "events_hourly",
     # documents / dedup family
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "chunk_windows",
+    "dedup_ngram_jaccard",
     "dedup_substring_spans", "dedup_winnow_pairs", "simhash_pairs",
     "repetition_scores", "bpe_token_stats",
+    # batch 16 (new this round — first driver sampling)
+    "pii_scrub_report", "dsir_importance_weights",
+    "domain_mixture_manifest", "dedup_keep_best", "dedup_incremental",
+    "semantic_dedup_manifest",
     # vectors
     "similarity_topk", "embedding_dup_pairs",
     "knn_graph_edges", "ann_lsh_topk", "embedding_int8_checksum",

@@ -164,7 +164,9 @@ def domain_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("actual_tokens")
     )
     w = (F.regexp_extract("source", r"(\d+)", 1).cast("long") % 4) + 1
-    per_src = per_src.withColumn("mix_weight", w)
+    # materialize the |sources|-row aggregate so the weight total does
+    # not re-scan the corpus (one documents scan total)
+    per_src = D.materialize(per_src.withColumn("mix_weight", w))
     tot = per_src.agg(F.sum("mix_weight").alias("w_tot"))
     out = per_src.crossJoin(F.broadcast(tot))
     desired = F.floor(F.lit(_MIX_BUDGET) * F.col("mix_weight") / F.col("w_tot")).cast(

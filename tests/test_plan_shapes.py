@@ -176,3 +176,26 @@ def test_quality_gate_scans_needed_columns_only(spark):
     read = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "text" in read and "lang" in read and "doc_id" in read
     assert "source" not in read and "n_chars" not in read
+
+
+def test_batch16_plan_shapes(spark):
+    # PII audit: one documents scan, no shuffle beyond the final agg
+    # (formatted explain names each node twice: tree + details)
+    plan = _plan(spark, "pii_scrub_report")
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("Exchange") <= 2
+    # DSIR: the bucket log-ratio table must come back as a BROADCAST
+    # join onto the token stream (never a shuffle join on tokens)
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # mixture manifest: the corpus is scanned ONCE (at the per-source
+    # aggregate's materialization); the final plan runs off the
+    # checkpointed |sources|-row table, never re-reading documents
+    plan = _plan(spark, "domain_mixture_manifest")
+    assert plan.count("documents.parquet") == 0
+    assert "Checkpoint" in plan or "Scan ExistingRDD" in plan
+    # incremental dedup: banded equi-join only, never all-pairs
+    plan = _plan(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
