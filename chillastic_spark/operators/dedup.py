@@ -483,7 +483,6 @@ def minhash_lsh_incremental(
         raise ValueError(
             f"bands must divide num_perm (got num_perm={num_perm}, bands={bands})"
         )
-    rows = num_perm // bands
     flagged = df.withColumn("__inc", incoming)
     g = shingles(flagged, id_col, text_col, n, extra_cols=["__inc"]).select(
         "doc_id", "__inc", CF.hash60("gram").alias("gh")
@@ -494,22 +493,43 @@ def minhash_lsh_incremental(
         for i, (a, b) in enumerate(minhash_perm_constants(num_perm))
     ]
     sig = materialize(g.groupBy("doc_id", "__inc").agg(*aggs))
-    band_keys = F.array(
-        *[
-            F.concat_ws(",", *[F.col(f"mh{b * rows + j}").cast("string") for j in range(rows)])
-            for b in range(bands)
-        ]
+    banded = minhash_bands(sig, num_perm, bands, extra_cols=["__inc"])
+    inc_sig = sig.filter(F.col("__inc")).drop("__inc")
+    ex_sig = sig.filter(~F.col("__inc")).drop("__inc")
+    inc_bands = banded.filter(F.col("__inc")).select("doc_id", "band", "bkey")
+    ex_bands = banded.filter(~F.col("__inc")).select("doc_id", "band", "bkey")
+    return minhash_flag_against(
+        inc_sig, inc_bands, ex_sig, ex_bands, num_perm, threshold
     )
-    banded = sig.select(
-        "doc_id", "__inc", F.posexplode(band_keys).alias("band", "bkey")
+
+
+def minhash_flag_against(
+    inc_sig: DataFrame,
+    inc_bands: DataFrame,
+    ex_sig: DataFrame,
+    ex_bands: DataFrame,
+    num_perm: int,
+    threshold: float,
+) -> DataFrame:
+    """Flag incoming docs against an existing corpus given both sides'
+    wide signatures and band tables: banded candidate equi-join →
+    estimate verification → best existing match per incoming doc
+    ((est desc, match_id asc) via struct-max, no window). Shared by the
+    batch and streaming incremental-dedup shapes."""
+    cand = (
+        inc_bands.join(
+            ex_bands.select(
+                F.col("doc_id").alias("match_id"), "band", "bkey"
+            ),
+            ["band", "bkey"],
+        )
+        .select("doc_id", "match_id")
+        .distinct()
     )
-    inc = banded.filter(F.col("__inc")).select("doc_id", "band", "bkey")
-    ex = banded.filter(~F.col("__inc")).select(
-        F.col("doc_id").alias("match_id"), "band", "bkey"
+    sa = inc_sig.select(
+        "doc_id", *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)]
     )
-    cand = inc.join(ex, ["band", "bkey"]).select("doc_id", "match_id").distinct()
-    sa = sig.select("doc_id", *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)])
-    sb = sig.select(
+    sb = ex_sig.select(
         F.col("doc_id").alias("match_id"),
         *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)],
     )
@@ -523,8 +543,6 @@ def minhash_lsh_incremental(
         .withColumn("est_jaccard", CF.round_det(eq_count / F.lit(float(num_perm)), 4))
         .filter(F.col("est_jaccard") >= threshold)
     )
-    # best existing match per incoming doc: (est desc, match_id asc) —
-    # a struct-max groupBy, no window
     best = est.groupBy("doc_id").agg(
         F.max(
             F.struct(
@@ -653,3 +671,25 @@ def embedding_dup_pairs(
         CF.round_det(CF.cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def minhash_bands(
+    sig: DataFrame, num_perm: int, bands: int, extra_cols: "list[str] | None" = None
+) -> DataFrame:
+    """(doc_id, *extra_cols, band, bkey) banding of a wide signature
+    table — the LSH bucket currency shared by the pairwise,
+    incremental, and streaming dedup shapes."""
+    rows = num_perm // bands
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",", *[F.col(f"mh{b * rows + j}").cast("string") for j in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        *[F.col(c) for c in (extra_cols or [])],
+        F.posexplode(band_keys).alias("band", "bkey"),
+    )

@@ -616,3 +616,74 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos")
     )
+
+
+def centroid_arrays(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group centroid as an ORDERED array<double> (one row per
+    group, broadcastable): posexplode → per-(group,dim) partial avg →
+    dim-sorted re-assembly. The per-dim mean is rounded so the vector
+    is engine-identical before any downstream dot product."""
+    long = df.select(
+        group_col, F.posexplode(CF.as_double_array(vec_col)).alias("dim", "val")
+    )
+    cent = long.groupBy(group_col, "dim").agg(
+        CF.round_det(F.avg("val"), digits).alias("c")
+    )
+    packed = cent.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_s")
+    )
+    return packed.select(
+        group_col, F.transform("_s", lambda s: s["c"]).alias("centroid")
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pct: float = 0.1,
+) -> DataFrame:
+    """Embedding-space outlier detection: vectors whose cosine to their
+    OWN group centroid falls below the group's interpolated ``pct``
+    percentile — the "drop the weirdest 10% per class" cleaning gate.
+
+    Scale shape: centroids are a |groups|-row broadcast; scoring is one
+    narrow corpus pass; the cutoff is the explicit-rank interpolation
+    (≤2 non-zero summands per group → engine-exact), computed under one
+    per-group window shuffle. Returns (id, group, cos_c, cutoff) for
+    outliers only.
+    """
+    from pyspark.sql.window import Window
+
+    cent = centroid_arrays(df, group_col, vec_col)
+    scored = df.join(F.broadcast(cent), group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        CF.round_det(
+            CF.cosine(CF.as_double_array(vec_col), F.col("centroid")), 6
+        ).alias("cos_c"),
+    )
+    wr = Window.partitionBy(group_col).orderBy("cos_c", id_col)
+    wn = Window.partitionBy(group_col)
+    r = scored.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    pos = F.lit(1.0) + F.lit(pct) * (F.col("n") - F.lit(1))
+    lo, hi, frac = F.floor(pos), F.ceil(pos), pos - F.floor(pos)
+    cell = F.when(F.col("rn") == lo, F.col("cos_c") * (F.lit(1.0) - frac)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("rn") == hi, F.col("cos_c") * frac).otherwise(F.lit(0.0))
+    cut = (
+        r.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy(group_col)
+        .agg(CF.round_det(F.sum(cell), 6).alias("cutoff"))
+    )
+    return scored.join(F.broadcast(cut), group_col).filter(
+        F.col("cos_c") < F.col("cutoff")
+    )

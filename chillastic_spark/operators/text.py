@@ -112,3 +112,31 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", CF.fingerprint(text_col))
         .drop("__w")
     )
+
+
+def char_pair_counts(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies WITHIN words —
+    the counting primitive of BPE tokenizer training (the most frequent
+    pair is the next merge). Returns (pair, n) with n >= min_count.
+
+    Scale shape: two narrow explodes (word, then pair positions)
+    feeding one map-side-combined count on a bounded key domain
+    (|alphabet|² pairs) — shuffle volume is the distinct-pair count per
+    partition, not the corpus character count.
+    """
+    w = df.select(F.explode(CF.words(text_col)).alias("word"))
+    pairs = w.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.expr(
+                    "transform(sequence(1, char_length(word) - 1),"
+                    " i -> substr(word, i, 2))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    out = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    return out.filter(F.col("n") >= min_count)

@@ -383,6 +383,35 @@ FROM reach GROUP BY n
 """
 
 
+# ---------------------------------------------- BPE merge candidates
+
+_BPE_TOPK = 30
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent-character-pair merge candidates across the
+    corpus — the counting step of BPE tokenizer training (the highest
+    count is the next merge rule). See operators/text.char_pair_counts
+    for the scale shape."""
+    d = load(spark, sf_dir, "documents")
+    counts = T.char_pair_counts(d)
+    return counts.orderBy(F.desc("n"), F.asc("pair")).limit(_BPE_TOPK)
+
+
+BPE_MERGE_SQL = f"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents
+), p AS (
+  SELECT unnest(CASE WHEN length(word) >= 2
+                THEN list_transform(range(1, length(word)), i -> word[i:i+1])
+                ELSE CAST([] AS VARCHAR[]) END) AS pair
+  FROM w
+)
+SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT {_BPE_TOPK}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "pii_scrub_report": Query(pii_scrub_report, _pii_sql()),
     "dsir_importance_weights": Query(dsir_importance_weights, DSIR_SQL),
@@ -390,4 +419,5 @@ QUERIES: dict[str, Query] = {
     "dedup_keep_best": Query(dedup_keep_best, KEEP_BEST_SQL),
     "dedup_incremental": Query(dedup_incremental, _incremental_sql()),
     "semantic_dedup_manifest": Query(semantic_dedup_manifest, SEMANTIC_DEDUP_SQL),
+    "bpe_merge_candidates": Query(bpe_merge_candidates, BPE_MERGE_SQL),
 }

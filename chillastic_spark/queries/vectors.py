@@ -171,8 +171,62 @@ QUALIFY row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= {_KNN_K}
 """
 
 
+_OUT_PCT = 0.1
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: vectors whose cosine to their own
+    label centroid is below the label's interpolated 10th percentile —
+    the "drop the weirdest 10% per class" data-cleaning gate
+    (operators/similarity.centroid_outliers)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.centroid_outliers(e, pct=_OUT_PCT)
+
+
+def _outliers_sql(pct: float = _OUT_PCT) -> str:
+    pos = f"(1.0 + {pct} * (n - 1))"
+    frac = f"({pos} - floor({pos}))"
+    cell = (
+        f"CASE WHEN rn = floor({pos}) THEN cos_c * (1.0 - {frac}) ELSE 0.0 END"
+        f" + CASE WHEN rn = ceil({pos}) THEN cos_c * {frac} ELSE 0.0 END"
+    )
+    cos = (
+        "list_dot_product(e.v, cent.cv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+long AS (
+  SELECT label,
+         unnest(generate_series(1, len(v))) AS dim,
+         unnest(v) AS val
+  FROM e),
+cent_long AS (
+  SELECT label, dim, floor((avg(val)) * 1000000.0 + 0.5) / 1000000.0 AS c
+  FROM long GROUP BY label, dim),
+cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent_long GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label,
+         floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 AS cos_c
+  FROM e JOIN cent USING (label)),
+r AS (
+  SELECT vec_id, label, cos_c,
+         row_number() OVER (PARTITION BY label ORDER BY cos_c, vec_id) AS rn,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM scored),
+cut AS (
+  SELECT label, floor((sum({cell})) * 1000000.0 + 0.5) / 1000000.0 AS cutoff
+  FROM r WHERE rn = floor({pos}) OR rn = ceil({pos})
+  GROUP BY label)
+SELECT vec_id, label, cos_c, cutoff
+FROM scored JOIN cut USING (label)
+WHERE cos_c < cutoff
+"""
+
+
 QUERIES: dict[str, Query] = {
     "similarity_topk": Query(similarity_topk, SIMILARITY_TOPK_SQL, headline=True),
+    "embedding_outliers": Query(embedding_outliers, _outliers_sql()),
     "knn_graph_edges": Query(knn_graph_edges, _knn_graph_sql()),
     "embedding_centroids": Query(embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "embedding_dup_pairs": Query(embedding_dup_pairs, EMBEDDING_DUP_SQL),

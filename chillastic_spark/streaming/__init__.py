@@ -482,3 +482,66 @@ def percolate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    stream_dir: str,
+    existing: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.25,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Ingest-time near-dedup as a stream: each micro-batch of incoming
+    docs is flagged against the STATIC curated corpus with the same
+    MinHash banding as ``dedup.minhash_lsh_incremental``, and flags
+    (doc_id, match_id, est_jaccard) append to ``out_dir``.
+
+    The existing corpus's signatures and band tables are computed ONCE
+    (materialized before the stream starts); each micro-batch only
+    hashes its own docs, so per-batch cost scales with the batch.
+    Exactly-once effect: the checkpoint makes each source file
+    processed once, and a replayed batch re-appends identical flags
+    keyed by doc_id (downstream MERGE dedups, as with every sink here).
+    """
+    from chillastic_spark.operators import dedup as D
+
+    ex_sig = D.materialize(
+        D.minhash_signatures_wide(existing, "doc_id", "text", n, num_perm)
+    )
+    ex_bands = D.materialize(D.minhash_bands(ex_sig, num_perm, bands))
+
+    stream = (
+        spark.readStream.schema(existing.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stream_dir)
+    )
+
+    def process(batch_df, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sig = D.materialize(
+            D.minhash_signatures_wide(batch_df, "doc_id", "text", n, num_perm)
+        )
+        flags = D.minhash_flag_against(
+            sig,
+            D.minhash_bands(sig, num_perm, bands),
+            ex_sig,
+            ex_bands,
+            num_perm,
+            threshold,
+        )
+        flags.write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

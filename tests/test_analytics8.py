@@ -169,3 +169,112 @@ def test_semantic_dedup_manifest_clusters(spark):
         assert len(kept) == 1
         assert kept[0]["vec_id"] == cid == min(m["vec_id"] for m in members)
         assert len(members) >= 2
+
+
+# ------------------------------------------------------ BPE merge pairs
+
+
+def test_bpe_merge_candidates_match_local_count(spark):
+    from collections import Counter
+
+    texts = [r["text"] for r in load(spark, SF, "documents").select("text").collect()]
+    want = Counter()
+    for t in texts:
+        for w in t.strip().split():
+            for i in range(len(w) - 1):
+                want[w[i : i + 2]] += 1
+    from chillastic_spark.queries.analytics8 import bpe_merge_candidates
+
+    got = bpe_merge_candidates(spark, SF).collect()
+    assert len(got) == 30
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert [(r["pair"], r["n"]) for r in got] == expect
+
+
+# ------------------------------------------------------ embedding outliers
+
+
+def test_embedding_outliers_flags_bottom_decile(spark):
+    import numpy as np
+
+    from chillastic_spark.queries.vectors import embedding_outliers
+
+    rows = load(spark, SF, "embeddings").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    flagged = embedding_outliers(spark, SF).collect()
+    got = {(r["vec_id"], r["label"]) for r in flagged}
+    for label, members in by_label.items():
+        cent = np.mean([v for _, v in members], axis=0)
+        cent = np.floor(cent * 1e6 + 0.5) / 1e6
+        cos = {
+            vid: float(
+                np.floor(
+                    (v @ cent / (np.linalg.norm(v) * np.linalg.norm(cent))) * 1e6 + 0.5
+                )
+                / 1e6
+            )
+            for vid, v in members
+        }
+        cut = float(np.percentile(sorted(cos.values()), 10, method="linear"))
+        want = {vid for vid, c in cos.items() if c < np.floor(cut * 1e6 + 0.5) / 1e6}
+        assert {vid for vid, lb in got if lb == label} == want, label
+        # roughly a decile per label
+        assert len(want) <= max(2, 0.15 * len(members))
+
+
+# ------------------------------------------------- streaming incremental
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """The streaming flags (micro-batched incoming docs vs the static
+    corpus) must equal the batch dedup_incremental output — per-doc
+    flags depend only on the doc and the static side, so batching
+    boundaries cannot change them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chillastic_spark.streaming import incremental_dedup_stream
+
+    d = load(spark, SF, "documents")
+    existing = d.filter(F.col("doc_id") % 3 != 0)
+    incoming = d.filter(F.col("doc_id") % 3 == 0).toPandas()
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    n_files = 4
+    step = max(1, len(incoming) // n_files)
+    for i in range(n_files):
+        chunk = (
+            incoming.iloc[i * step :]
+            if i == n_files - 1
+            else incoming.iloc[i * step : (i + 1) * step]
+        )
+        if len(chunk):
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False),
+                str(stream_dir / f"part-{i:04d}.parquet"),
+            )
+
+    out_dir = str(tmp_path / "flags")
+    q = incremental_dedup_stream(
+        spark,
+        str(stream_dir),
+        existing,
+        out_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["match_id"], r["est_jaccard"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["doc_id"], r["match_id"], r["est_jaccard"])
+        for r in dedup_incremental(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
