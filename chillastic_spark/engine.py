@@ -40,6 +40,7 @@ class TaskState:
         self.path = os.path.join(state_root, f"task-{task_id}.json")
         self.task_id = task_id
         self._lock = FileLock(self.path + ".lock")
+        self._writer_held = False
         self.data = {
             "task": None,
             "backlog": [],  # FIFO of [subtask_id, count]
@@ -83,9 +84,11 @@ class TaskState:
             ) from e
         # another process may have advanced the state while we waited
         self.reload()
+        self._writer_held = True
         return self
 
     def release_writer(self) -> None:
+        self._writer_held = False
         self._lock.release()
 
     def __enter__(self) -> "TaskState":
@@ -96,14 +99,21 @@ class TaskState:
 
     def _atomic(self, fn):
         """Run one read-modify-write against the LATEST on-disk state.
-        Under an exclusive writer the lock is re-entrant and the reload
-        is skipped (our in-memory copy is authoritative); in shared
-        mode each op syncs with whatever other processes saved."""
-        held = self._lock._fd is not None
+
+        Under an EXCLUSIVE writer (acquire_writer) the flock is already
+        held for the whole run and the in-memory copy is authoritative,
+        so ops run directly — crucially WITHOUT touching the flock:
+        FileLock re-entrancy is per holder THREAD, and Engine.run_task
+        worker threads (which serialize on the engine's own mutex)
+        would otherwise flock-block against the main thread's writer
+        forever. In SHARED mode each op is its own
+        lock→reload→mutate→save round, syncing with whatever other
+        processes (or threads, via fresh fds) saved."""
+        if self._writer_held:
+            return fn()
         self._lock.acquire(blocking=True)
         try:
-            if not held:
-                self.reload()
+            self.reload()
             return fn()
         finally:
             self._lock.release()

@@ -171,6 +171,62 @@ QUALIFY row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= {_KNN_K}
 """
 
 
+_SEM_TAU = 0.3  # contamination cosine threshold
+_H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding companion to
+    the n-gram `decontaminate_flags`: flag corpus vectors whose cosine
+    to ANY held-out benchmark vector (deterministic 5% hash-gated
+    pseudo-benchmark) reaches the threshold. Real benchmarks are tiny
+    vs the corpus, so the benchmark side is broadcast and the corpus
+    never shuffles — one map-side pass at any scale. Reports hit count
+    and the worst (max) similarity per flagged vector."""
+    e = load(spark, sf_dir, "embeddings")
+    from chillastic_spark import functions as CF
+
+    is_bench = (
+        CF.hash60(F.concat(F.col("vec_id").cast("string"), F.lit("#vbench"))) % 100
+    ) < 5
+    flagged = e.withColumn("is_bench", is_bench)
+    corpus = flagged.filter(~F.col("is_bench")).select(
+        "vec_id", CF.as_double_array("embedding").alias("v")
+    )
+    bench = flagged.filter(F.col("is_bench")).select(
+        F.col("vec_id").alias("bench_id"), CF.as_double_array("embedding").alias("bv")
+    )
+    cos = CF.round_det(CF.cosine(F.col("v"), F.col("bv")), 6)
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _SEM_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+
+
+SEMANTIC_DECON_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_H60.format(expr="vec_id::VARCHAR || '#vbench'")} % 100 < 5 AS is_bench
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id,
+         floor((list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+               * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM e a JOIN e b ON NOT a.is_bench AND b.is_bench
+)
+SELECT vec_id, count(*) AS n_hits, max(cos) AS max_cos
+FROM scored WHERE cos >= {_SEM_TAU}
+GROUP BY vec_id
+"""
+
+
 _OUT_PCT = 0.1
 
 
@@ -227,6 +283,9 @@ WHERE cos_c < cutoff
 QUERIES: dict[str, Query] = {
     "similarity_topk": Query(similarity_topk, SIMILARITY_TOPK_SQL, headline=True),
     "embedding_outliers": Query(embedding_outliers, _outliers_sql()),
+    "semantic_decontaminate_flags": Query(
+        semantic_decontaminate_flags, SEMANTIC_DECON_SQL
+    ),
     "knn_graph_edges": Query(knn_graph_edges, _knn_graph_sql()),
     "embedding_centroids": Query(embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "embedding_dup_pairs": Query(embedding_dup_pairs, EMBEDDING_DUP_SQL),

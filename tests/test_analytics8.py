@@ -278,3 +278,45 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
         for r in dedup_incremental(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+# --------------------------------------------- semantic decontamination
+
+
+def test_semantic_decontaminate_matches_numpy(spark):
+    import hashlib
+
+    import numpy as np
+
+    from chillastic_spark.queries.vectors import (
+        _SEM_TAU,
+        semantic_decontaminate_flags,
+    )
+
+    rows = load(spark, SF, "embeddings").collect()
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    bench, corpus = [], []
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        (bench if h60(f"{r['vec_id']}#vbench") % 100 < 5 else corpus).append(
+            (r["vec_id"], v)
+        )
+    assert bench, "hash gate selected no benchmark vectors"
+    want = {}
+    for vid, v in corpus:
+        hits = []
+        for _, bv in bench:
+            c = float(v @ bv / (np.linalg.norm(v) * np.linalg.norm(bv)))
+            c = np.floor(c * 1e6 + 0.5) / 1e6
+            if c >= _SEM_TAU:
+                hits.append(c)
+        if hits:
+            want[vid] = (len(hits), max(hits))
+    got = {
+        r["vec_id"]: (r["n_hits"], r["max_cos"])
+        for r in semantic_decontaminate_flags(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
