@@ -45,13 +45,25 @@ def dsir_weights(
     target-domain subset (e.g. ``F.col("lang") == "en"``). Positive
     weights mean "looks like the target".
     """
+    from chillastic_spark.operators.dedup import materialize
+
     extra = list(extra_cols or [])
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in extra],
         target.alias("__tgt"),
         F.explode(CF.words(text_col)).alias("tok"),
-    ).withColumn("bkt", CF.hash60("tok") % buckets)
+    ).select(
+        "doc_id",
+        *extra,
+        "__tgt",
+        (CF.hash60("tok") % buckets).alias("bkt"),
+    )
+    # the hashed token stream feeds BOTH the LM counts and the scoring
+    # join — materialize it so the tokenise+md5 pass runs once (same
+    # two-consumer pattern as the dedup shingle tables; the knob in
+    # operators/dedup.materialize picks the cluster-appropriate mode)
+    toks = materialize(toks)
 
     counts = toks.groupBy("bkt").agg(
         F.count(F.lit(1)).alias("raw_ct"),

@@ -414,10 +414,10 @@ ORDER BY n DESC, pair ASC LIMIT {_BPE_TOPK}
 
 QUERIES: dict[str, Query] = {
     "pii_scrub_report": Query(pii_scrub_report, _pii_sql()),
-    "dsir_importance_weights": Query(dsir_importance_weights, DSIR_SQL),
+    "dsir_importance_weights": Query(dsir_importance_weights, DSIR_SQL, headline=True),
     "domain_mixture_manifest": Query(domain_mixture_manifest, MIXTURE_SQL),
     "dedup_keep_best": Query(dedup_keep_best, KEEP_BEST_SQL),
-    "dedup_incremental": Query(dedup_incremental, _incremental_sql()),
+    "dedup_incremental": Query(dedup_incremental, _incremental_sql(), headline=True),
     "semantic_dedup_manifest": Query(semantic_dedup_manifest, SEMANTIC_DEDUP_SQL),
     "bpe_merge_candidates": Query(bpe_merge_candidates, BPE_MERGE_SQL),
 }
