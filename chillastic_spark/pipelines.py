@@ -11,6 +11,10 @@ Composes the operator library into the standard LLM-data flow:
                                  with a broadcast benchmark set)
       → exact dedup             (content fingerprint, keep min id)
       → near dedup              (MinHash-LSH pairs → drop the larger id)
+      → DSIR selection          (optional: keep the most target-like
+                                 fraction by hashed-unigram importance)
+      → mixture sampling        (optional: per-source hash-gate rates
+                                 solved for a token budget)
       → chunking                (overlapping token windows)
 
 Everything is DataFrame-native: the whole pipeline is ONE Spark job
@@ -48,6 +52,12 @@ class CurationConfig:
     chunk_size: int = 50
     chunk_stride: int = 40
     keep_langs: list[str] = field(default_factory=list)  # empty = all
+    # DSIR selection (used when curate(dsir_target=...) given): keep the
+    # top fraction of surviving docs by length-normalized importance
+    dsir_keep_frac: float = 0.5
+    # mixture sampling (used when curate(mixture=...) given): token
+    # budget the per-source hash-gate rates are solved for
+    mixture_budget: int = 500_000
 
 
 @dataclass
@@ -58,6 +68,8 @@ class CurationReport:
     after_near_dedup: int
     chunks: int
     after_decontamination: int | None = None  # None = no benchmark given
+    after_dsir_selection: int | None = None  # None = no dsir_target given
+    after_mixture_sampling: int | None = None  # None = no mixture given
 
     def as_dict(self) -> dict:
         return vars(self)
@@ -69,6 +81,9 @@ def curate(
     id_col: str = "doc_id",
     text_col: str = "text",
     benchmark: DataFrame | None = None,
+    dsir_target: "F.Column | None" = None,
+    mixture: "dict[str, int] | None" = None,
+    source_col: str = "source",
 ) -> tuple[DataFrame, CurationReport]:
     """Run the curation flow; returns (chunk_table, report).
 
@@ -163,6 +178,58 @@ def curate(
     near = exact.join(losers, id_col, "left_anti")
     after_near = near.count()
 
+    # DSIR selection: keep the most target-like fraction of the
+    # deduped pool (importance.dsir_weights, length-normalized score;
+    # deterministic (score desc, id asc) cut → same rows on re-run)
+    after_dsir = None
+    if dsir_target is not None and cfg.dsir_keep_frac < 1.0:
+        from chillastic_spark import functions as CF
+        from chillastic_spark.operators.importance import dsir_weights
+
+        k = max(1, int(after_near * cfg.dsir_keep_frac))
+        scored = dsir_weights(near, dsir_target, id_col=id_col, text_col=text_col)
+        keep_ids = (
+            scored.withColumn(
+                "__s", CF.round_det(F.col("weight") / F.col("n_tokens"), 6)
+            )
+            .orderBy(F.desc("__s"), F.asc("doc_id"))
+            .limit(k)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        near = near.join(keep_ids, id_col, "left_semi").localCheckpoint()
+        after_dsir = near.count()
+
+    # mixture sampling: per-source hash-gate rates solved for the token
+    # budget (same math as the domain_mixture_manifest query), applied
+    # as a deterministic per-doc gate — reproducible across runs,
+    # retries, and cluster sizes
+    after_mix = None
+    if mixture is not None:
+        from chillastic_spark import functions as CF
+
+        w_tot = sum(mixture.values())
+        per_src = {
+            r[source_col]: r["t"]
+            for r in near.groupBy(source_col)
+            .agg(F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("t"))
+            .collect()
+        }
+        rate_expr = None
+        for src, toks in per_src.items():
+            desired = (cfg.mixture_budget * mixture.get(src, 0)) // w_tot
+            rate = min(1.0, desired / toks) if toks else 0.0
+            gate = int(rate * 1_000_000)
+            cond = F.col(source_col) == src
+            rate_expr = (
+                F.when(cond, F.lit(gate))
+                if rate_expr is None
+                else rate_expr.when(cond, F.lit(gate))
+            )
+        gate_col = rate_expr.otherwise(F.lit(0))
+        h = CF.hash60(F.concat(F.col(id_col).cast("string"), F.lit("#mix"))) % 1_000_000
+        near = near.filter(h < gate_col)
+        after_mix = near.count()
+
     chunks = chunk_documents(
         near, id_col=id_col, text_col=text_col,
         size=cfg.chunk_size, stride=cfg.chunk_stride,
@@ -176,4 +243,6 @@ def curate(
         after_near_dedup=after_near,
         chunks=n_chunks,
         after_decontamination=after_decon,
+        after_dsir_selection=after_dsir,
+        after_mixture_sampling=after_mix,
     )

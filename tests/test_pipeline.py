@@ -73,3 +73,48 @@ def test_curation_null_and_empty_text_dropped_not_crashed(spark):
     survivors = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
     assert survivors == {1}
     assert report.input_docs == 4
+
+
+def test_dsir_selection_and_mixture_sampling(spark):
+    """End-to-end: DSIR keeps the most target-like half; the mixture
+    gate samples each source at its solved rate. Both stages are
+    deterministic — a re-run returns the identical chunk set."""
+    import pyspark.sql.functions as F
+
+    from chillastic_spark.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    cfg = CurationConfig(
+        min_quality=0.0,
+        min_tokens=1,
+        dsir_keep_frac=0.5,
+        mixture_budget=20_000,
+    )
+    mixture = {f"src{i}": (i % 4) + 1 for i in range(20)}
+    chunks, report = curate(
+        d, cfg, dsir_target=F.col("lang") == "en", mixture=mixture
+    )
+    assert report.after_dsir_selection is not None
+    assert report.after_mixture_sampling is not None
+    # dsir cut keeps ~half the deduped pool
+    assert (
+        abs(report.after_dsir_selection - report.after_near_dedup * 0.5)
+        <= report.after_near_dedup * 0.05 + 1
+    )
+    # the gate can only shrink the pool
+    assert report.after_mixture_sampling <= report.after_dsir_selection
+    assert 0 < report.after_mixture_sampling
+    # the selected pool is enriched toward the target language
+    kept = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    pool = {r["doc_id"]: r["lang"] for r in d.select("doc_id", "lang").collect()}
+    en_kept = sum(1 for i in kept if pool[i] == "en") / len(kept)
+    en_pool = sum(1 for v in pool.values() if v == "en") / len(pool)
+    assert en_kept > en_pool
+    # determinism: identical rows on a re-run
+    chunks2, report2 = curate(
+        d, cfg, dsir_target=F.col("lang") == "en", mixture=mixture
+    )
+    assert report2.as_dict() == report.as_dict()
+    a = sorted(map(tuple, chunks.collect()))
+    b = sorted(map(tuple, chunks2.collect()))
+    assert a == b
