@@ -42,6 +42,10 @@ def main() -> None:
         return F.concat_ws(" ", toks)
 
     base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    base = base.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("en")).otherwise(F.lit("de")),
+    ).withColumn("source", F.concat(F.lit("src"), (F.col("doc_id") % 8).cast("string")))
     docs = base.withColumn(
         "text",
         F.when(F.col("doc_id") % 50 == 1, mk_text(F.col("doc_id") - 1))
@@ -55,7 +59,16 @@ def main() -> None:
 
     t0 = time.time()
     chunks, report = curate(
-        docs, CurationConfig(min_quality=0.2, min_tokens=8, near_dup_threshold=0.5)
+        docs,
+        CurationConfig(
+            min_quality=0.2,
+            min_tokens=8,
+            near_dup_threshold=0.5,
+            dsir_keep_frac=0.6,
+            mixture_budget=4_000_000,
+        ),
+        dsir_target=F.col("lang") == "en",
+        mixture={f"src{i}": (i % 4) + 1 for i in range(8)},
     )
     print("report:", report.as_dict())
     print(f"curation wall: {time.time() - t0:.1f}s")
