@@ -1,0 +1,96 @@
+"""Property tests for the incremental-dedup and DSIR operators on
+arbitrary generated corpora: the incremental flags must always be the
+cross-batch projection of the pairwise operator, and DSIR weights must
+be a deterministic function of the (bag-of-tokens, target-set) input —
+invariants that hold for ANY corpus, not just the driver tables."""
+from hypothesis import given, settings, strategies as st
+
+import pyspark.sql.functions as F
+
+from chillastic_spark.operators import dedup as D
+from chillastic_spark.operators.importance import dsir_weights
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=3, max_size=12),
+    min_size=2,
+    max_size=14,
+)
+
+
+def _docs_df(spark, docs):
+    data = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=doc_strategy)
+def test_incremental_is_projection_of_pairwise(spark, docs):
+    df = _docs_df(spark, docs)
+    pairs = D.minhash_lsh_pairs(
+        df, n=2, num_perm=8, bands=4, threshold=0.25
+    ).collect()
+    inc = lambda i: i % 2 == 0  # noqa: E731
+    want = {}
+    for r in pairs:
+        for a, b in ((r["id_a"], r["id_b"]), (r["id_b"], r["id_a"])):
+            if inc(a) and not inc(b):
+                cand = (-r["est_jaccard"], b)
+                if a not in want or cand < want[a]:
+                    want[a] = cand
+    got = {
+        r["doc_id"]: (-r["est_jaccard"], r["match_id"])
+        for r in D.minhash_lsh_incremental(
+            df, F.col("doc_id") % 2 == 0, n=2, num_perm=8, bands=4, threshold=0.25
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=doc_strategy)
+def test_dsir_weight_matches_local_model(spark, docs):
+    """Replay the DSIR math locally (same hashing, smoothing, rounding)
+    and require the Spark weights to match to DECIMAL(…,6) exactness."""
+    import hashlib
+    import math
+
+    df = _docs_df(spark, docs)
+    target = F.col("doc_id") % 2 == 0
+
+    buckets = 64
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    raw_ct, tgt_ct = {}, {}
+    for i, toks in enumerate(docs):
+        for t in toks:
+            b = h60(t) % buckets
+            raw_ct[b] = raw_ct.get(b, 0) + 1
+            if i % 2 == 0:
+                tgt_ct[b] = tgt_ct.get(b, 0) + 1
+    R = sum(raw_ct.values())
+    T = sum(tgt_ct.values())
+    lam = {
+        b: math.floor(
+            (
+                math.log((tgt_ct.get(b, 0) + 1) / (T + buckets))
+                - math.log((raw_ct[b] + 1) / (R + buckets))
+            )
+            * 1e6
+            + 0.5
+        )
+        / 1e6
+        for b in raw_ct
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        # DECIMAL(28,6) sum == exact sum of 6-decimal fixed-point values
+        want[i] = round(sum(round(lam[h60(t) % buckets] * 1e6) for t in toks)) / 1e6
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights(df, target, buckets=buckets).collect()
+    }
+    assert got == want
