@@ -545,3 +545,92 @@ def incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+MG_STATE_SCHEMA = "tokens array<string>, counts array<long>, decr long, version long"
+MG_OUTPUT_SCHEMA = (
+    "shard int, token string, est long, err long, version long"
+)
+
+
+def heavy_hitters_stream(
+    spark: SparkSession,
+    docs_stream_dir: str,
+    checkpoint_dir: str,
+    docs_schema,
+    text_col: str = "text",
+    shards: int = 8,
+    capacity: int = 64,
+    query_name: str = "stream_heavy_hitters",
+) -> StreamingQuery:
+    """Streaming Misra-Gries heavy hitters over an incoming document
+    stream — the continuous twin of ``sketches.heavy_hitter_tokens``.
+
+    Tokens are SHARDED by hash into ``shards`` independent groups, so
+    state is K bounded summaries updated in parallel (never one global
+    task), each at most ``capacity`` counters. A token maps to exactly
+    one shard, so the classic MG guarantee holds per token:
+    est ≤ true ≤ est + that shard's decrement total. Each micro-batch
+    the shard emits its full counter table stamped with a ``version``
+    (update count) — consumers keep the max-version row set per shard.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cap = int(capacity)
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd_
+
+        (shard,) = key
+        if state.exists:
+            tokens, counts, decr, version = state.get
+            counters = dict(zip(tokens, counts))
+        else:
+            counters, decr, version = {}, 0, 0
+        batch: dict = {}
+        for pdf in pdfs:
+            for t in pdf["token"]:
+                batch[t] = batch.get(t, 0) + 1
+        for t, c in batch.items():
+            counters[t] = counters.get(t, 0) + c
+        if len(counters) > cap:
+            cut = sorted(counters.values(), reverse=True)[cap]
+            counters = {t: c - cut for t, c in counters.items() if c > cut}
+            decr += cut
+        version += 1
+        state.update((list(counters), list(counters.values()), decr, version))
+        yield pd_.DataFrame(
+            {
+                "shard": [shard] * len(counters),
+                "token": list(counters),
+                "est": list(counters.values()),
+                "err": [decr] * len(counters),
+                "version": [version] * len(counters),
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(docs_stream_dir)
+    )
+    toks = stream.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    ).withColumn(
+        "shard", F.pmod(F.crc32(F.encode(F.col("token"), "utf-8")), F.lit(shards)).cast("int")
+    )
+    summaries = toks.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        summaries.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -129,3 +129,76 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path, events_dir):
         for r in purchase_prior_window(spark, SF_DIR).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_stream_bound(spark, tmp_path):
+    """Sharded streaming Misra-Gries: after draining the stream, every
+    token's merged estimate obeys est <= true <= est + shard_err, and
+    every token whose true count exceeds its shard's error mass is
+    present — the classic MG guarantee, per shard."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from chillastic_spark.streaming import heavy_hitters_stream
+    from chillastic_spark.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    pdf = d.toPandas()
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    step = max(1, len(pdf) // 4)
+    for i in range(4):
+        chunk = pdf.iloc[i * step :] if i == 3 else pdf.iloc[i * step : (i + 1) * step]
+        if len(chunk):
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False),
+                str(stream_dir / f"p{i:02d}.parquet"),
+            )
+
+    shards, capacity = 4, 32
+    q = heavy_hitters_stream(
+        spark,
+        str(stream_dir),
+        str(tmp_path / "ckpt"),
+        docs_schema=d.schema,
+        shards=shards,
+        capacity=capacity,
+        query_name="hh_test",
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from hh_test").collect()
+    assert rows
+    latest_version = {}
+    for r in rows:
+        latest_version[r["shard"]] = max(
+            latest_version.get(r["shard"], 0), r["version"]
+        )
+    est, err = {}, {}
+    for r in rows:
+        if r["version"] == latest_version[r["shard"]]:
+            est[r["token"]] = r["est"]
+            err[r["shard"]] = r["err"]
+
+    true = {}
+    for t in pdf["text"]:
+        for tok in t.strip().split():
+            true[tok] = true.get(tok, 0) + 1
+
+    for tok, cnt in true.items():
+        shard = zlib.crc32(tok.encode()) % shards
+        bound = err.get(shard, 0)
+        e = est.get(tok, 0)
+        assert e <= cnt <= e + bound, (tok, e, cnt, bound)
+        if cnt > bound:
+            assert tok in est, tok
+    # state stayed bounded
+    from collections import Counter
+
+    per_shard = Counter(
+        r["shard"] for r in rows if r["version"] == latest_version[r["shard"]]
+    )
+    assert all(v <= capacity for v in per_shard.values())
