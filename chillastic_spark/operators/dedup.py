@@ -483,7 +483,12 @@ def minhash_lsh_incremental(
         raise ValueError(
             f"bands must divide num_perm (got num_perm={num_perm}, bands={bands})"
         )
-    flagged = df.withColumn("__inc", incoming)
+    # a NULL predicate would drop the doc from BOTH sides of the split
+    # (three-valued logic); treat NULL as existing-corpus so every doc
+    # stays matchable
+    flagged = df.withColumn(
+        "__inc", F.coalesce(incoming.cast("boolean"), F.lit(False))
+    )
     g = shingles(flagged, id_col, text_col, n, extra_cols=["__inc"]).select(
         "doc_id", "__inc", CF.hash60("gram").alias("gh")
     )

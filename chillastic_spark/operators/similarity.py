@@ -661,13 +661,21 @@ def centroid_outliers(
     """
     from pyspark.sql.window import Window
 
+    from chillastic_spark.operators.dedup import materialize
+
     cent = centroid_arrays(df, group_col, vec_col)
-    scored = df.join(F.broadcast(cent), group_col).select(
-        F.col(id_col),
-        F.col(group_col),
-        CF.round_det(
-            CF.cosine(CF.as_double_array(vec_col), F.col("centroid")), 6
-        ).alias("cos_c"),
+    # the scored table feeds BOTH the percentile window and the final
+    # filter — materialize it so the centroid join + cosine pass over
+    # the corpus runs once (same two-consumer pattern as the dedup
+    # shingle tables)
+    scored = materialize(
+        df.join(F.broadcast(cent), group_col).select(
+            F.col(id_col),
+            F.col(group_col),
+            CF.round_det(
+                CF.cosine(CF.as_double_array(vec_col), F.col("centroid")), 6
+            ).alias("cos_c"),
+        )
     )
     wr = Window.partitionBy(group_col).orderBy("cos_c", id_col)
     wn = Window.partitionBy(group_col)

@@ -211,24 +211,32 @@ def curate(
         per_src = {
             r[source_col]: r["t"]
             for r in near.groupBy(source_col)
-            .agg(F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("t"))
+            .agg(F.sum(F.size(CF.words(text_col))).alias("t"))
             .collect()
         }
         rate_expr = None
         for src, toks in per_src.items():
             desired = (cfg.mixture_budget * mixture.get(src, 0)) // w_tot
             rate = min(1.0, desired / toks) if toks else 0.0
-            gate = int(rate * 1_000_000)
+            # round-half-up at 6 digits — the same quantization the
+            # domain_mixture_manifest query reports as sample_rate
+            gate = int(rate * 1_000_000 + 0.5)
             cond = F.col(source_col) == src
             rate_expr = (
                 F.when(cond, F.lit(gate))
                 if rate_expr is None
                 else rate_expr.when(cond, F.lit(gate))
             )
-        gate_col = rate_expr.otherwise(F.lit(0))
-        h = CF.hash60(F.concat(F.col(id_col).cast("string"), F.lit("#mix"))) % 1_000_000
-        near = near.filter(h < gate_col)
-        after_mix = near.count()
+        if rate_expr is None:  # surviving pool is empty — nothing to gate
+            after_mix = 0
+        else:
+            gate_col = rate_expr.otherwise(F.lit(0))
+            h = (
+                CF.hash60(F.concat(F.col(id_col).cast("string"), F.lit("#mix")))
+                % 1_000_000
+            )
+            near = near.filter(h < gate_col)
+            after_mix = near.count()
 
     chunks = chunk_documents(
         near, id_col=id_col, text_col=text_col,

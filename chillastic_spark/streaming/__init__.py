@@ -599,13 +599,20 @@ def heavy_hitters_stream(
             decr += cut
         version += 1
         state.update((list(counters), list(counters.values()), decr, version))
+        # ALWAYS carry (shard, err, version) — MG truncation can empty
+        # the counter table entirely (every count <= cut), and dropping
+        # the emission would leave consumers holding a stale version
+        # whose error mass understates the bound. A null-token sentinel
+        # row keeps the protocol total.
+        toks_out = list(counters) or [None]
+        ests_out = list(counters.values()) or [0]
         yield pd_.DataFrame(
             {
-                "shard": [shard] * len(counters),
-                "token": list(counters),
-                "est": list(counters.values()),
-                "err": [decr] * len(counters),
-                "version": [version] * len(counters),
+                "shard": [shard] * len(toks_out),
+                "token": toks_out,
+                "est": ests_out,
+                "err": [decr] * len(toks_out),
+                "version": [version] * len(toks_out),
             }
         )
 

@@ -118,3 +118,20 @@ def test_dsir_selection_and_mixture_sampling(spark):
     a = sorted(map(tuple, chunks.collect()))
     b = sorted(map(tuple, chunks2.collect()))
     assert a == b
+
+
+def test_mixture_with_empty_pool_does_not_crash(spark):
+    """An over-strict gate can leave zero docs before the mixture
+    stage; the report must come back with zeros, not an error."""
+    rows = [(1, "a a"), (2, "b b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "source", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("src0")
+    )
+    chunks, report = curate(
+        df,
+        CurationConfig(min_quality=0.99, min_tokens=50),
+        mixture={"src0": 1},
+    )
+    assert report.after_quality_gate == 0
+    assert report.after_mixture_sampling == 0
+    assert chunks.count() == 0
