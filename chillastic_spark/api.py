@@ -91,6 +91,24 @@ def create_app(
     def root():
         return jsonify(engine.status())
 
+    @app.get("/stores/health")
+    def store_health():
+        # table-maintenance dashboard: per-index file shape / bucket
+        # layout / compaction verdict for a parquet document store
+        # (catalog companion to the reference's /status control plane)
+        from flask import request
+
+        from chillastic_spark.sources import DocumentStore
+        from chillastic_spark.sources.maintenance import store_health_report
+
+        path = request.args.get("path")
+        if not path:
+            return jsonify({"error": "path query param required"}), 400
+        store = DocumentStore(path, create=False)
+        if not store.reachable():
+            return jsonify({"error": f"no store at {path}"}), 404
+        return jsonify(store_health_report(store, request.args.get("pattern", "*")))
+
     @app.get("/search")
     def search():
         # the query side of the ES surface: BM25 / prefix / suggest

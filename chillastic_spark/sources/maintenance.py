@@ -279,3 +279,49 @@ def zorder_layout(df, cols: "list[str]", n_files: int, bits: int = 12):
             key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
 
     return df.repartitionByRange(max(n_files, 1), key).sortWithinPartitions(key)
+
+
+def store_health_report(
+    store: DocumentStore,
+    pattern: str = "*",
+    small_file_bytes: int = 32 * 1024 * 1024,
+) -> dict[str, dict]:
+    """Per-index health snapshot of a document store — the table-
+    maintenance dashboard an operator reads before scheduling
+    compaction (the catalog-side companion to the engine's /status
+    control plane; pure metadata walk, no Spark job).
+
+    Per index: file shape (count / bytes / small-file fraction), the
+    bucket layout (bucket count, min/max files per bucket), whether the
+    dir is `_type=` partitioned, and a `needs_compaction` verdict using
+    the same small-file signal compact_index acts on.
+    """
+    report: dict[str, dict] = {}
+    for index in store.list_data_indices(pattern):
+        path = store.index_path(index)
+        stats = file_stats(path, small_file_bytes)
+        n_buckets = store.bucket_count(index)
+        per_bucket: list[int] = []
+        if n_buckets is not None:
+            for bdir in store.bucket_paths(index):
+                per_bucket.append(
+                    sum(
+                        1
+                        for _, _, files in os.walk(bdir)
+                        for f in files
+                        if f.endswith(".parquet")
+                    )
+                )
+        small_frac = (
+            stats["small_files"] / stats["n_files"] if stats["n_files"] else 0.0
+        )
+        report[index] = {
+            **stats,
+            "small_file_frac": round(small_frac, 4),
+            "type_partitioned": _is_type_partitioned(path),
+            "n_buckets": n_buckets,
+            "files_per_bucket_min": min(per_bucket) if per_bucket else None,
+            "files_per_bucket_max": max(per_bucket) if per_bucket else None,
+            "needs_compaction": stats["n_files"] > 1 and small_frac > 0.5,
+        }
+    return report

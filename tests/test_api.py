@@ -163,3 +163,21 @@ def test_search_endpoint_serves_index(spark, tmp_path, store_factory):
     app2 = create_app(eng)
     app2.config["TESTING"] = True
     assert app2.test_client().get("/search?terms=x").status_code == 400
+
+
+def test_store_health_endpoint(spark, tmp_path, store_factory):
+    from chillastic_spark.api import create_app
+    from chillastic_spark.engine import Engine
+
+    store = store_factory("health-api", {"idx1": [
+        {"_id": "a", "_type": "t", "_source": {"v": 1}}
+    ]})
+    eng = Engine(spark, str(tmp_path / "st-health"))
+    app = create_app(eng)
+    client = app.test_client()
+    assert client.get("/stores/health").status_code == 400
+    assert client.get("/stores/health?path=/nonexistent").status_code == 404
+    resp = client.get(f"/stores/health?path={store.root}")
+    assert resp.status_code == 200
+    body = resp.get_json()
+    assert "idx1" in body and body["idx1"]["n_files"] >= 1

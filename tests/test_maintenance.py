@@ -147,3 +147,26 @@ def test_compact_zorder_preserves_rows(spark, tmp_path):
     )
     assert out["compacted"]
     assert store.read(spark, "idxz").count() == 3000
+
+
+def test_store_health_report(spark, store_factory):
+    from chillastic_spark.sinks import upsert
+    from chillastic_spark.sources import ENVELOPE_SCHEMA
+    from chillastic_spark.sources.maintenance import store_health_report
+
+    store = store_factory("health", {"idx1": [
+        {"_id": f"id{i}", "_type": "t", "_source": {"v": i}} for i in range(10)
+    ]})
+    # a few micro-upserts accrete small files
+    for j in range(3):
+        rows = [("idx1", "t", f"id{j}", '{"v": 99}', 5)]
+        upsert(spark, store, spark.createDataFrame(rows, ENVELOPE_SCHEMA))
+    rep = store_health_report(store)
+    assert "idx1" in rep
+    r = rep["idx1"]
+    assert r["n_files"] >= 1 and r["total_bytes"] > 0
+    assert 0.0 <= r["small_file_frac"] <= 1.0
+    assert r["needs_compaction"] in (True, False)
+    # bucketed layout figures are coherent when present
+    if r["n_buckets"]:
+        assert r["files_per_bucket_min"] <= r["files_per_bucket_max"]
