@@ -1,0 +1,150 @@
+"""Materialized ANN vector index — the serving-path twin of
+``operators.similarity.lsh_topk`` (mirroring how sources/search_index.py
+materializes the inverted text index).
+
+Layout: the corpus is written ONCE with its LSH bucket id as a Hive
+partition column (``bucket=NNN/``), plus a ``meta.json`` recording the
+hash family (planes/seed) and corpus stats. A query then:
+
+1. derives its probe bucket ids with the SAME deterministic hyperplane
+   family (no state beyond meta.json — the planes are hash-derived);
+2. reads the index with a ``bucket IN (...)`` predicate, which Spark
+   turns into PartitionFilters: only the probed bucket DIRECTORIES are
+   listed and scanned — at 2^planes buckets the serving scan touches
+   probes/2^planes of the corpus instead of all of it;
+3. scores candidates with the identical rounded-cosine ranking, so
+   results are bit-identical to the scan-time ``lsh_topk`` (test-pinned).
+
+Incremental adds append into the same bucket partitions (dynamic
+partition append — untouched buckets' files are never rewritten).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chillastic_spark import functions as CF
+from chillastic_spark.operators.similarity import random_hyperplane_buckets
+
+META = "meta.json"
+DATA = "data"
+
+
+def build_vector_index(
+    df: DataFrame,
+    index_dir: str,
+    planes: int = 6,
+    seed: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Bucket the corpus and write it partitioned by bucket id."""
+    rows = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        random_hyperplane_buckets(vec_col, planes, seed).alias("bucket"),
+    )
+    rows.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_dir, DATA)
+    )
+    meta = {
+        "planes": planes,
+        "seed": seed,
+        "n_vectors": df.count(),
+        "n_buckets": 1 << planes,
+    }
+    with open(os.path.join(index_dir, META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def update_vector_index(
+    df_new: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append new vectors into their bucket partitions (dynamic
+    partition append: existing buckets' files are untouched)."""
+    meta = _meta(index_dir)
+    rows = df_new.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        random_hyperplane_buckets(vec_col, meta["planes"], meta["seed"]).alias(
+            "bucket"
+        ),
+    )
+    rows.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(index_dir, DATA)
+    )
+    meta["n_vectors"] += df_new.count()
+    with open(os.path.join(index_dir, META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def _meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, META)) as f:
+        return json.load(f)
+
+
+def ann_query_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    probes: int = 1,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine for each query, served from the materialized
+    index — bit-identical ranking to ``lsh_topk`` at the same
+    planes/probes, but scanning only the probed bucket partitions.
+
+    The probe bucket set is collected driver-side (|queries| × probes
+    ints — queries are small by the same contract that lets lsh_topk
+    broadcast them) and pushed as a partition predicate.
+    """
+    meta = _meta(index_dir)
+    planes = meta["planes"]
+    base = random_hyperplane_buckets(vec_col, planes, meta["seed"])
+    probe_buckets = F.array(
+        base,
+        *[
+            base.bitwiseXOR(F.lit(1 << p))
+            for p in range(min(max(probes - 1, 0), planes))
+        ],
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        CF.as_double_array(vec_col).alias("qvec"),
+        F.explode(probe_buckets).alias("bucket"),
+    )
+    wanted = sorted({r["bucket"] for r in q.select("bucket").distinct().collect()})
+    idx = (
+        spark.read.parquet(os.path.join(index_dir, DATA))
+        .filter(F.col("bucket").isin(wanted))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            CF.as_double_array("embedding").alias("vec"),
+            "bucket",
+        )
+    )
+    scored = (
+        idx.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )

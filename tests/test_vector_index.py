@@ -1,0 +1,93 @@
+"""Materialized vector index: serving must be bit-identical to the
+scan-time LSH operator, probes must prune to bucket partitions, and
+incremental adds must land without rewriting existing buckets."""
+import os
+
+import pyspark.sql.functions as F
+
+from chillastic_spark.operators.similarity import lsh_topk
+from chillastic_spark.sources.vector_index import (
+    ann_query_index,
+    build_vector_index,
+    update_vector_index,
+)
+from chillastic_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+PLANES = 5
+
+
+def _queries(e):
+    return e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_index_serving_matches_scan_time_lsh(spark, tmp_path):
+    e = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "vidx")
+    meta = build_vector_index(e, idx, planes=PLANES)
+    assert meta["n_vectors"] == e.count()
+    for probes in (1, 3):
+        got = {
+            (r["query_id"], r["neighbor_id"], r["cos"])
+            for r in ann_query_index(
+                spark, idx, _queries(e), k=10, probes=probes
+            ).collect()
+        }
+        want = {
+            (r["query_id"], r["neighbor_id"], r["cos"])
+            for r in lsh_topk(e, _queries(e), k=10, planes=PLANES, probes=probes).collect()
+        }
+        assert got == want and len(want) > 0, probes
+
+
+def test_probe_scan_is_partition_pruned(spark, tmp_path):
+    e = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "vidx2")
+    build_vector_index(e, idx, planes=PLANES)
+    df = ann_query_index(spark, idx, _queries(e), k=5, probes=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the scan lists only the probed bucket dirs, not all 2^planes
+    n_dirs = sum(
+        1 for d in os.listdir(os.path.join(idx, "data")) if d.startswith("bucket=")
+    )
+    assert n_dirs > 5  # corpus spreads over many buckets...
+    assert "bucket IN" in plan or "bucket#" in plan  # ...but the probe filters
+
+
+def test_incremental_add_preserves_existing_files(spark, tmp_path):
+    e = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "vidx3")
+    old = e.filter(F.col("vec_id") >= 10)
+    new = e.filter(F.col("vec_id") < 10)
+    build_vector_index(old, idx, planes=PLANES)
+
+    def files():
+        out = {}
+        for dirpath, _d, fs in os.walk(os.path.join(idx, "data")):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = files()
+    meta = update_vector_index(new, idx)
+    assert meta["n_vectors"] == e.count()
+    after = files()
+    # all pre-existing files still present and untouched
+    for p, mt in before.items():
+        assert p in after and after[p] == mt
+    assert len(after) > len(before)
+    # the updated index serves the union, identical to scan-time
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ann_query_index(spark, idx, _queries(e), k=10).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in lsh_topk(e, _queries(e), k=10, planes=PLANES).collect()
+    }
+    assert got == want
