@@ -52,6 +52,7 @@ def create_app(
     engine: Engine,
     api_key: Optional[str] = None,
     search_index_dir: Optional[str] = None,
+    vector_index_dir: Optional[str] = None,
     allow_code_registration: Optional[bool] = None,
 ):
     from flask import Flask, jsonify, request
@@ -90,6 +91,34 @@ def create_app(
     @app.get("/")
     def root():
         return jsonify(engine.status())
+
+    @app.post("/vectors/_search")
+    def vector_search():
+        # ANN serving from the materialized vector index (the ES kNN
+        # search analog): body {"vector": [...], "k": 10, "probes": 1}
+        if vector_index_dir is None:
+            return jsonify({"error": "no vector index configured"}), 400
+        from chillastic_spark.sources.vector_index import ann_query_index
+
+        body = request.get_json(force=True, silent=True) or {}
+        vec = body.get("vector")
+        if not isinstance(vec, list) or not vec:
+            return jsonify({"error": "vector (non-empty list) required"}), 400
+        k = int(body.get("k", 10))
+        probes = int(body.get("probes", 1))
+        q = engine.spark.createDataFrame(
+            [(-1, [float(x) for x in vec])], "query_id long, embedding array<double>"
+        )
+        rows = ann_query_index(
+            engine.spark, vector_index_dir, q, k=k, probes=probes
+        ).collect()
+        return jsonify(
+            {
+                "hits": [
+                    {"vec_id": r["neighbor_id"], "cos": r["cos"]} for r in rows
+                ]
+            }
+        )
 
     @app.get("/stores/health")
     def store_health():

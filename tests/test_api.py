@@ -181,3 +181,32 @@ def test_store_health_endpoint(spark, tmp_path, store_factory):
     assert resp.status_code == 200
     body = resp.get_json()
     assert "idx1" in body and body["idx1"]["n_files"] >= 1
+
+
+def test_vector_search_endpoint(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from chillastic_spark.api import create_app
+    from chillastic_spark.engine import Engine
+    from chillastic_spark.sources.vector_index import build_vector_index
+    from chillastic_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "vidx-api")
+    build_vector_index(e, idx, planes=5)
+    eng = Engine(spark, str(tmp_path / "st-vec"))
+    app = create_app(eng, vector_index_dir=idx)
+    client = app.test_client()
+    probe = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    resp = client.post(
+        "/vectors/_search", json={"vector": [float(x) for x in probe], "k": 5}
+    )
+    assert resp.status_code == 200
+    hits = resp.get_json()["hits"]
+    assert 0 < len(hits) <= 5
+    # ranked by cosine desc; the probe vector itself (vec_id 0) ranks top
+    assert hits[0]["vec_id"] == 0 and hits[0]["cos"] >= 0.999
+    assert [h["cos"] for h in hits] == sorted(
+        (h["cos"] for h in hits), reverse=True
+    )
+    assert client.post("/vectors/_search", json={}).status_code == 400
