@@ -136,6 +136,12 @@ SANDBOX_ESCAPES = {
     "eval": "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    return eval('d')\n",
     "globalsEscape": "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    predicate.__globals__\n    return d\n",
     "classEscape": "TYPE='data'\ndef predicate(d,a):\n    return ().__class__ is tuple\ndef mutate(d,a):\n    return d\n",
+    "getattrDunder": "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    getattr((), '__class__')\n    return d\n",
+    "varsEscape": "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    vars(predicate)\n    return d\n",
+    "execStr": "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    exec('x=1')\n    return d\n",
+    "compileFn": "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    compile('1','','eval')\n    return d\n",
+    "moduleLoader": "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    json.__loader__\n    return d\n",
+    "breakpoint": "TYPE='data'\ndef predicate(d,a):\n    return True\ndef mutate(d,a):\n    breakpoint()\n    return d\n",
 }
 
 
