@@ -68,16 +68,20 @@ def merge_upsert_sql(table: str, source_view: str = "__batch") -> str:
     )
 
 
-def merge_purge_sql(
-    table: str, ids_view: str = "__victims", doc_type: Optional[str] = None
-) -> str:
+def merge_purge_sql(table: str, ids_view: str = "__victims") -> str:
     """Right-to-be-forgotten as MERGE ... DELETE. ``ids_view`` carries
-    (_id, __bucket); the bucket equality prunes like upsert."""
-    type_pred = f" AND t._type = '{doc_type}'" if doc_type is not None else ""
+    (_index, _type, _id, __bucket): the INDEX equality scopes the
+    delete to the purged index (one table holds ALL indices — without
+    it same-id docs in other indices would be destroyed), the bucket
+    equality prunes partitions, and the optional type restriction is a
+    VIEW COLUMN (NULL = no restriction), never interpolated SQL — a
+    quoted/crafted doc_type cannot alter the predicate."""
     return (
         f"MERGE INTO {table} t\n"
         f"USING {ids_view} s\n"
-        f"ON t._id = s._id AND t.__bucket = s.__bucket{type_pred}\n"
+        "ON t._index = s._index AND t._id = s._id"
+        " AND t.__bucket = s.__bucket"
+        " AND (s._type IS NULL OR t._type = s._type)\n"
         "WHEN MATCHED THEN DELETE"
     )
 
@@ -141,12 +145,34 @@ class DeltaStore:
 
     def deliver(self, spark: SparkSession, df: DataFrame, flush_size: int = 100) -> int:
         """Transactional MERGE of an envelope DataFrame (flush_size is
-        a no-op here — the transaction replaces batch flushing)."""
+        a no-op here — the transaction replaces batch flushing).
+
+        The batch is checkpointed once (the upstream pipeline — e.g. an
+        ES sliced scan — runs a single time for both the count and the
+        MERGE), deduped within-batch by the SAME deterministic
+        tie-break as the parquet upsert (Delta MERGE throws on multiple
+        source rows matching one target), and exposed under a
+        per-call view name so concurrent run_task threads sharing the
+        session can truly interleave."""
+        import uuid
+
+        from pyspark.sql.window import Window
+
         self.ensure_table(spark)
-        batch = add_bucket_column(df, self.n_buckets)
+        batch = add_bucket_column(df, self.n_buckets).localCheckpoint()
+        w_rank = F.row_number().over(
+            Window.partitionBy("_index", "_type", "_id").orderBy(
+                F.desc(F.md5(F.col("_source"))), F.desc("_size")
+            )
+        )
+        batch = batch.withColumn("__rk", w_rank).filter(F.col("__rk") == 1).drop("__rk")
         n = batch.count()
-        batch.createOrReplaceTempView("__batch")
-        spark.sql(merge_upsert_sql(self.table))
+        view = f"__batch_{uuid.uuid4().hex}"
+        batch.createOrReplaceTempView(view)
+        try:
+            spark.sql(merge_upsert_sql(self.table, source_view=view))
+        finally:
+            spark.catalog.dropTempView(view)
         return n
 
     def purge(
@@ -156,15 +182,49 @@ class DeltaStore:
         ids: "DataFrame | list[str]",
         type: Optional[str] = None,
     ) -> int:
+        import uuid
+
         _require_delta(spark)
         if isinstance(ids, list):
             id_df = spark.createDataFrame([(str(i),) for i in ids], "_id string")
         else:
             id_df = ids.select(F.col("_id").cast("string"))
         victims = add_bucket_column(
-            id_df.distinct().withColumn("_index", F.lit(index)), self.n_buckets
+            id_df.distinct()
+            .withColumn("_index", F.lit(index))
+            .withColumn("_type", F.lit(type).cast("string")),
+            self.n_buckets,
         )
-        victims.createOrReplaceTempView("__victims")
-        before = spark.table(self.table).count()
-        spark.sql(merge_purge_sql(self.table, doc_type=type))
-        return before - spark.table(self.table).count()
+        view = f"__victims_{uuid.uuid4().hex}"
+        victims.createOrReplaceTempView(view)
+        try:
+            spark.sql(merge_purge_sql(self.table, ids_view=view))
+        finally:
+            spark.catalog.dropTempView(view)
+        return self._last_merge_deleted(spark)
+
+    def _last_merge_deleted(self, spark: SparkSession) -> int:
+        """Deleted-row count from the MERGE's own operation metrics —
+        exact under concurrent writers, no table scans."""
+        row = spark.sql(
+            f"DESCRIBE HISTORY {self.table} LIMIT 1"
+        ).collect()[0]
+        metrics = row["operationMetrics"] or {}
+        return int(metrics.get("numTargetRowsDeleted", 0))
+
+    # -- catalog surface: a Delta destination stores documents only.
+    # Index/template config subtasks need a catalog store; failing with
+    # a clear contract error at the call beats an AttributeError
+    # mid-run (Transfer.transfer_indices dispatches on the store kind).
+    def put_indices(self, indices) -> None:
+        raise RuntimeError(
+            "delta: destinations hold documents only — index-config "
+            "subtasks need a parquet or ES destination (route catalog "
+            "transfer separately or drop transfer.indices from the task)"
+        )
+
+    def put_templates(self, templates) -> None:
+        raise RuntimeError(
+            "delta: destinations hold documents only — template "
+            "subtasks need a parquet or ES destination"
+        )

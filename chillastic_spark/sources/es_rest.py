@@ -151,11 +151,15 @@ class Wire:
         if self._version is None:
             try:
                 num = self.get("/")["version"]["number"]
-                self._version = tuple(
-                    int(p) for p in num.split(".") if p.isdigit()
-                )
+                parsed = tuple(int(p) for p in num.split(".") if p.isdigit())
             except Exception:  # noqa: BLE001 — probe is best-effort; a
                 return ()      # failure is NOT cached (cluster may come up)
+            if not parsed:
+                # a live cluster with an unparsable build string is a
+                # success-shaped failure — don't cache the empty tuple
+                # (it would mark the cluster unreachable forever)
+                return ()
+            self._version = parsed
         return self._version
 
     def major_version(self) -> int:
@@ -675,22 +679,45 @@ def bulk_delete(
             if action["_type"] is None:
                 del action["_type"]
             lines.append(json.dumps({"delete": action}, separators=(",", ":")))
-        payload = "\n".join(lines) + "\n"
+        pending = lines
         for attempt in range(max_retries + 1):
-            resp = wire.post("/_bulk", payload, ndjson=True)
+            resp = wire.post("/_bulk", "\n".join(pending) + "\n", ndjson=True)
             items = resp.get("items", [])
-            rejected = any(BULK_REJECTED in json.dumps(i) for i in items)
-            if rejected:
-                if attempt == max_retries:
-                    raise RuntimeError(
-                        f"bulk delete rejected after {max_retries} retries"
-                    )
-                time.sleep(backoff_sec * (2**attempt))
-                continue
-            results = [i.get("delete", {}) for i in items]
-            bad = [r for r in results if r.get("result") not in ("deleted", "not_found")]
+            # ES rejects PER ITEM: count this attempt's successes and
+            # resend only the rejected actions — retrying the whole
+            # payload would turn already-deleted docs into not_found
+            # and silently under-report the purge. A response with
+            # fewer items than actions (whole-request rejection shape)
+            # can't be item-accounted: nothing succeeded, resend all.
+            if len(items) != len(pending):
+                if any(BULK_REJECTED in json.dumps(i) for i in items):
+                    if attempt == max_retries:
+                        raise RuntimeError(
+                            f"bulk delete rejected after {max_retries} retries"
+                        )
+                    time.sleep(backoff_sec * (2**attempt))
+                    continue
+                raise RuntimeError(
+                    f"bulk delete: {len(items)} items for {len(pending)} actions"
+                )
+            retry_lines = []
+            bad = []
+            for line, item in zip(pending, items):
+                r = item.get("delete", {})
+                if BULK_REJECTED in json.dumps(item):
+                    retry_lines.append(line)
+                elif r.get("result") == "deleted":
+                    deleted += 1
+                elif r.get("result") != "not_found":
+                    bad.append(r)
             if bad:
                 raise RuntimeError(f"bulk delete item failures: {bad[:3]}")
-            deleted += sum(1 for r in results if r.get("result") == "deleted")
-            break
+            if not retry_lines:
+                break
+            if attempt == max_retries:
+                raise RuntimeError(
+                    f"bulk delete rejected after {max_retries} retries"
+                )
+            pending = retry_lines
+            time.sleep(backoff_sec * (2**attempt))
     return deleted

@@ -48,6 +48,7 @@ class FakeES:
         auth_token: Optional[str] = None,
         path_prefix: str = "",
         fail_delete_ids: Optional[set] = None,
+        reject_once_ids: Optional[set] = None,
     ):
         # {(index, type, id): source}
         self.docs: dict[tuple, dict] = {}
@@ -64,6 +65,10 @@ class FakeES:
         self.auth_token = auth_token
         self.path_prefix = path_prefix.rstrip("/")
         self.fail_delete_ids = fail_delete_ids or set()
+        # per-ITEM backpressure: these ids get one 429-rejected item
+        # (while the rest of the batch succeeds), then behave normally —
+        # the real-ES partial-rejection shape
+        self.reject_once_ids = set(reject_once_ids or set())
         self.app = self._build()
         self._server = None
         self._thread = None
@@ -271,6 +276,15 @@ class FakeES:
                     if "delete" in action:  # action-only line, no doc follows
                         meta = action["delete"]
                         assert "_type" not in meta or meta["_type"] is not None
+                        if str(meta["_id"]) in self.reject_once_ids:
+                            self.reject_once_ids.discard(str(meta["_id"]))
+                            items.append({"delete": {
+                                "status": 429,
+                                "error": {"type": "es_rejected_execution_exception"},
+                            }})
+                            errors = True
+                            i += 1
+                            continue
                         if str(meta["_id"]) in self.fail_delete_ids:
                             items.append({"delete": {
                                 "status": 400,

@@ -25,12 +25,17 @@ def test_merge_key_is_null_safe_on_type():
     assert "t._type <=> s._type" in DL.MERGE_KEY
 
 
-def test_merge_purge_sql_with_and_without_type():
+def test_merge_purge_sql_scopes_index_and_binds_type_via_view():
     sql = DL.merge_purge_sql("docs")
     assert "WHEN MATCHED THEN DELETE" in sql
-    assert "t._id = s._id AND t.__bucket = s.__bucket" in sql
-    typed = DL.merge_purge_sql("docs", doc_type="t1")
-    assert "AND t._type = 't1'" in typed
+    # one table holds ALL indices: without the index equality a purge
+    # of (index_a, doc1) would also delete (index_b, doc1)
+    assert "t._index = s._index" in sql
+    assert "t._id = s._id" in sql and "t.__bucket = s.__bucket" in sql
+    # the type restriction is a VIEW COLUMN (NULL = unrestricted) —
+    # never interpolated SQL, so a crafted doc_type can't widen it
+    assert "(s._type IS NULL OR t._type = s._type)" in sql
+    assert "'" not in sql.split("USING")[1]  # no literal interpolation
 
 
 def test_create_table_partitions_by_bucket():

@@ -288,3 +288,25 @@ def test_bulk_delete_omits_null_type():
         assert "_type" not in action["delete"]
     finally:
         es.stop()
+
+
+def test_bulk_delete_counts_successes_on_partial_rejection():
+    """Real ES rejects PER ITEM: when half a batch succeeds and half is
+    429-rejected, the retry must resend only the rejected actions and
+    the final count must include the first attempt's successes — a
+    whole-payload retry would turn them into not_found and under-report
+    the purge."""
+    es = FakeES(reject_once_ids={"d1"})
+    url = es.start()
+    try:
+        es.seed("ix", "t1", {f"d{i}": {"v": i} for i in range(3)})
+        n = es_rest.bulk_delete(url, "ix", [("t1", "d0"), ("t1", "d1")],
+                                max_retries=3)
+        assert n == 2
+        assert len(es.contents("ix")) == 1
+        # the retry bulk carried ONLY the rejected action
+        retry_actions = [json.loads(l) for l in es.bulk_bodies[-1].splitlines()]
+        assert len(retry_actions) == 1
+        assert retry_actions[0]["delete"]["_id"] == "d1"
+    finally:
+        es.stop()
