@@ -148,3 +148,29 @@ def ann_query_index(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos")
     )
+
+
+def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
+    """Merge the small files incremental adds accrete into one file per
+    bucket partition (same maintenance need as the document store's
+    compact_index; run it in the same single-writer window). Rows never
+    change buckets, so serving results are identical before and after —
+    only the file count drops."""
+    import shutil
+    import uuid
+
+    data = os.path.join(index_dir, DATA)
+    df = spark.read.parquet(data)
+    # one shuffle partition per bucket value → exactly one file each
+    compacted = df.repartition(F.col("bucket"))
+    tag = uuid.uuid4().hex[:8]
+    new = f"{data}.new-{tag}"
+    compacted.write.partitionBy("bucket").parquet(new)
+    old = f"{data}.old-{tag}"
+    os.rename(data, old)
+    os.rename(new, data)
+    shutil.rmtree(old)
+    n_files = sum(
+        1 for _, _, fs in os.walk(data) for f in fs if f.endswith(".parquet")
+    )
+    return {"n_files": n_files}

@@ -91,3 +91,32 @@ def test_incremental_add_preserves_existing_files(spark, tmp_path):
         for r in lsh_topk(e, _queries(e), k=10, planes=PLANES).collect()
     }
     assert got == want
+
+
+def test_compaction_shrinks_files_and_preserves_results(spark, tmp_path):
+    from chillastic_spark.sources.vector_index import compact_vector_index
+
+    e = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "vidx4")
+    build_vector_index(e.filter(F.col("vec_id") >= 200), idx, planes=PLANES)
+    for lo, hi in ((0, 50), (50, 120), (120, 200)):
+        update_vector_index(
+            e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), idx
+        )
+    before = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ann_query_index(spark, idx, _queries(e), k=10).collect()
+    }
+    n_before = sum(
+        1
+        for _, _, fs in os.walk(os.path.join(idx, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    stats = compact_vector_index(spark, idx)
+    assert stats["n_files"] < n_before
+    after = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ann_query_index(spark, idx, _queries(e), k=10).collect()
+    }
+    assert after == before
