@@ -174,3 +174,108 @@ def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
         1 for _, _, fs in os.walk(data) for f in fs if f.endswith(".parquet")
     )
     return {"n_files": n_files}
+
+
+# ------------------------------------------------------------- IVF index
+
+IVF_META = "ivf_meta.json"
+IVF_DATA = "ivf_data"
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialized IVF index — the second ANN serving path next to the
+    LSH one: the coarse quantizer trains once (driver k-means on the
+    deterministic hash-ordered sample, operators.similarity), its
+    centroid matrix is persisted in the meta file (plain floats — the
+    whole 'model'), and the corpus is written partitioned by cell id.
+    A probe reads only its ``nprobe`` nearest cell partitions."""
+    from chillastic_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_coarse_centroids,
+    )
+
+    C = ivf_coarse_centroids(
+        df, n_cells=n_cells, iters=iters, sample=sample,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assigned = ivf_assign_cells(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        C,
+        vec_col="embedding",
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, IVF_DATA)
+    )
+    meta = {
+        "n_cells": len(C),
+        "centroids": [[float(x) for x in row] for row in C],
+        "n_vectors": df.count(),
+    }
+    with open(os.path.join(index_dir, IVF_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ann_query_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine served from the materialized IVF index —
+    identical ranking to scan-time ``ivf_topk`` at the same quantizer
+    (the persisted centroids ARE that quantizer), scanning only the
+    probed cell partitions."""
+    import numpy as np
+
+    with open(os.path.join(index_dir, IVF_META)) as f:
+        meta = json.load(f)
+    C = np.array(meta["centroids"], dtype=np.float64)
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        CF.as_double_array(vec_col).alias("qvec"),
+    ).collect()
+    Q = np.array([r["qvec"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe_cells = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, : max(nprobe, 1)]
+    probe = [
+        (r["query_id"], r["qvec"], int(c))
+        for r, cells in zip(q_rows, probe_cells)
+        for c in cells
+    ]
+    q = spark.createDataFrame(probe, "query_id long, qvec array<double>, cell int")
+    wanted = sorted({c for _, _, c in probe})
+    idx = (
+        spark.read.parquet(os.path.join(index_dir, IVF_DATA))
+        .filter(F.col("cell").isin(wanted))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            CF.as_double_array("embedding").alias("vec"),
+            "cell",
+        )
+    )
+    scored = (
+        idx.join(F.broadcast(q), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )

@@ -120,3 +120,29 @@ def test_compaction_shrinks_files_and_preserves_results(spark, tmp_path):
         for r in ann_query_index(spark, idx, _queries(e), k=10).collect()
     }
     assert after == before
+
+
+def test_ivf_index_serving_matches_scan_time(spark, tmp_path):
+    from chillastic_spark.operators.similarity import ivf_topk
+    from chillastic_spark.sources.vector_index import (
+        ann_query_ivf_index,
+        build_ivf_index,
+    )
+
+    e = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf-idx")
+    meta = build_ivf_index(e, idx, n_cells=8)
+    assert meta["n_cells"] == 8 and len(meta["centroids"][0]) == 64
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ann_query_ivf_index(spark, idx, _queries(e), k=10, nprobe=3).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ivf_topk(e, _queries(e), k=10, n_cells=8, nprobe=3).collect()
+    }
+    assert got == want and len(want) > 0
+    # the probe scan is partition-pruned to the probed cells
+    df = ann_query_ivf_index(spark, idx, _queries(e), k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
