@@ -87,3 +87,67 @@ def test_execution_is_jar_gated(spark):
     with pytest.raises(RuntimeError, match="delta-spark jar"):
         store.purge(spark, "ix", ["1"])
     assert store.reachable() is False  # admission refuses before running
+
+
+def test_deliver_dedups_batch_and_uses_per_call_views(spark, monkeypatch):
+    """Without the jar, intercept spark.sql to verify the deliver
+    pipeline end-to-end: the registered source view is within-batch
+    deduped with the parquet sink's tie-break (Delta MERGE throws on
+    duplicate source keys), carries __bucket, and lives under a unique
+    per-call name that is dropped afterwards."""
+    import pyspark.sql.functions as F
+
+    store = DL.DeltaStore("docs", n_buckets=8)
+    monkeypatch.setattr(DL, "_require_delta", lambda s: None)
+    captured = []
+    real_sql = spark.sql
+
+    def fake_sql(stmt, *a, **k):
+        captured.append(stmt)
+        if stmt.startswith("MERGE INTO"):
+            view = stmt.split("USING ")[1].split(" ")[0].strip()
+            # evaluate the source view NOW (it must exist at MERGE time)
+            rows = spark.table(view).collect()
+            fake_sql.view_rows = rows
+            fake_sql.view_name = view
+
+            class _R:  # spark.sql returns a DataFrame; nobody reads it
+                def collect(self):
+                    return []
+
+            return _R()
+        return real_sql(stmt, *a, **k)
+
+    monkeypatch.setattr(spark, "sql", fake_sql)
+    monkeypatch.setattr(
+        DL.DeltaStore, "ensure_table", lambda self, s: None
+    )
+    dup_rows = [
+        ("ix", "t", "k1", '{"v": 1}', 8),
+        ("ix", "t", "k1", '{"v": 2}', 8),  # same key, different payload
+        ("ix", "t", "k2", '{"v": 3}', 8),
+    ]
+    df = spark.createDataFrame(
+        dup_rows,
+        "_index string, _type string, _id string, _source string, _size long",
+    )
+    n = store.deliver(spark, df)
+    assert n == 2  # duplicate key collapsed before the MERGE
+    rows = fake_sql.view_rows
+    assert len(rows) == 2
+    assert all(r["__bucket"] is not None for r in rows)
+    k1 = [r for r in rows if r["_id"] == "k1"]
+    assert len(k1) == 1  # exactly one winner per key
+    # deterministic tie-break: highest md5(_source) wins (parquet parity)
+    import hashlib
+
+    win = max(
+        ['{"v": 1}', '{"v": 2}'],
+        key=lambda s: hashlib.md5(s.encode()).hexdigest(),
+    )
+    assert k1[0]["_source"] == win
+    assert fake_sql.view_name.startswith("__batch_")
+    # the per-call view was dropped after the MERGE
+    assert fake_sql.view_name not in [
+        t.name for t in spark.catalog.listTables()
+    ]
