@@ -87,6 +87,7 @@ def all_queries() -> dict[str, Query]:
         analytics6,
         analytics7,
         analytics8,
+        analytics9,
         documents,
         engine_parity,
         relational,
@@ -114,6 +115,7 @@ def all_queries() -> dict[str, Query]:
         analytics6,
         analytics7,
         analytics8,
+        analytics9,
         search,
         search2,
         search3,
