@@ -88,6 +88,7 @@ def all_queries() -> dict[str, Query]:
         analytics7,
         analytics8,
         analytics9,
+        analytics10,
         documents,
         engine_parity,
         relational,
@@ -116,6 +117,7 @@ def all_queries() -> dict[str, Query]:
         analytics7,
         analytics8,
         analytics9,
+        analytics10,
         search,
         search2,
         search3,

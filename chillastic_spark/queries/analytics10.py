@@ -1,0 +1,233 @@
+"""Batch 18 — dataset-assembly operators: leakage-safe train/val/test
+splits, cross-source duplicate overlap, and the hash-sharded output
+manifest. The three steps that turn a curated corpus into training
+data you can actually ship.
+
+Scale notes (the 100 TB contract for each):
+* `leakage_safe_splits` reuses the inverted-index near-dup pair join
+  and the O(log n)-round pointer-jumping components — the only new
+  work is one left join of the corpus onto the (tiny) component
+  table and a hash of the representative id. Assignment hashes the
+  CLUSTER representative, so two near-duplicate docs can never land
+  in different splits (the train/test-contamination failure mode of
+  naive per-doc hashing);
+* `source_overlap_matrix` is a fingerprint self-join: one shuffle on
+  the 128-bit fingerprint (exact-dup groups are tiny, so no skew),
+  output bounded by |sources|²;
+* `shard_manifest` is one groupBy over (split, shard) — shards are
+  assigned by doc-id hash, the standard stateless way to get
+  uniformly-sized, reproducible output files from any number of
+  writers; the manifest is |splits|·|shards| rows.
+
+All three are exactly oracle-checked: split/shard assignment uses the
+md5-based hash60 (same construction in DuckDB), components use the
+recursive-CTE transitive closure (feasible for the oracle because dup
+components are tiny).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chillastic_spark import functions as CF
+from chillastic_spark.operators import dedup as D
+from chillastic_spark.operators import text as T
+from chillastic_spark.operators.components import connected_components
+from chillastic_spark.queries import Query
+from chillastic_spark.queries.documents import _GRAMS
+from chillastic_spark.tables import load
+
+_H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+_W_DOC = r"regexp_split_to_array(trim(text), '\s+')"
+
+# SQL twin of the pair → component pipeline (shared with the
+# dedup_clusters oracle): 3-gram Jaccard ≥ 0.5 pairs, then the
+# recursive transitive closure labelling each node with the smallest
+# reachable id.
+_COMPONENTS_CTE = f"""
+g AS (
+  SELECT doc_id, {_H60.format(expr="gram")} AS gh
+  FROM (SELECT doc_id, unnest({_GRAMS}) AS gram FROM documents)
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id
+), c AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT ia AS id_a, ib AS id_b
+  FROM c JOIN sz sa ON c.ia = sa.doc_id JOIN sz sb ON c.ib = sb.doc_id
+  WHERE floor((common / (sa.sz + sb.sz - common)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(n, m) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a AND e.b <> r.n
+), comp AS (
+  SELECT n AS doc_id, least(n, min(m)) AS component FROM reach GROUP BY n
+)"""
+
+
+# -------------------------------------------------- leakage-safe splits
+
+TRAIN_PCT, VAL_PCT = 90, 5  # train < 90, val < 95, test < 100
+
+
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment that near-duplicate
+    clusters cannot straddle: every doc is labelled with its dup
+    component's representative (smallest doc id; itself when it has no
+    near-dups), and the split is hashed off the REPRESENTATIVE —
+    hash60(rep '#split') % 100 → 90/5/5. Per-doc manifest:
+    (doc_id, source, rep_id, split).
+
+    This is the curation-pipeline guard against train/test
+    contamination via near-dups (the reason decontamination pipelines
+    split by cluster or by URL-host, never by row).
+    """
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    m = d.select("doc_id", "source").join(comp, "doc_id", "left")
+    m = m.select(
+        "doc_id",
+        "source",
+        F.coalesce("component", "doc_id").alias("rep_id"),
+    )
+    bucket = CF.hash60(
+        F.concat(F.col("rep_id").cast("string"), F.lit("#split"))
+    ) % 100
+    return m.select(
+        "doc_id",
+        "source",
+        "rep_id",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SPLITS_SQL = f"""
+WITH RECURSIVE {_COMPONENTS_CTE}
+SELECT d.doc_id, d.source,
+  coalesce(comp.component, d.doc_id) AS rep_id,
+  CASE
+    WHEN {_H60.format(expr="coalesce(comp.component, d.doc_id)::VARCHAR || '#split'")} % 100
+      < {TRAIN_PCT} THEN 'train'
+    WHEN {_H60.format(expr="coalesce(comp.component, d.doc_id)::VARCHAR || '#split'")} % 100
+      < {TRAIN_PCT + VAL_PCT} THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+"""
+
+
+# ----------------------------------------------- cross-source overlap
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much content the corpus sources share: for every source
+    pair (a < b), the number of distinct BOILERPLATE-PREFIX
+    fingerprints (md5 of the first 8 words — the corpus's shared-
+    header pattern, same witness as dedup_exact's prefix family) and
+    of full normalized-text fingerprints present in both — the
+    dashboard that tells you whether two crawl snapshots are really
+    the same data. One fingerprint self-join (shuffle keyed on the
+    128-bit md5 — dup groups are tiny, no skew), ≤ |sources)|² output
+    rows."""
+    d = load(spark, sf_dir, "documents")
+    s = d.select(
+        F.md5(F.concat_ws(" ", F.slice(CF.words("text"), 1, 8))).alias("pfp"),
+        CF.fingerprint("text").alias("fp"),
+        F.col("source"),
+    ).distinct()
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, "pfp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.countDistinct("pfp").alias("shared_prefixes"),
+            F.countDistinct(
+                F.when(F.col("a.fp") == F.col("b.fp"), F.col("a.fp"))
+            ).alias("shared_fulltext"),
+        )
+    )
+
+
+OVERLAP_SQL = f"""
+WITH s AS (
+  SELECT DISTINCT
+    md5(array_to_string(list_slice({_W_DOC}, 1, 8), ' ')) AS pfp,
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+    source
+  FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+  count(DISTINCT a.pfp) AS shared_prefixes,
+  count(DISTINCT CASE WHEN a.fp = b.fp THEN a.fp END) AS shared_fulltext
+FROM s a JOIN s b ON a.pfp = b.pfp AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------ shard manifest
+
+N_SHARDS = 8
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-set writer's plan: docs hash-assigned to
+    ``N_SHARDS`` output shards per split (stateless and reproducible
+    from any number of writers — the petabyte-scale alternative to a
+    global sort), with per-(split, shard) doc and token totals so
+    shard-size balance is auditable. One aggregation; the manifest is
+    |splits|·|shards| rows."""
+    m = leakage_safe_splits(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("n_tokens")
+    )
+    shard = CF.hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit("#shard"))
+    ) % N_SHARDS
+    return (
+        m.join(d, "doc_id")
+        .groupBy("split", shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+SHARDS_SQL = f"""
+WITH RECURSIVE {_COMPONENTS_CTE},
+splits AS (
+  SELECT d.doc_id,
+    CASE
+      WHEN {_H60.format(expr="coalesce(comp.component, d.doc_id)::VARCHAR || '#split'")} % 100
+        < {TRAIN_PCT} THEN 'train'
+      WHEN {_H60.format(expr="coalesce(comp.component, d.doc_id)::VARCHAR || '#split'")} % 100
+        < {TRAIN_PCT + VAL_PCT} THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id)
+SELECT s.split,
+  {_H60.format(expr="d.doc_id::VARCHAR || '#shard'")} % {N_SHARDS} AS shard,
+  count(*) AS n_docs,
+  sum(len({_W_DOC}))::BIGINT AS n_tokens
+FROM splits s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "leakage_safe_splits": Query(leakage_safe_splits, SPLITS_SQL),
+    "source_overlap_matrix": Query(source_overlap_matrix, OVERLAP_SQL),
+    "shard_manifest": Query(shard_manifest, SHARDS_SQL),
+}

@@ -1,0 +1,86 @@
+"""Batch 18 (dataset assembly): the leakage invariant, split/shard
+balance, manifest conservation, and plan-shape guards."""
+import pytest
+from pyspark.sql import functions as F
+
+from chillastic_spark.operators import dedup as D
+from chillastic_spark.queries import all_queries
+from chillastic_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = all_queries()[name].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def manifest(spark):
+    return all_queries()["leakage_safe_splits"].fn(spark, SF).cache()
+
+
+def test_no_near_dup_pair_straddles_splits(spark, manifest):
+    """THE invariant: two near-duplicate docs never land in different
+    splits (train/test contamination)."""
+    d = load(spark, SF, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    assert pairs.count() > 0, "corpus unexpectedly has no near-dup pairs"
+    a = manifest.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = manifest.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    straddlers = (
+        pairs.join(a, "id_a").join(b, "id_b").filter(F.col("sa") != F.col("sb"))
+    )
+    assert straddlers.count() == 0
+    # and cluster members share the representative, not just the split
+    reps = manifest.groupBy("rep_id").agg(F.countDistinct("split").alias("ns"))
+    assert reps.filter(F.col("ns") > 1).count() == 0
+
+
+def test_split_proportions(manifest):
+    counts = {r["split"]: r["n"] for r in
+              manifest.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == 500
+    assert set(counts) == {"train", "val", "test"}
+    # 90/5/5 by hash: generous tolerance at n=500
+    assert 0.80 <= counts["train"] / total <= 0.97
+
+
+def test_split_assignment_is_deterministic(spark, manifest):
+    again = all_queries()["leakage_safe_splits"].fn(spark, SF)
+    assert manifest.exceptAll(again).count() == 0
+    assert again.exceptAll(manifest).count() == 0
+
+
+def test_shard_manifest_conserves_corpus(spark):
+    m = all_queries()["shard_manifest"].fn(spark, SF)
+    rows = m.collect()
+    d = load(spark, SF, "documents")
+    n_docs = d.count()
+    n_tokens = d.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_tokens"] for r in rows) == n_tokens
+    # 3 splits × 8 shards, all shards present for train at this size
+    assert {r["shard"] for r in rows if r["split"] == "train"} == set(range(8))
+
+
+def test_overlap_matrix_symmetry_free_and_nonvacuous(spark):
+    m = all_queries()["source_overlap_matrix"].fn(spark, SF)
+    rows = m.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["source_a"] < r["source_b"]  # upper triangle only
+        assert r["shared_prefixes"] >= 1
+        assert r["shared_fulltext"] <= r["shared_prefixes"]
+
+
+def test_assembly_plans_never_cartesian(spark):
+    for name in ("leakage_safe_splits", "source_overlap_matrix", "shard_manifest"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
