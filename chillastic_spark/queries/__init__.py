@@ -44,17 +44,21 @@ class Query:
 # sequence_packing, time_weighted_avg. Swapped mid-r4 for the six
 # never-sampled batch-16 queries (all r03-green, locally twinned every
 # round): q18_large_orders, q9_product_profit, sessionize, dedup_exact,
-# dedup_minhash_lsh, chunk_windows.
+# dedup_minhash_lsh, chunk_windows. Mid-r4 swap 2: six more r03-green
+# keepers rotated out (q10_returned_items, resume_anti_join,
+# embedding_dup_pairs, hybrid_search_rrf, events_gapfill,
+# decontaminate_flags — every family still anchored) so the six
+# batch-17/18 queries get first driver sampling this round.
 PANEL_FIRST = [
     # relational core (keepers, then never-sampled TPC-H flavours)
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q7_nation_trade", "q8_market_share",
-    "q10_returned_items", "q12_priority_shipping",
+    "q12_priority_shipping",
     "q13_customer_distribution", "q15_top_supplier",
     "q16_part_supplier_counts", "q17_small_quantity_revenue",
     "q20_bulk_suppliers", "q22_dormant_customers",
     # engine parity (reference operators)
-    "scan_projection", "mutate_pipeline", "resume_anti_join",
+    "scan_projection", "mutate_pipeline",
     "count_per_slice", "size_stats", "distinct_slices", "backlog_union",
     "reroute_by_month", "session_window_stats", "events_hourly",
     # documents / dedup family
@@ -65,15 +69,18 @@ PANEL_FIRST = [
     "pii_scrub_report", "dsir_importance_weights",
     "domain_mixture_manifest", "dedup_keep_best", "dedup_incremental",
     "semantic_dedup_manifest",
+    # batch 17/18 (new this round — first driver sampling)
+    "gopher_quality_flags", "c4_line_filter", "table_profile",
+    "leakage_safe_splits", "source_overlap_matrix", "shard_manifest",
     # vectors
-    "similarity_topk", "embedding_dup_pairs",
+    "similarity_topk",
     "knn_graph_edges", "ann_lsh_topk", "embedding_int8_checksum",
     # search
-    "bm25_topk", "hybrid_search_rrf", "percolate",
+    "bm25_topk", "percolate",
     "fuzzy_search", "search_facets", "significant_terms",
     "more_like_this",
     # analytics
-    "tfidf_top_terms", "events_gapfill", "decontaminate_flags",
+    "tfidf_top_terms",
 ]
 
 
