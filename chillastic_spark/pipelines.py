@@ -16,6 +16,8 @@ Composes the operator library into the standard LLM-data flow:
       → mixture sampling        (optional: per-source hash-gate rates
                                  solved for a token budget)
       → chunking                (overlapping token windows)
+      → assembly (``assemble``) (leakage-safe train/val/test splits
+                                 + hash-sharded output manifest)
 
 Everything is DataFrame-native: the whole pipeline is ONE Spark job
 graph with three shuffles (fingerprint group, minhash signatures,
@@ -254,3 +256,77 @@ def curate(
         after_dsir_selection=after_dsir,
         after_mixture_sampling=after_mix,
     )
+
+
+def assemble(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    n_shards: int = 8,
+    near_dup_threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Dataset-assembly stage (the step after ``curate``): assign every
+    doc a leakage-safe train/val/test split and an output shard.
+
+    Split assignment hashes the doc's near-dup-cluster REPRESENTATIVE
+    (pointer-jumping components over ``pairs``), so near-duplicates can
+    never straddle splits; shard assignment hashes the doc id — the
+    stateless, reproducible way for any number of writers to emit
+    uniformly-sized output files without a global sort.
+
+    ``pairs`` should be the pair list the dedup stage already computed
+    (curate's MinHash-LSH candidates) — pass it to avoid a second
+    signature pass; when None, pairs are computed here with the same
+    LSH parameters. Docs in ``pairs`` that were dropped by dedup are
+    ignored (left join onto ``df``).
+
+    Returns (manifest, summary): per-doc
+    (id, source, rep_id, split, shard, n_tokens) and the per-
+    (split, shard) doc/token totals a shipping run publishes.
+    """
+    from chillastic_spark import functions as CF
+    from chillastic_spark.operators.components import connected_components
+
+    if pairs is None:
+        pairs = D.minhash_lsh_pairs(
+            df, id_col=id_col, text_col=text_col,
+            n=shingle_n, threshold=near_dup_threshold,
+        )
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    m = (
+        df.select(id_col, source_col, T.token_count(text_col).alias("n_tokens"))
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            source_col,
+            F.coalesce("component", id_col).alias("rep_id"),
+            "n_tokens",
+        )
+    )
+    bucket = CF.hash60(
+        F.concat(F.col("rep_id").cast("string"), F.lit("#split"))
+    ) % 100
+    shard = CF.hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit("#shard"))
+    ) % n_shards
+    manifest = m.select(
+        id_col,
+        source_col,
+        "rep_id",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+        shard.alias("shard"),
+        "n_tokens",
+    )
+    summary = manifest.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return manifest, summary

@@ -135,3 +135,48 @@ def test_mixture_with_empty_pool_does_not_crash(spark):
     assert report.after_quality_gate == 0
     assert report.after_mixture_sampling == 0
     assert chunks.count() == 0
+
+
+def test_assemble_splits_and_shards(spark):
+    """Assembly stage: near-dups share a split; shards conserve the
+    corpus; pairs can be injected to skip the second signature pass."""
+    from pyspark.sql import functions as F
+
+    from chillastic_spark.pipelines import assemble
+
+    rows = [(i, f"doc {i} body " + GOOD, f"src{i % 3}") for i in range(1, 40)]
+    rows += [(100, GOOD, "src0"), (101, NEAR, "src1")]  # near-dup pair
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+
+    # inject the pair list (what curate's dedup stage already computed)
+    pairs = spark.createDataFrame([(100, 101)], "id_a: long, id_b: long")
+    manifest, summary = assemble(df, pairs=pairs)
+    rows_m = {r["doc_id"]: r for r in manifest.collect()}
+
+    assert len(rows_m) == df.count()
+    # the leakage invariant: the planted near-dup pair shares rep + split
+    assert rows_m[100]["rep_id"] == rows_m[101]["rep_id"] == 100
+    assert rows_m[100]["split"] == rows_m[101]["split"]
+    # every doc assigned exactly one split and a shard in range
+    assert all(r["split"] in ("train", "val", "test") for r in rows_m.values())
+    assert all(0 <= r["shard"] < 8 for r in rows_m.values())
+    # summary conserves docs and tokens
+    s = summary.agg(F.sum("n_docs"), F.sum("n_tokens")).collect()[0]
+    total_tokens = df.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    assert s[0] == df.count() and s[1] == total_tokens
+    # deterministic: a second run yields the identical manifest
+    manifest2, _ = assemble(df, pairs=pairs)
+    assert manifest.exceptAll(manifest2).count() == 0
+
+
+def test_assemble_computes_pairs_when_absent(spark):
+    from chillastic_spark.pipelines import assemble
+
+    rows = [(1, GOOD, "a"), (2, NEAR, "a"), (3, LONG_GOOD, "b")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    manifest, _ = assemble(df)  # pairs computed via MinHash-LSH internally
+    m = {r["doc_id"]: r for r in manifest.collect()}
+    assert m[1]["split"] == m[2]["split"]  # near dups co-assigned
+    assert m[1]["rep_id"] == m[2]["rep_id"] == 1
