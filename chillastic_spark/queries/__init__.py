@@ -96,6 +96,7 @@ def all_queries() -> dict[str, Query]:
         analytics8,
         analytics9,
         analytics10,
+        analytics11,
         documents,
         engine_parity,
         relational,
@@ -125,6 +126,7 @@ def all_queries() -> dict[str, Query]:
         analytics8,
         analytics9,
         analytics10,
+        analytics11,
         search,
         search2,
         search3,
