@@ -547,6 +547,96 @@ def incremental_dedup_stream(
     return writer.start()
 
 
+def lm_filter_stream(
+    spark: SparkSession,
+    stream_dir: str,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    nll_keep_max: float = 10.5,
+    buckets: "int | None" = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Ingest-time perplexity filtering as a stream: the hashed bigram
+    LM (operators/lm.py) is trained ONCE on the STATIC reference
+    corpus, its two bounded count tables are materialized before the
+    stream starts, and every micro-batch of incoming docs is scored
+    against that frozen model — (doc_id, n_bigrams, nll, keep)
+    appends to ``out_dir``.
+
+    Freezing the model is the semantics ingest actually wants (score
+    new data against the curated distribution, not against itself);
+    it is also what makes the stream cheap — per-batch cost is the
+    batch's own narrow bigram expansion plus two broadcast joins.
+    Exactly-once effect: checkpointed source files + re-appended
+    identical flags keyed by doc_id (downstream MERGE dedups).
+    """
+    from chillastic_spark import functions as CF
+    from chillastic_spark.operators import dedup as D
+    from chillastic_spark.operators import lm
+
+    b = buckets or lm.LM_BUCKETS
+    grams = D.materialize(lm._bigram_stream(corpus, "doc_id", "text", b))
+    ctx = D.materialize(grams.groupBy("pb").agg(F.count(F.lit(1)).alias("ctx_ct")))
+    big = D.materialize(grams.groupBy("bb").agg(F.count(F.lit(1)).alias("big_ct")))
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stream_dir)
+    )
+
+    def process(batch_df, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        g = lm._bigram_stream(batch_df, "doc_id", "text", b)
+        scored = (
+            g.join(F.broadcast(ctx), "pb", "left")
+            .join(F.broadcast(big), "bb", "left")
+            .withColumn(
+                "nll_term",
+                CF.round_det(
+                    -F.log(
+                        (F.coalesce(F.col("big_ct"), F.lit(0)) + 1)
+                        / (F.coalesce(F.col("ctx_ct"), F.lit(0)) + F.lit(b))
+                    ),
+                    lm.NLL_DIGITS,
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum(F.col("nll_term").cast("decimal(28,6)")).alias("__s"),
+            )
+            .select(
+                "doc_id",
+                "n_bigrams",
+                CF.round_det(
+                    F.col("__s").cast("double") / F.col("n_bigrams"), 4
+                ).alias("nll"),
+            )
+        )
+        ids = batch_df.select("doc_id")
+        out = ids.join(scored, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "nll",
+            (F.col("nll").isNotNull() & (F.col("nll") <= nll_keep_max)).alias(
+                "keep"
+            ),
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 MG_STATE_SCHEMA = "tokens array<string>, counts array<long>, decr long, version long"
 MG_OUTPUT_SCHEMA = (
     "shard int, token string, est long, err long, version long"

@@ -85,3 +85,90 @@ def test_classifier_keep_consistent_with_margin(spark):
     for r in rows:
         assert r["keep"] == (r["margin"] >= 0)
         assert 0.0 <= r["prob"] <= 1.0
+
+
+# --------------------------------------------------- streaming LM gate
+
+
+def test_lm_filter_stream_matches_batch(spark, tmp_path):
+    """Streaming perplexity flags (frozen corpus LM scoring micro-
+    batched incoming docs) must equal the batch operator when the
+    incoming docs ARE the training corpus — every bigram is then in
+    the model, so the stream's left joins coincide with the batch
+    inner joins and batching boundaries cannot change per-doc scores."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chillastic_spark.queries import all_queries
+    from chillastic_spark.streaming import lm_filter_stream
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    incoming = corpus.toPandas()
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    n_files = 4
+    step = max(1, len(incoming) // n_files)
+    for i in range(n_files):
+        chunk = (
+            incoming.iloc[i * step :]
+            if i == n_files - 1
+            else incoming.iloc[i * step : (i + 1) * step]
+        )
+        if len(chunk):
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False),
+                str(stream_dir / f"part-{i:04d}.parquet"),
+            )
+
+    out_dir = str(tmp_path / "flags")
+    q = lm_filter_stream(
+        spark, str(stream_dir), corpus, out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["n_bigrams"], r["nll"], r["keep"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_bigrams"], r["nll"], r["keep"])
+        for r in all_queries()["perplexity_filter"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want and len(want) == 500
+
+
+def test_lm_filter_stream_unseen_bigrams_penalized(spark, tmp_path):
+    """Docs whose bigrams the frozen model never saw must score the
+    maximum smoothed nll (count 0 → 1/(0+buckets)) rather than error."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chillastic_spark.operators import lm
+    from chillastic_spark.streaming import lm_filter_stream
+
+    corpus = spark.createDataFrame(
+        [(i, COMMON) for i in range(1, 20)], "doc_id: long, text: string"
+    )
+    inc = pa.Table.from_pydict(
+        {"doc_id": [100], "text": ["zz yy xx ww vv uu"]}
+    )
+    stream_dir = tmp_path / "inc"
+    stream_dir.mkdir()
+    pq.write_table(inc, str(stream_dir / "part-0000.parquet"))
+
+    out_dir = str(tmp_path / "flags")
+    q = lm_filter_stream(
+        spark, str(stream_dir), corpus, out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    r = spark.read.parquet(out_dir).collect()[0]
+    # all 5 bigrams unseen, contexts unseen: term = -ln(1 / buckets)
+    expect = round(math.log(lm.LM_BUCKETS), 4)
+    assert r["n_bigrams"] == 5
+    assert abs(r["nll"] - expect) < 1e-3
+    assert not r["keep"]
