@@ -49,6 +49,7 @@ class FakeES:
         path_prefix: str = "",
         fail_delete_ids: Optional[set] = None,
         reject_once_ids: Optional[set] = None,
+        fail_first_searches: int = 0,
     ):
         # {(index, type, id): source}
         self.docs: dict[tuple, dict] = {}
@@ -69,6 +70,10 @@ class FakeES:
         # (while the rest of the batch succeeds), then behave normally —
         # the real-ES partial-rejection shape
         self.reject_once_ids = set(reject_once_ids or set())
+        # first N initial `_search` requests answer HTTP 500 — the
+        # injected-search-failure mode for Spark task-retry tests
+        # (SURVEY S2: retrying search)
+        self.fail_first_searches = fail_first_searches
         self.app = self._build()
         self._server = None
         self._thread = None
@@ -200,6 +205,10 @@ class FakeES:
         @app.post("/<index>/<doc_type>/_search")
         @app.post("/<index>/_search", defaults={"doc_type": None})
         def search(index, doc_type):
+            with self._lock:
+                if self.fail_first_searches > 0:
+                    self.fail_first_searches -= 1
+                    return {"error": {"type": "injected_search_failure"}}, 500
             size = int(request.args.get("size", "10"))
             body = request.get_json(silent=True)
             hits = [
