@@ -1,0 +1,51 @@
+"""Dataset-assembly expressions shared by the pipeline stage
+(pipelines.assemble) and its oracle-checked query twins
+(queries/analytics10.py) — ONE definition of the leakage-critical
+split/shard hashing so the two callers cannot de-synchronize.
+
+The DuckDB twins of these expressions live next to the queries; the
+driver's hash equality on `leakage_safe_splits` / `shard_manifest` is
+what pins this module's semantics.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chillastic_spark import functions as CF
+
+TRAIN_PCT, VAL_PCT = 90, 5  # train < 90, val < 95, test < 100
+N_SHARDS = 8
+
+
+def rep_of(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """``df`` plus a ``rep_id`` column: the doc's near-dup-component
+    representative (smallest id; itself when it has no near-dups).
+    ``pairs`` docs absent from ``df`` are ignored (left join)."""
+    from chillastic_spark.operators.components import connected_components
+
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    return df.join(comp, id_col, "left").withColumn(
+        "rep_id", F.coalesce("component", id_col)
+    ).drop("component")
+
+
+def split_of(
+    rep: Column, train_pct: int = TRAIN_PCT, val_pct: int = VAL_PCT
+) -> Column:
+    """'train' | 'val' | 'test' from the REPRESENTATIVE id — hashing
+    the rep (never the doc) is what keeps near-duplicates from
+    straddling splits."""
+    bucket = CF.hash60(F.concat(rep.cast("string"), F.lit("#split"))) % 100
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
+def shard_of(doc_id: Column, n_shards: int = N_SHARDS) -> Column:
+    """Stateless reproducible shard assignment by doc-id hash."""
+    return CF.hash60(F.concat(doc_id.cast("string"), F.lit("#shard"))) % n_shards

@@ -203,7 +203,6 @@ def linear_quality_scores(
         "doc_id", (CF.hash60(F.concat(F.col("tok"), F.lit("#qc"))) % buckets).alias("bkt")
     )
     if weights is None:
-        w = F.col("__w")
         toks = toks.withColumn("__w", CF.round_det(_pseudo_weight(F.col("bkt")), 6))
     else:
         toks = toks.join(

@@ -289,40 +289,24 @@ def assemble(
     (id, source, rep_id, split, shard, n_tokens) and the per-
     (split, shard) doc/token totals a shipping run publishes.
     """
-    from chillastic_spark import functions as CF
-    from chillastic_spark.operators.components import connected_components
+    from chillastic_spark.operators.assembly import rep_of, shard_of, split_of
 
     if pairs is None:
         pairs = D.minhash_lsh_pairs(
             df, id_col=id_col, text_col=text_col,
             n=shingle_n, threshold=near_dup_threshold,
         )
-    comp = connected_components(pairs).withColumnRenamed("node", id_col)
-    m = (
-        df.select(id_col, source_col, T.token_count(text_col).alias("n_tokens"))
-        .join(comp, id_col, "left")
-        .select(
-            id_col,
-            source_col,
-            F.coalesce("component", id_col).alias("rep_id"),
-            "n_tokens",
-        )
+    m = rep_of(
+        df.select(id_col, source_col, T.token_count(text_col).alias("n_tokens")),
+        pairs,
+        id_col=id_col,
     )
-    bucket = CF.hash60(
-        F.concat(F.col("rep_id").cast("string"), F.lit("#split"))
-    ) % 100
-    shard = CF.hash60(
-        F.concat(F.col(id_col).cast("string"), F.lit("#shard"))
-    ) % n_shards
     manifest = m.select(
         id_col,
         source_col,
         "rep_id",
-        F.when(bucket < train_pct, "train")
-        .when(bucket < train_pct + val_pct, "val")
-        .otherwise("test")
-        .alias("split"),
-        shard.alias("shard"),
+        split_of(F.col("rep_id"), train_pct, val_pct).alias("split"),
+        shard_of(F.col(id_col), n_shards).alias("shard"),
         "n_tokens",
     )
     summary = manifest.groupBy("split", "shard").agg(

@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 from chillastic_spark import functions as CF
 from chillastic_spark.operators import dedup as D
 from chillastic_spark.operators import text as T
-from chillastic_spark.operators.components import connected_components
 from chillastic_spark.queries import Query
 from chillastic_spark.queries.documents import _GRAMS
 from chillastic_spark.tables import load
@@ -72,7 +71,14 @@ g AS (
 
 # -------------------------------------------------- leakage-safe splits
 
-TRAIN_PCT, VAL_PCT = 90, 5  # train < 90, val < 95, test < 100
+from chillastic_spark.operators.assembly import (  # noqa: E402
+    N_SHARDS,
+    TRAIN_PCT,
+    VAL_PCT,
+    rep_of,
+    shard_of,
+    split_of,
+)
 
 
 def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,24 +95,9 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.5)
-    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
-    m = d.select("doc_id", "source").join(comp, "doc_id", "left")
-    m = m.select(
-        "doc_id",
-        "source",
-        F.coalesce("component", "doc_id").alias("rep_id"),
-    )
-    bucket = CF.hash60(
-        F.concat(F.col("rep_id").cast("string"), F.lit("#split"))
-    ) % 100
+    m = rep_of(d.select("doc_id", "source"), pairs)
     return m.select(
-        "doc_id",
-        "source",
-        "rep_id",
-        F.when(bucket < TRAIN_PCT, "train")
-        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
-        .otherwise("test")
-        .alias("split"),
+        "doc_id", "source", "rep_id", split_of(F.col("rep_id")).alias("split")
     )
 
 
@@ -178,8 +169,6 @@ GROUP BY 1, 2
 
 # ------------------------------------------------------ shard manifest
 
-N_SHARDS = 8
-
 
 def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-set writer's plan: docs hash-assigned to
@@ -192,12 +181,9 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", T.token_count("text").alias("n_tokens")
     )
-    shard = CF.hash60(
-        F.concat(F.col("doc_id").cast("string"), F.lit("#shard"))
-    ) % N_SHARDS
     return (
         m.join(d, "doc_id")
-        .groupBy("split", shard.alias("shard"))
+        .groupBy("split", shard_of(F.col("doc_id")).alias("shard"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),

@@ -568,15 +568,22 @@ def lm_filter_stream(
     new data against the curated distribution, not against itself);
     it is also what makes the stream cheap — per-batch cost is the
     batch's own narrow bigram expansion plus two broadcast joins.
-    Exactly-once effect: checkpointed source files + re-appended
-    identical flags keyed by doc_id (downstream MERGE dedups).
+    Exactly once: each micro-batch OVERWRITES its own
+    ``batch=<id>`` partition directory under ``out_dir``, so a
+    replayed batch rewrites identical files instead of appending
+    duplicates; read the flags with ``spark.read.parquet(out_dir)``
+    (the batch id surfaces as a partition column).
+
+    Only the two bounded (≤ buckets-row) count tables are
+    materialized; the corpus-sized bigram expansion is aggregated in
+    two passes and never pinned for the stream's lifetime.
     """
     from chillastic_spark import functions as CF
     from chillastic_spark.operators import dedup as D
     from chillastic_spark.operators import lm
 
     b = buckets or lm.LM_BUCKETS
-    grams = D.materialize(lm._bigram_stream(corpus, "doc_id", "text", b))
+    grams = lm._bigram_stream(corpus, "doc_id", "text", b)
     ctx = D.materialize(grams.groupBy("pb").agg(F.count(F.lit(1)).alias("ctx_ct")))
     big = D.materialize(grams.groupBy("bb").agg(F.count(F.lit(1)).alias("big_ct")))
 
@@ -586,7 +593,7 @@ def lm_filter_stream(
         .parquet(stream_dir)
     )
 
-    def process(batch_df, _batch_id: int) -> None:
+    def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         g = lm._bigram_stream(batch_df, "doc_id", "text", b)
@@ -625,7 +632,9 @@ def lm_filter_stream(
                 "keep"
             ),
         )
-        out.write.mode("append").parquet(out_dir)
+        # idempotent per-batch sink: a replayed batch overwrites its
+        # own partition dir instead of appending duplicate flag rows
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(process)

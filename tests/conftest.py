@@ -109,3 +109,11 @@ def docs_f1(n=20, index_type="mytype1"):
         {"_id": f"id{i}", "_type": index_type, "_source": {"someField_1": f"something {i}"}}
         for i in range(n)
     ]
+
+
+def plan_of(spark, df) -> str:
+    """Formatted physical plan of a DataFrame (shared by the
+    plan-shape tests)."""
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )

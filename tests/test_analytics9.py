@@ -15,10 +15,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name):
-    df = all_queries()[name].fn(spark, SF)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    from conftest import plan_of
+
+    return plan_of(spark, all_queries()[name].fn(spark, SF))
 
 
 @pytest.fixture(scope="module")
@@ -101,10 +100,10 @@ def test_profile_single_scan(spark):
 
 
 def test_profile_approx_mode(spark):
+    from conftest import plan_of
+
     df = table_profile(spark, SF, exact=False)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    plan = plan_of(spark, df)
     assert "Expand" not in plan  # approx_count_distinct needs no Expand
     rows = {r["column_name"]: r for r in df.collect()}
     exact = {r["column_name"]: r for r in table_profile(spark, SF).collect()}

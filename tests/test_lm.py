@@ -70,12 +70,22 @@ def test_classifier_injected_weights(spark):
 
 
 def test_classifier_unknown_tokens_weight_zero(spark):
+    from chillastic_spark import functions as CF
+
     df = spark.createDataFrame([(1, "alpha beta")], "doc_id: long, text: string")
-    weights = spark.createDataFrame([(0, 5.0)], "bucket: long, w: double")
+    used = {
+        r[0]
+        for r in df.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .select(CF.hash60(F.concat(F.col("tok"), F.lit("#qc"))) % lm.QC_BUCKETS)
+        .collect()
+    }
+    # weight a bucket NEITHER token hashes to → every token unknown
+    free = next(b for b in range(lm.QC_BUCKETS) if b not in used)
+    weights = spark.createDataFrame([(free, 5.0)], "bucket: long, w: double")
     r = lm.linear_quality_scores(df, weights=weights).collect()[0]
-    # almost surely neither token hashes to bucket 0 → margin 0, prob .5
-    if r["margin"] == 0.0:
-        assert r["prob"] == 0.5 and r["keep"]
+    assert r["margin"] == 0.0 and r["prob"] == 0.5 and r["keep"]
 
 
 def test_classifier_keep_consistent_with_margin(spark):

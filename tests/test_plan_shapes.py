@@ -10,10 +10,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name):
-    df = all_queries()[name].fn(spark, SF)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    from conftest import plan_of
+
+    return plan_of(spark, all_queries()[name].fn(spark, SF))
 
 
 def test_q1_filter_pushed_and_pruned(spark):
