@@ -59,9 +59,27 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_CLASSIFIER_SQL = lm.linear_quality_sql()
 
 
+def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): one
+    corpus pass builds the word-frequency table, then every merge
+    round runs on the bounded vocab only. Rows-only entry — the
+    iterative argmax loop is not SQL-expressible; determinism and
+    merge-for-merge parity with a pure-Python replay are pinned in
+    tests/test_bpe.py."""
+    from chillastic_spark.operators import bpe
+
+    d = load(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(d, n_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank: int, left: string, right: string, merged: string",
+    )
+
+
 QUERIES = {
     "perplexity_filter": Query(perplexity_filter, PERPLEXITY_SQL),
     "quality_classifier_scores": Query(
         quality_classifier_scores, QUALITY_CLASSIFIER_SQL
     ),
+    "bpe_trained_merges": Query(bpe_trained_merges, None),
 }

@@ -1,0 +1,83 @@
+"""Distributed BPE training (operators/bpe.py): the Spark trainer must
+replay the pure-Python reference merge-for-merge (count, greedy-merge,
+and tie-break semantics all pinned), and the encoder must be the
+inverse view of training."""
+import pytest
+from pyspark.sql import functions as F
+
+from chillastic_spark.operators import bpe
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new new new",
+    "wide wider widest",
+    "low low low new new wide",
+]
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text: string")
+    merges = bpe.train_bpe(df, n_merges=12)
+    wc = {
+        r["word"]: r["wc"]
+        for r in bpe.word_frequencies(df).collect()
+    }
+    return df, merges, wc
+
+
+def test_spark_training_matches_local_replay(trained):
+    df, merges, wc = trained
+    assert merges == bpe.train_bpe_local(wc, n_merges=12)
+    assert len(merges) >= 8  # corpus supports plenty of merges
+
+
+def test_first_merges_capture_corpus_structure(trained):
+    _, merges, _ = trained
+    # 'low'(x7) and 'new'(x8) dominate: their character merges must be
+    # learned, and a frequent merged symbol must appear as a merge side
+    flat = ["".join(p) for p in merges]
+    assert any("ne" in s or "ew" in s for s in flat)
+    assert any("lo" in s or "ow" in s for s in flat)
+    assert any(len(a) > 1 or len(b) > 1 for a, b in merges)  # hierarchical
+
+
+def test_min_pair_count_stops_training(spark):
+    df = spark.createDataFrame([("aa bb",)], "text: string")
+    # every pair occurs once → below min_pair_count=2 → no merges
+    assert bpe.train_bpe(df, n_merges=5, min_pair_count=2) == []
+
+
+def test_encode_words_matches_trained_vocab(spark, trained):
+    df, merges, wc = trained
+    words = spark.createDataFrame([(w,) for w in wc], "word: string")
+    enc = {r["word"]: list(r["bpe"]) for r in
+           bpe.encode_words(words, merges).collect()}
+    # local replay of encoding: fold the merge list over char symbols
+    for w in wc:
+        syms = list(w) + [bpe.EOW]
+        for a, b in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        assert enc[w] == syms, w
+    # compression: frequent words collapse to fewer symbols than chars
+    assert len(enc["low"]) < len("low") + 1
+    assert len(enc["new"]) < len("new") + 1
+
+
+def test_training_is_deterministic(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text: string")
+    assert bpe.train_bpe(df, n_merges=6) == bpe.train_bpe(df, n_merges=6)
+
+
+def test_training_on_real_corpus(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe.train_bpe(d, n_merges=5)
+    wc = {r["word"]: r["wc"] for r in bpe.word_frequencies(d).collect()}
+    assert merges == bpe.train_bpe_local(wc, n_merges=5)
+    assert len(merges) == 5
