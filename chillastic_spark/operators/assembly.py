@@ -49,3 +49,32 @@ def split_of(
 def shard_of(doc_id: Column, n_shards: int = N_SHARDS) -> Column:
     """Stateless reproducible shard assignment by doc-id hash."""
     return CF.hash60(F.concat(doc_id.cast("string"), F.lit("#shard"))) % n_shards
+
+
+def write_sharded(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    n_shards: int = N_SHARDS,
+    split_col: str = "split",
+) -> None:
+    """Materialize the training set as the directory tree the shard
+    manifest describes: ``out_dir/split=<s>/shard=<k>/`` with EXACTLY
+    one parquet file per (split, shard) — repartition by the same
+    hash expressions that built the manifest, so file contents are
+    reproducible from any number of writers and each shard is one
+    sequential read for a training loader.
+
+    One-file-per-shard is the 100 TB layout contract (shards are
+    sized by choosing ``n_shards``, docs land by id hash); writers
+    scale by raising ``n_shards``, never by splitting a shard's file.
+    """
+    shard = shard_of(F.col(id_col), n_shards)
+    (
+        df.withColumn("shard", shard)
+        .repartition(F.col(split_col), F.col("shard"))
+        .sortWithinPartitions(id_col)
+        .write.partitionBy(split_col, "shard")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )

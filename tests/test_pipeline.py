@@ -180,3 +180,41 @@ def test_assemble_computes_pairs_when_absent(spark):
     m = {r["doc_id"]: r for r in manifest.collect()}
     assert m[1]["split"] == m[2]["split"]  # near dups co-assigned
     assert m[1]["rep_id"] == m[2]["rep_id"] == 1
+
+
+def test_write_sharded_layout(spark, tmp_path):
+    """write_sharded materializes exactly one parquet file per
+    (split, shard) directory and round-trips all rows with the
+    manifest's own hash assignment."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from chillastic_spark.operators.assembly import shard_of, write_sharded
+    from chillastic_spark.pipelines import assemble
+
+    rows = [(i, f"doc {i} text " + GOOD, f"src{i % 3}") for i in range(1, 60)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    manifest, _ = assemble(
+        df, pairs=spark.createDataFrame([], "id_a: long, id_b: long")
+    )
+    out = str(tmp_path / "dataset")
+    write_sharded(manifest.join(df.select("doc_id", "text"), "doc_id"), out)
+
+    dirs = sorted(glob.glob(f"{out}/split=*/shard=*"))
+    assert dirs, "no shard directories written"
+    for d in dirs:
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, (d, files)  # ONE file per shard
+
+    back = spark.read.parquet(out)
+    assert back.count() == 59
+    # every row sits in the dir its hash assigns
+    mism = back.filter(
+        (F.col("shard") != shard_of(F.col("doc_id")))
+    ).count()
+    assert mism == 0
+    # splits in dirs match the manifest
+    got = {(r["doc_id"], r["split"]) for r in back.select("doc_id", "split").collect()}
+    want = {(r["doc_id"], r["split"]) for r in manifest.collect()}
+    assert got == want
