@@ -76,10 +76,91 @@ def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ binned interval join
+
+
+def busy_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval analytics via the binned interval join
+    (operators/interval.py): find busy windows — maximal runs of
+    hours with above-average event counts (integer cross-multiplied
+    comparison, no float) — then join ALL events back into those
+    windows by time alone (no equi key) and report per-window totals.
+
+    The island detection runs on the bounded hourly aggregate
+    (≤ |hours| rows — its single-partition window is over that
+    aggregate, never the events); the interval join is the scalable
+    bin equi-join — plan-asserted free of BroadcastNestedLoopJoin.
+    """
+    from pyspark.sql import Window
+
+    from chillastic_spark import functions as CF
+    from chillastic_spark.operators.interval import bin_interval_join
+
+    e = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hourly.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_hours")
+    )
+    busy = (
+        hourly.join(F.broadcast(tot))
+        .filter(F.col("cnt") * F.col("n_hours") > F.col("total"))
+        .select("h", "cnt")
+    )
+    # maximal runs of consecutive busy hours (bounded input: the
+    # hourly aggregate) — hour minus rank collapses a run to one key
+    w = Window.orderBy("h")
+    runs = busy.withColumn(
+        "grp",
+        F.col("h").cast("long") - F.row_number().over(w) * 3600,
+    )
+    windows = runs.groupBy("grp").agg(
+        F.min("h").alias("start_ts"),
+        (F.max("h") + F.expr("INTERVAL 1 hour")).alias("end_ts"),
+        F.count(F.lit(1)).alias("n_hours"),
+    ).drop("grp")
+    joined = bin_interval_join(e, "ts", windows, "start_ts", "end_ts")
+    return (
+        joined.groupBy("start_ts", "end_ts", "n_hours")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+BUSY_WINDOWS_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS cnt FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS total, count(*) AS n_hours FROM hourly
+), busy AS (
+  SELECT h, cnt FROM hourly, tot WHERE cnt * n_hours > total
+), runs AS (
+  SELECT h, epoch(h)::BIGINT - row_number() OVER (ORDER BY h) * 3600 AS grp
+  FROM busy
+), windows AS (
+  SELECT min(h) AS start_ts, max(h) + INTERVAL 1 HOUR AS end_ts,
+         count(*) AS n_hours
+  FROM runs GROUP BY grp
+)
+SELECT w.start_ts, w.end_ts, w.n_hours, count(*) AS n_events,
+  round(sum(e.value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
+FROM windows w JOIN events e ON e.ts >= w.start_ts AND e.ts < w.end_ts
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "perplexity_filter": Query(perplexity_filter, PERPLEXITY_SQL),
     "quality_classifier_scores": Query(
         quality_classifier_scores, QUALITY_CLASSIFIER_SQL
     ),
     "bpe_trained_merges": Query(bpe_trained_merges, None),
+    "busy_window_counts": Query(busy_window_counts, BUSY_WINDOWS_SQL),
 }

@@ -83,3 +83,62 @@ def test_assembly_plans_never_cartesian(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# ---------------------------------------------- binned interval join
+
+
+def test_bin_interval_join_exact_and_no_bnlj(spark):
+    """The binned interval join must (a) produce exactly the rows a
+    naive range predicate produces, (b) plan as an equi-join — never
+    BroadcastNestedLoopJoin/CartesianProduct — and (c) emit each
+    (point, interval) match exactly once even for multi-bin spans."""
+    import datetime as dt
+
+    from conftest import plan_of
+
+    from chillastic_spark.operators.interval import bin_interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=17 * i)) for i in range(200)],
+        "pid: long, ts: timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(hours=1), base + dt.timedelta(hours=2)),
+            (2, base + dt.timedelta(hours=1, minutes=30),
+             base + dt.timedelta(hours=9)),  # multi-bin, overlapping
+            (3, base + dt.timedelta(hours=40), base + dt.timedelta(hours=41)),
+        ],
+        "iid: long, start_ts: timestamp, end_ts: timestamp",
+    )
+    got = bin_interval_join(pts, "ts", ivs, "start_ts", "end_ts")
+    got_set = sorted((r["pid"], r["iid"]) for r in got.collect())
+    want = sorted(
+        (p["pid"], i["iid"])
+        for p in pts.collect()
+        for i in ivs.collect()
+        if i["start_ts"] <= p["ts"] < i["end_ts"]
+    )
+    assert got_set == want and len(want) > 0
+    assert len(got_set) == len(set(got_set))  # exactly-once per match
+
+    plan = plan_of(spark, got)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_busy_window_counts_plan(spark):
+    plan = _plan(spark, "busy_window_counts")
+    assert "CartesianProduct" not in plan
+    # the events↔windows range join must ride the bin EQUI-join (hash
+    # join with the range as residual) — the only nested-loop allowed
+    # is the benign 1-row totals broadcast (condition on n_hours/total)
+    bnlj = [
+        seg for seg in plan.split("\n\n")
+        if seg.startswith("(") and "BroadcastNestedLoopJoin" in seg
+    ]
+    for seg in bnlj:
+        assert "total" in seg and "ts#" not in seg.split("Join condition:")[1], seg
+    assert len(bnlj) <= 1
