@@ -68,12 +68,22 @@ def write_sharded(
     One-file-per-shard is the 100 TB layout contract (shards are
     sized by choosing ``n_shards``, docs land by id hash); writers
     scale by raising ``n_shards``, never by splitting a shard's file.
+
+    When ``df`` already carries a ``shard`` column (an ``assemble``
+    manifest) it is AUTHORITATIVE and reused as-is — recomputing here
+    with a different ``n_shards`` would silently diverge the tree
+    from the published manifest.
+
+    Sorting covers (split, shard, id): the dynamic-partition writer
+    requires ordering by the partition columns, so including them
+    means no second sort is inserted and intra-file id order — hence
+    byte-reproducible files — is actually guaranteed.
     """
-    shard = shard_of(F.col(id_col), n_shards)
+    if "shard" not in df.columns:
+        df = df.withColumn("shard", shard_of(F.col(id_col), n_shards))
     (
-        df.withColumn("shard", shard)
-        .repartition(F.col(split_col), F.col("shard"))
-        .sortWithinPartitions(id_col)
+        df.repartition(F.col(split_col), F.col("shard"))
+        .sortWithinPartitions(split_col, "shard", id_col)
         .write.partitionBy(split_col, "shard")
         .mode("overwrite")
         .parquet(out_dir)

@@ -141,6 +141,27 @@ def encode_words(
     return df.withColumn("bpe", syms)
 
 
+def merge_local(syms: "list[str]", a: str, b: str) -> "list[str]":
+    """Pure-Python twin of ``_merge_pair`` — THE greedy-merge
+    semantics, shared by the local trainer and encoder replays so the
+    reference can never fork from itself."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def encode_local(word: str, merges: "list[tuple[str, str]]") -> "list[str]":
+    """Pure-Python twin of ``encode_words`` for one word."""
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        syms = merge_local(syms, a, b)
+    return syms
+
+
 def train_bpe_local(
     word_counts: "dict[str, int]", n_merges: int, min_pair_count: int = 2
 ) -> "list[tuple[str, str]]":
@@ -166,12 +187,7 @@ def train_bpe_local(
         merges.append((a, b))
         out: dict[tuple, int] = {}
         for syms, c in vocab.items():
-            merged: list[str] = []
-            for x in syms:
-                if merged and merged[-1] == a and x == b:
-                    merged[-1] = a + b
-                else:
-                    merged.append(x)
-            out[tuple(merged)] = out.get(tuple(merged), 0) + c
+            merged = tuple(merge_local(list(syms), a, b))
+            out[merged] = out.get(merged, 0) + c
         vocab = out
     return merges

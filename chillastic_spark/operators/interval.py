@@ -38,8 +38,15 @@ def bin_interval_join(
     """
     if unit not in _UNIT_SECONDS:
         raise ValueError(f"unsupported bin unit: {unit!r}")
+    for side, cols in (("points", points.columns), ("intervals", intervals.columns)):
+        if "__bin" in cols:
+            raise ValueError(f"{side} already has a __bin column")
     step = F.expr(f"INTERVAL 1 {unit}")
     p = points.withColumn("__bin", F.date_trunc(unit, F.col(ts_col)))
+    # empty/inverted intervals ([t, t) or end < start) match nothing —
+    # filter them out rather than letting F.sequence abort the job on
+    # illegal (start > stop) boundaries
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     # bins covered by [start, end): trunc(start) .. trunc(end - 1µs)
     i = intervals.withColumn(
         "__bin",

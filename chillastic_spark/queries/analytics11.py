@@ -93,7 +93,6 @@ def busy_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from chillastic_spark import functions as CF
     from chillastic_spark.operators.interval import bin_interval_join
 
     e = load(spark, sf_dir, "events").select(

@@ -142,3 +142,57 @@ def test_busy_window_counts_plan(spark):
     for seg in bnlj:
         assert "total" in seg and "ts#" not in seg.split("Join condition:")[1], seg
     assert len(bnlj) <= 1
+
+
+def test_bin_interval_join_edge_intervals(spark):
+    """Zero-length and inverted intervals match nothing (not crash);
+    a pre-existing __bin column is rejected loudly."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from chillastic_spark.operators.interval import bin_interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=30))], "pid: long, ts: timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, base, base),                                  # empty [t, t)
+            (2, base + dt.timedelta(hours=2), base),          # inverted
+            (3, base, base + dt.timedelta(hours=1)),          # real
+        ],
+        "iid: long, start_ts: timestamp, end_ts: timestamp",
+    )
+    got = [r["iid"] for r in
+           bin_interval_join(pts, "ts", ivs, "start_ts", "end_ts").collect()]
+    assert got == [3]
+
+    with _pytest.raises(ValueError, match="__bin"):
+        bin_interval_join(
+            pts.withColumn("__bin", pts["ts"]), "ts", ivs, "start_ts", "end_ts"
+        )
+
+
+def test_write_sharded_reuses_manifest_shard(spark, tmp_path):
+    """A manifest's shard column is authoritative: write_sharded must
+    not recompute it with a different n_shards."""
+    import glob
+
+    from chillastic_spark.operators.assembly import write_sharded
+    from chillastic_spark.pipelines import assemble
+
+    rows = [(i, f"doc {i} words here", "src0") for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    manifest, _ = assemble(
+        df, pairs=spark.createDataFrame([], "id_a: long, id_b: long"), n_shards=16
+    )
+    out = str(tmp_path / "ds16")
+    write_sharded(manifest, out)  # default n_shards=8 must NOT apply
+    back = spark.read.parquet(out)
+    got = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    want = {(r["doc_id"], r["shard"]) for r in manifest.collect()}
+    assert got == want
+    shards = {int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{out}/split=*/shard=*")}
+    assert max(shards) >= 8  # 16-shard manifest survived

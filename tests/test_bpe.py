@@ -53,18 +53,9 @@ def test_encode_words_matches_trained_vocab(spark, trained):
     words = spark.createDataFrame([(w,) for w in wc], "word: string")
     enc = {r["word"]: list(r["bpe"]) for r in
            bpe.encode_words(words, merges).collect()}
-    # local replay of encoding: fold the merge list over char symbols
+    # local replay of encoding (the shared merge_local semantics)
     for w in wc:
-        syms = list(w) + [bpe.EOW]
-        for a, b in merges:
-            out = []
-            for x in syms:
-                if out and out[-1] == a and x == b:
-                    out[-1] = a + b
-                else:
-                    out.append(x)
-            syms = out
-        assert enc[w] == syms, w
+        assert enc[w] == bpe.encode_local(w, merges), w
     # compression: frequent words collapse to fewer symbols than chars
     assert len(enc["low"]) < len("low") + 1
     assert len(enc["new"]) < len("new") + 1
