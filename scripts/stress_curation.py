@@ -73,6 +73,29 @@ def main() -> None:
     print("report:", report.as_dict())
     print(f"curation wall: {time.time() - t0:.1f}s")
 
+    # assembly stage: leakage-safe splits + sharded write of the
+    # surviving docs (pairs recomputed here — in a real run curate
+    # would hand its pair list through)
+    import tempfile
+
+    from chillastic_spark.pipelines import assemble
+
+    t1 = time.time()
+    survivors = docs.join(
+        chunks.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    manifest, summary = assemble(survivors, n_shards=16)
+    out = tempfile.mkdtemp(prefix="stress_shards_")
+    from chillastic_spark.operators.assembly import write_sharded
+
+    write_sharded(manifest, out, n_shards=16)
+    split_counts = {
+        r["split"]: r["n"]
+        for r in manifest.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    print("splits:", split_counts, "shard rows:", summary.count())
+    print(f"assembly wall: {time.time() - t1:.1f}s  (tree at {out})")
+
 
 if __name__ == "__main__":
     main()
