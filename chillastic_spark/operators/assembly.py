@@ -51,6 +51,61 @@ def shard_of(doc_id: Column, n_shards: int = N_SHARDS) -> Column:
     return CF.hash60(F.concat(doc_id.cast("string"), F.lit("#shard"))) % n_shards
 
 
+def assemble_incremental(
+    new_docs: DataFrame,
+    existing_manifest: DataFrame,
+    flags: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    train_pct: int = TRAIN_PCT,
+    val_pct: int = VAL_PCT,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Split/shard assignment for an INGEST BATCH that keeps every
+    published assignment stable: a new doc that near-duplicates an
+    existing doc inherits that doc's representative — and therefore
+    its split — so the leakage invariant holds ACROSS ingests, not
+    just within one run. Docs with no existing match hash their own
+    id (identical to what a from-scratch run would assign them, since
+    the split hash keys on the representative).
+
+    ``flags`` is the incremental-dedup output — (doc_id, match_id)
+    pairs of new docs vs the existing corpus
+    (``dedup.minhash_lsh_incremental`` / the streaming twin); multiple
+    matches adopt the smallest existing representative. Shapes: one
+    broadcast-sized join against the flagged subset and one join onto
+    the existing manifest's (id → rep) projection — the manifest side
+    shuffles on id once; the new batch never joins itself.
+
+    Returns the ingest batch's manifest rows (id, source, rep_id,
+    split, shard) — append them to the published manifest.
+    """
+    ex_rep = existing_manifest.select(
+        F.col(id_col).alias("__match_id"), F.col("rep_id").alias("__ex_rep")
+    )
+    adopted = (
+        flags.select(
+            F.col(id_col), F.col("match_id").alias("__match_id")
+        )
+        .join(ex_rep, "__match_id")
+        .groupBy(id_col)
+        .agg(F.min("__ex_rep").alias("__adopted_rep"))
+    )
+    m = new_docs.select(id_col, source_col).join(adopted, id_col, "left")
+    m = m.select(
+        id_col,
+        source_col,
+        F.coalesce("__adopted_rep", F.col(id_col)).alias("rep_id"),
+    )
+    return m.select(
+        id_col,
+        source_col,
+        "rep_id",
+        split_of(F.col("rep_id"), train_pct, val_pct).alias("split"),
+        shard_of(F.col(id_col), n_shards).alias("shard"),
+    )
+
+
 def write_sharded(
     df: DataFrame,
     out_dir: str,

@@ -218,3 +218,65 @@ def test_write_sharded_layout(spark, tmp_path):
     got = {(r["doc_id"], r["split"]) for r in back.select("doc_id", "split").collect()}
     want = {(r["doc_id"], r["split"]) for r in manifest.collect()}
     assert got == want
+
+
+def test_assemble_incremental_inherits_splits(spark):
+    """Cross-ingest leakage invariant: a new doc near-duplicating an
+    existing doc lands in the existing doc's split; unmatched new docs
+    get exactly the assignment a from-scratch run would give them."""
+    from pyspark.sql import functions as F
+
+    from chillastic_spark.operators.assembly import (
+        assemble_incremental,
+        shard_of,
+        split_of,
+    )
+    from chillastic_spark.pipelines import assemble
+
+    existing = spark.createDataFrame(
+        [(i, f"existing doc {i} " + GOOD, "src0") for i in range(1, 30)],
+        "doc_id: long, text: string, source: string",
+    )
+    manifest, _ = assemble(
+        existing, pairs=spark.createDataFrame([], "id_a: long, id_b: long")
+    )
+
+    new_docs = spark.createDataFrame(
+        [
+            (100, NEAR, "src1"),          # near-dups existing doc 7 (say)
+            (101, "fresh totally new content here", "src1"),
+        ],
+        "doc_id: long, text: string, source: string",
+    )
+    flags = spark.createDataFrame([(100, 7)], "doc_id: long, match_id: long")
+    inc = {r["doc_id"]: r for r in
+           assemble_incremental(new_docs, manifest, flags).collect()}
+
+    ex = {r["doc_id"]: r for r in manifest.collect()}
+    # matched doc inherits doc 7's rep and split
+    assert inc[100]["rep_id"] == ex[7]["rep_id"]
+    assert inc[100]["split"] == ex[7]["split"]
+    # unmatched doc: identical to the from-scratch hash assignment
+    want_split = spark.range(1).select(
+        split_of(F.lit(101)).alias("s"), shard_of(F.lit(101)).alias("k")
+    ).collect()[0]
+    assert inc[101]["rep_id"] == 101
+    assert inc[101]["split"] == want_split["s"]
+    assert inc[101]["shard"] == want_split["k"]
+
+
+def test_assemble_incremental_multiple_matches_take_min_rep(spark):
+    from chillastic_spark.operators.assembly import assemble_incremental
+
+    manifest = spark.createDataFrame(
+        [(1, "src0", 1, "train", 0), (2, "src0", 2, "test", 3)],
+        "doc_id: long, source: string, rep_id: long, split: string, shard: int",
+    )
+    new_docs = spark.createDataFrame(
+        [(50, "x", "src1")], "doc_id: long, text: string, source: string"
+    )
+    flags = spark.createDataFrame(
+        [(50, 1), (50, 2)], "doc_id: long, match_id: long"
+    )
+    r = assemble_incremental(new_docs, manifest, flags).collect()[0]
+    assert r["rep_id"] == 1  # smallest existing rep adopted
