@@ -155,6 +155,58 @@ GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------- video frame sampling
+
+
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video stats over the frame-sampling fan-out
+    (operators/multimodal.sample_frames — the 1→N mapInPandas shape
+    real ffmpeg extraction needs, with decode stubbed as byte
+    slicing): frames per doc, sampled bytes, md5 of the first frame.
+
+    EXACTLY oracle-checked, not rows-only: the corpus is pure ASCII
+    (verified at every SF), so the fake byte-slice frames are
+    closed-form expressible over the text in SQL — the md5 equality
+    proves the Arrow fan-out reproduces the contract byte-for-byte.
+    Skew note: sample_frames repartitions on a content hash first so
+    a few huge payloads can't pin one executor.
+    """
+    from chillastic_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    frames = sample_frames(
+        with_binary_payload(d), every_n_bytes=64, max_frames=8
+    )
+    agg = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_bytes").alias("total_frame_bytes"),
+        F.min(
+            F.when(F.col("frame_idx") == 0, F.md5("frame"))
+        ).alias("first_frame_md5"),
+    )
+    ids = d.select("doc_id")
+    return ids.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+        "total_frame_bytes",
+        "first_frame_md5",
+    )
+
+
+VIDEO_FRAMES_SQL = """
+SELECT doc_id,
+  least(8, length(text) // 64) AS n_frames,
+  CASE WHEN length(text) >= 64
+       THEN least(8, length(text) // 64) * 64 END AS total_frame_bytes,
+  CASE WHEN length(text) >= 64
+       THEN md5(substring(text, 1, 64)) END AS first_frame_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "perplexity_filter": Query(perplexity_filter, PERPLEXITY_SQL),
     "quality_classifier_scores": Query(
@@ -162,4 +214,5 @@ QUERIES = {
     ),
     "bpe_trained_merges": Query(bpe_trained_merges, None),
     "busy_window_counts": Query(busy_window_counts, BUSY_WINDOWS_SQL),
+    "video_frame_stats": Query(video_frame_stats, VIDEO_FRAMES_SQL),
 }
