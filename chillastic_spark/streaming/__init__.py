@@ -646,6 +646,73 @@ def lm_filter_stream(
     return writer.start()
 
 
+def assembly_stream(
+    spark: SparkSession,
+    stream_dir: str,
+    corpus: DataFrame,
+    existing_manifest: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.25,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Ingest-time dataset assembly: every micro-batch of incoming
+    docs is near-dup-flagged against the STATIC curated corpus
+    (materialized MinHash signatures, as incremental_dedup_stream)
+    and then split/shard-assigned with the cross-ingest stability
+    rule (operators/assembly.assemble_incremental): docs matching an
+    existing doc ADOPT its representative — and split — so the
+    leakage invariant holds across the whole ingest history; the
+    rest get exactly the from-scratch hash assignment.
+
+    Manifest rows append idempotently (per-batch ``batch=<id>``
+    overwrite, as lm_filter_stream). The existing manifest must cover
+    the corpus (it is what published reps/splits).
+    """
+    from chillastic_spark.operators import dedup as D
+    from chillastic_spark.operators.assembly import assemble_incremental
+
+    ex_sig = D.materialize(
+        D.minhash_signatures_wide(corpus, "doc_id", "text", n, num_perm)
+    )
+    ex_bands = D.materialize(D.minhash_bands(ex_sig, num_perm, bands))
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stream_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sig = D.materialize(
+            D.minhash_signatures_wide(batch_df, "doc_id", "text", n, num_perm)
+        )
+        flags = D.minhash_flag_against(
+            sig,
+            D.minhash_bands(sig, num_perm, bands),
+            ex_sig,
+            ex_bands,
+            num_perm,
+            threshold,
+        ).select("doc_id", "match_id")
+        manifest = assemble_incremental(batch_df, existing_manifest, flags)
+        manifest.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 MG_STATE_SCHEMA = "tokens array<string>, counts array<long>, decr long, version long"
 MG_OUTPUT_SCHEMA = (
     "shard int, token string, est long, err long, version long"

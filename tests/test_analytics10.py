@@ -196,3 +196,33 @@ def test_write_sharded_reuses_manifest_shard(spark, tmp_path):
     assert got == want
     shards = {int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{out}/split=*/shard=*")}
     assert max(shards) >= 8  # 16-shard manifest survived
+
+
+def test_bin_interval_join_other_units(spark):
+    """minute and day bin units produce the same exact matches."""
+    import datetime as dt
+
+    from chillastic_spark.operators.interval import bin_interval_join
+
+    base = dt.datetime(2024, 3, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=40 * i)) for i in range(100)],
+        "pid: long, ts: timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=3, minutes=7),
+          base + dt.timedelta(hours=30, minutes=1))],
+        "iid: long, start_ts: timestamp, end_ts: timestamp",
+    )
+    want = sorted(
+        p["pid"] for p in pts.collect()
+        for i in ivs.collect()
+        if i["start_ts"] <= p["ts"] < i["end_ts"]
+    )
+    for unit in ("minute", "day"):
+        got = sorted(
+            r["pid"] for r in
+            bin_interval_join(pts, "ts", ivs, "start_ts", "end_ts", unit=unit)
+            .collect()
+        )
+        assert got == want, unit

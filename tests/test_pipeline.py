@@ -280,3 +280,66 @@ def test_assemble_incremental_multiple_matches_take_min_rep(spark):
     )
     r = assemble_incremental(new_docs, manifest, flags).collect()[0]
     assert r["rep_id"] == 1  # smallest existing rep adopted
+
+
+def test_assembly_stream_matches_batch(spark, tmp_path):
+    """Streaming assembly flags + assigns each micro-batch exactly as
+    the batch assemble_incremental would — batching boundaries cannot
+    change reps, splits, or shards."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from chillastic_spark.operators import dedup as D
+    from chillastic_spark.operators.assembly import assemble_incremental
+    from chillastic_spark.pipelines import assemble
+    from chillastic_spark.streaming import assembly_stream
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    existing = corpus.filter(F.col("doc_id") % 3 != 0)
+    manifest, _ = assemble(existing)
+    manifest = manifest.localCheckpoint()
+
+    incoming = corpus.filter(F.col("doc_id") % 3 == 0).toPandas()
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    step = max(1, len(incoming) // 4)
+    for i in range(4):
+        chunk = incoming.iloc[i * step:] if i == 3 else incoming.iloc[i * step:(i + 1) * step]
+        if len(chunk):
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False),
+                str(stream_dir / f"part-{i:04d}.parquet"),
+            )
+
+    out_dir = str(tmp_path / "manifest_inc")
+    q = assembly_stream(
+        spark, str(stream_dir), existing, manifest, out_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["rep_id"], r["split"], r["shard"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    inc_df = corpus.filter(F.col("doc_id") % 3 == 0)
+    flags = D.minhash_lsh_incremental(
+        corpus, F.col("doc_id") % 3 == 0
+    ).select("doc_id", "match_id")
+    want = {
+        (r["doc_id"], r["rep_id"], r["split"], r["shard"])
+        for r in assemble_incremental(inc_df, manifest, flags).collect()
+    }
+    assert got == want and len(want) == inc_df.count()
+    # cross-ingest leakage invariant on the streamed output: matched
+    # docs share their match's split
+    ex = {r["doc_id"]: r["split"] for r in manifest.collect()}
+    matched = {r["doc_id"]: r["match_id"] for r in flags.collect()}
+    streamed = {t[0]: t[2] for t in got}
+    hits = 0
+    for did, mid in matched.items():
+        if did in streamed and mid in ex:
+            assert streamed[did] == ex[mid]
+            hits += 1
+    assert hits > 0
