@@ -42,11 +42,15 @@ _W_DOC = r"regexp_split_to_array(trim(text), '\s+')"
 # SQL twin of the pair → component pipeline (shared with the
 # dedup_clusters oracle): 3-gram Jaccard ≥ 0.5 pairs, then the
 # recursive transitive closure labelling each node with the smallest
-# reachable id.
-_COMPONENTS_CTE = f"""
+# reachable id. ``where`` restricts the doc population (e.g. the
+# existing corpus in the incremental twin).
+
+
+def _components_cte(where: str = "") -> str:
+    return f"""
 g AS (
   SELECT doc_id, {_H60.format(expr="gram")} AS gh
-  FROM (SELECT doc_id, unnest({_GRAMS}) AS gram FROM documents)
+  FROM (SELECT doc_id, unnest({_GRAMS}) AS gram FROM documents{where})
 ), sz AS (
   SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id
 ), c AS (
@@ -67,6 +71,9 @@ g AS (
 ), comp AS (
   SELECT n AS doc_id, least(n, min(m)) AS component FROM reach GROUP BY n
 )"""
+
+
+_COMPONENTS_CTE = _components_cte()
 
 
 # -------------------------------------------------- leakage-safe splits
@@ -212,8 +219,71 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------- incremental split twin
+
+
+def splits_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of the cross-ingest assembly rule
+    (operators/assembly.assemble_incremental): the incoming batch
+    (doc_id % 3 = 0, the dedup_incremental convention) is flagged
+    against the existing corpus by MinHash best-match, and each
+    matched doc ADOPTS its match's published representative — and
+    split — while unmatched docs hash their own id. The oracle
+    replays the whole chain in SQL: existing-corpus components
+    (recursive CTE), banded MinHash best-match flags, rep adoption,
+    split/shard hashes."""
+    d = load(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 3 != 0)
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    ex_manifest = rep_of(
+        existing.select("doc_id", "source"),
+        D.ngram_jaccard_pairs(existing, n=3, threshold=0.5),
+    )
+    flags = D.minhash_lsh_incremental(d, F.col("doc_id") % 3 == 0).select(
+        "doc_id", "match_id"
+    )
+    from chillastic_spark.operators.assembly import assemble_incremental
+
+    return assemble_incremental(incoming, ex_manifest, flags)
+
+
+def _splits_incremental_sql() -> str:
+    from chillastic_spark.queries.analytics8 import _incremental_sql
+
+    comp = _components_cte(" WHERE doc_id % 3 <> 0")
+    flags = _incremental_sql().strip().lstrip("WITH").strip()
+    split_h = _H60.format(expr="rep_id::VARCHAR || '#split'")
+    shard_h = _H60.format(expr="i.doc_id::VARCHAR || '#shard'")
+    return f"""
+WITH RECURSIVE {comp},
+ex_manifest AS (
+  SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+  WHERE d.doc_id % 3 <> 0
+), flags AS (
+  WITH {flags}
+), assigned AS (
+  SELECT i.doc_id, i.source,
+    coalesce(m.rep, i.doc_id) AS rep_id
+  FROM documents i
+  LEFT JOIN flags f ON i.doc_id = f.doc_id
+  LEFT JOIN ex_manifest m ON f.match_id = m.doc_id
+  WHERE i.doc_id % 3 = 0
+)
+SELECT a.doc_id, a.source, a.rep_id,
+  CASE
+    WHEN {split_h.replace("rep_id", "a.rep_id")} % 100 < {TRAIN_PCT} THEN 'train'
+    WHEN {split_h.replace("rep_id", "a.rep_id")} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+    ELSE 'test'
+  END AS split,
+  {_H60.format(expr="a.doc_id::VARCHAR || '#shard'")} % {N_SHARDS} AS shard
+FROM assigned a
+"""
+
+
 QUERIES = {
     "leakage_safe_splits": Query(leakage_safe_splits, SPLITS_SQL),
+    "splits_incremental": Query(splits_incremental, _splits_incremental_sql()),
     "source_overlap_matrix": Query(source_overlap_matrix, OVERLAP_SQL),
     "shard_manifest": Query(shard_manifest, SHARDS_SQL),
 }
