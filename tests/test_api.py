@@ -210,3 +210,19 @@ def test_vector_search_endpoint(spark, tmp_path):
         (h["cos"] for h in hits), reverse=True
     )
     assert client.post("/vectors/_search", json={}).status_code == 400
+
+
+def test_service_entrypoint_builds(spark, tmp_path, monkeypatch):
+    """`python -m chillastic_spark` wiring: build() constructs the
+    engine + app from the environment without binding a port, and the
+    app serves the status route."""
+    monkeypatch.setenv("CHILLASTIC_STATE_ROOT", str(tmp_path / "state"))
+    monkeypatch.setenv("CHILLASTIC_API_KEY", "sekrit")
+    from chillastic_spark.__main__ import build
+
+    engine, app = build()
+    c = app.test_client()
+    assert c.get("/").status_code == 401  # api key enforced
+    r = c.get("/", headers={"api_key": "sekrit"})
+    assert r.status_code == 200
+    assert "tasks" in r.get_json() or isinstance(r.get_json(), dict)
