@@ -10,10 +10,13 @@ config/index.js):
     CHILLASTIC_API_KEY      optional api_key header auth
     CHILLASTIC_SEARCH_DIR   optional materialized search index dir
     CHILLASTIC_VECTOR_DIR   optional materialized vector index dir
-    SPARK_GRAFT_CPUS        local[] parallelism      (default *)
+    SPARK_GRAFT_CPUS        local[] parallelism      (default 32)
+    SPARK_GRAFT_MASTER      Spark master override (e.g. yarn); an
+                            already-active SparkSession always wins
 
-On a cluster, submit this module with spark-submit instead — the
-session builder respects an existing SparkSession / master config.
+On a cluster: start under spark-submit (the pre-created session is
+reused as-is) or set SPARK_GRAFT_MASTER; ship the package to workers
+with --py-files / a cluster env.
 """
 from __future__ import annotations
 

@@ -60,22 +60,32 @@ def assemble_incremental(
     train_pct: int = TRAIN_PCT,
     val_pct: int = VAL_PCT,
     n_shards: int = N_SHARDS,
+    batch_pairs: "DataFrame | None" = None,
 ) -> DataFrame:
     """Split/shard assignment for an INGEST BATCH that keeps every
     published assignment stable: a new doc that near-duplicates an
     existing doc inherits that doc's representative — and therefore
-    its split — so the leakage invariant holds ACROSS ingests, not
-    just within one run. Docs with no existing match hash their own
-    id (identical to what a from-scratch run would assign them, since
-    the split hash keys on the representative).
+    its split — so near-dups never straddle splits across ingests.
+    Docs with no match hash their own id (identical to a from-scratch
+    assignment, since the split hash keys on the representative).
 
     ``flags`` is the incremental-dedup output — (doc_id, match_id)
     pairs of new docs vs the existing corpus
     (``dedup.minhash_lsh_incremental`` / the streaming twin); multiple
-    matches adopt the smallest existing representative. Shapes: one
-    broadcast-sized join against the flagged subset and one join onto
-    the existing manifest's (id → rep) projection — the manifest side
-    shuffles on id once; the new batch never joins itself.
+    matches adopt the smallest existing representative.
+
+    ``batch_pairs`` (optional) are near-dup pairs WITHIN the batch
+    (id_a, id_b): in-batch clusters are co-assigned — the whole
+    cluster takes the smallest published rep any member matched, or
+    the cluster's smallest member id when none did. Without it, two
+    new near-dups that match nothing published would hash
+    independently and could straddle splits.
+
+    Stability contract: published reps are adopted VERBATIM (never
+    min-ed with new ids), so re-assigning or re-ordering ingests can
+    never change an already-published row; the price is that rep ids
+    depend on arrival order (co-assignment — the leakage invariant —
+    does not).
 
     Returns the ingest batch's manifest rows (id, source, rep_id,
     split, shard) — append them to the published manifest.
@@ -92,11 +102,33 @@ def assemble_incremental(
         .agg(F.min("__ex_rep").alias("__adopted_rep"))
     )
     m = new_docs.select(id_col, source_col).join(adopted, id_col, "left")
-    m = m.select(
-        id_col,
-        source_col,
-        F.coalesce("__adopted_rep", F.col(id_col)).alias("rep_id"),
-    )
+    if batch_pairs is not None:
+        from chillastic_spark.operators.components import connected_components
+
+        comp = connected_components(batch_pairs).withColumnRenamed(
+            "node", id_col
+        )
+        m = m.join(comp, id_col, "left").withColumn(
+            "__cluster", F.coalesce("component", F.col(id_col))
+        )
+        cluster_adopt = m.groupBy("__cluster").agg(
+            F.min("__adopted_rep").alias("__cluster_rep")
+        )
+        m = (
+            m.join(cluster_adopt, "__cluster")
+            .select(
+                id_col,
+                source_col,
+                # component IS the cluster's smallest member id
+                F.coalesce("__cluster_rep", F.col("__cluster")).alias("rep_id"),
+            )
+        )
+    else:
+        m = m.select(
+            id_col,
+            source_col,
+            F.coalesce("__adopted_rep", F.col(id_col)).alias("rep_id"),
+        )
     return m.select(
         id_col,
         source_col,

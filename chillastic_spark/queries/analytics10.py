@@ -251,9 +251,8 @@ def _splits_incremental_sql() -> str:
     from chillastic_spark.queries.analytics8 import _incremental_sql
 
     comp = _components_cte(" WHERE doc_id % 3 <> 0")
-    flags = _incremental_sql().strip().lstrip("WITH").strip()
+    flags = _incremental_sql().strip().removeprefix("WITH").strip()
     split_h = _H60.format(expr="rep_id::VARCHAR || '#split'")
-    shard_h = _H60.format(expr="i.doc_id::VARCHAR || '#shard'")
     return f"""
 WITH RECURSIVE {comp},
 ex_manifest AS (

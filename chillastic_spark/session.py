@@ -13,7 +13,15 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "chillastic-spark", cpus: str | int | None = None) -> SparkSession:
+    # an already-active session (spark-submit on a cluster, a notebook)
+    # wins outright — never override its master with local[]
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # SPARK_GRAFT_MASTER overrides the local[] default (e.g. yarn,
+    # spark://host:7077) for `python -m chillastic_spark` on a cluster
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     # make the package importable on local-mode Python workers even when
     # the driver script runs from another directory (on a cluster, ship
     # the package with --py-files / pip instead)
@@ -22,7 +30,7 @@ def get_spark(app_name: str = "chillastic-spark", cpus: str | int | None = None)
     if pkg_root not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         # One shuffle partition per core locally; on a real cluster AQE
         # coalesces from a higher initial number, so set both.

@@ -653,38 +653,48 @@ def assembly_stream(
     existing_manifest: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    sig_dir: "str | None" = None,
     n: int = 3,
     num_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.25,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Ingest-time dataset assembly: every micro-batch of incoming
-    docs is near-dup-flagged against the STATIC curated corpus
-    (materialized MinHash signatures, as incremental_dedup_stream)
-    and then split/shard-assigned with the cross-ingest stability
-    rule (operators/assembly.assemble_incremental): docs matching an
-    existing doc ADOPT its representative — and split — so the
-    leakage invariant holds across the whole ingest history; the
-    rest get exactly the from-scratch hash assignment.
+    """Ingest-time dataset assembly with the FULL cross-history
+    leakage guarantee: every micro-batch of incoming docs is
+    near-dup-flagged against the static curated corpus AND every
+    previously ingested doc (signatures accumulate in ``sig_dir``),
+    plus its own in-batch pairs — then split/shard-assigned with the
+    stability rule (operators/assembly.assemble_incremental): any
+    match adopts the published representative verbatim, in-batch
+    clusters co-assign, and only genuinely novel docs hash their own
+    id. Published assignments never change; near-dups can never
+    straddle splits no matter which micro-batches they arrive in.
 
-    Manifest rows append idempotently (per-batch ``batch=<id>``
-    overwrite, as lm_filter_stream). The existing manifest must cover
-    the corpus (it is what published reps/splits).
+    Idempotence: both manifest rows and batch signatures write to
+    per-batch ``batch=<id>`` dirs with overwrite, so a replayed batch
+    rewrites identical files (self-matches against its own failed
+    attempt are filtered; matches against same-batch peers resolve to
+    the same deterministic values).
     """
     from chillastic_spark.operators import dedup as D
     from chillastic_spark.operators.assembly import assemble_incremental
 
+    sig_dir = sig_dir or out_dir.rstrip("/") + "_sigs"
     ex_sig = D.materialize(
         D.minhash_signatures_wide(corpus, "doc_id", "text", n, num_perm)
     )
-    ex_bands = D.materialize(D.minhash_bands(ex_sig, num_perm, bands))
-
     stream = (
         spark.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(stream_dir)
     )
+
+    def _try_read(path: str):
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — first batch: nothing yet
+            return None
 
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -692,16 +702,39 @@ def assembly_stream(
         sig = D.materialize(
             D.minhash_signatures_wide(batch_df, "doc_id", "text", n, num_perm)
         )
-        flags = D.minhash_flag_against(
-            sig,
-            D.minhash_bands(sig, num_perm, bands),
-            ex_sig,
-            ex_bands,
-            num_perm,
-            threshold,
-        ).select("doc_id", "match_id")
-        manifest = assemble_incremental(batch_df, existing_manifest, flags)
+        acc_sig = _try_read(sig_dir)
+        match_sig = ex_sig if acc_sig is None else ex_sig.unionByName(
+            acc_sig.select(ex_sig.columns)
+        )
+        flags = (
+            D.minhash_flag_against(
+                sig,
+                D.minhash_bands(sig, num_perm, bands),
+                match_sig,
+                D.minhash_bands(match_sig, num_perm, bands),
+                num_perm,
+                threshold,
+            )
+            .filter(F.col("doc_id") != F.col("match_id"))  # replay self-match
+            .select("doc_id", "match_id")
+        )
+        acc_manifest = _try_read(out_dir)
+        manifest_side = (
+            existing_manifest
+            if acc_manifest is None
+            else existing_manifest.select("doc_id", "rep_id").unionByName(
+                acc_manifest.select("doc_id", "rep_id")
+            )
+        )
+        batch_pairs = D.minhash_lsh_pairs(
+            batch_df, id_col="doc_id", text_col="text",
+            n=n, num_perm=num_perm, bands=bands, threshold=threshold,
+        ).select("id_a", "id_b")
+        manifest = assemble_incremental(
+            batch_df, manifest_side, flags, batch_pairs=batch_pairs
+        )
         manifest.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        sig.write.mode("overwrite").parquet(f"{sig_dir}/batch={batch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(process)

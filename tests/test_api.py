@@ -225,4 +225,4 @@ def test_service_entrypoint_builds(spark, tmp_path, monkeypatch):
     assert c.get("/").status_code == 401  # api key enforced
     r = c.get("/", headers={"api_key": "sekrit"})
     assert r.status_code == 200
-    assert "tasks" in r.get_json() or isinstance(r.get_json(), dict)
+    assert "tasks" in r.get_json()

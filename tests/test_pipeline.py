@@ -282,10 +282,9 @@ def test_assemble_incremental_multiple_matches_take_min_rep(spark):
     assert r["rep_id"] == 1  # smallest existing rep adopted
 
 
-def test_assembly_stream_matches_batch(spark, tmp_path):
-    """Streaming assembly flags + assigns each micro-batch exactly as
-    the batch assemble_incremental would — batching boundaries cannot
-    change reps, splits, or shards."""
+def test_assembly_stream_single_batch_matches_twin(spark, tmp_path):
+    """With one micro-batch the stream must equal the batch operator
+    called with the same flags + in-batch pairs."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
@@ -300,17 +299,13 @@ def test_assembly_stream_matches_batch(spark, tmp_path):
     manifest, _ = assemble(existing)
     manifest = manifest.localCheckpoint()
 
-    incoming = corpus.filter(F.col("doc_id") % 3 == 0).toPandas()
+    incoming = corpus.filter(F.col("doc_id") % 3 == 0)
     stream_dir = tmp_path / "incoming"
     stream_dir.mkdir()
-    step = max(1, len(incoming) // 4)
-    for i in range(4):
-        chunk = incoming.iloc[i * step:] if i == 3 else incoming.iloc[i * step:(i + 1) * step]
-        if len(chunk):
-            pq.write_table(
-                pa.Table.from_pandas(chunk, preserve_index=False),
-                str(stream_dir / f"part-{i:04d}.parquet"),
-            )
+    pq.write_table(
+        pa.Table.from_pandas(incoming.toPandas(), preserve_index=False),
+        str(stream_dir / "part-0000.parquet"),
+    )
 
     out_dir = str(tmp_path / "manifest_inc")
     q = assembly_stream(
@@ -323,17 +318,18 @@ def test_assembly_stream_matches_batch(spark, tmp_path):
         (r["doc_id"], r["rep_id"], r["split"], r["shard"])
         for r in spark.read.parquet(out_dir).collect()
     }
-    inc_df = corpus.filter(F.col("doc_id") % 3 == 0)
     flags = D.minhash_lsh_incremental(
         corpus, F.col("doc_id") % 3 == 0
     ).select("doc_id", "match_id")
+    batch_pairs = D.minhash_lsh_pairs(incoming).select("id_a", "id_b")
     want = {
         (r["doc_id"], r["rep_id"], r["split"], r["shard"])
-        for r in assemble_incremental(inc_df, manifest, flags).collect()
+        for r in assemble_incremental(
+            incoming, manifest, flags, batch_pairs=batch_pairs
+        ).collect()
     }
-    assert got == want and len(want) == inc_df.count()
-    # cross-ingest leakage invariant on the streamed output: matched
-    # docs share their match's split
+    assert got == want and len(want) == incoming.count()
+    # matched docs share their existing match's split
     ex = {r["doc_id"]: r["split"] for r in manifest.collect()}
     matched = {r["doc_id"]: r["match_id"] for r in flags.collect()}
     streamed = {t[0]: t[2] for t in got}
@@ -343,3 +339,71 @@ def test_assembly_stream_matches_batch(spark, tmp_path):
             assert streamed[did] == ex[mid]
             hits += 1
     assert hits > 0
+
+
+def test_assembly_stream_cross_batch_co_assignment(spark, tmp_path):
+    """THE cross-history leakage guarantee: near-dup docs arriving in
+    DIFFERENT micro-batches (and matching nothing static) must land
+    in the same split; in-batch near-dup pairs must co-assign too;
+    published rows from earlier batches never change."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chillastic_spark.pipelines import assemble
+    from chillastic_spark.streaming import assembly_stream
+
+    filler = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(i, f"static doc {i} " + filler, "src0") for i in range(1, 10)],
+        "doc_id: long, text: string, source: string",
+    )
+    manifest, _ = assemble(
+        corpus, pairs=spark.createDataFrame([], "id_a: long, id_b: long")
+    )
+    manifest = manifest.localCheckpoint()
+
+    novel = "completely novel content " + " ".join(f"z{i}" for i in range(40))
+    batches = [
+        # batch 0: doc 100 (novel) + an in-batch near-dup pair 102/103
+        [(100, novel, "srcA"),
+         (102, "pair body " + " ".join(f"q{i}" for i in range(30)) + " aa", "srcA"),
+         (103, "pair body " + " ".join(f"q{i}" for i in range(30)) + " ab", "srcA")],
+        # batch 1: doc 101 near-dups doc 100 from the PREVIOUS batch
+        [(101, novel + " tail", "srcB")],
+    ]
+    stream_dir = tmp_path / "inc"
+    stream_dir.mkdir()
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "lang": ["en"] * len(rows),
+                    "source": [r[2] for r in rows],
+                    "n_chars": [len(r[1]) for r in rows],
+                }
+            ),
+            str(stream_dir / f"part-{i:04d}.parquet"),
+        )
+
+    out_dir = str(tmp_path / "m")
+    q = assembly_stream(
+        spark,
+        str(stream_dir),
+        corpus.select("doc_id", "text", "source"),
+        manifest,
+        out_dir,
+        str(tmp_path / "ckpt"),
+    )
+    # one file per micro-batch so 100 and 101 land in different batches
+    q.awaitTermination(180)
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(rows) == {100, 101, 102, 103}
+    # cross-batch: 101 adopted 100's published rep and split
+    assert rows[101]["rep_id"] == rows[100]["rep_id"]
+    assert rows[101]["split"] == rows[100]["split"]
+    # in-batch: the 102/103 pair co-assigned (cluster rep = min id)
+    assert rows[102]["rep_id"] == rows[103]["rep_id"] == 102
+    assert rows[102]["split"] == rows[103]["split"]
