@@ -1,0 +1,136 @@
+"""Iterative graph algorithms over DataFrame edge lists — PageRank,
+complementing the pointer-jumping connected components
+(operators/components.py).
+
+Spark-first shape: each power iteration is one join (ranks → out-edge
+contributions) + one aggregation, with a localCheckpoint per round to
+keep the lineage flat — the classic DataFrame PageRank. No driver-side
+graph; state per round is one (node, rank) table shuffled on node id.
+
+Use on the corpus: PageRank over the k-NN similarity graph
+(operators/similarity.knn_graph_edges) scores embedding CENTRALITY —
+highly-ranked docs are the corpus's representative cores, low ranks
+the isolates; curation uses both ends (seed selection, outlier
+review). Iterative fixpoints are one of the documented
+not-SQL-expressible families (like the sketches), so the registered
+query is rows-only with a NumPy replay property test pinning the
+math.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chillastic_spark import functions as CF
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    digits: int = 6,
+) -> DataFrame:
+    """(node, rank) after ``iters`` power iterations of standard
+    damped PageRank on the DIRECTED edge list (uniform out-edge
+    weights; dangling nodes' mass redistributes uniformly, the
+    classic formulation). Ranks sum to ~N (the 1-per-node scaling).
+
+    Determinism: every per-edge contribution is rounded at ``digits``
+    and summed as DECIMAL (associative — partitioning cannot change
+    the sum), and each round's ranks re-round — the DSIR/LM recipe,
+    so results are bit-reproducible across partitionings, replays,
+    and the pure-Python twin.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # out-edges with weights, checkpointed once — reused every round
+    out = e.join(deg, "src").localCheckpoint()
+
+    dec = "decimal(28,{})".format(digits)
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iters):
+        contrib = (
+            out.join(ranks, out["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                CF.round_det(F.col("rank") / F.col("out_deg"), digits)
+                .cast(dec)
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("in_sum"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(
+                F.coalesce(F.sum(F.col("rank").cast(dec)), F.lit(0))
+                .cast("double")
+                .alias("d")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                CF.round_det(
+                    (1.0 - damping)
+                    + damping
+                    * (F.coalesce("in_sum", F.lit(0.0)) + F.col("d") / n_nodes),
+                    digits,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_local(
+    edge_list: "list[tuple]", iters: int = 10, damping: float = 0.85,
+    digits: int = 6,
+) -> "dict":
+    """Pure-Python replay (the test oracle): identical formulation,
+    identical per-round rounding."""
+    edges = sorted(set(edge_list))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out: dict = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    import math
+
+    p = 10 ** digits
+
+    def rd(x: float) -> float:
+        return math.floor(x * p + 0.5) / p
+
+    ranks = {v: 1.0 for v in nodes}
+    for _ in range(iters):
+        # contributions rounded per-edge, summed in integer micro-units
+        # — exactly the Spark DECIMAL sum, in any order
+        in_units = {v: 0 for v in nodes}
+        for a, outs in out.items():
+            cu = math.floor(ranks[a] / len(outs) * p + 0.5)
+            for b in outs:
+                in_units[b] += cu
+        dang_units = sum(
+            round(r * p) for v, r in ranks.items() if v not in out
+        )
+        ranks = {
+            v: rd(
+                (1.0 - damping)
+                + damping * (in_units[v] / p + (dang_units / p) / n)
+            )
+            for v in nodes
+        }
+    return ranks

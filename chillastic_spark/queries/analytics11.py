@@ -207,6 +207,21 @@ FROM documents
 """
 
 
+def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding centrality: damped PageRank over the corpus k-NN
+    similarity graph (operators/graph.py) — high ranks are the
+    corpus's representative cores, low ranks its isolates (seed
+    selection / outlier review in curation). Rows-only entry —
+    iterative fixpoints are not SQL-expressible; bit-exact parity
+    with a pure-Python replay (per-edge rounded DECIMAL sums) is
+    pinned in tests/test_graph.py."""
+    from chillastic_spark.operators.graph import pagerank
+    from chillastic_spark.queries.vectors import QUERIES as _VQ
+
+    edges = _VQ["knn_graph_edges"].fn(spark, sf_dir).select("src", "dst")
+    return pagerank(edges, iters=5)
+
+
 QUERIES = {
     "perplexity_filter": Query(perplexity_filter, PERPLEXITY_SQL),
     "quality_classifier_scores": Query(
@@ -215,4 +230,5 @@ QUERIES = {
     "bpe_trained_merges": Query(bpe_trained_merges, None),
     "busy_window_counts": Query(busy_window_counts, BUSY_WINDOWS_SQL),
     "video_frame_stats": Query(video_frame_stats, VIDEO_FRAMES_SQL),
+    "knn_pagerank": Query(knn_pagerank, None),
 }

