@@ -207,19 +207,73 @@ FROM documents
 """
 
 
+_PR_ITERS = 5
+
+
 def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding centrality: damped PageRank over the corpus k-NN
     similarity graph (operators/graph.py) — high ranks are the
     corpus's representative cores, low ranks its isolates (seed
-    selection / outlier review in curation). Rows-only entry —
-    iterative fixpoints are not SQL-expressible; bit-exact parity
-    with a pure-Python replay (per-edge rounded DECIMAL sums) is
-    pinned in tests/test_graph.py."""
+    selection / outlier review in curation). A FIXED iteration count
+    makes even this iterative fixpoint exactly SQL-checkable: the
+    oracle unrolls the five power iterations as chained CTEs with the
+    identical per-edge-rounded DECIMAL-sum arithmetic, so both engines
+    produce bit-identical doubles (a NumPy replay is additionally
+    pinned in tests/test_graph.py)."""
     from chillastic_spark.operators.graph import pagerank
     from chillastic_spark.queries.vectors import QUERIES as _VQ
 
     edges = _VQ["knn_graph_edges"].fn(spark, sf_dir).select("src", "dst")
-    return pagerank(edges, iters=5)
+    return pagerank(edges, iters=_PR_ITERS)
+
+
+def _pagerank_sql(iters: int = _PR_ITERS, damping: float = 0.85,
+                  digits: int = 6) -> str:
+    """Unrolled PageRank oracle: iteration i is one grouped decimal
+    sum over (edges ⋈ deg ⋈ r_{i-1}) plus the dangling-mass scalar,
+    mirroring operators/graph.pagerank term for term. Float literals
+    are repr()'d Python doubles so (1.0 - damping) matches Spark's
+    driver-side constant bit for bit."""
+    from chillastic_spark.queries.vectors import _knn_graph_sql
+
+    p = f"{10 ** digits}.0"
+    dec = f"DECIMAL(28,{digits})"
+    base = repr(1.0 - damping)  # 0.15000000000000002 — Spark's constant
+    damp = repr(damping)
+    parts = [
+        f"WITH raw AS ({_knn_graph_sql()}),",
+        "edges AS (SELECT DISTINCT src, dst FROM raw),",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),",
+        "r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" sum((floor(r.rank / d.out_deg * {p} + 0.5) / {p})::{dec})"
+            f"::DOUBLE AS in_sum"
+            f" FROM edges e JOIN deg d ON e.src = d.src"
+            f" JOIN {prev} r ON r.node = e.src GROUP BY e.dst),"
+        )
+        parts.append(
+            f"g{i} AS (SELECT coalesce(sum(r.rank::{dec}), 0)::DOUBLE"
+            f" AS dmass FROM {prev} r LEFT JOIN deg d ON r.node = d.src"
+            f" WHERE d.src IS NULL),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node,"
+            f" floor(({base}::DOUBLE + {damp}::DOUBLE *"
+            f" (coalesce(c.in_sum, 0.0) + g.dmass / nn.n)) * {p} + 0.5)"
+            f" / {p} AS rank"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.node"
+            f" CROSS JOIN g{i} g CROSS JOIN nn),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, rank FROM r{iters}")
+    return "\n".join(parts)
 
 
 QUERIES = {
@@ -230,5 +284,5 @@ QUERIES = {
     "bpe_trained_merges": Query(bpe_trained_merges, None),
     "busy_window_counts": Query(busy_window_counts, BUSY_WINDOWS_SQL),
     "video_frame_stats": Query(video_frame_stats, VIDEO_FRAMES_SQL),
-    "knn_pagerank": Query(knn_pagerank, None),
+    "knn_pagerank": Query(knn_pagerank, _pagerank_sql()),
 }
