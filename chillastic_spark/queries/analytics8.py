@@ -209,6 +209,62 @@ FROM plan
 """
 
 
+def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the mixture plan: apply the manifest's per-source
+    sampling rate as the deterministic per-doc hash gate the curation
+    pipeline uses (pipelines.curate mixture stage —
+    hash60(doc_id || '#mix') % 1e6 < round(rate·1e6)) and report the
+    realized per-source volumes. Closes the loop on
+    ``domain_mixture_manifest``: the plan says what SHOULD survive,
+    this oracle-checks what DOES.
+
+    Scale shape: rates are a |sources|-row broadcast; the gate is one
+    narrow filtered scan + per-source agg — no extra shuffle beyond
+    the groupBy."""
+    d = load(spark, sf_dir, "documents")
+    rates = domain_mixture_manifest(spark, sf_dir).select(
+        "source", "sample_rate"
+    )
+    gate = F.floor(F.col("sample_rate") * 1_000_000.0 + 0.5).cast("long")
+    h = CF.hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#mix")))
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter((h % 1_000_000) < gate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(F.size(CF.words("text"))).alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "sample_rate",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+    )
+
+
+_H60_MIX = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH plan AS ({MIXTURE_SQL}),
+kept AS (
+  SELECT d.source, count(*) AS kept_docs,
+         sum(len(regexp_split_to_array(trim(d.text), '\\s+')))::BIGINT AS kept_tokens
+  FROM documents d JOIN plan p ON d.source = p.source
+  WHERE {_H60_MIX.format(expr="d.doc_id::VARCHAR || '#mix'")} % 1000000
+        < floor(p.sample_rate * 1000000.0 + 0.5)::BIGINT
+  GROUP BY d.source)
+SELECT p.source, p.sample_rate,
+       coalesce(k.kept_docs, 0)::BIGINT AS kept_docs,
+       coalesce(k.kept_tokens, 0)::BIGINT AS kept_tokens
+FROM plan p LEFT JOIN kept k ON p.source = k.source
+"""
+
+
 # ------------------------------------------------- keep-best per cluster
 
 
@@ -416,6 +472,7 @@ QUERIES: dict[str, Query] = {
     "pii_scrub_report": Query(pii_scrub_report, _pii_sql()),
     "dsir_importance_weights": Query(dsir_importance_weights, DSIR_SQL, headline=True),
     "domain_mixture_manifest": Query(domain_mixture_manifest, MIXTURE_SQL),
+    "mixture_sample_counts": Query(mixture_sample_counts, MIXTURE_SAMPLE_SQL),
     "dedup_keep_best": Query(dedup_keep_best, KEEP_BEST_SQL),
     "dedup_incremental": Query(dedup_incremental, _incremental_sql(), headline=True),
     "semantic_dedup_manifest": Query(semantic_dedup_manifest, SEMANTIC_DEDUP_SQL),
