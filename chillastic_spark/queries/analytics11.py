@@ -207,6 +207,60 @@ FROM documents
 """
 
 
+def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh (TimescaleDB hypertable-rollup
+    pattern): a late-arriving delta (event_id % 10 == 0 stands in for
+    the new ingest) is aggregated ALONE and merged into the existing
+    hourly rollup by delta-aggregation — full-outer join on the bucket
+    key, counts added, DECIMAL partial sums added, rounding applied
+    only at the end (partials stay exact so merge order can't drift).
+    The oracle is the full recompute over all events: incremental ==
+    from-scratch, hash-verified.
+
+    Scale shape: the delta agg touches only new data; the merge join
+    is on (hour, event_type) — bucket cardinality, not event
+    cardinality. In the materialized store this is sinks.upsert /
+    Delta MERGE INTO on the touched buckets only."""
+    e = load(spark, sf_dir, "events")
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+
+    base = hourly(e.filter(F.col("event_id") % 10 != 0)).alias("b")
+    delta = hourly(e.filter(F.col("event_id") % 10 == 0)).alias("d")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        base.join(delta, ["hour", "event_type"], "full_outer")
+        .select(
+            "hour",
+            "event_type",
+            (
+                F.coalesce(F.col("b.cnt"), F.lit(0))
+                + F.coalesce(F.col("d.cnt"), F.lit(0))
+            ).alias("cnt"),
+            F.round(
+                F.coalesce(F.col("b.sv"), zero) + F.coalesce(F.col("d.sv"), zero),
+                2,
+            )
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+ROLLUP_REFRESH_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*)::BIGINT AS cnt,
+  round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 _PR_ITERS = 5
 
 
@@ -285,4 +339,7 @@ QUERIES = {
     "busy_window_counts": Query(busy_window_counts, BUSY_WINDOWS_SQL),
     "video_frame_stats": Query(video_frame_stats, VIDEO_FRAMES_SQL),
     "knn_pagerank": Query(knn_pagerank, _pagerank_sql()),
+    "rollup_incremental_refresh": Query(
+        rollup_incremental_refresh, ROLLUP_REFRESH_SQL
+    ),
 }
