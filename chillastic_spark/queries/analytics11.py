@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chillastic_spark import functions as CF
 from chillastic_spark.operators import lm
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
@@ -261,6 +262,84 @@ FROM events GROUP BY 1, 2
 """
 
 
+_KL_BUCKETS = 4096  # importance.DEFAULT_BUCKETS — same hashed vocab
+_KL_TERM_DIGITS = 9  # per-bucket term rounding (pre-DECIMAL-sum)
+
+
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift diagnostic: per-source KL divergence of the
+    hashed-unigram distribution vs the whole corpus (add-1 smoothing
+    over the observed bucket set) — the snapshot-vs-snapshot /
+    shard-vs-corpus distribution monitor a curation pipeline runs
+    before mixing. High KL = the source's vocabulary diverges from
+    the corpus mean.
+
+    Engine-exact by the DSIR recipe (operators/importance.py): the
+    per-bucket term p·(ln p − ln q) is rounded at 9 digits and
+    DECIMAL-summed, so bucket partitioning can't reorder the float
+    sum. Scale shape: one token-stream agg (shuffle on (source,
+    bucket)), then everything is bucket-cardinality (≤4096·|sources|)
+    — corpus size only affects the narrow scan."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(CF.words("text")).alias("tok")
+    ).select("source", (CF.hash60("tok") % _KL_BUCKETS).alias("bkt"))
+    sb = toks.groupBy("source", "bkt").agg(F.count(F.lit(1)).alias("ct"))
+    from chillastic_spark.operators.dedup import materialize
+
+    sb = materialize(sb)
+    corpus = sb.groupBy("bkt").agg(F.sum("ct").alias("cct"))
+    stot = sb.groupBy("source").agg(F.sum("ct").alias("n_tokens"))
+    tots = sb.agg(
+        F.sum("ct").alias("tot"), F.countDistinct("bkt").alias("n_obs")
+    )
+    dom = (
+        corpus.crossJoin(F.broadcast(stot))
+        .join(sb, ["source", "bkt"], "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .crossJoin(F.broadcast(tots))
+    )
+    p = (F.col("ct") + 1) / (F.col("n_tokens") + F.col("n_obs"))
+    q = (F.col("cct") + 1) / (F.col("tot") + F.col("n_obs"))
+    term = CF.round_det(p * (F.log(p) - F.log(q)), _KL_TERM_DIGITS).cast(
+        f"decimal(28,{_KL_TERM_DIGITS})"
+    )
+    return (
+        dom.select("source", "n_tokens", term.alias("term"))
+        .groupBy("source", "n_tokens")
+        .agg(
+            CF.round_det(F.sum("term").cast("double"), 6).alias("kl")
+        )
+    )
+
+
+def _kl_sql() -> str:
+    b = _KL_BUCKETS
+    p = "(ct + 1) / (n_tokens + n_obs)"
+    q = "(cct + 1) / (tot + n_obs)"
+    term = CF.round_det_sql(f"({p}) * (ln({p}) - ln({q}))", _KL_TERM_DIGITS)
+    return f"""
+WITH toks AS (
+  SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT % {b} AS bkt
+  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents)
+), sb AS (
+  SELECT source, bkt, count(*) AS ct FROM toks GROUP BY 1, 2
+), corpus AS (SELECT bkt, sum(ct)::BIGINT AS cct FROM sb GROUP BY 1),
+stot AS (SELECT source, sum(ct)::BIGINT AS n_tokens FROM sb GROUP BY 1),
+tots AS (SELECT sum(ct)::BIGINT AS tot, count(DISTINCT bkt)::BIGINT AS n_obs FROM sb),
+dom AS (
+  SELECT s.source, s.n_tokens, c.bkt, c.cct, coalesce(sb.ct, 0) AS ct
+  FROM corpus c CROSS JOIN stot s
+  LEFT JOIN sb ON sb.source = s.source AND sb.bkt = c.bkt
+)
+SELECT source, n_tokens,
+       {CF.round_det_sql(f"sum(({term})::DECIMAL(28,{_KL_TERM_DIGITS}))::DOUBLE", 6)} AS kl
+FROM dom CROSS JOIN tots
+GROUP BY source, n_tokens
+"""
+
+
 _PR_ITERS = 5
 
 
@@ -342,4 +421,5 @@ QUERIES = {
     "rollup_incremental_refresh": Query(
         rollup_incremental_refresh, ROLLUP_REFRESH_SQL
     ),
+    "source_unigram_kl": Query(source_unigram_kl, _kl_sql()),
 }
