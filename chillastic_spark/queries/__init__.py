@@ -51,36 +51,37 @@ class Query:
 # batch-17/18 queries get first driver sampling this round.
 PANEL_FIRST = [
     # relational core (keepers, then never-sampled TPC-H flavours)
-    "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q7_nation_trade", "q8_market_share",
     "q12_priority_shipping",
     "q13_customer_distribution", "q15_top_supplier",
     "q16_part_supplier_counts", "q17_small_quantity_revenue",
     "q20_bulk_suppliers", "q22_dormant_customers",
     # engine parity (reference operators)
-    "scan_projection", "mutate_pipeline",
     "count_per_slice", "size_stats", "distinct_slices", "backlog_union",
     "reroute_by_month", "session_window_stats", "events_hourly",
     # documents / dedup family
-    "dedup_ngram_jaccard",
     "dedup_substring_spans", "dedup_winnow_pairs", "simhash_pairs",
     "repetition_scores", "bpe_token_stats",
-    # batch 16 (new this round — first driver sampling)
+    # batch 16 (first driver sampling this round)
     "pii_scrub_report", "dsir_importance_weights",
     "domain_mixture_manifest", "dedup_keep_best", "dedup_incremental",
     "semantic_dedup_manifest",
-    # batch 17/18 (new this round — first driver sampling)
+    # batch 17/18 (first driver sampling this round)
     "gopher_quality_flags", "c4_line_filter", "table_profile",
     "leakage_safe_splits", "source_overlap_matrix", "shard_manifest",
+    # batch 19/20 + late-r4 additions (first driver sampling; swapped
+    # in for nine r03-driver-verified keepers — q1/q3/scan_projection/
+    # mutate_pipeline/dedup_ngram_jaccard/similarity_topk/bm25_topk/
+    # percolate/tfidf_top_terms — every family still anchored)
+    "perplexity_filter", "quality_classifier_scores",
+    "busy_window_counts", "video_frame_stats", "splits_incremental",
+    "knn_pagerank", "mixture_sample_counts",
+    "rollup_incremental_refresh", "source_unigram_kl",
     # vectors
-    "similarity_topk",
     "knn_graph_edges", "ann_lsh_topk", "embedding_int8_checksum",
     # search
-    "bm25_topk", "percolate",
     "fuzzy_search", "search_facets", "significant_terms",
     "more_like_this",
-    # analytics
-    "tfidf_top_terms",
 ]
 
 
