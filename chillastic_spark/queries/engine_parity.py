@@ -435,6 +435,70 @@ FROM orders WHERE o_orderkey <= 500
 """
 
 
+def snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store reconciliation after a transfer: diff two snapshots of
+    the documents store — the "source" (doc_id % 4 != 0, with doc_id %
+    5 == 0 texts since edited) vs the "destination" (doc_id % 3 != 0)
+    — by full-outer joining on the key and comparing content
+    fingerprints, reporting per-source added / removed / changed /
+    unchanged counts. This is the verification step a store-to-store
+    transfer (engine.py Transfer; reference transfer.js) runs to prove
+    delivery: key-set difference + checksum equality, all map-side
+    computable per slice.
+
+    Scale shape: fingerprints are computed in the scan (narrow), the
+    diff is one equi-join shuffle on the key, and the report is
+    slice-cardinality."""
+    d = load(spark, sf_dir, "documents")
+    edited = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    src = d.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id", "source", CF.fingerprint(edited).alias("fp")
+    )
+    dst = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "source", CF.fingerprint("text").alias("fp")
+    )
+    j = src.alias("s").join(dst.alias("d"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("d.fp").isNull(), F.lit("added"))
+        .when(F.col("s.fp").isNull(), F.lit("removed"))
+        .when(F.col("s.fp") != F.col("d.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("s.source"), F.col("d.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SNAPSHOT_RECONCILE_SQL = """
+WITH src AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(lower(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END
+         )), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 4 != 0),
+dst AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 3 != 0),
+j AS (
+  SELECT coalesce(s.source, d.source) AS source,
+         CASE WHEN d.fp IS NULL THEN 'added'
+              WHEN s.fp IS NULL THEN 'removed'
+              WHEN s.fp != d.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM src s FULL OUTER JOIN dst d ON s.doc_id = d.doc_id)
+SELECT source, status, count(*)::BIGINT AS n_docs
+FROM j GROUP BY source, status
+"""
+
+
 QUERIES: dict[str, Query] = {
     "scan_projection": Query(scan_projection, SCAN_PROJECTION_SQL),
     "asof_view_before_purchase": Query(asof_view_before_purchase, ASOF_SQL),
@@ -453,4 +517,5 @@ QUERIES: dict[str, Query] = {
     "sessionize": Query(sessionize, SESSIONIZE_SQL, headline=True),
     "session_window_stats": Query(session_window_stats, SESSION_WINDOW_SQL),
     "events_json_extract": Query(events_json_extract, EVENTS_JSON_SQL),
+    "snapshot_reconcile": Query(snapshot_reconcile, SNAPSHOT_RECONCILE_SQL),
 }
