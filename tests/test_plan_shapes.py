@@ -198,3 +198,26 @@ def test_batch16_plan_shapes(spark):
     plan = _plan(spark, "dedup_incremental")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_late_r4_plan_shapes(spark):
+    # KL drift: one token-stream shuffle; the sources/totals sides come
+    # back as broadcasts, never a shuffled or nested-loop cartesian on
+    # the bucket domain
+    plan = _plan(spark, "source_unigram_kl")
+    assert plan.count("documents.parquet") <= 1
+    assert "CartesianProduct" not in plan
+    # mixture execution: per-source rates join the corpus as a
+    # BROADCAST hash join (the |sources|-row side never shuffles docs)
+    plan = _plan(spark, "mixture_sample_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # incremental rollup: the merge join runs on bucket-cardinality
+    # aggregates — no window, no cartesian
+    plan = _plan(spark, "rollup_incremental_refresh")
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" not in plan
+    # snapshot diff: single equi-join diff, fingerprints in the scan
+    plan = _plan(spark, "snapshot_reconcile")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
