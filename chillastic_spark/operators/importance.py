@@ -127,3 +127,64 @@ SELECT doc_id{ex_grp}, count(*) AS n_tokens,
 FROM toks JOIN lam USING (bkt)
 GROUP BY doc_id{ex_grp}
 """
+
+
+# ------------------------------------------------------------ drift (KL)
+
+KL_TERM_DIGITS = 9  # per-bucket KL term rounding (pre-DECIMAL-sum)
+KL_OUT_DIGITS = 6
+
+
+def unigram_counts(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(group, bkt, ct): hashed-unigram bucket counts per group — the
+    sufficient statistic both KL sides are built from."""
+    toks = df.select(
+        group_col, F.explode(CF.words(text_col)).alias("tok")
+    ).select(group_col, (CF.hash60("tok") % buckets).alias("bkt"))
+    return toks.groupBy(group_col, "bkt").agg(F.count(F.lit(1)).alias("ct"))
+
+
+def unigram_kl(
+    sb: DataFrame,
+    ref: DataFrame,
+    group_col: str = "source",
+    term_digits: int = KL_TERM_DIGITS,
+    out_digits: int = KL_OUT_DIGITS,
+) -> DataFrame:
+    """(group, n_tokens, kl): KL(P_group || Q_ref) with add-1 smoothing
+    over the REFERENCE's observed bucket set. ``sb`` is
+    :func:`unigram_counts` of the data under test; ``ref`` is the
+    frozen reference's (bkt, cct) table (for the batch self-diagnostic,
+    ref is just sb re-aggregated over groups).
+
+    Engine-exact by the DSIR recipe: per-bucket terms rounded then
+    DECIMAL-summed, so bucket partitioning can't reorder float adds.
+    Scale shape: everything after the token agg is bucket-cardinality;
+    the group totals and reference totals are broadcast."""
+    stot = sb.groupBy(group_col).agg(F.sum("ct").alias("n_tokens"))
+    tots = ref.agg(
+        F.sum("cct").alias("tot"), F.count(F.lit(1)).alias("n_obs")
+    )
+    dom = (
+        ref.crossJoin(F.broadcast(stot))
+        .join(sb, [group_col, "bkt"], "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .crossJoin(F.broadcast(tots))
+    )
+    p = (F.col("ct") + 1) / (F.col("n_tokens") + F.col("n_obs"))
+    q = (F.col("cct") + 1) / (F.col("tot") + F.col("n_obs"))
+    term = CF.round_det(p * (F.log(p) - F.log(q)), term_digits).cast(
+        f"decimal(28,{term_digits})"
+    )
+    return (
+        dom.select(group_col, "n_tokens", term.alias("term"))
+        .groupBy(group_col, "n_tokens")
+        .agg(
+            CF.round_det(F.sum("term").cast("double"), out_digits).alias("kl")
+        )
+    )

@@ -262,8 +262,10 @@ FROM events GROUP BY 1, 2
 """
 
 
-_KL_BUCKETS = 4096  # importance.DEFAULT_BUCKETS — same hashed vocab
-_KL_TERM_DIGITS = 9  # per-bucket term rounding (pre-DECIMAL-sum)
+from chillastic_spark.operators import importance as _IMP
+
+_KL_BUCKETS = _IMP.DEFAULT_BUCKETS  # same hashed vocab as DSIR
+_KL_TERM_DIGITS = _IMP.KL_TERM_DIGITS  # oracle SQL mirrors the operator
 
 
 def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,37 +282,15 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum. Scale shape: one token-stream agg (shuffle on (source,
     bucket)), then everything is bucket-cardinality (≤4096·|sources|)
     — corpus size only affects the narrow scan."""
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "source", F.explode(CF.words("text")).alias("tok")
-    ).select("source", (CF.hash60("tok") % _KL_BUCKETS).alias("bkt"))
-    sb = toks.groupBy("source", "bkt").agg(F.count(F.lit(1)).alias("ct"))
+    from chillastic_spark.operators import importance as IMP
     from chillastic_spark.operators.dedup import materialize
 
-    sb = materialize(sb)
-    corpus = sb.groupBy("bkt").agg(F.sum("ct").alias("cct"))
-    stot = sb.groupBy("source").agg(F.sum("ct").alias("n_tokens"))
-    tots = sb.agg(
-        F.sum("ct").alias("tot"), F.countDistinct("bkt").alias("n_obs")
+    d = load(spark, sf_dir, "documents")
+    sb = materialize(
+        IMP.unigram_counts(d, "source", buckets=_KL_BUCKETS)
     )
-    dom = (
-        corpus.crossJoin(F.broadcast(stot))
-        .join(sb, ["source", "bkt"], "left")
-        .withColumn("ct", F.coalesce("ct", F.lit(0)))
-        .crossJoin(F.broadcast(tots))
-    )
-    p = (F.col("ct") + 1) / (F.col("n_tokens") + F.col("n_obs"))
-    q = (F.col("cct") + 1) / (F.col("tot") + F.col("n_obs"))
-    term = CF.round_det(p * (F.log(p) - F.log(q)), _KL_TERM_DIGITS).cast(
-        f"decimal(28,{_KL_TERM_DIGITS})"
-    )
-    return (
-        dom.select("source", "n_tokens", term.alias("term"))
-        .groupBy("source", "n_tokens")
-        .agg(
-            CF.round_det(F.sum("term").cast("double"), 6).alias("kl")
-        )
-    )
+    ref = sb.groupBy("bkt").agg(F.sum("ct").alias("cct"))
+    return IMP.unigram_kl(sb, ref)
 
 
 def _kl_sql() -> str:

@@ -840,3 +840,61 @@ def heavy_hitters_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def drift_stream(
+    spark: SparkSession,
+    stream_dir: str,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    buckets: "int | None" = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 2,
+) -> StreamingQuery:
+    """Ingest-time distribution-drift monitor: the FROZEN reference
+    unigram distribution is materialized once from the static corpus
+    (one bounded (bkt, cct) table), and every micro-batch of incoming
+    docs reports per-source KL(P_batch || Q_corpus)
+    (operators/importance.unigram_kl — the same engine-exact math the
+    batch `source_unigram_kl` diagnostic uses, with the reference side
+    frozen instead of self). Rising KL on a source = its new data is
+    drifting away from the curated distribution; the monitor a
+    pipeline watches BEFORE mixing new ingest in.
+
+    Per-batch cost is the batch's own token agg plus bucket-cardinality
+    joins (the reference table and totals broadcast). Exactly-once by
+    per-batch partition overwrite, same as lm_filter_stream; read with
+    ``spark.read.parquet(out_dir)`` (batch id is a partition column).
+    """
+    from chillastic_spark.operators import importance as IMP
+    from chillastic_spark.operators.dedup import materialize
+
+    b = buckets or IMP.DEFAULT_BUCKETS
+    ref = materialize(
+        IMP.unigram_counts(corpus, "source", buckets=b)
+        .groupBy("bkt")
+        .agg(F.sum("ct").alias("cct"))
+    )
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sb = IMP.unigram_counts(batch_df, "source", buckets=b)
+        out = IMP.unigram_kl(sb, ref)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

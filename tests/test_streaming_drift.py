@@ -1,0 +1,73 @@
+"""Streaming drift monitor: per-batch KL vs the frozen corpus must
+equal the batch twin (operators/importance.unigram_kl) computed on
+exactly the docs of each micro-batch."""
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _twin(spark, corpus, batch_pdf):
+    from chillastic_spark.operators import importance as IMP
+
+    ref = (
+        IMP.unigram_counts(corpus, "source")
+        .groupBy("bkt")
+        .agg(F.sum("ct").alias("cct"))
+    )
+    sb = IMP.unigram_counts(
+        spark.createDataFrame(batch_pdf, schema=corpus.schema), "source"
+    )
+    return IMP.unigram_kl(sb, ref)
+
+
+def test_drift_stream_matches_batch_twin(spark, tmp_path):
+    from chillastic_spark.streaming import drift_stream
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = corpus.toPandas()
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    # three files of distinct compositions; maxFilesPerTrigger=1 makes
+    # each file one micro-batch, so per-file twins are the ground truth
+    files = [pdf.iloc[0:137], pdf.iloc[137:291], pdf.iloc[291:500]]
+    for i, chunk in enumerate(files):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            str(stream_dir / f"part-{i:04d}.parquet"),
+        )
+
+    out_dir = str(tmp_path / "drift")
+    q = drift_stream(
+        spark,
+        str(stream_dir),
+        corpus,
+        out_dir,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    batches = [r["batch"] for r in got.select("batch").distinct().collect()]
+    assert len(batches) == 3
+    got_sets = {
+        frozenset(
+            (r["source"], r["n_tokens"], r["kl"])
+            for r in got.filter(F.col("batch") == b_id).collect()
+        )
+        for b_id in batches
+    }
+    want_sets = {
+        frozenset(
+            (r["source"], r["n_tokens"], r["kl"])
+            for r in _twin(spark, corpus, chunk).collect()
+        )
+        for chunk in files
+    }
+    assert got_sets == want_sets
+
+    # the full corpus streamed against itself scores every source at
+    # the batch self-diagnostic's value when the batch IS the corpus
+    whole = _twin(spark, corpus, pdf).collect()
+    assert all(r["kl"] >= 0.0 for r in whole)
