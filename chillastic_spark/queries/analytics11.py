@@ -282,15 +282,14 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum. Scale shape: one token-stream agg (shuffle on (source,
     bucket)), then everything is bucket-cardinality (≤4096·|sources|)
     — corpus size only affects the narrow scan."""
-    from chillastic_spark.operators import importance as IMP
     from chillastic_spark.operators.dedup import materialize
 
     d = load(spark, sf_dir, "documents")
     sb = materialize(
-        IMP.unigram_counts(d, "source", buckets=_KL_BUCKETS)
+        _IMP.unigram_counts(d, "source", buckets=_KL_BUCKETS)
     )
     ref = sb.groupBy("bkt").agg(F.sum("ct").alias("cct"))
-    return IMP.unigram_kl(sb, ref)
+    return _IMP.unigram_kl(sb, ref)
 
 
 def _kl_sql() -> str:

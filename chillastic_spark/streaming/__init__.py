@@ -886,7 +886,10 @@ def drift_stream(
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sb = IMP.unigram_counts(batch_df, "source", buckets=b)
+        # two consumers (group totals + domain join) — materialize so
+        # the batch's explode+md5 token pass runs once, same as the
+        # batch twin
+        sb = materialize(IMP.unigram_counts(batch_df, "source", buckets=b))
         out = IMP.unigram_kl(sb, ref)
         out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
