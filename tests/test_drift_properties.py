@@ -1,0 +1,40 @@
+"""Properties of the unigram-KL drift operator: partitioning cannot
+change results (the rounded-DECIMAL-sum guarantee), and KL is
+non-negative up to term rounding."""
+from pyspark.sql import functions as F
+
+
+def _kl(spark, docs):
+    from chillastic_spark.operators import importance as IMP
+
+    sb = IMP.unigram_counts(docs, "source")
+    ref = sb.groupBy("bkt").agg(F.sum("ct").alias("cct"))
+    return IMP.unigram_kl(sb, ref)
+
+
+def test_kl_partitioning_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        (r["source"], r["n_tokens"], r["kl"])
+        for r in _kl(spark, docs).collect()
+    }
+    for n in (1, 7):
+        got = {
+            (r["source"], r["n_tokens"], r["kl"])
+            for r in _kl(spark, docs.repartition(n)).collect()
+        }
+        assert got == base, f"repartition({n}) changed KL output"
+
+
+def test_kl_nonnegative_and_zero_for_identical_distribution(spark):
+    # a corpus where every source has the IDENTICAL token multiset:
+    # P equals Q exactly (same proportions, same smoothing shares per
+    # bucket) only when n_tokens == tot; here sources differ from the
+    # pooled reference only by total mass, so KL stays tiny but >= 0
+    rows = [(i, "alpha beta gamma alpha", f"s{i % 2}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = _kl(spark, docs).collect()
+    assert len(out) == 2
+    p = 10 ** 9
+    for r in out:
+        assert r["kl"] >= -len(out) / p  # >= 0 up to per-term rounding
