@@ -138,6 +138,42 @@ def create_app(
             return jsonify({"error": f"no store at {path}"}), 404
         return jsonify(store_health_report(store, request.args.get("pattern", "*")))
 
+    @app.get("/drift")
+    def drift_report():
+        # monitoring read for streaming.drift_stream output: the
+        # latest micro-batch's per-source KL vs the frozen corpus,
+        # worst drift first (the dashboard a pipeline watches during
+        # ingest)
+        from flask import request
+        from pyspark.sql import functions as F
+
+        path = request.args.get("path")
+        if not path:
+            return jsonify({"error": "path query param required"}), 400
+        try:
+            df = engine.spark.read.parquet(path)
+        except Exception:
+            return jsonify({"error": f"no drift output at {path}"}), 404
+        latest = df.agg(F.max("batch").alias("b")).first()["b"]
+        rows = (
+            df.filter(F.col("batch") == latest)
+            .orderBy(F.desc("kl"), F.asc("source"))
+            .collect()
+        )
+        return jsonify(
+            {
+                "batch": int(latest),
+                "sources": [
+                    {
+                        "source": r["source"],
+                        "n_tokens": int(r["n_tokens"]),
+                        "kl": float(r["kl"]),
+                    }
+                    for r in rows
+                ],
+            }
+        )
+
     @app.get("/search")
     def search():
         # the query side of the ES surface: BM25 / prefix / suggest

@@ -226,3 +226,39 @@ def test_service_entrypoint_builds(spark, tmp_path, monkeypatch):
     r = c.get("/", headers={"api_key": "sekrit"})
     assert r.status_code == 200
     assert "tasks" in r.get_json()
+
+
+def test_drift_endpoint(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chillastic_spark.api import create_app
+    from chillastic_spark.engine import Engine
+    from chillastic_spark.streaming import drift_stream
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = corpus.toPandas()
+    stream_dir = tmp_path / "drift-in"
+    stream_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[:200], preserve_index=False),
+        str(stream_dir / "part-0000.parquet"),
+    )
+    out_dir = str(tmp_path / "drift-out")
+    q = drift_stream(
+        spark, str(stream_dir), corpus, out_dir, str(tmp_path / "drift-ck")
+    )
+    q.awaitTermination(120)
+
+    eng = Engine(spark, str(tmp_path / "st-drift"))
+    app = create_app(eng)
+    client = app.test_client()
+    assert client.get("/drift").status_code == 400
+    assert client.get("/drift?path=/nonexistent").status_code == 404
+    resp = client.get(f"/drift?path={out_dir}")
+    assert resp.status_code == 200
+    body = resp.get_json()
+    assert body["batch"] == 0 and len(body["sources"]) >= 1
+    # worst drift first
+    kls = [s["kl"] for s in body["sources"]]
+    assert kls == sorted(kls, reverse=True)
