@@ -162,16 +162,31 @@ def unigram_kl(
     frozen reference's (bkt, cct) table (for the batch self-diagnostic,
     ref is just sb re-aggregated over groups).
 
+    Smoothing runs over the UNION of the reference's and the data's
+    observed buckets (a reference-absent bucket gets the 1/(tot+n_obs)
+    smoothing share) so both sides are proper distributions and KL is
+    non-negative by Gibbs — restricting to the reference domain would
+    silently drop the mass of novel vocabulary, exactly the drift the
+    monitor exists to catch, and the lost mass can push the sum
+    negative. In the self-diagnostic case (ref derived from sb) the
+    union IS the reference domain, so this changes nothing there.
+
     Engine-exact by the DSIR recipe: per-bucket terms rounded then
     DECIMAL-summed, so bucket partitioning can't reorder float adds.
     Scale shape: everything after the token agg is bucket-cardinality;
     the group totals and reference totals are broadcast."""
+    union = (
+        ref.select("bkt").union(sb.select("bkt")).distinct()
+    )
+    refu = union.join(ref, "bkt", "left").withColumn(
+        "cct", F.coalesce("cct", F.lit(0))
+    )
     stot = sb.groupBy(group_col).agg(F.sum("ct").alias("n_tokens"))
-    tots = ref.agg(
+    tots = refu.agg(
         F.sum("cct").alias("tot"), F.count(F.lit(1)).alias("n_obs")
     )
     dom = (
-        ref.crossJoin(F.broadcast(stot))
+        refu.crossJoin(F.broadcast(stot))
         .join(sb, [group_col, "bkt"], "left")
         .withColumn("ct", F.coalesce("ct", F.lit(0)))
         .crossJoin(F.broadcast(tots))

@@ -72,6 +72,9 @@ class CurationReport:
     after_decontamination: int | None = None  # None = no benchmark given
     after_dsir_selection: int | None = None  # None = no dsir_target given
     after_mixture_sampling: int | None = None  # None = no mixture given
+    # per-source KL vs drift_reference, measured on the RAW input batch
+    # (None = no reference given)
+    input_drift: "dict[str, float] | None" = None
 
     def as_dict(self) -> dict:
         return vars(self)
@@ -86,6 +89,7 @@ def curate(
     dsir_target: "F.Column | None" = None,
     mixture: "dict[str, int] | None" = None,
     source_col: str = "source",
+    drift_reference: DataFrame | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the curation flow; returns (chunk_table, report).
 
@@ -95,6 +99,24 @@ def curate(
     """
     cfg = config or CurationConfig()
     input_docs = df.count()
+
+    # drift check FIRST, on the raw batch — the monitor a pipeline
+    # consults before letting new ingest through the gates (the batch
+    # twin of streaming.drift_stream; |sources|-row collect)
+    input_drift = None
+    if drift_reference is not None:
+        from chillastic_spark.operators import importance as IMP
+
+        ref = (
+            IMP.unigram_counts(drift_reference, source_col, text_col=text_col)
+            .groupBy("bkt")
+            .agg(F.sum("ct").alias("cct"))
+        )
+        sb = IMP.unigram_counts(df, source_col, text_col=text_col)
+        input_drift = {
+            r[source_col]: r["kl"]
+            for r in IMP.unigram_kl(sb, ref, group_col=source_col).collect()
+        }
 
     if cfg.scrub:
         from chillastic_spark.operators.scrub import scrub_text
@@ -255,6 +277,7 @@ def curate(
         after_decontamination=after_decon,
         after_dsir_selection=after_dsir,
         after_mixture_sampling=after_mix,
+        input_drift=input_drift,
     )
 
 
