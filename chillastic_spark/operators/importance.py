@@ -149,6 +149,62 @@ def unigram_counts(
     return toks.groupBy(group_col, "bkt").agg(F.count(F.lit(1)).alias("ct"))
 
 
+def _unigram_domain(
+    sb: DataFrame, ref: DataFrame, group_col: str
+) -> DataFrame:
+    """Shared scaffolding of the drift metrics: the (group × bucket)
+    smoothing domain with p/q ingredients attached.
+
+    Smoothing runs over the UNION of the reference's and the data's
+    observed buckets (a reference-absent bucket gets the 1/(tot+n_obs)
+    smoothing share) so both sides are proper distributions —
+    restricting to the reference domain would silently drop the mass
+    of novel vocabulary, exactly the drift the monitor exists to
+    catch, and the lost mass can push a divergence negative. In the
+    self-diagnostic case (ref derived from sb) the union IS the
+    reference domain, so nothing changes there."""
+    union = ref.select("bkt").union(sb.select("bkt")).distinct()
+    refu = union.join(ref, "bkt", "left").withColumn(
+        "cct", F.coalesce("cct", F.lit(0))
+    )
+    stot = sb.groupBy(group_col).agg(F.sum("ct").alias("n_tokens"))
+    tots = refu.agg(
+        F.sum("cct").alias("tot"), F.count(F.lit(1)).alias("n_obs")
+    )
+    return (
+        refu.crossJoin(F.broadcast(stot))
+        .join(sb, [group_col, "bkt"], "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .crossJoin(F.broadcast(tots))
+    )
+
+
+def _drift_agg(
+    dom: DataFrame,
+    term,
+    group_col: str,
+    out_name: str,
+    term_digits: int,
+    out_digits: int,
+) -> DataFrame:
+    term = CF.round_det(term, term_digits).cast(f"decimal(28,{term_digits})")
+    return (
+        dom.select(group_col, "n_tokens", term.alias("term"))
+        .groupBy(group_col, "n_tokens")
+        .agg(
+            CF.round_det(F.sum("term").cast("double"), out_digits).alias(
+                out_name
+            )
+        )
+    )
+
+
+def _p_q():
+    p = (F.col("ct") + 1) / (F.col("n_tokens") + F.col("n_obs"))
+    q = (F.col("cct") + 1) / (F.col("tot") + F.col("n_obs"))
+    return p, q
+
+
 def unigram_kl(
     sb: DataFrame,
     ref: DataFrame,
@@ -157,49 +213,41 @@ def unigram_kl(
     out_digits: int = KL_OUT_DIGITS,
 ) -> DataFrame:
     """(group, n_tokens, kl): KL(P_group || Q_ref) with add-1 smoothing
-    over the REFERENCE's observed bucket set. ``sb`` is
-    :func:`unigram_counts` of the data under test; ``ref`` is the
-    frozen reference's (bkt, cct) table (for the batch self-diagnostic,
-    ref is just sb re-aggregated over groups).
-
-    Smoothing runs over the UNION of the reference's and the data's
-    observed buckets (a reference-absent bucket gets the 1/(tot+n_obs)
-    smoothing share) so both sides are proper distributions and KL is
-    non-negative by Gibbs — restricting to the reference domain would
-    silently drop the mass of novel vocabulary, exactly the drift the
-    monitor exists to catch, and the lost mass can push the sum
-    negative. In the self-diagnostic case (ref derived from sb) the
-    union IS the reference domain, so this changes nothing there.
+    over the union bucket domain (see :func:`_unigram_domain` — KL is
+    non-negative by Gibbs). ``sb`` is :func:`unigram_counts` of the
+    data under test; ``ref`` is the frozen reference's (bkt, cct)
+    table (for the batch self-diagnostic, ref is just sb re-aggregated
+    over groups).
 
     Engine-exact by the DSIR recipe: per-bucket terms rounded then
     DECIMAL-summed, so bucket partitioning can't reorder float adds.
     Scale shape: everything after the token agg is bucket-cardinality;
     the group totals and reference totals are broadcast."""
-    union = (
-        ref.select("bkt").union(sb.select("bkt")).distinct()
+    dom = _unigram_domain(sb, ref, group_col)
+    p, q = _p_q()
+    return _drift_agg(
+        dom, p * (F.log(p) - F.log(q)), group_col, "kl",
+        term_digits, out_digits,
     )
-    refu = union.join(ref, "bkt", "left").withColumn(
-        "cct", F.coalesce("cct", F.lit(0))
-    )
-    stot = sb.groupBy(group_col).agg(F.sum("ct").alias("n_tokens"))
-    tots = refu.agg(
-        F.sum("cct").alias("tot"), F.count(F.lit(1)).alias("n_obs")
-    )
-    dom = (
-        refu.crossJoin(F.broadcast(stot))
-        .join(sb, [group_col, "bkt"], "left")
-        .withColumn("ct", F.coalesce("ct", F.lit(0)))
-        .crossJoin(F.broadcast(tots))
-    )
-    p = (F.col("ct") + 1) / (F.col("n_tokens") + F.col("n_obs"))
-    q = (F.col("cct") + 1) / (F.col("tot") + F.col("n_obs"))
-    term = CF.round_det(p * (F.log(p) - F.log(q)), term_digits).cast(
-        f"decimal(28,{term_digits})"
-    )
-    return (
-        dom.select(group_col, "n_tokens", term.alias("term"))
-        .groupBy(group_col, "n_tokens")
-        .agg(
-            CF.round_det(F.sum("term").cast("double"), out_digits).alias("kl")
-        )
+
+
+def unigram_psi(
+    sb: DataFrame,
+    ref: DataFrame,
+    group_col: str = "source",
+    term_digits: int = KL_TERM_DIGITS,
+    out_digits: int = KL_OUT_DIGITS,
+) -> DataFrame:
+    """(group, n_tokens, psi): population stability index per group —
+    the SYMMETRIC drift metric ops dashboards alarm on (PSI =
+    Σ (p−q)·ln(p/q) = KL(P||Q) + KL(Q||P); conventional thresholds
+    ~0.1 watch / ~0.25 act). Same union-domain smoothing, rounding,
+    and scale shape as :func:`unigram_kl`; symmetric means a source
+    that merely LOST vocabulary relative to the reference alarms just
+    as loudly as one that gained it."""
+    dom = _unigram_domain(sb, ref, group_col)
+    p, q = _p_q()
+    return _drift_agg(
+        dom, (p - q) * (F.log(p) - F.log(q)), group_col, "psi",
+        term_digits, out_digits,
     )

@@ -292,11 +292,30 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _IMP.unigram_kl(sb, ref)
 
 
-def _kl_sql() -> str:
+def source_unigram_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetric companion: per-source PSI (population stability
+    index, Σ(p−q)·ln(p/q)) vs the corpus distribution — the metric ops
+    dashboards put thresholds on (~0.1 watch / ~0.25 act). Same domain,
+    smoothing, rounding, and scale shape as `source_unigram_kl`."""
+    from chillastic_spark.operators.dedup import materialize
+
+    d = load(spark, sf_dir, "documents")
+    sb = materialize(
+        _IMP.unigram_counts(d, "source", buckets=_KL_BUCKETS)
+    )
+    ref = sb.groupBy("bkt").agg(F.sum("ct").alias("cct"))
+    return _IMP.unigram_psi(sb, ref)
+
+
+def _drift_sql(term_tpl: str, out_name: str) -> str:
+    """Shared DuckDB twin of the drift metrics: ``term_tpl`` is a
+    format string over p/q (the smoothed shares; the self-case union
+    domain IS the corpus bucket set, so `corpus` serves as the
+    domain)."""
     b = _KL_BUCKETS
     p = "(ct + 1) / (n_tokens + n_obs)"
     q = "(cct + 1) / (tot + n_obs)"
-    term = CF.round_det_sql(f"({p}) * (ln({p}) - ln({q}))", _KL_TERM_DIGITS)
+    term = CF.round_det_sql(term_tpl.format(p=p, q=q), _KL_TERM_DIGITS)
     return f"""
 WITH toks AS (
   SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT % {b} AS bkt
@@ -313,10 +332,18 @@ dom AS (
   LEFT JOIN sb ON sb.source = s.source AND sb.bkt = c.bkt
 )
 SELECT source, n_tokens,
-       {CF.round_det_sql(f"sum(({term})::DECIMAL(28,{_KL_TERM_DIGITS}))::DOUBLE", 6)} AS kl
+       {CF.round_det_sql(f"sum(({term})::DECIMAL(28,{_KL_TERM_DIGITS}))::DOUBLE", 6)} AS {out_name}
 FROM dom CROSS JOIN tots
 GROUP BY source, n_tokens
 """
+
+
+def _kl_sql() -> str:
+    return _drift_sql("({p}) * (ln({p}) - ln({q}))", "kl")
+
+
+def _psi_sql() -> str:
+    return _drift_sql("(({p}) - ({q})) * (ln({p}) - ln({q}))", "psi")
 
 
 _PR_ITERS = 5
@@ -401,4 +428,5 @@ QUERIES = {
         rollup_incremental_refresh, ROLLUP_REFRESH_SQL
     ),
     "source_unigram_kl": Query(source_unigram_kl, _kl_sql()),
+    "source_unigram_psi": Query(source_unigram_psi, _psi_sql()),
 }
