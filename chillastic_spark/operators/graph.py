@@ -134,3 +134,81 @@ def pagerank_local(
             for v in nodes
         }
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """(node, label) after ``iters`` SYNCHRONOUS label-propagation
+    rounds on the UNDIRECTED graph (labels start as node ids; each
+    round every node adopts the most frequent label among its
+    neighbors, ties broken by smallest label — fully deterministic,
+    unlike classic randomized LPA). Communities in the corpus k-NN
+    graph = topical clusters; the curation companion to PageRank
+    centrality (cores) and connected components (duplicate groups).
+
+    All-integer arithmetic (label counts), so cross-engine exactness
+    needs no rounding recipe at all; a fixed iteration count makes the
+    fixpoint SQL-unrollable, same as :func:`pagerank`. Each round is
+    one equi-join + two aggregations shuffled on node id; lineage cut
+    per round."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(iters):
+        votes = (
+            und.join(
+                labels.withColumnRenamed("node", "__n"),
+                F.col("dst") == F.col("__n"),
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("lb")
+                    )
+                ).alias("s")
+            )
+            .select("node", F.col("s.lb").alias("label"))
+            .localCheckpoint()
+        )
+    return labels
+
+
+def label_propagation_local(
+    edge_list: "list[tuple]", iters: int = 3
+) -> "dict":
+    """Pure-Python replay (the test oracle): identical synchronous
+    update, identical (count desc, label asc) tie-break."""
+    e = set()
+    for a, b in edge_list:
+        e.add((a, b))
+        e.add((b, a))
+    nbrs: dict = {}
+    for a, b in sorted(e):
+        nbrs.setdefault(a, []).append(b)
+    labels = {v: v for v in nbrs}
+    for _ in range(iters):
+        new = {}
+        for v, ns in nbrs.items():
+            votes: dict = {}
+            for u in ns:
+                votes[labels[u]] = votes.get(labels[u], 0) + 1
+            new[v] = min(votes, key=lambda l: (-votes[l], l))
+        labels = new
+    return labels

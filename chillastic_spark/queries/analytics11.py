@@ -366,6 +366,50 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=_PR_ITERS)
 
 
+_LPA_ITERS = 3
+
+
+def knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topical communities in the corpus: deterministic synchronous
+    label propagation (operators/graph.label_propagation) over the
+    undirected k-NN similarity graph — the clustering companion to
+    `knn_pagerank` centrality. All-integer label votes make it
+    cross-engine exact with no rounding recipe; the oracle unrolls the
+    three rounds as chained CTEs over the kNN-graph SQL."""
+    from chillastic_spark.operators.graph import label_propagation
+    from chillastic_spark.queries.vectors import QUERIES as _VQ
+
+    edges = _VQ["knn_graph_edges"].fn(spark, sf_dir).select("src", "dst")
+    return label_propagation(edges, iters=_LPA_ITERS)
+
+
+def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+    from chillastic_spark.queries.vectors import _knn_graph_sql
+
+    parts = [
+        f"WITH raw AS ({_knn_graph_sql()}),",
+        "e0 AS (SELECT DISTINCT src, dst FROM raw),",
+        "edges AS (SELECT src, dst FROM e0"
+        " UNION SELECT dst AS src, src AS dst FROM e0),",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f"v{i} AS (SELECT e.src AS node, l.label, count(*) AS cnt"
+            f" FROM edges e JOIN {prev} l ON l.node = e.dst"
+            f" GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"l{i} AS (SELECT node, label FROM v{i}"
+            f" QUALIFY row_number() OVER"
+            f" (PARTITION BY node ORDER BY cnt DESC, label ASC) = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, label FROM l{iters}")
+    return "\n".join(parts)
+
+
 def _pagerank_sql(iters: int = _PR_ITERS, damping: float = 0.85,
                   digits: int = 6) -> str:
     """Unrolled PageRank oracle: iteration i is one grouped decimal
@@ -429,4 +473,5 @@ QUERIES = {
     ),
     "source_unigram_kl": Query(source_unigram_kl, _kl_sql()),
     "source_unigram_psi": Query(source_unigram_psi, _psi_sql()),
+    "knn_communities": Query(knn_communities, _lpa_sql()),
 }

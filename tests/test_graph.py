@@ -66,3 +66,29 @@ def test_pagerank_on_knn_graph(spark):
     got = {r["node"]: r["rank"] for r in graph.pagerank(edges_df, iters=5).collect()}
     assert got == graph.pagerank_local(edge_list, iters=5)
     assert len(got) > 100
+
+
+def test_label_propagation_matches_local_replay(spark):
+    edges = [(i, (i * 5 + 1) % 17) for i in range(17)] + [(3, 4), (4, 5)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src: long, dst: long").repartition(7)
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(df, iters=3).collect()
+    }
+    assert got == graph.label_propagation_local(edges, iters=3)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge settle on per-clique
+    labels: each community adopts its smallest member id."""
+    tri = lambda base: [(base, base + 1), (base + 1, base + 2), (base, base + 2)]
+    edges = tri(0) + tri(10) + [(2, 10)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(df, iters=4).collect()
+    }
+    assert got == graph.label_propagation_local(edges, iters=4)
+    assert got[0] == got[1] == got[2] == 0
+    assert got[11] == got[12]
