@@ -154,7 +154,15 @@ def create_app(
             df = engine.spark.read.parquet(path)
         except Exception:
             return jsonify({"error": f"no drift output at {path}"}), 404
+        needed = {"batch", "source", "n_tokens", "kl"}
+        if not needed.issubset(df.columns):
+            return (
+                jsonify({"error": f"not a drift output (needs {sorted(needed)})"}),
+                400,
+            )
         latest = df.agg(F.max("batch").alias("b")).first()["b"]
+        if latest is None:  # readable but empty dataset
+            return jsonify({"error": "drift output has no batches"}), 404
         rows = (
             df.filter(F.col("batch") == latest)
             .orderBy(F.desc("kl"), F.asc("source"))

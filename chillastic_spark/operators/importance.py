@@ -155,28 +155,44 @@ def _unigram_domain(
     """Shared scaffolding of the drift metrics: the (group × bucket)
     smoothing domain with p/q ingredients attached.
 
-    Smoothing runs over the UNION of the reference's and the data's
-    observed buckets (a reference-absent bucket gets the 1/(tot+n_obs)
-    smoothing share) so both sides are proper distributions —
-    restricting to the reference domain would silently drop the mass
-    of novel vocabulary, exactly the drift the monitor exists to
-    catch, and the lost mass can push a divergence negative. In the
-    self-diagnostic case (ref derived from sb) the union IS the
-    reference domain, so nothing changes there."""
-    union = ref.select("bkt").union(sb.select("bkt")).distinct()
-    refu = union.join(ref, "bkt", "left").withColumn(
-        "cct", F.coalesce("cct", F.lit(0))
+    Each group's smoothing domain is the reference's observed buckets
+    ∪ THAT GROUP'S OWN buckets. Including the group's novel buckets
+    keeps both sides proper distributions (restricting to the
+    reference domain would silently drop novel-vocabulary mass —
+    exactly the drift the monitor exists to catch — and the lost mass
+    can push a divergence negative); keeping the union PER GROUP means
+    a source's score depends only on its own data and the frozen
+    reference, never on which other sources happen to co-arrive in
+    the same batch (a batch-wide union would let source B's novel
+    buckets perturb source A's n_obs and terms). In the
+    self-diagnostic case (ref derived from sb across all groups) every
+    group's buckets are already in the reference, so the domain is
+    exactly the reference's — the oracle SQL is unchanged."""
+    ref_n = ref.agg(
+        F.sum("cct").alias("tot"), F.count(F.lit(1)).alias("n_ref")
     )
-    stot = sb.groupBy(group_col).agg(F.sum("ct").alias("n_tokens"))
-    tots = refu.agg(
-        F.sum("cct").alias("tot"), F.count(F.lit(1)).alias("n_obs")
+    novel = sb.join(ref, "bkt", "left_anti")  # (group, bkt, ct) rows
+    n_novel = novel.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_novel")
     )
-    return (
-        refu.crossJoin(F.broadcast(stot))
+    gstats = (
+        sb.groupBy(group_col)
+        .agg(F.sum("ct").alias("n_tokens"))
+        .join(n_novel, group_col, "left")
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)))
+        .crossJoin(F.broadcast(ref_n))
+        .withColumn("n_obs", F.col("n_ref") + F.col("n_novel"))
+    )
+    ref_part = (
+        ref.crossJoin(F.broadcast(gstats))
         .join(sb, [group_col, "bkt"], "left")
         .withColumn("ct", F.coalesce("ct", F.lit(0)))
-        .crossJoin(F.broadcast(tots))
     )
+    novel_part = novel.join(F.broadcast(gstats), group_col).withColumn(
+        "cct", F.lit(0)
+    )
+    cols = [group_col, "bkt", "cct", "ct", "n_tokens", "n_obs", "tot"]
+    return ref_part.select(*cols).union(novel_part.select(*cols))
 
 
 def _drift_agg(

@@ -106,13 +106,19 @@ def curate(
     input_drift = None
     if drift_reference is not None:
         from chillastic_spark.operators import importance as IMP
+        from chillastic_spark.operators.dedup import materialize
 
-        ref = (
+        # both count tables feed multiple consumers inside unigram_kl
+        # (totals, novel-bucket anti-join, domain join) — materialize
+        # so each explode+md5 token pass runs once
+        ref = materialize(
             IMP.unigram_counts(drift_reference, source_col, text_col=text_col)
             .groupBy("bkt")
             .agg(F.sum("ct").alias("cct"))
         )
-        sb = IMP.unigram_counts(df, source_col, text_col=text_col)
+        sb = materialize(
+            IMP.unigram_counts(df, source_col, text_col=text_col)
+        )
         input_drift = {
             r[source_col]: r["kl"]
             for r in IMP.unigram_kl(sb, ref, group_col=source_col).collect()

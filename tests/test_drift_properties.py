@@ -38,3 +38,38 @@ def test_kl_nonnegative_and_zero_for_identical_distribution(spark):
     p = 10 ** 9
     for r in out:
         assert r["kl"] >= -len(out) / p  # >= 0 up to per-term rounding
+
+
+def test_kl_independent_of_co_batched_sources(spark):
+    """A source's drift score depends only on its own data and the
+    frozen reference — co-batching with a drifting source whose novel
+    vocabulary would widen a batch-wide domain must not move it."""
+    from pyspark.sql import functions as F
+
+    from chillastic_spark.operators import importance as IMP
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = (
+        IMP.unigram_counts(corpus, "source")
+        .groupBy("bkt")
+        .agg(F.sum("ct").alias("cct"))
+    )
+    a = corpus.filter(F.col("source") == "src1").limit(10)
+    # a drifting co-arrival: novel tokens that hash outside most of the
+    # reference's bucket set
+    b = (
+        a.withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.lit("xz7qq xz7qq wq9zz wq9zz vv3kk"))
+        .withColumn("source", F.lit("src-novel"))
+    )
+
+    def kl_of(df):
+        sb = IMP.unigram_counts(df, "source")
+        return {
+            r["source"]: r["kl"] for r in IMP.unigram_kl(sb, ref).collect()
+        }
+
+    alone = kl_of(a)
+    co = kl_of(a.unionByName(b))
+    assert alone["src1"] == co["src1"]
+    assert co["src-novel"] >= 0.0
