@@ -168,6 +168,7 @@ def create_app(
             .orderBy(F.desc("kl"), F.asc("source"))
             .collect()
         )
+        has_psi = "psi" in df.columns
         return jsonify(
             {
                 "batch": int(latest),
@@ -176,6 +177,7 @@ def create_app(
                         "source": r["source"],
                         "n_tokens": int(r["n_tokens"]),
                         "kl": float(r["kl"]),
+                        **({"psi": float(r["psi"])} if has_psi else {}),
                     }
                     for r in rows
                 ],

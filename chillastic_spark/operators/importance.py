@@ -247,6 +247,36 @@ def unigram_kl(
     )
 
 
+def unigram_drift(
+    sb: DataFrame,
+    ref: DataFrame,
+    group_col: str = "source",
+    term_digits: int = KL_TERM_DIGITS,
+    out_digits: int = KL_OUT_DIGITS,
+) -> DataFrame:
+    """(group, n_tokens, kl, psi): both drift metrics from ONE domain
+    pass — the monitoring shape (the stream wants both; building the
+    domain twice would double the bucket join for no reason). Values
+    are bit-identical to :func:`unigram_kl` / :func:`unigram_psi`."""
+    dom = _unigram_domain(sb, ref, group_col)
+    p, q = _p_q()
+    dec = f"decimal(28,{term_digits})"
+    kl_t = CF.round_det(p * (F.log(p) - F.log(q)), term_digits).cast(dec)
+    psi_t = CF.round_det(
+        (p - q) * (F.log(p) - F.log(q)), term_digits
+    ).cast(dec)
+    return (
+        dom.select(
+            group_col, "n_tokens", kl_t.alias("kt"), psi_t.alias("pt")
+        )
+        .groupBy(group_col, "n_tokens")
+        .agg(
+            CF.round_det(F.sum("kt").cast("double"), out_digits).alias("kl"),
+            CF.round_det(F.sum("pt").cast("double"), out_digits).alias("psi"),
+        )
+    )
+
+
 def unigram_psi(
     sb: DataFrame,
     ref: DataFrame,

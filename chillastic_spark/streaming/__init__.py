@@ -886,11 +886,11 @@ def drift_stream(
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # two consumers (group totals + domain join) — materialize so
-        # the batch's explode+md5 token pass runs once, same as the
-        # batch twin
+        # multiple consumers (group totals + novel-bucket anti-join +
+        # domain join) — materialize so the batch's explode+md5 token
+        # pass runs once, same as the batch twin
         sb = materialize(IMP.unigram_counts(batch_df, "source", buckets=b))
-        out = IMP.unigram_kl(sb, ref)
+        out = IMP.unigram_drift(sb, ref)  # both KL and PSI, one pass
         out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     writer = (

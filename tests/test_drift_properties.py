@@ -73,3 +73,19 @@ def test_kl_independent_of_co_batched_sources(spark):
     co = kl_of(a.unionByName(b))
     assert alone["src1"] == co["src1"]
     assert co["src-novel"] >= 0.0
+
+
+def test_combined_drift_matches_single_metric_functions(spark):
+    from chillastic_spark.operators import importance as IMP
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sb = IMP.unigram_counts(docs, "source")
+    ref = sb.groupBy("bkt").agg(F.sum("ct").alias("cct"))
+    both = {
+        r["source"]: (r["n_tokens"], r["kl"], r["psi"])
+        for r in IMP.unigram_drift(sb, ref).collect()
+    }
+    kl = {r["source"]: r["kl"] for r in IMP.unigram_kl(sb, ref).collect()}
+    psi = {r["source"]: r["psi"] for r in IMP.unigram_psi(sb, ref).collect()}
+    assert {s: v[1] for s, v in both.items()} == kl
+    assert {s: v[2] for s, v in both.items()} == psi

@@ -17,7 +17,7 @@ def _twin(spark, corpus, batch_pdf):
     sb = IMP.unigram_counts(
         spark.createDataFrame(batch_pdf, schema=corpus.schema), "source"
     )
-    return IMP.unigram_kl(sb, ref)
+    return IMP.unigram_drift(sb, ref)
 
 
 def test_drift_stream_matches_batch_twin(spark, tmp_path):
@@ -53,14 +53,14 @@ def test_drift_stream_matches_batch_twin(spark, tmp_path):
     assert len(batches) == 3
     got_sets = {
         frozenset(
-            (r["source"], r["n_tokens"], r["kl"])
+            (r["source"], r["n_tokens"], r["kl"], r["psi"])
             for r in got.filter(F.col("batch") == b_id).collect()
         )
         for b_id in batches
     }
     want_sets = {
         frozenset(
-            (r["source"], r["n_tokens"], r["kl"])
+            (r["source"], r["n_tokens"], r["kl"], r["psi"])
             for r in _twin(spark, corpus, chunk).collect()
         )
         for chunk in files
