@@ -471,7 +471,7 @@ QUERIES = {
     "rollup_incremental_refresh": Query(
         rollup_incremental_refresh, ROLLUP_REFRESH_SQL
     ),
-    "source_unigram_kl": Query(source_unigram_kl, _kl_sql()),
+    "source_unigram_kl": Query(source_unigram_kl, _kl_sql(), headline=True),
     "source_unigram_psi": Query(source_unigram_psi, _psi_sql()),
     "knn_communities": Query(knn_communities, _lpa_sql()),
 }
