@@ -56,6 +56,16 @@ def pagerank(
     out = e.join(deg, "src").localCheckpoint()
 
     dec = "decimal(28,{})".format(digits)
+    # the DANGLING SET (nodes with no out-edges) is fixed across
+    # iterations — only its rank mass changes. Compute it once; when
+    # it is empty (every kNN graph: each node has out-edges) skip the
+    # per-iteration mass aggregate entirely (x + 0.0 == x bit-wise,
+    # so results are unchanged)
+    dangling_nodes = nodes.join(
+        deg, nodes["node"] == deg["src"], "left_anti"
+    ).localCheckpoint()
+    has_dangling = bool(dangling_nodes.limit(1).count())
+
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iters):
         contrib = (
@@ -69,29 +79,24 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").cast("double").alias("in_sum"))
         )
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(
+        base = nodes.join(contrib, "node", "left")
+        if has_dangling:
+            # dangling mass: rank currently held by the fixed set
+            dangling = dangling_nodes.join(ranks, "node").agg(
                 F.coalesce(F.sum(F.col("rank").cast(dec)), F.lit(0))
                 .cast("double")
                 .alias("d")
             )
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                CF.round_det(
-                    (1.0 - damping)
-                    + damping
-                    * (F.coalesce("in_sum", F.lit(0.0)) + F.col("d") / n_nodes),
-                    digits,
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+            base = base.crossJoin(F.broadcast(dangling))
+            mass = F.coalesce("in_sum", F.lit(0.0)) + F.col("d") / n_nodes
+        else:
+            mass = F.coalesce("in_sum", F.lit(0.0))
+        ranks = base.select(
+            "node",
+            CF.round_det((1.0 - damping) + damping * mass, digits).alias(
+                "rank"
+            ),
+        ).localCheckpoint()
     return ranks
 
 
