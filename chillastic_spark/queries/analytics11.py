@@ -366,6 +366,78 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=_PR_ITERS)
 
 
+def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio and distinct
+    3-gram ratio — the corpus-level self-repetition measure checked
+    before training (low gram_ratio = the source keeps repeating
+    itself; the per-doc companion is `repetition_scores`). One
+    materialized words projection feeds both explodes; everything
+    downstream is source-cardinality."""
+    from chillastic_spark.operators.dedup import materialize
+
+    d = load(spark, sf_dir, "documents")
+    w = materialize(d.select("source", CF.words("text").alias("w")))
+    toks = (
+        w.select("source", F.explode("w").alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("distinct_tokens"),
+        )
+    )
+    grams_col = F.when(
+        F.size("w") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 2),
+            lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        w.select("source", F.explode(grams_col).alias("gm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("gm").alias("distinct_grams"),
+        )
+    )
+    return toks.join(grams, "source", "left").select(
+        "source",
+        "n_tokens",
+        "distinct_tokens",
+        CF.round_det(
+            F.col("distinct_tokens") / F.col("n_tokens"), 6
+        ).alias("ttr"),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("distinct_grams", F.lit(0)).alias("distinct_grams"),
+        CF.round_det(F.col("distinct_grams") / F.col("n_grams"), 6).alias(
+            "gram_ratio"
+        ),
+    )
+
+
+_DIVERSITY_SQL = f"""
+WITH w AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), t AS (
+  SELECT source, count(*) AS n_tokens, count(DISTINCT tok) AS distinct_tokens
+  FROM (SELECT source, unnest(w) AS tok FROM w) GROUP BY source
+), g AS (
+  SELECT source, count(*) AS n_grams, count(DISTINCT gm) AS distinct_grams
+  FROM (SELECT source,
+               unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                      i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS gm
+        FROM w) GROUP BY source
+)
+SELECT t.source, n_tokens::BIGINT AS n_tokens,
+       distinct_tokens::BIGINT AS distinct_tokens,
+       {CF.round_det_sql("distinct_tokens / n_tokens", 6)} AS ttr,
+       coalesce(n_grams, 0)::BIGINT AS n_grams,
+       coalesce(distinct_grams, 0)::BIGINT AS distinct_grams,
+       {CF.round_det_sql("distinct_grams / n_grams", 6)} AS gram_ratio
+FROM t LEFT JOIN g ON t.source = g.source
+"""
+
+
 _LPA_ITERS = 3
 
 
@@ -474,4 +546,5 @@ QUERIES = {
     "source_unigram_kl": Query(source_unigram_kl, _kl_sql(), headline=True),
     "source_unigram_psi": Query(source_unigram_psi, _psi_sql()),
     "knn_communities": Query(knn_communities, _lpa_sql()),
+    "source_diversity": Query(source_diversity, _DIVERSITY_SQL),
 }
