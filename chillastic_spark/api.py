@@ -151,7 +151,10 @@ def create_app(
         if not path:
             return jsonify({"error": "path query param required"}), 400
         try:
-            df = engine.spark.read.parquet(path)
+            # mergeSchema: a dir may hold pre-PSI batches (kl only)
+            # next to newer ones — take the union schema, not whichever
+            # file Spark samples first
+            df = engine.spark.read.option("mergeSchema", "true").parquet(path)
         except Exception:
             return jsonify({"error": f"no drift output at {path}"}), 404
         needed = {"batch", "source", "n_tokens", "kl"}
@@ -177,7 +180,13 @@ def create_app(
                         "source": r["source"],
                         "n_tokens": int(r["n_tokens"]),
                         "kl": float(r["kl"]),
-                        **({"psi": float(r["psi"])} if has_psi else {}),
+                        # per-row guard: a pre-PSI batch under a merged
+                        # schema carries psi=None
+                        **(
+                            {"psi": float(r["psi"])}
+                            if has_psi and r["psi"] is not None
+                            else {}
+                        ),
                     }
                     for r in rows
                 ],

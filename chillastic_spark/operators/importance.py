@@ -197,20 +197,30 @@ def _unigram_domain(
 
 def _drift_agg(
     dom: DataFrame,
-    term,
+    terms: "list[tuple]",
     group_col: str,
-    out_name: str,
     term_digits: int,
     out_digits: int,
 ) -> DataFrame:
-    term = CF.round_det(term, term_digits).cast(f"decimal(28,{term_digits})")
+    """The determinism-critical recipe, in exactly one place: each
+    (term, out_name) is rounded per bucket, DECIMAL-summed per group,
+    and re-rounded — serving the single-metric functions and the
+    combined one from the same code path."""
+    dec = f"decimal(28,{term_digits})"
+    cols = [
+        CF.round_det(t, term_digits).cast(dec).alias(f"__t_{name}")
+        for t, name in terms
+    ]
     return (
-        dom.select(group_col, "n_tokens", term.alias("term"))
+        dom.select(group_col, "n_tokens", *cols)
         .groupBy(group_col, "n_tokens")
         .agg(
-            CF.round_det(F.sum("term").cast("double"), out_digits).alias(
-                out_name
-            )
+            *[
+                CF.round_det(
+                    F.sum(f"__t_{name}").cast("double"), out_digits
+                ).alias(name)
+                for _, name in terms
+            ]
         )
     )
 
@@ -242,8 +252,8 @@ def unigram_kl(
     dom = _unigram_domain(sb, ref, group_col)
     p, q = _p_q()
     return _drift_agg(
-        dom, p * (F.log(p) - F.log(q)), group_col, "kl",
-        term_digits, out_digits,
+        dom, [(p * (F.log(p) - F.log(q)), "kl")],
+        group_col, term_digits, out_digits,
     )
 
 
@@ -260,20 +270,13 @@ def unigram_drift(
     are bit-identical to :func:`unigram_kl` / :func:`unigram_psi`."""
     dom = _unigram_domain(sb, ref, group_col)
     p, q = _p_q()
-    dec = f"decimal(28,{term_digits})"
-    kl_t = CF.round_det(p * (F.log(p) - F.log(q)), term_digits).cast(dec)
-    psi_t = CF.round_det(
-        (p - q) * (F.log(p) - F.log(q)), term_digits
-    ).cast(dec)
-    return (
-        dom.select(
-            group_col, "n_tokens", kl_t.alias("kt"), psi_t.alias("pt")
-        )
-        .groupBy(group_col, "n_tokens")
-        .agg(
-            CF.round_det(F.sum("kt").cast("double"), out_digits).alias("kl"),
-            CF.round_det(F.sum("pt").cast("double"), out_digits).alias("psi"),
-        )
+    return _drift_agg(
+        dom,
+        [
+            (p * (F.log(p) - F.log(q)), "kl"),
+            ((p - q) * (F.log(p) - F.log(q)), "psi"),
+        ],
+        group_col, term_digits, out_digits,
     )
 
 
@@ -294,6 +297,6 @@ def unigram_psi(
     dom = _unigram_domain(sb, ref, group_col)
     p, q = _p_q()
     return _drift_agg(
-        dom, (p - q) * (F.log(p) - F.log(q)), group_col, "psi",
-        term_digits, out_digits,
+        dom, [((p - q) * (F.log(p) - F.log(q)), "psi")],
+        group_col, term_digits, out_digits,
     )

@@ -855,10 +855,12 @@ def drift_stream(
     """Ingest-time distribution-drift monitor: the FROZEN reference
     unigram distribution is materialized once from the static corpus
     (one bounded (bkt, cct) table), and every micro-batch of incoming
-    docs reports per-source KL(P_batch || Q_corpus)
-    (operators/importance.unigram_kl — the same engine-exact math the
-    batch `source_unigram_kl` diagnostic uses, with the reference side
-    frozen instead of self). Rising KL on a source = its new data is
+    docs reports per-source (kl, psi) vs the reference — KL(P_batch ||
+    Q_corpus) plus the symmetric PSI, both from one domain pass
+    (operators/importance.unigram_drift — the same engine-exact math
+    the batch `source_unigram_kl`/`source_unigram_psi` diagnostics
+    use, with the reference side frozen instead of self; alarm on PSI
+    ~0.1 watch / ~0.25 act). Rising drift on a source = its new data is
     drifting away from the curated distribution; the monitor a
     pipeline watches BEFORE mixing new ingest in.
 
