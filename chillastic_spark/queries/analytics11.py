@@ -438,6 +438,92 @@ FROM t LEFT JOIN g ON t.source = g.source
 """
 
 
+_PMI_MIN_COUNT = 5
+_PMI_K = 50
+
+
+def top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: top-50 adjacent word pairs by PMI
+    (ln(p(ab)/(p(a)·p(b))), min bigram count 5) — the classic
+    phrase-mining diagnostic (what multiword units should the
+    tokenizer / stopword list know about?). PMI is computed as staged
+    double divisions of integer counts plus ln (identical op order on
+    both engines; no giant integer cross-products that could overflow
+    at corpus scale), rounded at 6 digits; ties broken by the unique
+    (w1, w2) key so the top-k is deterministic.
+
+    Scale shape: one bigram agg + one unigram agg (each a single
+    shuffle off the same materialized words projection), two equi-joins
+    onto the vocab-bounded unigram table, broadcast 1-row totals,
+    TakeOrderedAndProject top-k — no window, no cartesian."""
+    from chillastic_spark.operators.dedup import materialize
+
+    d = load(spark, sf_dir, "documents")
+    w = materialize(d.select(CF.words("text").alias("w")))
+    pairs_col = F.when(
+        F.size("w") >= 2,
+        F.arrays_zip(
+            F.slice("w", 1, F.size("w") - 1),
+            F.slice("w", 2, F.size("w") - 1),
+        ),
+    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
+    pairs = (
+        w.select(F.explode(pairs_col).alias("p"))
+        .select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+    )
+    uni = materialize(
+        w.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = uni.agg(F.sum("n").alias("n_total"))
+    b_total = pairs.agg(F.sum("n_ab").alias("b_total"))
+    scored = (
+        pairs.join(uni.select(F.col("tok").alias("w1"), F.col("n").alias("n_a")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("n").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(b_total))
+        .select(
+            "w1", "w2", "n_ab", "n_a", "n_b",
+            CF.round_det(
+                F.log(F.col("n_ab") / F.col("b_total"))
+                - F.log(F.col("n_a") / F.col("n_total"))
+                - F.log(F.col("n_b") / F.col("n_total")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(_PMI_K)
+
+
+_PMI_SQL = f"""
+WITH w AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), bi AS (
+  SELECT w1, w2, count(*) AS n_ab
+  FROM (SELECT unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+               unnest(list_slice(w, 2, len(w))) AS w2
+        FROM w WHERE len(w) >= 2)
+  GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_COUNT}
+), uni AS (
+  SELECT tok, count(*) AS n FROM (SELECT unnest(w) AS tok FROM w) GROUP BY 1
+), tot AS (SELECT sum(n)::BIGINT AS n_total FROM uni),
+bt AS (SELECT sum(n_ab)::BIGINT AS b_total FROM bi)
+SELECT b.w1, b.w2, b.n_ab::BIGINT AS n_ab, a.n::BIGINT AS n_a, c.n::BIGINT AS n_b,
+       {CF.round_det_sql(
+           "ln(b.n_ab / b_total) - ln(a.n / n_total) - ln(c.n / n_total)", 6
+       )} AS pmi
+FROM bi b JOIN uni a ON b.w1 = a.tok JOIN uni c ON b.w2 = c.tok
+CROSS JOIN tot CROSS JOIN bt
+ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC LIMIT {_PMI_K}
+"""
+
+
 _LPA_ITERS = 3
 
 
@@ -547,4 +633,5 @@ QUERIES = {
     "source_unigram_psi": Query(source_unigram_psi, _psi_sql()),
     "knn_communities": Query(knn_communities, _lpa_sql()),
     "source_diversity": Query(source_diversity, _DIVERSITY_SQL),
+    "top_collocations": Query(top_collocations, _PMI_SQL),
 }

@@ -221,3 +221,10 @@ def test_late_r4_plan_shapes(spark):
     plan = _plan(spark, "snapshot_reconcile")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_collocations_topk_no_window_no_cartesian(spark):
+    plan = _plan(spark, "top_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowExec" not in plan
+    assert "CartesianProduct" not in plan
