@@ -438,6 +438,71 @@ FROM t LEFT JOIN g ON t.source = g.source
 """
 
 
+_VOCAB_SIZE = 1000
+
+
+def source_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage diagnostic: per-source out-of-vocabulary
+    rate against the corpus's top-1000 token vocabulary (count desc,
+    token asc — deterministic cut). High OOV = the source's text
+    won't tokenize economically with a corpus-trained vocab; the
+    fixed-vocab stand-in for fertility-vs-trained-BPE checks.
+
+    Scale shape: one token agg off a materialized token-count table;
+    the vocabulary is a bounded broadcast (TakeOrderedAndProject cut,
+    no window); per-source rates are source-cardinality."""
+    from chillastic_spark.operators.dedup import materialize
+
+    d = load(spark, sf_dir, "documents")
+    toks = materialize(
+        d.select("source", F.explode(CF.words("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.sum("ct").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_VOCAB_SIZE)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "tok", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.sum("ct").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), F.col("ct")).otherwise(F.lit(0)))
+        .alias("oov_tokens"),
+        CF.round_det(
+            F.sum(
+                F.when(F.col("__in").isNull(), F.col("ct")).otherwise(F.lit(0))
+            )
+            / F.sum("ct"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+_OOV_SQL = f"""
+WITH toks AS (
+  SELECT source, tok, count(*) AS ct
+  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+), vocab AS (
+  SELECT tok FROM (SELECT tok, sum(ct) AS n FROM toks GROUP BY tok)
+  ORDER BY n DESC, tok ASC LIMIT {_VOCAB_SIZE}
+)
+SELECT source, sum(ct)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.tok IS NULL THEN ct ELSE 0 END)::BIGINT AS oov_tokens,
+       {CF.round_det_sql(
+           "sum(CASE WHEN v.tok IS NULL THEN ct ELSE 0 END) / sum(ct)", 6
+       )} AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY source
+"""
+
+
 _PMI_MIN_COUNT = 5
 _PMI_K = 50
 
@@ -634,4 +699,5 @@ QUERIES = {
     "knn_communities": Query(knn_communities, _lpa_sql()),
     "source_diversity": Query(source_diversity, _DIVERSITY_SQL),
     "top_collocations": Query(top_collocations, _PMI_SQL),
+    "source_oov_rate": Query(source_oov_rate, _OOV_SQL),
 }
