@@ -50,38 +50,42 @@ class Query:
 # decontaminate_flags — every family still anchored) so the six
 # batch-17/18 queries get first driver sampling this round.
 PANEL_FIRST = [
-    # relational core (keepers, then never-sampled TPC-H flavours)
-    "q5_local_supplier_volume", "q7_nation_trade", "q8_market_share",
-    "q12_priority_shipping",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_part_supplier_counts", "q17_small_quantity_revenue",
-    "q20_bulk_suppliers", "q22_dormant_customers",
-    # engine parity (reference operators)
-    "count_per_slice", "size_stats", "distinct_slices", "backlog_union",
-    "reroute_by_month", "session_window_stats", "events_hourly",
-    # documents / dedup family
-    "dedup_substring_spans", "dedup_winnow_pairs", "simhash_pairs",
-    "repetition_scores", "bpe_token_stats",
-    # batch 16 (first driver sampling this round)
-    "pii_scrub_report", "dsir_importance_weights",
-    "domain_mixture_manifest", "dedup_keep_best", "dedup_incremental",
-    "semantic_dedup_manifest",
-    # batch 17/18 (first driver sampling this round)
-    "gopher_quality_flags", "c4_line_filter", "table_profile",
-    "leakage_safe_splits", "source_overlap_matrix", "shard_manifest",
-    # batch 19/20 + late-r4 additions (first driver sampling; swapped
-    # in for nine r03-driver-verified keepers — q1/q3/scan_projection/
-    # mutate_pipeline/dedup_ngram_jaccard/similarity_topk/bm25_topk/
-    # percolate/tfidf_top_terms — every family still anchored)
-    "perplexity_filter", "quality_classifier_scores",
-    "busy_window_counts", "video_frame_stats", "splits_incremental",
-    "knn_pagerank", "mixture_sample_counts",
-    "rollup_incremental_refresh", "source_unigram_kl",
-    # vectors
-    "knn_graph_edges", "ann_lsh_topk", "embedding_int8_checksum",
-    # search
-    "fuzzy_search", "search_facets", "significant_terms",
-    "more_like_this",
+    # r5 rotation (r4 verdict #1): the 45 queries that had never been
+    # driver-sampled in CORRECTNESS_r01–r04 fill 45 slots, so after
+    # this round EVERY registered query has at least one
+    # driver-verified row. The remaining 5 slots are family anchors,
+    # all driver-green in a prior round: q5 (relational),
+    # count_per_slice (engine parity), dedup_minhash_lsh (dedup),
+    # ann_lsh_topk (vectors), fuzzy_search (search).
+    # relational / analytics (never sampled)
+    "snapshot_reconcile", "events_pivot", "skew_top_keys",
+    "geomean_value_by_type", "value_outliers", "rolling_event_stats",
+    "median_value_by_type", "events_daily_rollup",
+    "user_retention_cohorts", "sample_stratified",
+    "purchase_prior_window", "balance_deciles", "event_transitions",
+    "referential_integrity", "basket_part_pairs",
+    "events_unpivot_roundtrip", "events_ohlc", "value_winsorized_stats",
+    "top_event_paths", "quality_percentile_gate",
+    # sketches / approx (never sampled)
+    "sketch_distinct_users", "sketch_value_quantiles",
+    "heavy_hitter_terms",
+    # documents / text / curation (never sampled)
+    "token_histogram", "source_similarity", "source_quality_report",
+    "source_diversity", "top_collocations", "source_oov_rate",
+    "source_unigram_psi", "dataset_split_manifest",
+    "semantic_decontaminate_flags", "bpe_merge_candidates",
+    "bpe_trained_merges",
+    # multimodal (never sampled)
+    "multimodal_meta", "image_phash_pairs", "audio_features_meta",
+    # vectors / graph (never sampled)
+    "embedding_outliers", "ann_ivf_topk", "ann_pq_topk",
+    "knn_communities",
+    # search (never sampled)
+    "bool_search", "wildcard_search", "search_snippets",
+    "terms_set_query",
+    # family anchors (driver-green in prior rounds)
+    "q5_local_supplier_volume", "count_per_slice", "dedup_minhash_lsh",
+    "ann_lsh_topk", "fuzzy_search",
 ]
 
 

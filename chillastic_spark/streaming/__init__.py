@@ -673,9 +673,14 @@ def assembly_stream(
 
     Idempotence: both manifest rows and batch signatures write to
     per-batch ``batch=<id>`` dirs with overwrite, so a replayed batch
-    rewrites identical files (self-matches against its own failed
-    attempt are filtered; matches against same-batch peers resolve to
-    the same deterministic values).
+    rewrites identical files. Crucially the replayed batch's OWN ids
+    are anti-joined out of the accumulated signature AND manifest
+    sides before matching — a stale self-signature from the failed
+    attempt would otherwise win best-match selection (est 1.0) and
+    shadow the doc's genuine near-dup match, changing the rewrite and
+    letting a near-dup of a published doc hash its own id (split
+    leakage). With the anti-join, attempt 2 sees byte-identical inputs
+    to attempt 1.
     """
     from chillastic_spark.operators import dedup as D
     from chillastic_spark.operators.assembly import assemble_incremental
@@ -702,28 +707,38 @@ def assembly_stream(
         sig = D.materialize(
             D.minhash_signatures_wide(batch_df, "doc_id", "text", n, num_perm)
         )
+        batch_ids = sig.select("doc_id")
         acc_sig = _try_read(sig_dir)
-        match_sig = ex_sig if acc_sig is None else ex_sig.unionByName(
-            acc_sig.select(ex_sig.columns)
-        )
-        flags = (
-            D.minhash_flag_against(
-                sig,
-                D.minhash_bands(sig, num_perm, bands),
-                match_sig,
-                D.minhash_bands(match_sig, num_perm, bands),
-                num_perm,
-                threshold,
+        if acc_sig is not None:
+            # replay: drop this batch's own failed-attempt signatures
+            # BEFORE matching, not after best-match selection — a
+            # stale self-match (est 1.0) would outrank the genuine
+            # near-dup match and drop the flag entirely
+            acc_sig = acc_sig.select(ex_sig.columns).join(
+                batch_ids, "doc_id", "left_anti"
             )
-            .filter(F.col("doc_id") != F.col("match_id"))  # replay self-match
-            .select("doc_id", "match_id")
+        match_sig = (
+            ex_sig if acc_sig is None else ex_sig.unionByName(acc_sig)
         )
+        flags = D.minhash_flag_against(
+            sig,
+            D.minhash_bands(sig, num_perm, bands),
+            match_sig,
+            D.minhash_bands(match_sig, num_perm, bands),
+            num_perm,
+            threshold,
+        ).select("doc_id", "match_id")
         acc_manifest = _try_read(out_dir)
+        if acc_manifest is not None:
+            # same replay rule for the manifest side
+            acc_manifest = acc_manifest.select("doc_id", "rep_id").join(
+                batch_ids, "doc_id", "left_anti"
+            )
         manifest_side = (
             existing_manifest
             if acc_manifest is None
             else existing_manifest.select("doc_id", "rep_id").unionByName(
-                acc_manifest.select("doc_id", "rep_id")
+                acc_manifest
             )
         )
         batch_pairs = D.minhash_lsh_pairs(

@@ -409,6 +409,72 @@ def test_assembly_stream_cross_batch_co_assignment(spark, tmp_path):
     assert rows[102]["split"] == rows[103]["split"]
 
 
+def test_assembly_stream_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (failed attempt already wrote its
+    batch=<id> signature + manifest dirs) must rewrite IDENTICAL rows:
+    the doc's own stale signature in sig_dir must not shadow its
+    genuine near-dup match against the published corpus (which would
+    make it hash its own id → split leakage). Simulated by wiping the
+    checkpoint and re-running over the same out/sig dirs."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chillastic_spark.pipelines import assemble
+    from chillastic_spark.streaming import assembly_stream
+
+    filler = " ".join(f"w{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(i, f"static doc {i} " + filler, "src0") for i in range(1, 10)],
+        "doc_id: long, text: string, source: string",
+    )
+    manifest, _ = assemble(
+        corpus, pairs=spark.createDataFrame([], "id_a: long, id_b: long")
+    )
+    manifest = manifest.localCheckpoint()
+    pub = {r["doc_id"]: r for r in manifest.collect()}
+
+    stream_dir = tmp_path / "inc"
+    stream_dir.mkdir()
+    # doc 100 near-dups published doc 1
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "doc_id": [100],
+                "text": ["static doc 1 " + filler + " tail"],
+                "source": ["srcA"],
+            }
+        ),
+        str(stream_dir / "part-0000.parquet"),
+    )
+
+    out_dir = str(tmp_path / "m")
+    sig_dir = str(tmp_path / "sigs")
+
+    def run():
+        q = assembly_stream(
+            spark,
+            str(stream_dir),
+            corpus,
+            manifest,
+            out_dir,
+            str(tmp_path / "ckpt"),
+            sig_dir=sig_dir,
+        )
+        q.awaitTermination(120)
+        return {r["doc_id"]: r.asDict() for r in spark.read.parquet(out_dir).collect()}
+
+    first = run()
+    assert first[100]["rep_id"] == pub[1]["rep_id"]  # genuine match adopted
+    assert first[100]["split"] == pub[1]["split"]
+
+    # replay: checkpoint gone, batch=0 dirs still populated from attempt 1
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    second = run()
+    assert second == first
+
+
 def test_curate_input_drift(spark):
     """drift_reference attaches per-source KL of the RAW batch to the
     report; a batch that IS the reference scores minimal drift, a
