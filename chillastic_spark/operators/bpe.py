@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from chillastic_spark import functions as CF
+from chillastic_spark.persist import materialize
 
 EOW = "</w>"
 
@@ -98,13 +99,15 @@ def train_bpe(
     ordered merge list [(a, b), ...]. Stops early when the best
     remaining pair occurs fewer than ``min_pair_count`` times.
 
-    Each round localCheckpoints the rewritten vocab so the lineage
-    stays flat across rounds (same pattern as connected_components).
+    Each round pins the rewritten vocab via the shared
+    ``persist.materialize`` (iterative=True — the cluster mode is a
+    reliable checkpoint) so the lineage stays flat across rounds (same
+    pattern as connected_components).
     """
     vocab = word_frequencies(df, text_col, lowercase).select(
         "wc", _initial_symbols(F.col("word")).alias("syms")
     )
-    vocab = vocab.localCheckpoint()
+    vocab = materialize(vocab, iterative=True)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         best = (
@@ -117,9 +120,12 @@ def train_bpe(
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
-        vocab = vocab.select(
-            "wc", _merge_pair(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint()
+        vocab = materialize(
+            vocab.select(
+                "wc", _merge_pair(F.col("syms"), a, b).alias("syms")
+            ),
+            iterative=True,
+        )
     return merges
 
 

@@ -4,9 +4,9 @@ component, drop the rest).
 
 Spark-first shape: iterative min-label propagation expressed as
 DataFrame joins, with a pointer-jumping step per round so convergence is
-O(log n) rounds for chains, O(diameter) worst case. Each round
-localCheckpoints to cut lineage (same pattern as the shared-shingle
-materialization). Near-dup graphs are overwhelmingly tiny star/clique
+O(log n) rounds for chains, O(diameter) worst case. Each round cuts
+lineage via the shared ``persist.materialize`` (iterative=True — the
+cluster mode is a reliable checkpoint). Near-dup graphs are overwhelmingly tiny star/clique
 components, so rounds ≈ 2-3 in practice at any corpus size; every round
 is two shuffles on node id (AQE-coalesced), never a driver-side
 collect of the graph.
@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from chillastic_spark.persist import materialize
 
 
 def connected_components(
@@ -32,7 +34,7 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    sym = sym.distinct().localCheckpoint()
+    sym = materialize(sym.distinct(), iterative=True)
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
@@ -63,7 +65,8 @@ def connected_components(
                 ),
                 "_old",
             )
-        ).localCheckpoint()
+        )
+        jumped = materialize(jumped, iterative=True)
         changed = jumped.filter(F.col("comp") != F.col("_old")).limit(1).count()
         labels = jumped.select("node", "comp")
         if changed == 0:

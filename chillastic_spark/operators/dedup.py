@@ -15,36 +15,18 @@ Design notes for 100 TB scale
 """
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from chillastic_spark import functions as CF
 
-# How multi-consumer intermediates (shingle sets, minhash signatures)
-# are materialised. ``local`` (default) = localCheckpoint: fastest on
-# one machine but stores blocks on driver-local disk — fine for
-# local[32], wrong for a 1000-executor cluster. ``disk`` =
-# persist(DISK_ONLY): blocks live on the executors that computed them,
-# replicated nowhere the driver must hold — the cluster setting.
-# ``none`` = recompute per consumer (cheapest memory, pays the shingle
-# pass twice). Env: CHILLASTIC_DEDUP_PERSIST ∈ {local, disk, none}.
-PERSIST_MODE = os.environ.get("CHILLASTIC_DEDUP_PERSIST", "local")
-
-
-def materialize(df: DataFrame, mode: "str | None" = None) -> DataFrame:
-    """Pin a multi-consumer intermediate per PERSIST_MODE (see above)."""
-    mode = mode or PERSIST_MODE
-    if mode == "local":
-        return df.localCheckpoint()
-    if mode == "disk":
-        from pyspark import StorageLevel
-
-        return df.persist(StorageLevel.DISK_ONLY)
-    if mode == "none":
-        return df
-    raise ValueError(f"unknown dedup persist mode {mode!r}")
+# Multi-consumer intermediates (shingle sets, minhash signatures) are
+# pinned via the SHARED policy in chillastic_spark.persist —
+# re-exported here because every curation module historically imported
+# it from dedup. One env knob (CHILLASTIC_PERSIST; CHILLASTIC_DEDUP_-
+# PERSIST honoured as alias) now governs dedup, graph, BPE, components
+# and gapfill alike: local|reliable|disk|none, see persist.py.
+from chillastic_spark.persist import materialize  # noqa: F401  (re-export)
 
 
 # ------------------------------------------------------------------ exact

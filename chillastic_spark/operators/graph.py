@@ -3,7 +3,9 @@ complementing the pointer-jumping connected components
 (operators/components.py).
 
 Spark-first shape: each power iteration is one join (ranks → out-edge
-contributions) + one aggregation, with a localCheckpoint per round to
+contributions) + one aggregation, with the round state pinned via the
+shared ``chillastic_spark.persist.materialize`` (iterative=True: the
+cluster mode is a RELIABLE checkpoint, surviving executor loss) to
 keep the lineage flat — the classic DataFrame PageRank. No driver-side
 graph; state per round is one (node, rank) table shuffled on node id.
 
@@ -22,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from chillastic_spark import functions as CF
+from chillastic_spark.persist import materialize
 
 
 def pagerank(
@@ -44,16 +47,16 @@ def pagerank(
     and the pure-Python twin.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
+    nodes = materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        iterative=True,
     )
     n_nodes = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # out-edges with weights, checkpointed once — reused every round
-    out = e.join(deg, "src").localCheckpoint()
+    out = materialize(e.join(deg, "src"), iterative=True)
 
     dec = "decimal(28,{})".format(digits)
     # the DANGLING SET (nodes with no out-edges) is fixed across
@@ -61,9 +64,10 @@ def pagerank(
     # it is empty (every kNN graph: each node has out-edges) skip the
     # per-iteration mass aggregate entirely (x + 0.0 == x bit-wise,
     # so results are unchanged)
-    dangling_nodes = nodes.join(
-        deg, nodes["node"] == deg["src"], "left_anti"
-    ).localCheckpoint()
+    dangling_nodes = materialize(
+        nodes.join(deg, nodes["node"] == deg["src"], "left_anti"),
+        iterative=True,
+    )
     has_dangling = bool(dangling_nodes.limit(1).count())
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
@@ -91,12 +95,15 @@ def pagerank(
             mass = F.coalesce("in_sum", F.lit(0.0)) + F.col("d") / n_nodes
         else:
             mass = F.coalesce("in_sum", F.lit(0.0))
-        ranks = base.select(
-            "node",
-            CF.round_det((1.0 - damping) + damping * mass, digits).alias(
-                "rank"
+        ranks = materialize(
+            base.select(
+                "node",
+                CF.round_det((1.0 - damping) + damping * mass, digits).alias(
+                    "rank"
+                ),
             ),
-        ).localCheckpoint()
+            iterative=True,
+        )
     return ranks
 
 
@@ -128,8 +135,10 @@ def pagerank_local(
             cu = math.floor(ranks[a] / len(outs) * p + 0.5)
             for b in outs:
                 in_units[b] += cu
+        # HALF-UP like the Spark DECIMAL casts (Python round() is
+        # banker's half-to-even — a silently different rounding rule)
         dang_units = sum(
-            round(r * p) for v, r in ranks.items() if v not in out
+            math.floor(r * p + 0.5) for v, r in ranks.items() if v not in out
         )
         ranks = {
             v: rd(
@@ -161,10 +170,10 @@ def label_propagation(
     one equi-join + two aggregations shuffled on node id; lineage cut
     per round."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    und = (
+    und = materialize(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        iterative=True,
     )
     labels = (
         und.select(F.col("src").alias("node"))
@@ -190,8 +199,8 @@ def label_propagation(
                 ).alias("s")
             )
             .select("node", F.col("s.lb").alias("label"))
-            .localCheckpoint()
         )
+        labels = materialize(labels, iterative=True)
     return labels
 
 

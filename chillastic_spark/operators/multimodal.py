@@ -442,7 +442,9 @@ def phash_pairs(
     Verification is JVM-side bit_count(xor).
     """
     width = 64 // chunks
-    sh = ph.localCheckpoint()  # feeds both join sides
+    from chillastic_spark.persist import materialize
+
+    sh = materialize(ph)  # feeds both join sides
     chunked = sh.select(
         "doc_id",
         "phash",

@@ -1,0 +1,98 @@
+"""Shared materialization policy for multi-consumer intermediates and
+iterative-operator round state.
+
+One knob controls how EVERY operator pins a DataFrame it will consume
+more than once (dedup shingle/signature tables, LM token streams,
+drift references) or re-derive across rounds (PageRank ranks, label
+propagation labels, BPE vocab rewrites, connected-components edges):
+
+``local`` (default)
+    ``localCheckpoint()`` — fastest on one machine, cuts lineage, but
+    stores blocks on the executors that computed them with NO
+    recomputation path: on a real cluster one executor loss
+    mid-iteration kills the job. The local[32] / single-node setting.
+``reliable``
+    ``DataFrame.checkpoint()`` — writes to the SparkContext checkpoint
+    directory (HDFS/S3 on a cluster), cuts lineage AND survives
+    executor loss. THE cluster setting for iterative operators. The
+    checkpoint dir is taken from the session if already set, else from
+    ``CHILLASTIC_CHECKPOINT_DIR``, else a process-local temp dir (fine
+    locally; on a cluster set the env to a shared filesystem).
+``disk``
+    ``persist(StorageLevel.DISK_ONLY)`` — executor-local blocks with
+    the lineage retained, so a lost block recomputes. Right for
+    ONE-SHOT intermediates at cluster scale; does NOT cut lineage, so
+    iterative callers escalate (see below).
+``none``
+    no-op — recompute per consumer. Cheapest memory; pays the upstream
+    pass once per consumer. Iterative callers escalate.
+
+Env: ``CHILLASTIC_PERSIST`` ∈ {local, reliable, disk, none}
+(``CHILLASTIC_DEDUP_PERSIST`` honoured as a back-compat alias; read at
+CALL time so tests and drivers can flip it without re-imports).
+
+Iterative escalation: an operator whose per-round plan references the
+previous round's output MUST cut lineage every round — under ``disk``
+or ``none`` the analysis plan grows with the round count (pathological
+for BPE's hundreds of merges) and a replay recomputes the whole
+history. Such callers pass ``iterative=True``: ``disk``/``none`` then
+escalate to ``reliable``, keeping the one-knob contract (the cluster
+modes stay executor-loss-safe) without letting a dedup-oriented
+setting break fixpoint loops.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+
+_VALID = ("local", "reliable", "disk", "none")
+
+
+def persist_mode() -> str:
+    """The configured mode, read from the environment at call time."""
+    mode = os.environ.get(
+        "CHILLASTIC_PERSIST",
+        os.environ.get("CHILLASTIC_DEDUP_PERSIST", "local"),
+    )
+    if mode not in _VALID:
+        raise ValueError(
+            f"unknown persist mode {mode!r}; expected one of {_VALID}"
+        )
+    return mode
+
+
+def _ensure_checkpoint_dir(df: DataFrame) -> None:
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(
+            os.environ.get("CHILLASTIC_CHECKPOINT_DIR")
+            or tempfile.mkdtemp(prefix="chillastic-ckpt-")
+        )
+
+
+def materialize(
+    df: DataFrame, mode: "str | None" = None, iterative: bool = False
+) -> DataFrame:
+    """Pin a multi-consumer or per-round intermediate per the module
+    policy (see module docstring). ``iterative=True`` marks round
+    state inside a fixpoint loop: modes that retain lineage
+    (disk/none) escalate to ``reliable`` so the plan stays flat."""
+    mode = mode or persist_mode()
+    if mode not in _VALID:
+        raise ValueError(
+            f"unknown persist mode {mode!r}; expected one of {_VALID}"
+        )
+    if iterative and mode in ("disk", "none"):
+        mode = "reliable"
+    if mode == "local":
+        return df.localCheckpoint()
+    if mode == "reliable":
+        _ensure_checkpoint_dir(df)
+        return df.checkpoint()
+    if mode == "disk":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    return df

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from chillastic_spark.operators import dedup as D
 from chillastic_spark.operators import text as T
 from chillastic_spark.operators.chunking import chunk_documents
+from chillastic_spark.persist import materialize
 
 
 @dataclass
@@ -93,7 +94,7 @@ def curate(
 ) -> tuple[DataFrame, CurationReport]:
     """Run the curation flow; returns (chunk_table, report).
 
-    The intermediate doc set is localCheckpoint()ed once after the
+    The intermediate doc set is pinned (persist.materialize) once after the
     gates (it feeds minhash, the pair anti-join, and chunking); on a
     cluster this is where you'd persist/checkpoint to cluster storage.
     """
@@ -106,7 +107,6 @@ def curate(
     input_drift = None
     if drift_reference is not None:
         from chillastic_spark.operators import importance as IMP
-        from chillastic_spark.operators.dedup import materialize
 
         # both count tables feed multiple consumers inside unigram_kl
         # (totals, novel-bucket anti-join, domain join) — materialize
@@ -191,7 +191,7 @@ def curate(
 
     # exact dedup on the full-content fingerprint (already computed)
     keep = gated.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    exact = gated.join(keep, ["fingerprint", id_col], "left_semi").localCheckpoint()
+    exact = materialize(gated.join(keep, ["fingerprint", id_col], "left_semi"))
     after_exact = exact.count()
 
     # near dedup: MinHash-LSH candidate pairs → drop the larger id
@@ -226,7 +226,7 @@ def curate(
             .limit(k)
             .select(F.col("doc_id").alias(id_col))
         )
-        near = near.join(keep_ids, id_col, "left_semi").localCheckpoint()
+        near = materialize(near.join(keep_ids, id_col, "left_semi"))
         after_dsir = near.count()
 
     # mixture sampling: per-source hash-gate rates solved for the token

@@ -48,7 +48,9 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hourly feeds two consumers (bounds + the grid join); materialise
     # the small aggregate once or Catalyst re-derives BOTH subtrees from
     # the raw scan — at 100 TB that is two full passes over events.
-    hourly = hourly.localCheckpoint()
+    from chillastic_spark.persist import materialize
+
+    hourly = materialize(hourly)
     bounds = hourly.groupBy("event_type").agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )

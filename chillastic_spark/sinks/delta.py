@@ -159,7 +159,9 @@ class DeltaStore:
         from pyspark.sql.window import Window
 
         self.ensure_table(spark)
-        batch = add_bucket_column(df, self.n_buckets).localCheckpoint()
+        from chillastic_spark.persist import materialize
+
+        batch = materialize(add_bucket_column(df, self.n_buckets))
         w_rank = F.row_number().over(
             Window.partitionBy("_index", "_type", "_id").orderBy(
                 F.desc(F.md5(F.col("_source"))), F.desc("_size")

@@ -92,3 +92,44 @@ def test_label_propagation_two_cliques(spark):
     assert got == graph.label_propagation_local(edges, iters=4)
     assert got[0] == got[1] == got[2] == 0
     assert got[11] == got[12]
+
+
+def test_pagerank_under_cluster_persist_modes(spark, monkeypatch, tmp_path):
+    """The shared persist policy applies to the iterative operators:
+    pagerank under mode=disk (escalates to a RELIABLE checkpoint —
+    lineage must be cut every round) and mode=reliable produce
+    bit-identical ranks to the default local mode, and the reliable
+    runs actually write to the configured checkpoint dir."""
+    import os
+
+    edges = [(i, (i * 3 + 1) % 11) for i in range(11)] + [(0, 5), (7, 2)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    want = {r["node"]: r["rank"] for r in graph.pagerank(df, iters=4).collect()}
+
+    monkeypatch.setenv("CHILLASTIC_CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    for mode in ("disk", "reliable"):
+        monkeypatch.setenv("CHILLASTIC_PERSIST", mode)
+        got = {
+            r["node"]: r["rank"] for r in graph.pagerank(df, iters=4).collect()
+        }
+        assert got == want, mode
+    assert any(os.scandir(str(tmp_path / "ckpt")))  # reliable wrote state
+
+
+def test_persist_mode_validation(monkeypatch):
+    from chillastic_spark.persist import persist_mode
+
+    monkeypatch.setenv("CHILLASTIC_PERSIST", "bogus")
+    try:
+        persist_mode()
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    monkeypatch.setenv("CHILLASTIC_PERSIST", "reliable")
+    assert persist_mode() == "reliable"
+    # back-compat alias honoured when the primary knob is unset
+    monkeypatch.delenv("CHILLASTIC_PERSIST")
+    monkeypatch.setenv("CHILLASTIC_DEDUP_PERSIST", "disk")
+    assert persist_mode() == "disk"
