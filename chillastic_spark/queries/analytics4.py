@@ -156,8 +156,9 @@ def balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     An unpartitioned ntile window is a single-task total sort; that is
     the correct shape for dimension-scale tables (customer). For a
-    100 TB fact column, use the sketch path instead (quantile cuts
-    from approx_percentile, then a broadcast-join bucket assignment) —
+    100 TB fact column, route to :func:`balance_deciles_approx`
+    (registered as ``balance_deciles_approx``): quantile cuts from
+    ``approx_percentile``, broadcast onto the rows, no global window —
     exactness on ranks is what this operator trades for.
     """
     c = load(spark, sf_dir, "customer")
@@ -185,6 +186,54 @@ SELECT decile, count(*) AS n_customers,
        round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS sum_bal
 FROM d GROUP BY decile
 """
+
+
+def balance_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path deciles — the 100 TB twin of :func:`balance_deciles`.
+
+    Decile CUT POINTS come from one ``approx_percentile`` aggregate
+    (a mergeable KLL-style sketch: map-side partials, one 1-row
+    result), which is then BROADCAST onto the rows; each row's decile
+    is "1 + number of cuts below my value" — a pure array expression.
+    Plan: scan → partial/final sketch agg → broadcast join → 10-key
+    hash agg. NO global window, NO total sort, nothing single-task —
+    every stage is embarrassingly parallel at any scale (plan-guarded
+    in tests/test_plan_shapes.py).
+
+    Trade vs the exact query: bucket boundaries carry the sketch's
+    rank error (≤ n/accuracy per cut, accuracy=10000 → ≤0.01% of
+    rows per boundary, pinned in tests), and ties are split by VALUE
+    (equal balances share a decile) rather than by rank. Rows-only
+    correctness entry: DuckDB's approx_quantile uses a different
+    sketch, so there is no cross-engine value-exact oracle — the
+    error-bound property test is the contract.
+    """
+    c = load(spark, sf_dir, "customer")
+    cuts = c.agg(
+        F.percentile_approx(
+            "c_acctbal",
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            F.lit(10_000),
+        ).alias("cuts")
+    )
+    d = c.crossJoin(F.broadcast(cuts)).select(
+        "c_acctbal",
+        (
+            F.size(F.filter("cuts", lambda x: F.col("c_acctbal") > x)) + 1
+        ).alias("decile"),
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .orderBy("decile")
+    )
 
 
 # ------------------------------------------------- transition matrix
@@ -329,6 +378,7 @@ QUERIES = {
         revenue_grouping_sets, REVENUE_GROUPING_SETS_SQL
     ),
     "balance_deciles": Query(balance_deciles, BALANCE_DECILES_SQL),
+    "balance_deciles_approx": Query(balance_deciles_approx, None),
     "event_transitions": Query(event_transitions, EVENT_TRANSITIONS_SQL),
     "referential_integrity": Query(
         referential_integrity, REFERENTIAL_INTEGRITY_SQL

@@ -116,3 +116,24 @@ def test_containment_dominates_jaccard(spark):
     for pair, j in jac.items():
         assert pair in cont
         assert cont[pair] >= j - 1e-9
+
+
+def test_balance_deciles_approx_error_bound(spark):
+    """The sketch-path twin's contract: decile populations within the
+    approx_percentile rank-error bound of N/10 (accuracy=10000 →
+    ≤ 9·N/10000 rows of slack per boundary at 9 cuts), partitions the
+    table exactly, and per-decile [min,max] ranges are ordered."""
+    from chillastic_spark.queries.analytics4 import balance_deciles_approx
+
+    rows = sorted(
+        balance_deciles_approx(spark, SF).collect(), key=lambda r: r["decile"]
+    )
+    n = sum(r["n_customers"] for r in rows)
+    spark_n = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert n == spark_n  # every customer in exactly one decile
+    slack = max(2.0, 9 * n / 10_000)
+    for r in rows:
+        assert abs(r["n_customers"] - n / 10) <= slack + n * 0.01, r
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_bal"] <= b["min_bal"]  # value-ordered buckets
+        assert a["decile"] + 1 == b["decile"]

@@ -228,3 +228,13 @@ def test_collocations_topk_no_window_no_cartesian(spark):
     assert "TakeOrderedAndProject" in plan
     assert "WindowExec" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_balance_deciles_approx_no_global_window(spark):
+    """The sketch-path deciles twin must never fall back to the exact
+    query's single-task total sort: no window, no global Sort — just
+    the sketch agg, a broadcast of the 1-row cut array, and a 10-key
+    hash agg."""
+    plan = _plan(spark, "balance_deciles_approx")
+    assert "Window" not in plan and "ntile(" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cut broadcast
