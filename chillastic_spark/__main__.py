@@ -6,8 +6,11 @@ Config comes from the environment (the reference reads its own env,
 config/index.js):
 
     CHILLASTIC_STATE_ROOT   task/progress state dir  (default ./state)
+    CHILLASTIC_HOST         bind host (default 127.0.0.1 — loopback;
+                            non-loopback binds REQUIRE an api key,
+                            endpoints read local filesystem paths)
     CHILLASTIC_PORT         listen port              (default 8080)
-    CHILLASTIC_API_KEY      optional api_key header auth
+    CHILLASTIC_API_KEY      api_key header auth (optional on loopback)
     CHILLASTIC_SEARCH_DIR   optional materialized search index dir
     CHILLASTIC_VECTOR_DIR   optional materialized vector index dir
     SPARK_GRAFT_CPUS        local[] parallelism      (default 32)
@@ -43,11 +46,28 @@ def build(state_root: str | None = None):
     return engine, app
 
 
+def resolve_bind(env: "dict[str, str] | os._Environ" = os.environ) -> "tuple[str, int]":
+    """(host, port) from the environment, refusing the dangerous
+    combination: a non-loopback bind with NO api key would expose
+    endpoints that read local parquet paths (e.g. GET /drift?path=...)
+    to any network peer. Pure so tests pin the rule directly."""
+    host = env.get("CHILLASTIC_HOST", "127.0.0.1")
+    port = int(env.get("CHILLASTIC_PORT", "8080"))
+    loopback = host in ("127.0.0.1", "::1", "localhost")
+    if not loopback and not env.get("CHILLASTIC_API_KEY"):
+        raise SystemExit(
+            f"refusing to bind {host} without CHILLASTIC_API_KEY: "
+            "endpoints expose local filesystem reads; set the key or "
+            "bind loopback (CHILLASTIC_HOST=127.0.0.1)"
+        )
+    return host, port
+
+
 def main() -> None:
     engine, app = build()
     engine.start()  # the reference starts running (index.js app.run)
-    port = int(os.environ.get("CHILLASTIC_PORT", "8080"))
-    app.run(host="0.0.0.0", port=port)
+    host, port = resolve_bind()
+    app.run(host=host, port=port)
 
 
 if __name__ == "__main__":

@@ -12,16 +12,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def resolve_master(
+    env: "dict[str, str] | os._Environ" = os.environ,
+    cpus: str | int | None = None,
+) -> "tuple[str, str]":
+    """(master, cpus) from the environment: SPARK_GRAFT_MASTER
+    overrides the local[] default (e.g. yarn, spark://host:7077) for
+    ``python -m chillastic_spark`` on a cluster; SPARK_GRAFT_CPUS
+    sizes local[] and the shuffle-partition default. Pure so the rule
+    is unit-testable without touching a JVM."""
+    cpus = str(cpus or env.get("SPARK_GRAFT_CPUS", "32"))
+    return env.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"), cpus
+
+
 def get_spark(app_name: str = "chillastic-spark", cpus: str | int | None = None) -> SparkSession:
     # an already-active session (spark-submit on a cluster, a notebook)
     # wins outright — never override its master with local[]
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
-    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # SPARK_GRAFT_MASTER overrides the local[] default (e.g. yarn,
-    # spark://host:7077) for `python -m chillastic_spark` on a cluster
-    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    master, cpus = resolve_master(cpus=cpus)
     # make the package importable on local-mode Python workers even when
     # the driver script runs from another directory (on a cluster, ship
     # the package with --py-files / pip instead)

@@ -183,19 +183,32 @@ def test_get_spark_reuses_active_session(spark):
     assert s is spark or s.sparkContext is spark.sparkContext
 
 
-def test_get_spark_master_env(monkeypatch):
-    """SPARK_GRAFT_MASTER reaches the builder when no session exists:
-    pin by inspecting the builder's config rather than launching a
-    second JVM (one context per process)."""
-    import os
+def test_resolve_master_behavior():
+    """Master resolution is a pure helper — pin BEHAVIOR, not source
+    text: env override wins, cpus sizes the local[] default, explicit
+    cpus beats the env."""
+    from chillastic_spark.session import resolve_master
 
-    from pyspark.sql import SparkSession
+    assert resolve_master(env={}) == ("local[32]", "32")
+    assert resolve_master(env={"SPARK_GRAFT_CPUS": "8"}) == ("local[8]", "8")
+    assert resolve_master(env={"SPARK_GRAFT_MASTER": "yarn"}) == ("yarn", "32")
+    assert resolve_master(
+        env={"SPARK_GRAFT_MASTER": "spark://h:7077", "SPARK_GRAFT_CPUS": "8"},
+        cpus=4,
+    ) == ("spark://h:7077", "4")
 
-    # only meaningful when a session already exists in this process —
-    # assert the env var is READ by get_spark source contract instead
-    import inspect
 
-    from chillastic_spark import session as S
+def test_service_bind_rules():
+    """Non-loopback binds refuse to start without an api key (the
+    endpoints read local filesystem paths); loopback is the default."""
+    import pytest
 
-    src = inspect.getsource(S.get_spark)
-    assert "SPARK_GRAFT_MASTER" in src and "getActiveSession" in src
+    from chillastic_spark.__main__ import resolve_bind
+
+    assert resolve_bind(env={}) == ("127.0.0.1", 8080)
+    assert resolve_bind(env={"CHILLASTIC_PORT": "9999"}) == ("127.0.0.1", 9999)
+    with pytest.raises(SystemExit):
+        resolve_bind(env={"CHILLASTIC_HOST": "0.0.0.0"})
+    assert resolve_bind(
+        env={"CHILLASTIC_HOST": "0.0.0.0", "CHILLASTIC_API_KEY": "k"}
+    ) == ("0.0.0.0", 8080)
