@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from chillastic_spark.operators import bpe
+from chillastic_spark.operators.bpe import train_bpe
 
 CORPUS = [
     "low lower lowest low low",
@@ -72,3 +73,33 @@ def test_training_on_real_corpus(spark):
     wc = {r["word"]: r["wc"] for r in bpe.word_frequencies(d).collect()}
     assert merges == bpe.train_bpe_local(wc, n_merges=5)
     assert len(merges) == 5
+
+
+def test_train_bpe_batched_parity_real_corpus(spark):
+    """batch_m=4 must learn the SAME ordered merge list as sequential
+    batch_m=1 on the real documents corpus (the non-interacting-prefix
+    rule preserves sequential semantics exactly here), in strictly
+    fewer aggregation rounds."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(150)
+    seq_stats, bat_stats = {}, {}
+    seq = train_bpe(docs, n_merges=16, stats=seq_stats)
+    bat = train_bpe(docs, n_merges=16, batch_m=4, stats=bat_stats)
+    assert bat == seq
+    assert len(seq) == 16
+    assert seq_stats["rounds"] == 16
+    # real-text top pairs share common characters, so interaction
+    # stops keep rounds above the ideal ceil(16/4)=4 — but batching
+    # must still beat one-job-per-merge
+    assert bat_stats["rounds"] < seq_stats["rounds"]
+
+
+def test_train_bpe_batched_prefix_stops_on_interaction(spark):
+    """A candidate sharing a symbol with an earlier in-batch selection
+    must NOT merge in the same round — the corpus 'aaaa bbbb aaab'
+    makes (a,a) and (aa,aa)/(a,b)-style interactions inevitable, and
+    batched output must still equal sequential."""
+    rows = [(i, "aaaa bbbb aaab ccdd") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    seq = train_bpe(docs, n_merges=8, min_pair_count=1)
+    bat = train_bpe(docs, n_merges=8, min_pair_count=1, batch_m=8)
+    assert bat == seq
