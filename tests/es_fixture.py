@@ -141,10 +141,12 @@ class FakeES:
             with self._lock:
                 self.request_log.append({
                     "method": request.method,
-                    "path": request.path,
+                    "path": request.full_path.rstrip("?"),
                     "kind": classify(request.path, request.method),
                     "auth": request.headers.get("Authorization"),
                     "worker": request.headers.get("X-Chillastic-Worker"),
+                    "content_type": request.headers.get("Content-Type"),
+                    "body": request.get_data(as_text=True),
                 })
             if self.auth_token is not None:
                 if request.headers.get("Authorization") != self.auth_token:
