@@ -7,7 +7,9 @@ executor closure: with PIL present the image ops (``decode_media``,
 ``resize_images``, ``phash_images``) decode real payloads; audio
 decodes via soundfile when importable, falling back to the stdlib
 ``wave`` reader for 16-bit PCM WAV payloads (so the real path runs
-even in codec-less containers). Absent codecs raise
+even in codec-less containers); video probes for an ffmpeg binary on
+the executor PATH (``sample_frames(fake=False)`` → real PNG frames).
+Absent codecs raise
 NotImplementedError unless ``fake=True``, which produces the
 deterministic hash-derived output pinned by the ``multimodal_meta``
 oracle query — the fake keeps schema/batch shape identical to the real
@@ -113,6 +115,45 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _ffmpeg_path() -> "str | None":
+    """Runtime probe for an ffmpeg binary on the executor PATH — the
+    video twin of the PIL / soundfile import probes."""
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+def _ffmpeg_extract_frames(
+    ffmpeg: str, payload: bytes, stride: int, max_frames: int
+) -> "list[bytes]":
+    """Real frame extraction: decode the container, keep every
+    ``stride``-th frame, cap at ``max_frames``; each frame returns as
+    PNG bytes. One subprocess per video — per-payload cost, batched by
+    Arrow like every other decode here."""
+    import glob as _glob
+    import os as _os
+    import subprocess as _sp
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as td:
+        src = _os.path.join(td, "in.bin")
+        with open(src, "wb") as f:
+            f.write(payload)
+        pat = _os.path.join(td, "f_%05d.png")
+        _sp.run(
+            [
+                ffmpeg, "-v", "error", "-i", src,
+                "-vf", f"select=not(mod(n\\,{max(stride, 1)}))",
+                "-fps_mode", "vfr", "-frames:v", str(max_frames), pat,
+            ],
+            check=True, capture_output=True,
+        )
+        return [
+            open(p, "rb").read()
+            for p in sorted(_glob.glob(_os.path.join(td, "f_*.png")))
+        ]
+
+
 def sample_frames(
     df: DataFrame,
     every_n_bytes: int = 64,
@@ -120,10 +161,20 @@ def sample_frames(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     rebalance: bool = True,
+    fake: bool = True,
 ) -> DataFrame:
-    """Video frame sampling plumbing: one payload row fans out to ≤
-    ``max_frames`` frame rows (the 1→N mapInPandas shape real frame
-    extraction needs; ffmpeg decode is stubbed as byte-slicing).
+    """Video frame sampling: one payload row fans out to ≤
+    ``max_frames`` frame rows (the 1→N mapInPandas shape frame
+    extraction needs).
+
+    ``fake=True`` (default — the deterministic oracle-checkable mode,
+    and the historical behavior) slices the payload into
+    ``every_n_bytes`` chunks. ``fake=False`` extracts REAL frames via
+    an ffmpeg runtime probe (the video twin of the PIL / soundfile
+    probes): every ``every_n_bytes``-th FRAME (the parameter doubles
+    as the frame stride in real mode) is decoded to PNG bytes, and a
+    missing ffmpeg binary raises NotImplementedError on the executor —
+    schema, partitioning, and batch shape are identical in both modes.
 
     ``rebalance=True`` repartitions on a content hash first so a few
     huge videos don't pin one executor — the skew story for media
@@ -136,13 +187,28 @@ def sample_frames(
     def run(batches):
         import pandas as _pd
 
+        ffmpeg = None
+        if not fake:
+            ffmpeg = _ffmpeg_path()
+            if ffmpeg is None:
+                raise NotImplementedError(
+                    "real video decode needs ffmpeg on PATH; pass fake=True"
+                )
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
                 payload = bytes(rec[payload_col] or b"")
-                n = min(max_frames, max(len(payload) // every_n_bytes, 0))
-                for i in range(n):
-                    frame = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                if fake:
+                    n = min(max_frames, max(len(payload) // every_n_bytes, 0))
+                    frames = [
+                        payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                        for i in range(n)
+                    ]
+                else:
+                    frames = _ffmpeg_extract_frames(
+                        ffmpeg, payload, every_n_bytes, max_frames
+                    )
+                for i, frame in enumerate(frames):
                     rows.append(
                         {
                             "doc_id": rec[id_col],

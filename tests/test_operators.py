@@ -407,3 +407,47 @@ def test_winnowing_guarantee_and_compression(spark):
     assert len(by_doc[1]) < 10
     pairs = {(r["id_a"], r["id_b"]) for r in winnow_pairs(df, min_shared=1).collect()}
     assert pairs == {(1, 2)}
+
+
+def _ffmpeg():
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+@pytest.mark.skipif(_ffmpeg() is None, reason="ffmpeg not installed")
+def test_sample_frames_real_video(spark, tmp_path):
+    """The REAL decode path on a real container (mirrors the WAV
+    stdlib-decode test): synthesize a 1s test video with ffmpeg, then
+    sample_frames(fake=False) must return PNG frames with contiguous
+    indices and the stride/cap honoured."""
+    import subprocess
+
+    vid = tmp_path / "t.mp4"
+    subprocess.run(
+        [_ffmpeg(), "-v", "error", "-f", "lavfi",
+         "-i", "testsrc=duration=1:size=64x64:rate=8", str(vid)],
+        check=True,
+    )
+    payload = vid.read_bytes()
+    df = spark.createDataFrame([(1, payload)], "doc_id: long, payload: binary")
+    rows = sorted(
+        M.sample_frames(
+            df, every_n_bytes=2, max_frames=3, fake=False
+        ).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert 1 <= len(rows) <= 3
+    assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
+    for r in rows:
+        assert bytes(r["frame"])[:8] == b"\x89PNG\r\n\x1a\n"
+        assert r["frame_bytes"] == len(r["frame"])
+
+
+def test_sample_frames_real_raises_without_ffmpeg(spark, docs, monkeypatch):
+    """fake=False without ffmpeg must raise, not silently byte-slice."""
+    if _ffmpeg() is not None:
+        pytest.skip("ffmpeg present; the raising path is not reachable")
+    payloads = M.with_binary_payload(docs)
+    with pytest.raises(Exception):
+        M.sample_frames(payloads, fake=False).collect()
