@@ -57,6 +57,25 @@ def main() -> None:
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
     warmup = time.time() - t
 
+    def calibrate() -> float:
+        """Fixed machine-speed probe, independent of the code under
+        test: one 20M-row shuffle+agg. Timed before and after the
+        measurement rounds so cross-round comparisons can be de-noised
+        mechanically (a loaded sandbox inflates this the same way it
+        inflates the queries)."""
+        from pyspark.sql import functions as F
+
+        t = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .groupBy((F.col("id") % 97).alias("k"))
+            .agg(F.sum("id"))
+            .count()
+        )
+        return time.time() - t
+
+    calib = [calibrate()]
+
     samples: dict[str, list[float]] = {name: [] for name in qs}
     rows: dict[str, int] = {}
     for run in range(N_RUNS):
@@ -70,6 +89,8 @@ def main() -> None:
                 f"# run {run + 1}/{N_RUNS} {name}: {dt:.2f}s ({rows[name]} rows)",
                 file=sys.stderr,
             )
+
+    calib.append(calibrate())
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {
@@ -93,6 +114,8 @@ def main() -> None:
                 "sf": sf_val,
                 "startup_sec": round(startup, 3),
                 "warmup_sec": round(warmup, 3),
+                "calibration_sec": round(statistics.median(calib), 3),
+                "calibration_samples": [round(c, 3) for c in calib],
                 "n_queries": len(timings),
             }
         )

@@ -238,3 +238,20 @@ def test_balance_deciles_approx_no_global_window(spark):
     plan = _plan(spark, "balance_deciles_approx")
     assert "Window" not in plan and "ntile(" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row cut broadcast
+
+
+def test_events_hourly_minimal_plan(spark):
+    """r4 bench drift on events_hourly (0.346->0.468s) was measured
+    against an identical plan — pin the shape so any FUTURE regression
+    is a real plan change, not noise: one 3-column pruned scan, a
+    map-side partial agg into exactly one hash exchange, and the
+    contract orderBy's range exchange. No joins, no windows."""
+    plan = _plan(spark, "events_hourly")
+    assert plan.count("events.parquet") == 1  # exactly one scan
+    assert plan.count("- Exchange") == 2  # agg hash + orderBy range
+    assert "partial_count" in plan  # map-side combine survives
+    assert "Join" not in plan and "Window" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("ts", "event_type", "value"):
+        assert col in read
+    assert "user_id" not in read and "event_id" not in read
