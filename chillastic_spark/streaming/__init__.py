@@ -547,6 +547,55 @@ def incremental_dedup_stream(
     return writer.start()
 
 
+def _lm_score_batch(
+    batch_df: DataFrame, ctx: DataFrame, big: DataFrame, b: int,
+    nll_keep_max: float,
+) -> DataFrame:
+    """(doc_id, n_bigrams, nll, keep) for one micro-batch against the
+    frozen hashed-bigram LM count tables — the scoring shared by
+    lm_filter_stream and curation_stream (ONE definition so the
+    composed pipeline can never fork from the standalone filter)."""
+    from chillastic_spark import functions as CF
+    from chillastic_spark.operators import lm
+
+    g = lm._bigram_stream(batch_df, "doc_id", "text", b)
+    scored = (
+        g.join(F.broadcast(ctx), "pb", "left")
+        .join(F.broadcast(big), "bb", "left")
+        .withColumn(
+            "nll_term",
+            CF.round_det(
+                -F.log(
+                    (F.coalesce(F.col("big_ct"), F.lit(0)) + 1)
+                    / (F.coalesce(F.col("ctx_ct"), F.lit(0)) + F.lit(b))
+                ),
+                lm.NLL_DIGITS,
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("nll_term").cast("decimal(28,6)")).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            CF.round_det(
+                F.col("__s").cast("double") / F.col("n_bigrams"), 4
+            ).alias("nll"),
+        )
+    )
+    ids = batch_df.select("doc_id")
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "nll",
+        (F.col("nll").isNotNull() & (F.col("nll") <= nll_keep_max)).alias(
+            "keep"
+        ),
+    )
+
+
 def lm_filter_stream(
     spark: SparkSession,
     stream_dir: str,
@@ -578,7 +627,6 @@ def lm_filter_stream(
     materialized; the corpus-sized bigram expansion is aggregated in
     two passes and never pinned for the stream's lifetime.
     """
-    from chillastic_spark import functions as CF
     from chillastic_spark.operators import dedup as D
     from chillastic_spark.operators import lm
 
@@ -596,42 +644,7 @@ def lm_filter_stream(
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        g = lm._bigram_stream(batch_df, "doc_id", "text", b)
-        scored = (
-            g.join(F.broadcast(ctx), "pb", "left")
-            .join(F.broadcast(big), "bb", "left")
-            .withColumn(
-                "nll_term",
-                CF.round_det(
-                    -F.log(
-                        (F.coalesce(F.col("big_ct"), F.lit(0)) + 1)
-                        / (F.coalesce(F.col("ctx_ct"), F.lit(0)) + F.lit(b))
-                    ),
-                    lm.NLL_DIGITS,
-                ),
-            )
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_bigrams"),
-                F.sum(F.col("nll_term").cast("decimal(28,6)")).alias("__s"),
-            )
-            .select(
-                "doc_id",
-                "n_bigrams",
-                CF.round_det(
-                    F.col("__s").cast("double") / F.col("n_bigrams"), 4
-                ).alias("nll"),
-            )
-        )
-        ids = batch_df.select("doc_id")
-        out = ids.join(scored, "doc_id", "left").select(
-            "doc_id",
-            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            "nll",
-            (F.col("nll").isNotNull() & (F.col("nll") <= nll_keep_max)).alias(
-                "keep"
-            ),
-        )
+        out = _lm_score_batch(batch_df, ctx, big, b, nll_keep_max)
         # idempotent per-batch sink: a replayed batch overwrites its
         # own partition dir instead of appending duplicate flag rows
         out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
@@ -909,6 +922,176 @@ def drift_stream(
         sb = materialize(IMP.unigram_counts(batch_df, "source", buckets=b))
         out = IMP.unigram_drift(sb, ref)  # both KL and PSI, one pass
         out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def curation_stream(
+    spark: SparkSession,
+    stream_dir: str,
+    corpus: DataFrame,
+    existing_manifest: DataFrame,
+    out_root: str,
+    checkpoint_dir: str,
+    nll_keep_max: float = 10.5,
+    buckets: "int | None" = None,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.25,
+    available_now: bool = True,
+    max_files_per_trigger: int = 2,
+) -> StreamingQuery:
+    """THE composed continuous curation pipeline — the kappa path:
+    every micro-batch of raw incoming docs flows through
+    ingest → drift monitor → LM quality filter → near-dedup →
+    leakage-safe assembly in ONE foreachBatch, each stage the same
+    frozen-reference operator as its standalone stream twin:
+
+    * ``drift/batch=<id>``   — per-source (kl, psi) of the RAW batch
+      vs the frozen corpus unigram reference (drift_stream math).
+    * ``lm_flags/batch=<id>`` — (doc_id, n_bigrams, nll, keep) vs the
+      frozen corpus bigram LM (the shared ``_lm_score_batch``, so the
+      composed filter can never fork from lm_filter_stream).
+    * ``dedup_flags/batch=<id>`` — (doc_id, match_id) best near-dup
+      match of each KEPT doc vs the static corpus plus every
+      previously KEPT ingested doc. The SAME banded match feeds
+      assembly — computed once per batch, not per consumer.
+    * ``manifest/batch=<id>`` + ``sigs/batch=<id>`` — leakage-safe
+      split/shard rows for kept docs (assembly_stream semantics:
+      matches adopt published reps verbatim, in-batch clusters
+      co-assign, novel docs hash their own id).
+
+    Only KEPT docs accumulate signatures and manifest rows — a
+    quality-dropped doc never becomes a representative, so it can
+    never pull a future near-dup into a split.
+
+    Exactly-once across restarts: the checkpoint feeds each source
+    file to exactly one batch id, every output is a per-batch
+    partition OVERWRITE, and a replayed batch anti-joins its own ids
+    out of the accumulated signature/manifest sides first — attempt 2
+    sees attempt 1's inputs and rewrites byte-identical files.
+    """
+    from chillastic_spark.operators import dedup as D
+    from chillastic_spark.operators import importance as IMP
+    from chillastic_spark.operators import lm
+    from chillastic_spark.operators.assembly import assemble_incremental
+
+    out_root = out_root.rstrip("/")
+    b_lm = buckets or lm.LM_BUCKETS
+    b_drift = buckets or IMP.DEFAULT_BUCKETS
+
+    # frozen references, materialized once before the stream starts
+    grams = lm._bigram_stream(corpus, "doc_id", "text", b_lm)
+    ctx = D.materialize(
+        grams.groupBy("pb").agg(F.count(F.lit(1)).alias("ctx_ct"))
+    )
+    big = D.materialize(
+        grams.groupBy("bb").agg(F.count(F.lit(1)).alias("big_ct"))
+    )
+    drift_ref = D.materialize(
+        IMP.unigram_counts(corpus, "source", buckets=b_drift)
+        .groupBy("bkt")
+        .agg(F.sum("ct").alias("cct"))
+    )
+    ex_sig = D.materialize(
+        D.minhash_signatures_wide(corpus, "doc_id", "text", n, num_perm)
+    )
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_dir)
+    )
+
+    def _try_read(path: str):
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — first batch: nothing yet
+            return None
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # 1. drift monitor on the RAW batch (pre-filter: the monitor
+        # must see what is ARRIVING, not what survives)
+        sb = D.materialize(
+            IMP.unigram_counts(batch_df, "source", buckets=b_drift)
+        )
+        IMP.unigram_drift(sb, drift_ref).write.mode("overwrite").parquet(
+            f"{out_root}/drift/batch={batch_id}"
+        )
+        # 2. frozen-LM quality filter
+        flags_lm = _lm_score_batch(batch_df, ctx, big, b_lm, nll_keep_max)
+        flags_lm.write.mode("overwrite").parquet(
+            f"{out_root}/lm_flags/batch={batch_id}"
+        )
+        kept = batch_df.join(
+            flags_lm.filter(F.col("keep")).select("doc_id"), "doc_id",
+            "left_semi",
+        )
+        if kept.isEmpty():
+            return
+        # 3. near-dedup of kept docs vs corpus + previously-kept ingest
+        sig = D.materialize(
+            D.minhash_signatures_wide(kept, "doc_id", "text", n, num_perm)
+        )
+        batch_ids = sig.select("doc_id")
+        acc_sig = _try_read(f"{out_root}/sigs")
+        if acc_sig is not None:
+            # replay: this batch's own failed-attempt signatures must
+            # not shadow genuine matches (see assembly_stream)
+            acc_sig = acc_sig.select(ex_sig.columns).join(
+                batch_ids, "doc_id", "left_anti"
+            )
+        match_sig = (
+            ex_sig if acc_sig is None else ex_sig.unionByName(acc_sig)
+        )
+        dedup_flags = D.minhash_flag_against(
+            sig,
+            D.minhash_bands(sig, num_perm, bands),
+            match_sig,
+            D.minhash_bands(match_sig, num_perm, bands),
+            num_perm,
+            threshold,
+        ).select("doc_id", "match_id")
+        dedup_flags = D.materialize(dedup_flags)  # feeds sink + assembly
+        dedup_flags.write.mode("overwrite").parquet(
+            f"{out_root}/dedup_flags/batch={batch_id}"
+        )
+        # 4. leakage-safe assembly of the kept docs, reusing the flags
+        acc_manifest = _try_read(f"{out_root}/manifest")
+        if acc_manifest is not None:
+            acc_manifest = acc_manifest.select("doc_id", "rep_id").join(
+                batch_ids, "doc_id", "left_anti"
+            )
+        manifest_side = (
+            existing_manifest
+            if acc_manifest is None
+            else existing_manifest.select("doc_id", "rep_id").unionByName(
+                acc_manifest
+            )
+        )
+        batch_pairs = D.minhash_lsh_pairs(
+            kept, id_col="doc_id", text_col="text",
+            n=n, num_perm=num_perm, bands=bands, threshold=threshold,
+        ).select("id_a", "id_b")
+        manifest = assemble_incremental(
+            kept, manifest_side, dedup_flags, batch_pairs=batch_pairs
+        )
+        manifest.write.mode("overwrite").parquet(
+            f"{out_root}/manifest/batch={batch_id}"
+        )
+        sig.write.mode("overwrite").parquet(
+            f"{out_root}/sigs/batch={batch_id}"
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process)

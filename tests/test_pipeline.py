@@ -508,3 +508,177 @@ def test_curate_input_drift(spark):
     # no reference → field stays None (report shape unchanged)
     _, rep_none = curate(same, cfg)
     assert rep_none.input_drift is None
+
+
+def test_curation_stream_end_to_end(spark, tmp_path):
+    """THE composed kappa path (ingest -> drift -> LM filter -> dedup
+    -> leakage-safe assembly) e2e:
+
+    * stage outputs pin EXACTLY to their batch twins (lm flags via the
+      shared scorer over all stream docs at once; drift via the
+      per-file unigram_drift twin),
+    * quality-dropped docs leave NO trace downstream (no signature, no
+      manifest row — they can never become representatives),
+    * near-dup adoption works against the static corpus AND across
+      micro-batches via accumulated signatures,
+    * a full replay (checkpoint wiped, outputs kept) rewrites
+      byte-identical content, and a RESTART with the checkpoint intact
+      processes only new files while published rows stay frozen.
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from chillastic_spark.operators import importance as IMP
+    from chillastic_spark.operators import lm
+    from chillastic_spark.operators.dedup import materialize
+    from chillastic_spark.pipelines import assemble
+    from chillastic_spark.streaming import _lm_score_batch, curation_stream
+
+    filler = " ".join(f"w{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(i, f"static doc {i} " + filler, "src0") for i in range(1, 10)],
+        "doc_id: long, text: string, source: string",
+    )
+    manifest, _ = assemble(
+        corpus, pairs=spark.createDataFrame([], "id_a: long, id_b: long")
+    )
+    manifest = manifest.localCheckpoint()
+    pub = {r["doc_id"]: r for r in manifest.collect()}
+
+    junk = lambda tag: " ".join(f"{tag}{i}" for i in range(30))
+    prefix12 = "static doc 3 " + " ".join(f"w{i}" for i in range(12))
+    batches = [
+        # batch 0: corpus near-dup (100), junk (102), novel-but-fluent
+        # substring doc (104 — low nll, below the 0.6 jaccard bar)
+        [(100, "static doc 1 " + filler + " tail", "sA"),
+         (102, junk("zq"), "sA"),
+         (104, prefix12, "sB")],
+        # batch 1: another corpus near-dup + another junk
+        [(101, "static doc 2 " + filler + " tail", "sB"),
+         (106, junk("xk"), "sA")],
+    ]
+    stream_dir = tmp_path / "inc"
+    stream_dir.mkdir()
+
+    def write_file(i, rows):
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "source": [r[2] for r in rows],
+                }
+            ),
+            str(stream_dir / f"part-{i:04d}.parquet"),
+        )
+
+    for i, rows in enumerate(batches):
+        write_file(i, rows)
+
+    out_root = str(tmp_path / "cur")
+    ckpt = str(tmp_path / "ckpt")
+    NLL_MAX, THRESH, PERMS = 7.0, 0.6, 32
+
+    def run():
+        q = curation_stream(
+            spark, str(stream_dir), corpus, manifest, out_root, ckpt,
+            nll_keep_max=NLL_MAX, buckets=4096, num_perm=PERMS,
+            threshold=THRESH, max_files_per_trigger=1,
+        )
+        q.awaitTermination(240)
+
+    def snapshot():
+        out = {}
+        for sub in ("drift", "lm_flags", "dedup_flags", "manifest", "sigs"):
+            df = spark.read.parquet(f"{out_root}/{sub}")
+            out[sub] = frozenset(
+                tuple(sorted(r.asDict().items())) for r in df.collect()
+            )
+        return out
+
+    run()
+    snap1 = snapshot()
+
+    # --- lm flags == the shared scorer over ALL stream docs at once
+    # (frozen model => batch-independent)
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows], corpus.schema
+    )
+    grams = lm._bigram_stream(corpus, "doc_id", "text", 4096)
+    ctx = materialize(grams.groupBy("pb").agg(F.count(F.lit(1)).alias("ctx_ct")))
+    big = materialize(grams.groupBy("bb").agg(F.count(F.lit(1)).alias("big_ct")))
+    twin = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"], r["keep"])
+        for r in _lm_score_batch(all_docs, ctx, big, 4096, NLL_MAX).collect()
+    }
+    got_lm = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"], r["keep"])
+        for r in spark.read.parquet(f"{out_root}/lm_flags").collect()
+    }
+    assert got_lm == twin
+    assert {d for d, v in got_lm.items() if v[2]} == {100, 101, 104}
+    assert {d for d, v in got_lm.items() if not v[2]} == {102, 106}
+
+    # --- drift rows == the per-file batch twin (order-insensitive)
+    ref = materialize(
+        IMP.unigram_counts(corpus, "source", buckets=4096)
+        .groupBy("bkt").agg(F.sum("ct").alias("cct"))
+    )
+    want_drift = set()
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, corpus.schema)
+        sb = IMP.unigram_counts(bdf, "source", buckets=4096)
+        for r in IMP.unigram_drift(sb, ref).collect():
+            want_drift.add((r["source"], r["n_tokens"], r["kl"], r["psi"]))
+    got_drift = {
+        (r["source"], r["n_tokens"], r["kl"], r["psi"])
+        for r in spark.read.parquet(f"{out_root}/drift").collect()
+    }
+    assert got_drift == want_drift
+
+    # --- dedup flags: corpus matches only; the novel doc is unflagged
+    flags = {
+        r["doc_id"]: r["match_id"]
+        for r in spark.read.parquet(f"{out_root}/dedup_flags").collect()
+    }
+    assert flags == {100: 1, 101: 2}
+
+    # --- manifest: kept docs only; adoption vs published reps; the
+    # dropped junk left no signature either
+    rows = {r["doc_id"]: r for r in spark.read.parquet(f"{out_root}/manifest").collect()}
+    assert set(rows) == {100, 101, 104}
+    assert rows[100]["rep_id"] == pub[1]["rep_id"]
+    assert rows[100]["split"] == pub[1]["split"]
+    assert rows[101]["rep_id"] == pub[2]["rep_id"]
+    assert rows[104]["rep_id"] == 104
+    sig_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{out_root}/sigs").collect()
+    }
+    assert sig_ids == {100, 101, 104}
+
+    # --- full replay: wipe the checkpoint, keep outputs; every file
+    # reprocesses and must rewrite byte-identical content
+    shutil.rmtree(ckpt)
+    run()
+    assert snapshot() == snap1
+
+    # --- restart with checkpoint intact: only the NEW file processes;
+    # 105 near-dups 104 (a previously-ingested KEPT doc) and must
+    # adopt its rep + split across batches — the leakage guarantee
+    write_file(2, [(105, prefix12 + " w12", "sB")])
+    run()
+    rows2 = {r["doc_id"]: r for r in spark.read.parquet(f"{out_root}/manifest").collect()}
+    assert set(rows2) == {100, 101, 104, 105}
+    for d in (100, 101, 104):  # published rows frozen
+        assert rows2[d].asDict() == rows[d].asDict()
+    assert rows2[105]["rep_id"] == rows2[104]["rep_id"] == 104
+    assert rows2[105]["split"] == rows2[104]["split"]
+    flags2 = {
+        r["doc_id"]: r["match_id"]
+        for r in spark.read.parquet(f"{out_root}/dedup_flags").collect()
+    }
+    assert flags2 == {100: 1, 101: 2, 105: 104}
