@@ -96,3 +96,19 @@ def materialize(
 
         return df.persist(StorageLevel.DISK_ONLY)
     return df
+
+
+def release(df: DataFrame) -> None:
+    """Free a ``materialize``d intermediate once its LAST consumer has
+    run. Long-running streams materialize per-batch intermediates
+    inside ``foreachBatch`` — without an explicit release, ``disk`` /
+    ``local`` blocks stay registered in the session cache for every
+    batch ever processed, a slow leak over thousands of micro-batches.
+    Safe on any mode: unpersist is a no-op for never-persisted frames,
+    and reliable-checkpoint files are reclaimed by Spark's context
+    cleaner (``spark.cleaner.referenceTracking.cleanCheckpoints``,
+    enabled in session.get_spark) once the frame is unreferenced."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:  # noqa: BLE001 — releasing is best-effort
+        pass

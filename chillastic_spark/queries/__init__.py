@@ -27,28 +27,10 @@ class Query:
 
 # The correctness driver samples the FIRST 50 registered queries, so
 # registration order IS panel selection. The list ROTATES each round
-# (r3 verdict #7) so driver-verified coverage compounds: ~20 keepers
-# anchor one representative per operator family (all driver-green in
-# CORRECTNESS_r03), and the other 30 slots go to queries that so far
-# had only local-twin evidence. Rotated out in r4 (driver-green in
-# r03, still locally twinned every round): q6_forecast_revenue,
-# top_customers, q4_late_orders, rollup_nation_status, event_funnel,
-# q2_min_cost_parts, q21_sole_returned_supplier,
-# asof_view_before_purchase, scalar_functions, size_histogram,
-# backlog_totals, latest_event_per_user, text_features,
-# dedup_clusters, dedup_simhash, dedup_ngram_containment,
-# dedup_edit_distance, embedding_centroids, keyword_search_and,
-# phrase_search, search_rank_eval, search_after_page, search_rescore,
-# multi_match_best_fields, q19_discounted_revenue,
-# quality_topk_per_lang, revenue_grouping_sets, value_percentiles,
-# sequence_packing, time_weighted_avg. Swapped mid-r4 for the six
-# never-sampled batch-16 queries (all r03-green, locally twinned every
-# round): q18_large_orders, q9_product_profit, sessionize, dedup_exact,
-# dedup_minhash_lsh, chunk_windows. Mid-r4 swap 2: six more r03-green
-# keepers rotated out (q10_returned_items, resume_anti_join,
-# embedding_dup_pairs, hybrid_search_rrf, events_gapfill,
-# decontaminate_flags — every family still anchored) so the six
-# batch-17/18 queries get first driver sampling this round.
+# (r3 verdict #7) so driver-verified coverage compounds; rotation
+# history lives in CORRECTNESS_r01–r04 + git history of this file.
+# Everything rotated out stays locally twinned by scripts/check.py
+# every round.
 PANEL_FIRST = [
     # r5 rotation (r4 verdict #1): the 45 queries that had never been
     # driver-sampled in CORRECTNESS_r01–r04 fill 45 slots, so after

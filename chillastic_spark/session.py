@@ -57,6 +57,10 @@ def get_spark(app_name: str = "chillastic-spark", cpus: str | int | None = None)
         # retrying search/scroll (reference transfer.js:79-87) → Spark
         # task retries; no-op on local[] but the shipped default
         .config("spark.task.maxFailures", "4")
+        # reclaim reliable-checkpoint files (persist.materialize mode
+        # 'reliable') once their frames are unreferenced — required for
+        # long-running streams that checkpoint per micro-batch
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # keep managed tables (bucketing helpers) out of the repo cwd

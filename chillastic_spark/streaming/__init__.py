@@ -16,6 +16,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from chillastic_spark.operators.mutate import apply_data_mutators
+from chillastic_spark.persist import release
 from chillastic_spark.sinks import upsert
 from chillastic_spark.sources import ENVELOPE_SCHEMA, DocumentStore
 
@@ -536,6 +537,7 @@ def incremental_dedup_stream(
             threshold,
         )
         flags.write.mode("append").parquet(out_dir)
+        release(sig)  # per-batch intermediate: don't leak cache entries
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -763,6 +765,7 @@ def assembly_stream(
         )
         manifest.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         sig.write.mode("overwrite").parquet(f"{sig_dir}/batch={batch_id}")
+        release(sig)  # per-batch intermediate: don't leak cache entries
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -922,6 +925,7 @@ def drift_stream(
         sb = materialize(IMP.unigram_counts(batch_df, "source", buckets=b))
         out = IMP.unigram_drift(sb, ref)  # both KL and PSI, one pass
         out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        release(sb)  # per-batch intermediate: don't leak cache entries
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -1028,6 +1032,7 @@ def curation_stream(
         IMP.unigram_drift(sb, drift_ref).write.mode("overwrite").parquet(
             f"{out_root}/drift/batch={batch_id}"
         )
+        release(sb)  # per-batch intermediate: don't leak cache entries
         # 2. frozen-LM quality filter
         flags_lm = _lm_score_batch(batch_df, ctx, big, b_lm, nll_keep_max)
         flags_lm.write.mode("overwrite").parquet(
@@ -1092,6 +1097,8 @@ def curation_stream(
         sig.write.mode("overwrite").parquet(
             f"{out_root}/sigs/batch={batch_id}"
         )
+        release(sig)
+        release(dedup_flags)  # per-batch: don't leak cache entries
 
     writer = (
         stream.writeStream.foreachBatch(process)

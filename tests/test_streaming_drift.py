@@ -71,3 +71,35 @@ def test_drift_stream_matches_batch_twin(spark, tmp_path):
     # the batch self-diagnostic's value when the batch IS the corpus
     whole = _twin(spark, corpus, pdf).collect()
     assert all(r["kl"] >= 0.0 for r in whole)
+
+
+def test_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch):
+    """Long-running-stream leak guard: per-batch materialized
+    intermediates must be RELEASED after each micro-batch — under
+    mode=disk the persisted-RDD count after a 3-batch run must equal
+    the pre-stream count plus the stream's frozen reference only, not
+    grow with the batch count."""
+    from chillastic_spark.streaming import drift_stream
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = corpus.limit(90).toPandas()
+    stream_dir = tmp_path / "inc"
+    stream_dir.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[i * 30 : (i + 1) * 30], preserve_index=False),
+            str(stream_dir / f"part-{i:04d}.parquet"),
+        )
+
+    monkeypatch.setenv("CHILLASTIC_PERSIST", "disk")
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    q = drift_stream(
+        spark, str(stream_dir), corpus, str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    n_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # exactly ONE new persistent entry: the frozen reference table.
+    # 3 leaked per-batch tables would make this n_before + 4.
+    assert n_after <= n_before + 1, (n_before, n_after)
+    assert spark.read.parquet(str(tmp_path / "out")).count() > 0
