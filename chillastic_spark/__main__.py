@@ -64,9 +64,11 @@ def resolve_bind(env: "dict[str, str] | os._Environ" = os.environ) -> "tuple[str
 
 
 def main() -> None:
+    # validate bind config FIRST — it's pure env; failing after the
+    # multi-second JVM/session boot would waste the whole startup
+    host, port = resolve_bind()
     engine, app = build()
     engine.start()  # the reference starts running (index.js app.run)
-    host, port = resolve_bind()
     app.run(host=host, port=port)
 
 

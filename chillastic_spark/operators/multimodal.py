@@ -144,7 +144,10 @@ def _ffmpeg_extract_frames(
             [
                 ffmpeg, "-v", "error", "-i", src,
                 "-vf", f"select=not(mod(n\\,{max(stride, 1)}))",
-                "-fps_mode", "vfr", "-frames:v", str(max_frames), pat,
+                # -vsync (not -fps_mode): accepted by ffmpeg 4.x AND
+                # 5+; -fps_mode only exists >= 5.1 and would crash
+                # every decode on older executors the probe accepts
+                "-vsync", "vfr", "-frames:v", str(max_frames), pat,
             ],
             check=True, capture_output=True,
         )

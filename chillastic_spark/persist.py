@@ -107,8 +107,21 @@ def release(df: DataFrame) -> None:
     Safe on any mode: unpersist is a no-op for never-persisted frames,
     and reliable-checkpoint files are reclaimed by Spark's context
     cleaner (``spark.cleaner.referenceTracking.cleanCheckpoints``,
-    enabled in session.get_spark) once the frame is unreferenced."""
+    enabled in session.get_spark) once the frame is unreferenced.
+
+    Two layers because the two persist mechanisms register in
+    DIFFERENT places: ``DataFrame.unpersist`` only consults the SQL
+    cache manager (covers mode ``disk``), while ``localCheckpoint``
+    blocks belong to the underlying checkpointed RDD and are tracked
+    only in ``sc.persistentRdds`` — they need an RDD-level unpersist
+    (reached through the analyzed LogicalRDD) or they linger until
+    JVM GC."""
     try:
         df.unpersist(blocking=False)
     except Exception:  # noqa: BLE001 — releasing is best-effort
+        pass
+    try:
+        # mode 'local': the checkpointed RDD behind the LogicalRDD
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — not a LogicalRDD-backed frame
         pass

@@ -661,6 +661,54 @@ def lm_filter_stream(
     return writer.start()
 
 
+def _accumulated_sides(
+    spark: SparkSession,
+    sig_path: str,
+    manifest_path: str,
+    batch_id: int,
+    sig_cols: "list[str]",
+) -> "tuple[DataFrame | None, DataFrame | None]":
+    """(accumulated signatures, accumulated manifest rows) visible to
+    micro-batch ``batch_id`` — ONE definition of the replay rule,
+    shared by assembly_stream and curation_stream so a fix can never
+    apply to one and silently diverge in the other.
+
+    The rule: only rows from STRICTLY EARLIER batches
+    (``batch < batch_id``, the partition column) participate. This
+    reproduces attempt 1's inputs exactly on ANY replay:
+
+    * failed-batch retry (checkpoint intact): the batch's own partial
+      ``batch=<id>`` output is excluded, so a stale self-signature
+      (est 1.0) can't shadow the genuine near-dup match;
+    * checkpoint loss with outputs kept (full replay, ids restart at
+      0): LATER batches' rows are excluded too — without this, a
+      replaying batch 0 could match batch 1+ docs it had never seen
+      and adopt reps through them, mutating already-published rows
+      (the split-leakage non-idempotence a plain own-id anti-join
+      misses).
+
+    A doc id re-ingested in a later batch deliberately KEEPS its
+    earlier-batch signature on the match side: the re-ingested copy
+    self-matches at est 1.0 and adopts its own published rep — the
+    stability contract.
+    """
+    def _try_read(path: str):
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — first batch: nothing yet
+            return None
+
+    acc_sig = _try_read(sig_path)
+    if acc_sig is not None:
+        acc_sig = acc_sig.filter(F.col("batch") < batch_id).select(sig_cols)
+    acc_manifest = _try_read(manifest_path)
+    if acc_manifest is not None:
+        acc_manifest = acc_manifest.filter(F.col("batch") < batch_id).select(
+            "doc_id", "rep_id"
+        )
+    return acc_sig, acc_manifest
+
+
 def assembly_stream(
     spark: SparkSession,
     stream_dir: str,
@@ -674,6 +722,7 @@ def assembly_stream(
     bands: int = 4,
     threshold: float = 0.25,
     available_now: bool = True,
+    max_files_per_trigger: int = 2,
 ) -> StreamingQuery:
     """Ingest-time dataset assembly with the FULL cross-history
     leakage guarantee: every micro-batch of incoming docs is
@@ -687,15 +736,11 @@ def assembly_stream(
     straddle splits no matter which micro-batches they arrive in.
 
     Idempotence: both manifest rows and batch signatures write to
-    per-batch ``batch=<id>`` dirs with overwrite, so a replayed batch
-    rewrites identical files. Crucially the replayed batch's OWN ids
-    are anti-joined out of the accumulated signature AND manifest
-    sides before matching — a stale self-signature from the failed
-    attempt would otherwise win best-match selection (est 1.0) and
-    shadow the doc's genuine near-dup match, changing the rewrite and
-    letting a near-dup of a published doc hash its own id (split
-    leakage). With the anti-join, attempt 2 sees byte-identical inputs
-    to attempt 1.
+    per-batch ``batch=<id>`` dirs with overwrite, and the accumulated
+    sides are restricted to STRICTLY EARLIER batches (the shared
+    ``_accumulated_sides`` replay rule), so any replay — failed-batch
+    retry or full checkpoint loss — sees attempt 1's inputs exactly
+    and rewrites byte-identical files; published rows never change.
     """
     from chillastic_spark.operators import dedup as D
     from chillastic_spark.operators.assembly import assemble_incremental
@@ -706,15 +751,9 @@ def assembly_stream(
     )
     stream = (
         spark.readStream.schema(corpus.schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stream_dir)
     )
-
-    def _try_read(path: str):
-        try:
-            return spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 — first batch: nothing yet
-            return None
 
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -722,16 +761,9 @@ def assembly_stream(
         sig = D.materialize(
             D.minhash_signatures_wide(batch_df, "doc_id", "text", n, num_perm)
         )
-        batch_ids = sig.select("doc_id")
-        acc_sig = _try_read(sig_dir)
-        if acc_sig is not None:
-            # replay: drop this batch's own failed-attempt signatures
-            # BEFORE matching, not after best-match selection — a
-            # stale self-match (est 1.0) would outrank the genuine
-            # near-dup match and drop the flag entirely
-            acc_sig = acc_sig.select(ex_sig.columns).join(
-                batch_ids, "doc_id", "left_anti"
-            )
+        acc_sig, acc_manifest = _accumulated_sides(
+            spark, sig_dir, out_dir, batch_id, ex_sig.columns
+        )
         match_sig = (
             ex_sig if acc_sig is None else ex_sig.unionByName(acc_sig)
         )
@@ -743,12 +775,6 @@ def assembly_stream(
             num_perm,
             threshold,
         ).select("doc_id", "match_id")
-        acc_manifest = _try_read(out_dir)
-        if acc_manifest is not None:
-            # same replay rule for the manifest side
-            acc_manifest = acc_manifest.select("doc_id", "rep_id").join(
-                batch_ids, "doc_id", "left_anti"
-            )
         manifest_side = (
             existing_manifest
             if acc_manifest is None
@@ -979,9 +1005,11 @@ def curation_stream(
 
     Exactly-once across restarts: the checkpoint feeds each source
     file to exactly one batch id, every output is a per-batch
-    partition OVERWRITE, and a replayed batch anti-joins its own ids
-    out of the accumulated signature/manifest sides first — attempt 2
-    sees attempt 1's inputs and rewrites byte-identical files.
+    partition OVERWRITE, and the accumulated signature/manifest sides
+    admit only STRICTLY EARLIER batches (the shared
+    ``_accumulated_sides`` replay rule) — any replay, including full
+    checkpoint loss, sees attempt 1's inputs and rewrites
+    byte-identical files.
     """
     from chillastic_spark.operators import dedup as D
     from chillastic_spark.operators import importance as IMP
@@ -1015,12 +1043,6 @@ def curation_stream(
         .parquet(stream_dir)
     )
 
-    def _try_read(path: str):
-        try:
-            return spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 — first batch: nothing yet
-            return None
-
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -1033,29 +1055,34 @@ def curation_stream(
             f"{out_root}/drift/batch={batch_id}"
         )
         release(sb)  # per-batch intermediate: don't leak cache entries
-        # 2. frozen-LM quality filter
-        flags_lm = _lm_score_batch(batch_df, ctx, big, b_lm, nll_keep_max)
+        # 2. frozen-LM quality filter — materialized: the scoring
+        # (bigram explode + two broadcast joins + agg) feeds the sink
+        # AND the kept semi-join; unpinned it would re-execute per
+        # downstream action
+        flags_lm = D.materialize(
+            _lm_score_batch(batch_df, ctx, big, b_lm, nll_keep_max)
+        )
         flags_lm.write.mode("overwrite").parquet(
             f"{out_root}/lm_flags/batch={batch_id}"
         )
-        kept = batch_df.join(
-            flags_lm.filter(F.col("keep")).select("doc_id"), "doc_id",
-            "left_semi",
-        )
+        kept = D.materialize(
+            batch_df.join(
+                flags_lm.filter(F.col("keep")).select("doc_id"), "doc_id",
+                "left_semi",
+            )
+        )  # feeds isEmpty + signatures + in-batch pairs + assembly
+        release(flags_lm)
         if kept.isEmpty():
+            release(kept)
             return
         # 3. near-dedup of kept docs vs corpus + previously-kept ingest
         sig = D.materialize(
             D.minhash_signatures_wide(kept, "doc_id", "text", n, num_perm)
         )
-        batch_ids = sig.select("doc_id")
-        acc_sig = _try_read(f"{out_root}/sigs")
-        if acc_sig is not None:
-            # replay: this batch's own failed-attempt signatures must
-            # not shadow genuine matches (see assembly_stream)
-            acc_sig = acc_sig.select(ex_sig.columns).join(
-                batch_ids, "doc_id", "left_anti"
-            )
+        acc_sig, acc_manifest = _accumulated_sides(
+            spark, f"{out_root}/sigs", f"{out_root}/manifest", batch_id,
+            ex_sig.columns,
+        )
         match_sig = (
             ex_sig if acc_sig is None else ex_sig.unionByName(acc_sig)
         )
@@ -1072,11 +1099,6 @@ def curation_stream(
             f"{out_root}/dedup_flags/batch={batch_id}"
         )
         # 4. leakage-safe assembly of the kept docs, reusing the flags
-        acc_manifest = _try_read(f"{out_root}/manifest")
-        if acc_manifest is not None:
-            acc_manifest = acc_manifest.select("doc_id", "rep_id").join(
-                batch_ids, "doc_id", "left_anti"
-            )
         manifest_side = (
             existing_manifest
             if acc_manifest is None
@@ -1097,8 +1119,8 @@ def curation_stream(
         sig.write.mode("overwrite").parquet(
             f"{out_root}/sigs/batch={batch_id}"
         )
-        release(sig)
-        release(dedup_flags)  # per-batch: don't leak cache entries
+        for interm in (kept, sig, dedup_flags):
+            release(interm)  # per-batch: don't leak cache entries
 
     writer = (
         stream.writeStream.foreachBatch(process)

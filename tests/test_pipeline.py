@@ -682,3 +682,90 @@ def test_curation_stream_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(f"{out_root}/dedup_flags").collect()
     }
     assert flags2 == {100: 1, 101: 2, 105: 104}
+
+
+def test_assembly_stream_full_replay_no_future_contamination(spark, tmp_path):
+    """THE checkpoint-loss replay hazard: when outputs are kept but the
+    checkpoint is wiped, a replaying batch 0 must NOT match against
+    batch 1's accumulated signatures/manifest rows (strictly-earlier
+    rule). Construction: A (batch 0) is novel -> rep A. B (batch 1)
+    overlaps BOTH A and corpus doc C, with C the stronger match -> rep
+    C. Without the batch<batch_id rule, replayed A would flag to B and
+    adopt C, silently migrating a published row across splits."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chillastic_spark.pipelines import assemble
+    from chillastic_spark.streaming import assembly_stream
+
+    c_text = " ".join(f"c{i}" for i in range(1, 21))
+    corpus = spark.createDataFrame(
+        [(9, c_text, "src0")], "doc_id: long, text: string, source: string"
+    )
+    manifest, _ = assemble(
+        corpus, pairs=spark.createDataFrame([], "id_a: long, id_b: long")
+    )
+    manifest = manifest.localCheckpoint()
+    pub = {r["doc_id"]: r for r in manifest.collect()}
+
+    a_text = " ".join(f"a{i}" for i in range(1, 21))
+    # deterministic minhash ests at (n=2, 32 perms, 16 bands):
+    # est(A,B)=0.25 >= threshold, est(C,B)=0.5625 -> C is B's best match
+    b_text = (
+        " ".join(f"a{i}" for i in range(1, 15))
+        + " "
+        + " ".join(f"c{i}" for i in range(1, 17))
+    )
+    stream_dir = tmp_path / "inc"
+    stream_dir.mkdir()
+    for i, (doc_id, text) in enumerate([(100, a_text), (200, b_text)]):
+        pq.write_table(
+            pa.Table.from_pydict(
+                {"doc_id": [doc_id], "text": [text], "source": ["sA"]}
+            ),
+            str(stream_dir / f"part-{i:04d}.parquet"),
+        )
+
+    out_dir = str(tmp_path / "m")
+
+    def run():
+        q = assembly_stream(
+            spark, str(stream_dir), corpus, manifest, out_dir,
+            str(tmp_path / "ckpt"),
+            n=2, num_perm=32, bands=16, threshold=0.2,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        return {
+            r["doc_id"]: r.asDict()
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # premise: A WOULD flag to B if B's signature were visible to it —
+    # i.e. without the strictly-earlier-batch rule, the replay below
+    # would contaminate A through B
+    from chillastic_spark.operators import dedup as D
+
+    sig_a = D.minhash_signatures_wide(
+        spark.createDataFrame([(100, a_text, "sA")], corpus.schema),
+        "doc_id", "text", 2, 32)
+    sig_b = D.minhash_signatures_wide(
+        spark.createDataFrame([(200, b_text, "sA")], corpus.schema),
+        "doc_id", "text", 2, 32)
+    premise = D.minhash_flag_against(
+        sig_a, D.minhash_bands(sig_a, 32, 16),
+        sig_b, D.minhash_bands(sig_b, 32, 16), 32, 0.2,
+    ).collect()
+    assert [(r["doc_id"], r["match_id"]) for r in premise] == [(100, 200)]
+
+    first = run()
+    assert set(first) == {100, 200}
+    assert first[100]["rep_id"] == 100  # A novel
+    # B's stronger overlap is the corpus doc -> published rep adopted
+    assert first[200]["rep_id"] == pub[9]["rep_id"]
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    second = run()
+    assert second == first  # esp. A still rep 100, not contaminated

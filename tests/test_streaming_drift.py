@@ -73,12 +73,18 @@ def test_drift_stream_matches_batch_twin(spark, tmp_path):
     assert all(r["kl"] >= 0.0 for r in whole)
 
 
-def test_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch):
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["local", "disk"])
+def test_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch, mode):
     """Long-running-stream leak guard: per-batch materialized
-    intermediates must be RELEASED after each micro-batch — under
-    mode=disk the persisted-RDD count after a 3-batch run must equal
-    the pre-stream count plus the stream's frozen reference only, not
-    grow with the batch count."""
+    intermediates must be RELEASED after each micro-batch — under BOTH
+    persist modes (localCheckpoint blocks live in sc.persistentRdds,
+    disk blocks in the SQL cache manager; release() must free each)
+    the persisted-RDD count after a 3-batch run must equal the
+    pre-stream count plus the stream's frozen reference only, not grow
+    with the batch count."""
     from chillastic_spark.streaming import drift_stream
 
     corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -91,7 +97,7 @@ def test_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch):
             str(stream_dir / f"part-{i:04d}.parquet"),
         )
 
-    monkeypatch.setenv("CHILLASTIC_PERSIST", "disk")
+    monkeypatch.setenv("CHILLASTIC_PERSIST", mode)
     n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     q = drift_stream(
         spark, str(stream_dir), corpus, str(tmp_path / "out"),
