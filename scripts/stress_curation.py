@@ -96,6 +96,66 @@ def main() -> None:
     print("splits:", split_counts, "shard rows:", summary.count())
     print(f"assembly wall: {time.time() - t1:.1f}s  (tree at {out})")
 
+    # phase 3: continuous ingest through the COMPOSED curation stream
+    # (drift -> frozen-LM filter -> near-dedup -> leakage-safe assembly
+    # per micro-batch): n_docs/10 incoming docs in 5 files, 20% planted
+    # near-dups of the published corpus — measures the kappa path's
+    # per-batch wall and verifies adoption volume at scale
+    from chillastic_spark.streaming import curation_stream
+
+    t2 = time.time()
+    n_inc = max(1000, n_docs // 10)
+    stream_root = tempfile.mkdtemp(prefix="stress_stream_")
+    inc_dir = os.path.join(stream_root, "incoming")
+    os.makedirs(inc_dir)
+    static = survivors.select("doc_id", "text", "source").localCheckpoint()
+    pub_manifest = manifest.select("doc_id", "rep_id", "split").localCheckpoint()
+    inc = (
+        spark.range(n_docs, n_docs + n_inc)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "source", F.concat(F.lit("inc"), (F.col("doc_id") % 4).cast("string"))
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 1,  # near-dup of a static doc
+                F.concat(mk_text(F.col("doc_id") % n_docs), F.lit(" tail")),
+            ).otherwise(mk_text(F.col("doc_id"))),
+        )
+        .select("doc_id", "text", "source")
+    )
+    n_files = 5
+    for i in range(n_files):
+        inc.filter(F.col("doc_id") % n_files == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(inc_dir, f"file={i}"))
+    # file-source streams read leaf files; point at the nested parquet
+    out_root = os.path.join(stream_root, "cur")
+    q = curation_stream(
+        spark,
+        inc_dir + "/*",
+        static,
+        pub_manifest,
+        out_root,
+        os.path.join(stream_root, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    m_inc = spark.read.parquet(out_root + "/manifest")
+    n_assigned = m_inc.count()
+    adopted = m_inc.join(
+        pub_manifest.select(F.col("rep_id").alias("__pub_rep")).distinct(),
+        m_inc["rep_id"] == F.col("__pub_rep"),
+        "left_semi",
+    ).count()
+    wall = time.time() - t2
+    print(
+        f"stream: {n_assigned} docs assigned ({adopted} adopted published "
+        f"reps) in {n_files} micro-batches"
+    )
+    print(f"stream wall: {wall:.1f}s ({n_inc / wall:.0f} docs/s incl. model freeze)")
+
 
 if __name__ == "__main__":
     main()
