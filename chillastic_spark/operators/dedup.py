@@ -403,16 +403,20 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"bands must divide num_perm (got num_perm={num_perm}, bands={bands})"
         )
-    rows = num_perm // bands
     # signatures feed banding + both verify-join sides: materialise once
     sig = materialize(minhash_signatures_wide(df, id_col, text_col, n, num_perm))
-    band_keys = F.array(
-        *[
-            F.concat_ws(",", *[F.col(f"mh{b * rows + j}").cast("string") for j in range(rows)])
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band", "bkey"))
+    return minhash_pairs_from_signatures(sig, num_perm, bands, threshold)
+
+
+def minhash_pairs_from_signatures(
+    sig: DataFrame, num_perm: int, bands: int, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) in-set near-dup pairs from an
+    ALREADY-materialized wide signature table — the streaming shapes
+    compute batch signatures once and feed them both here (in-batch
+    pairs) and into ``minhash_flag_against`` (vs the accumulated
+    corpus), instead of re-hashing the batch per consumer."""
+    banded = minhash_bands(sig, num_perm, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

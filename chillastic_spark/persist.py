@@ -42,12 +42,15 @@ setting break fixpoint loops.
 """
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame
 
 _VALID = ("local", "reliable", "disk", "none")
+_SCOPES = threading.local()
 
 
 def persist_mode() -> str:
@@ -87,15 +90,44 @@ def materialize(
     if iterative and mode in ("disk", "none"):
         mode = "reliable"
     if mode == "local":
-        return df.localCheckpoint()
-    if mode == "reliable":
+        out = df.localCheckpoint()
+    elif mode == "reliable":
         _ensure_checkpoint_dir(df)
-        return df.checkpoint()
-    if mode == "disk":
+        out = df.checkpoint()
+    elif mode == "disk":
         from pyspark import StorageLevel
 
-        return df.persist(StorageLevel.DISK_ONLY)
-    return df
+        out = df.persist(StorageLevel.DISK_ONLY)
+    else:
+        return df
+    stack = getattr(_SCOPES, "stack", None)
+    if stack:
+        stack[-1].append(out)
+    return out
+
+
+@contextlib.contextmanager
+def batch_scope():
+    """Auto-release every ``materialize`` pinned inside the scope —
+    including the ones buried in operator INTERNALS (connected
+    components' per-round state, lsh pair signatures) that the caller
+    never sees and so can never :func:`release` by hand. Streaming
+    loops wrap each micro-batch's processing: by scope exit the
+    batch's outputs are written, every intermediate is consumed, and
+    releasing is safe; nothing accumulates across thousands of
+    micro-batches. Thread-local (foreachBatch runs on the streaming
+    thread) and re-entrant (inner scopes release only their own)."""
+    stack = getattr(_SCOPES, "stack", None)
+    if stack is None:
+        stack = _SCOPES.stack = []
+    frames: "list[DataFrame]" = []
+    stack.append(frames)
+    try:
+        yield frames
+    finally:
+        stack.pop()
+        for f in frames:
+            release(f)
 
 
 def release(df: DataFrame) -> None:

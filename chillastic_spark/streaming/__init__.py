@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from chillastic_spark.operators.mutate import apply_data_mutators
-from chillastic_spark.persist import release
+from chillastic_spark.persist import batch_scope
 from chillastic_spark.sinks import upsert
 from chillastic_spark.sources import ENVELOPE_SCHEMA, DocumentStore
 
@@ -496,6 +496,7 @@ def incremental_dedup_stream(
     bands: int = 4,
     threshold: float = 0.25,
     available_now: bool = True,
+    max_files_per_trigger: int = 2,
 ) -> StreamingQuery:
     """Ingest-time near-dedup as a stream: each micro-batch of incoming
     docs is flagged against the STATIC curated corpus with the same
@@ -518,26 +519,26 @@ def incremental_dedup_stream(
 
     stream = (
         spark.readStream.schema(existing.schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stream_dir)
     )
 
     def process(batch_df, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sig = D.materialize(
-            D.minhash_signatures_wide(batch_df, "doc_id", "text", n, num_perm)
-        )
-        flags = D.minhash_flag_against(
-            sig,
-            D.minhash_bands(sig, num_perm, bands),
-            ex_sig,
-            ex_bands,
-            num_perm,
-            threshold,
-        )
-        flags.write.mode("append").parquet(out_dir)
-        release(sig)  # per-batch intermediate: don't leak cache entries
+        with batch_scope():  # per-batch pins released after the write
+            sig = D.materialize(
+                D.minhash_signatures_wide(batch_df, "doc_id", "text", n, num_perm)
+            )
+            flags = D.minhash_flag_against(
+                sig,
+                D.minhash_bands(sig, num_perm, bands),
+                ex_sig,
+                ex_bands,
+                num_perm,
+                threshold,
+            )
+            flags.write.mode("append").parquet(out_dir)
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -607,6 +608,7 @@ def lm_filter_stream(
     nll_keep_max: float = 10.5,
     buckets: "int | None" = None,
     available_now: bool = True,
+    max_files_per_trigger: int = 2,
 ) -> StreamingQuery:
     """Ingest-time perplexity filtering as a stream: the hashed bigram
     LM (operators/lm.py) is trained ONCE on the STATIC reference
@@ -639,7 +641,7 @@ def lm_filter_stream(
 
     stream = (
         spark.readStream.schema(corpus.schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stream_dir)
     )
 
@@ -758,40 +760,44 @@ def assembly_stream(
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sig = D.materialize(
-            D.minhash_signatures_wide(batch_df, "doc_id", "text", n, num_perm)
-        )
-        acc_sig, acc_manifest = _accumulated_sides(
-            spark, sig_dir, out_dir, batch_id, ex_sig.columns
-        )
-        match_sig = (
-            ex_sig if acc_sig is None else ex_sig.unionByName(acc_sig)
-        )
-        flags = D.minhash_flag_against(
-            sig,
-            D.minhash_bands(sig, num_perm, bands),
-            match_sig,
-            D.minhash_bands(match_sig, num_perm, bands),
-            num_perm,
-            threshold,
-        ).select("doc_id", "match_id")
-        manifest_side = (
-            existing_manifest
-            if acc_manifest is None
-            else existing_manifest.select("doc_id", "rep_id").unionByName(
-                acc_manifest
+        with batch_scope():  # releases every per-batch pin after the
+            # writes — including operator-internal ones (component
+            # rounds inside assemble_incremental) no caller can reach
+            sig = D.materialize(
+                D.minhash_signatures_wide(batch_df, "doc_id", "text", n, num_perm)
             )
-        )
-        batch_pairs = D.minhash_lsh_pairs(
-            batch_df, id_col="doc_id", text_col="text",
-            n=n, num_perm=num_perm, bands=bands, threshold=threshold,
-        ).select("id_a", "id_b")
-        manifest = assemble_incremental(
-            batch_df, manifest_side, flags, batch_pairs=batch_pairs
-        )
-        manifest.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        sig.write.mode("overwrite").parquet(f"{sig_dir}/batch={batch_id}")
-        release(sig)  # per-batch intermediate: don't leak cache entries
+            acc_sig, acc_manifest = _accumulated_sides(
+                spark, sig_dir, out_dir, batch_id, ex_sig.columns
+            )
+            match_sig = (
+                ex_sig if acc_sig is None else ex_sig.unionByName(acc_sig)
+            )
+            flags = D.minhash_flag_against(
+                sig,
+                D.minhash_bands(sig, num_perm, bands),
+                match_sig,
+                D.minhash_bands(match_sig, num_perm, bands),
+                num_perm,
+                threshold,
+            ).select("doc_id", "match_id")
+            manifest_side = (
+                existing_manifest
+                if acc_manifest is None
+                else existing_manifest.select("doc_id", "rep_id").unionByName(
+                    acc_manifest
+                )
+            )
+            # in-batch pairs from the SAME materialized signatures the
+            # flag join uses — minhash_lsh_pairs(batch_df) would
+            # re-hash the batch and pin a second signature table
+            batch_pairs = D.minhash_pairs_from_signatures(
+                sig, num_perm, bands, threshold
+            ).select("id_a", "id_b")
+            manifest = assemble_incremental(
+                batch_df, manifest_side, flags, batch_pairs=batch_pairs
+            )
+            manifest.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+            sig.write.mode("overwrite").parquet(f"{sig_dir}/batch={batch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -945,13 +951,13 @@ def drift_stream(
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # multiple consumers (group totals + novel-bucket anti-join +
-        # domain join) — materialize so the batch's explode+md5 token
-        # pass runs once, same as the batch twin
-        sb = materialize(IMP.unigram_counts(batch_df, "source", buckets=b))
-        out = IMP.unigram_drift(sb, ref)  # both KL and PSI, one pass
-        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        release(sb)  # per-batch intermediate: don't leak cache entries
+        with batch_scope():  # per-batch pins released after the write
+            # multiple consumers (group totals + novel-bucket anti-join
+            # + domain join) — materialize so the batch's explode+md5
+            # token pass runs once, same as the batch twin
+            sb = materialize(IMP.unigram_counts(batch_df, "source", buckets=b))
+            out = IMP.unigram_drift(sb, ref)  # both KL and PSI, one pass
+            out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -1046,81 +1052,81 @@ def curation_stream(
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # 1. drift monitor on the RAW batch (pre-filter: the monitor
-        # must see what is ARRIVING, not what survives)
-        sb = D.materialize(
-            IMP.unigram_counts(batch_df, "source", buckets=b_drift)
-        )
-        IMP.unigram_drift(sb, drift_ref).write.mode("overwrite").parquet(
-            f"{out_root}/drift/batch={batch_id}"
-        )
-        release(sb)  # per-batch intermediate: don't leak cache entries
-        # 2. frozen-LM quality filter — materialized: the scoring
-        # (bigram explode + two broadcast joins + agg) feeds the sink
-        # AND the kept semi-join; unpinned it would re-execute per
-        # downstream action
-        flags_lm = D.materialize(
-            _lm_score_batch(batch_df, ctx, big, b_lm, nll_keep_max)
-        )
-        flags_lm.write.mode("overwrite").parquet(
-            f"{out_root}/lm_flags/batch={batch_id}"
-        )
-        kept = D.materialize(
-            batch_df.join(
-                flags_lm.filter(F.col("keep")).select("doc_id"), "doc_id",
-                "left_semi",
+        with batch_scope():  # releases every per-batch pin after the
+            # writes — including operator-internal ones (component
+            # rounds inside assemble_incremental) no caller can reach
+            # 1. drift monitor on the RAW batch (pre-filter: the
+            # monitor must see what is ARRIVING, not what survives)
+            sb = D.materialize(
+                IMP.unigram_counts(batch_df, "source", buckets=b_drift)
             )
-        )  # feeds isEmpty + signatures + in-batch pairs + assembly
-        release(flags_lm)
-        if kept.isEmpty():
-            release(kept)
-            return
-        # 3. near-dedup of kept docs vs corpus + previously-kept ingest
-        sig = D.materialize(
-            D.minhash_signatures_wide(kept, "doc_id", "text", n, num_perm)
-        )
-        acc_sig, acc_manifest = _accumulated_sides(
-            spark, f"{out_root}/sigs", f"{out_root}/manifest", batch_id,
-            ex_sig.columns,
-        )
-        match_sig = (
-            ex_sig if acc_sig is None else ex_sig.unionByName(acc_sig)
-        )
-        dedup_flags = D.minhash_flag_against(
-            sig,
-            D.minhash_bands(sig, num_perm, bands),
-            match_sig,
-            D.minhash_bands(match_sig, num_perm, bands),
-            num_perm,
-            threshold,
-        ).select("doc_id", "match_id")
-        dedup_flags = D.materialize(dedup_flags)  # feeds sink + assembly
-        dedup_flags.write.mode("overwrite").parquet(
-            f"{out_root}/dedup_flags/batch={batch_id}"
-        )
-        # 4. leakage-safe assembly of the kept docs, reusing the flags
-        manifest_side = (
-            existing_manifest
-            if acc_manifest is None
-            else existing_manifest.select("doc_id", "rep_id").unionByName(
-                acc_manifest
+            IMP.unigram_drift(sb, drift_ref).write.mode("overwrite").parquet(
+                f"{out_root}/drift/batch={batch_id}"
             )
-        )
-        batch_pairs = D.minhash_lsh_pairs(
-            kept, id_col="doc_id", text_col="text",
-            n=n, num_perm=num_perm, bands=bands, threshold=threshold,
-        ).select("id_a", "id_b")
-        manifest = assemble_incremental(
-            kept, manifest_side, dedup_flags, batch_pairs=batch_pairs
-        )
-        manifest.write.mode("overwrite").parquet(
-            f"{out_root}/manifest/batch={batch_id}"
-        )
-        sig.write.mode("overwrite").parquet(
-            f"{out_root}/sigs/batch={batch_id}"
-        )
-        for interm in (kept, sig, dedup_flags):
-            release(interm)  # per-batch: don't leak cache entries
+            # 2. frozen-LM quality filter — materialized: the scoring
+            # (bigram explode + two broadcast joins + agg) feeds the
+            # sink AND the kept semi-join; unpinned it would re-execute
+            # per downstream action
+            flags_lm = D.materialize(
+                _lm_score_batch(batch_df, ctx, big, b_lm, nll_keep_max)
+            )
+            flags_lm.write.mode("overwrite").parquet(
+                f"{out_root}/lm_flags/batch={batch_id}"
+            )
+            kept = D.materialize(
+                batch_df.join(
+                    flags_lm.filter(F.col("keep")).select("doc_id"),
+                    "doc_id", "left_semi",
+                )
+            )  # feeds isEmpty + signatures + in-batch pairs + assembly
+            if kept.isEmpty():
+                return
+            # 3. near-dedup of kept docs vs corpus + previously-kept
+            # ingest
+            sig = D.materialize(
+                D.minhash_signatures_wide(kept, "doc_id", "text", n, num_perm)
+            )
+            acc_sig, acc_manifest = _accumulated_sides(
+                spark, f"{out_root}/sigs", f"{out_root}/manifest", batch_id,
+                ex_sig.columns,
+            )
+            match_sig = (
+                ex_sig if acc_sig is None else ex_sig.unionByName(acc_sig)
+            )
+            dedup_flags = D.minhash_flag_against(
+                sig,
+                D.minhash_bands(sig, num_perm, bands),
+                match_sig,
+                D.minhash_bands(match_sig, num_perm, bands),
+                num_perm,
+                threshold,
+            ).select("doc_id", "match_id")
+            dedup_flags = D.materialize(dedup_flags)  # sink + assembly
+            dedup_flags.write.mode("overwrite").parquet(
+                f"{out_root}/dedup_flags/batch={batch_id}"
+            )
+            # 4. leakage-safe assembly of the kept docs, reusing the
+            # flags; in-batch pairs from the SAME materialized
+            # signatures as the flag join (no second signature table)
+            manifest_side = (
+                existing_manifest
+                if acc_manifest is None
+                else existing_manifest.select("doc_id", "rep_id").unionByName(
+                    acc_manifest
+                )
+            )
+            batch_pairs = D.minhash_pairs_from_signatures(
+                sig, num_perm, bands, threshold
+            ).select("id_a", "id_b")
+            manifest = assemble_incremental(
+                kept, manifest_side, dedup_flags, batch_pairs=batch_pairs
+            )
+            manifest.write.mode("overwrite").parquet(
+                f"{out_root}/manifest/batch={batch_id}"
+            )
+            sig.write.mode("overwrite").parquet(
+                f"{out_root}/sigs/batch={batch_id}"
+            )
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -117,10 +117,18 @@ def main() -> None:
             "source", F.concat(F.lit("inc"), (F.col("doc_id") % 4).cast("string"))
         )
         .withColumn(
+            # planted near-dups must seed off static docs whose text IS
+            # mk_text(seed): the corpus generator overrides doc_id%50==1
+            # (exact dup) and %20==1 (near dup), so pin seed ≡ 2 (mod
+            # 20) — never an overridden id
+            "__seed",
+            (F.col("doc_id") % (n_docs // 20)) * 20 + 2,
+        )
+        .withColumn(
             "text",
             F.when(
                 F.col("doc_id") % 5 == 1,  # near-dup of a static doc
-                F.concat(mk_text(F.col("doc_id") % n_docs), F.lit(" tail")),
+                F.concat(mk_text(F.col("__seed")), F.lit(" tail")),
             ).otherwise(mk_text(F.col("doc_id"))),
         )
         .select("doc_id", "text", "source")
@@ -141,7 +149,7 @@ def main() -> None:
         os.path.join(stream_root, "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "curation stream timed out"
     m_inc = spark.read.parquet(out_root + "/manifest")
     n_assigned = m_inc.count()
     adopted = m_inc.join(

@@ -109,3 +109,46 @@ def test_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch, mode):
     # 3 leaked per-batch tables would make this n_before + 4.
     assert n_after <= n_before + 1, (n_before, n_after)
     assert spark.read.parquet(str(tmp_path / "out")).count() > 0
+
+
+def test_curation_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch):
+    """The composed stream pins five per-batch intermediates (drift
+    counts, lm flags, kept, signatures, dedup flags) — all must be
+    released per batch: after 3 batches the persistent-RDD count may
+    exceed the baseline only by the FOUR frozen references (LM ctx/big,
+    drift ref, corpus signatures)."""
+    from chillastic_spark.pipelines import assemble
+    from chillastic_spark.streaming import curation_stream
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source")
+        .limit(120)
+    )
+    manifest, _ = assemble(
+        corpus.withColumn("text", F.coalesce("text", F.lit(""))),
+        pairs=spark.createDataFrame([], "id_a: long, id_b: long"),
+    )
+    manifest = manifest.localCheckpoint()
+    pdf = corpus.toPandas()
+    stream_dir = tmp_path / "inc"
+    stream_dir.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf.iloc[i * 40 : (i + 1) * 40], preserve_index=False
+            ),
+            str(stream_dir / f"part-{i:04d}.parquet"),
+        )
+
+    monkeypatch.setenv("CHILLASTIC_PERSIST", "local")
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    q = curation_stream(
+        spark, str(stream_dir), corpus, manifest,
+        str(tmp_path / "cur"), str(tmp_path / "ckpt"),
+        buckets=512, max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+    n_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_after <= n_before + 4, (n_before, n_after)
+    assert spark.read.parquet(str(tmp_path / "cur") + "/manifest").count() > 0
