@@ -159,9 +159,10 @@ class DeltaStore:
         from pyspark.sql.window import Window
 
         self.ensure_table(spark)
-        from chillastic_spark.persist import materialize
+        from chillastic_spark.persist import materialize, release
 
-        batch = materialize(add_bucket_column(df, self.n_buckets))
+        pinned = materialize(add_bucket_column(df, self.n_buckets))
+        batch = pinned
         w_rank = F.row_number().over(
             Window.partitionBy("_index", "_type", "_id").orderBy(
                 F.desc(F.md5(F.col("_source"))), F.desc("_size")
@@ -175,6 +176,7 @@ class DeltaStore:
             spark.sql(merge_upsert_sql(self.table, source_view=view))
         finally:
             spark.catalog.dropTempView(view)
+            release(pinned)  # per-batch pin: freed after the MERGE
         return n
 
     def purge(
