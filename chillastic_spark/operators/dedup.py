@@ -416,6 +416,12 @@ def minhash_pairs_from_signatures(
     compute batch signatures once and feed them both here (in-batch
     pairs) and into ``minhash_flag_against`` (vs the accumulated
     corpus), instead of re-hashing the batch per consumer."""
+    if bands <= 0 or bands > num_perm or num_perm % bands != 0:
+        # same guard as minhash_lsh_pairs: bands>num_perm would give
+        # empty band keys → one global bucket → O(n²) cross-pairing
+        raise ValueError(
+            f"bands must divide num_perm (got num_perm={num_perm}, bands={bands})"
+        )
     banded = minhash_bands(sig, num_perm, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

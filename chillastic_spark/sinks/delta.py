@@ -162,21 +162,28 @@ class DeltaStore:
         from chillastic_spark.persist import materialize, release
 
         pinned = materialize(add_bucket_column(df, self.n_buckets))
-        batch = pinned
-        w_rank = F.row_number().over(
-            Window.partitionBy("_index", "_type", "_id").orderBy(
-                F.desc(F.md5(F.col("_source"))), F.desc("_size")
-            )
-        )
-        batch = batch.withColumn("__rk", w_rank).filter(F.col("__rk") == 1).drop("__rk")
-        n = batch.count()
-        view = f"__batch_{uuid.uuid4().hex}"
-        batch.createOrReplaceTempView(view)
         try:
-            spark.sql(merge_upsert_sql(self.table, source_view=view))
+            w_rank = F.row_number().over(
+                Window.partitionBy("_index", "_type", "_id").orderBy(
+                    F.desc(F.md5(F.col("_source"))), F.desc("_size")
+                )
+            )
+            batch = (
+                pinned.withColumn("__rk", w_rank)
+                .filter(F.col("__rk") == 1)
+                .drop("__rk")
+            )
+            n = batch.count()
+            view = f"__batch_{uuid.uuid4().hex}"
+            batch.createOrReplaceTempView(view)
+            try:
+                spark.sql(merge_upsert_sql(self.table, source_view=view))
+            finally:
+                spark.catalog.dropTempView(view)
         finally:
-            spark.catalog.dropTempView(view)
-            release(pinned)  # per-batch pin: freed after the MERGE
+            # per-batch pin: freed even when count/view/MERGE fails, so
+            # a retried deliver never accumulates leaked blocks
+            release(pinned)
         return n
 
     def purge(

@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from chillastic_spark.operators.mutate import apply_data_mutators
-from chillastic_spark.persist import batch_scope
+from chillastic_spark.persist import batch_scope, persist_mode, release
 from chillastic_spark.sinks import upsert
 from chillastic_spark.sources import ENVELOPE_SCHEMA, DocumentStore
 
@@ -1063,6 +1063,10 @@ def curation_stream(
             IMP.unigram_drift(sb, drift_ref).write.mode("overwrite").parquet(
                 f"{out_root}/drift/batch={batch_id}"
             )
+            release(sb)  # drift write was its only consumer; the scope
+            # exit would free it anyway, but releasing at last-consumer
+            # keeps the batch's PEAK pinned footprint to the frames the
+            # remaining stages actually read
             # 2. frozen-LM quality filter — materialized: the scoring
             # (bigram explode + two broadcast joins + agg) feeds the
             # sink AND the kept semi-join; unpinned it would re-execute
@@ -1079,6 +1083,13 @@ def curation_stream(
                     "doc_id", "left_semi",
                 )
             )  # feeds isEmpty + signatures + in-batch pairs + assembly
+            if persist_mode() in ("local", "reliable"):
+                # eager pins: kept is fully computed by materialize(),
+                # so the LM flags frame is dead here — free it early.
+                # Under lazy 'disk' pinning kept partitions may still
+                # recompute through flags_lm, so the scope exit owns it
+                # (DISK_ONLY blocks cost no executor memory anyway).
+                release(flags_lm)
             if kept.isEmpty():
                 return
             # 3. near-dedup of kept docs vs corpus + previously-kept

@@ -151,3 +151,31 @@ def test_deliver_dedups_batch_and_uses_per_call_views(spark, monkeypatch):
     assert fake_sql.view_name not in [
         t.name for t in spark.catalog.listTables()
     ]
+
+
+def test_deliver_releases_pin_even_when_merge_fails(spark, monkeypatch):
+    """A failed deliver (MERGE error, transient cluster fault) must not
+    leak the per-batch materialized source: a Transfer thread retries
+    deliver per batch, so a leaked pin per failure accumulates blocks
+    in sc.persistentRdds for the session lifetime."""
+    store = DL.DeltaStore("docs_fail", n_buckets=8)
+    monkeypatch.setattr(DL, "_require_delta", lambda s: None)
+    monkeypatch.setattr(DL.DeltaStore, "ensure_table", lambda self, s: None)
+
+    real_sql = spark.sql
+
+    def fail_merge(stmt, *a, **k):
+        if stmt.startswith("MERGE INTO"):
+            raise RuntimeError("simulated MERGE failure")
+        return real_sql(stmt, *a, **k)
+
+    monkeypatch.setattr(spark, "sql", fail_merge)
+    df = spark.createDataFrame(
+        [("ix", "t", "k1", '{"v": 1}', 8)],
+        "_index string, _type string, _id string, _source string, _size long",
+    )
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with pytest.raises(RuntimeError, match="simulated MERGE failure"):
+        store.deliver(spark, df)
+    n_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_after <= n_before, (n_before, n_after)

@@ -105,6 +105,21 @@ def test_minhash_bands_validated(spark):
     with pytest.raises(ValueError, match="bands must divide"):
         minhash_lsh_pairs(df, num_perm=16, bands=3)
 
+    # the signatures-path entry (used by the streaming shapes, which
+    # skip minhash_lsh_pairs) must enforce the SAME guard — a silent
+    # mis-banding would either degrade recall (ignored permutations)
+    # or collapse every doc into one bucket (bands > num_perm)
+    from chillastic_spark.operators.dedup import (
+        minhash_pairs_from_signatures,
+        minhash_signatures_wide,
+    )
+
+    sig = minhash_signatures_wide(df, "doc_id", "text", 3, 8)
+    with pytest.raises(ValueError, match="bands must divide"):
+        minhash_pairs_from_signatures(sig, num_perm=8, bands=16, threshold=0.25)
+    with pytest.raises(ValueError, match="bands must divide"):
+        minhash_pairs_from_signatures(sig, num_perm=8, bands=3, threshold=0.25)
+
 
 def test_registry_replace_string_with_object_drops_source(tmp_path):
     # review finding #9: stale persisted source resurrected old code

@@ -46,7 +46,7 @@ def test_drift_stream_matches_batch_twin(spark, tmp_path):
         str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "drift stream did not finish in 120s"
 
     got = spark.read.parquet(out_dir)
     batches = [r["batch"] for r in got.select("batch").distinct().collect()]
@@ -103,7 +103,7 @@ def test_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch, mode):
         spark, str(stream_dir), corpus, str(tmp_path / "out"),
         str(tmp_path / "ckpt"), max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "drift stream did not finish in 120s"
     n_after = spark.sparkContext._jsc.getPersistentRDDs().size()
     # exactly ONE new persistent entry: the frozen reference table.
     # 3 leaked per-batch tables would make this n_before + 4.
@@ -148,7 +148,7 @@ def test_curation_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch):
         str(tmp_path / "cur"), str(tmp_path / "ckpt"),
         buckets=512, max_files_per_trigger=1,
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "curation stream did not finish in 240s"
     n_after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert n_after <= n_before + 4, (n_before, n_after)
     assert spark.read.parquet(str(tmp_path / "cur") + "/manifest").count() > 0
