@@ -337,6 +337,110 @@ def ngram_containment_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """EXACT twin of :func:`ngram_jaccard_pairs` with prefix filtering
+    (Chaudhuri et al. ICDE'06; Vernica et al. SIGMOD'10 for the
+    MapReduce shape) — identical output pairs, provably fewer join
+    candidates, which is the dominant cost at corpus scale.
+
+    Why it matters at 100 TB: the plain inverted-index join emits one
+    candidate per SHARED gram — Σ_g |posting(g)|² pairs before the
+    per-pair aggregation. Prefix filtering exploits the threshold:
+    order every doc's grams by ascending global document frequency
+    (rarest first, one total order for the whole corpus); if
+    J(A,B) ≥ t, the first ``|d| − ⌈t·|d|⌉ + 1`` grams of A and B must
+    share an element — so only that prefix of each doc needs to enter
+    the join, and hot (frequent) grams land in the LONG suffixes that
+    never join. A length filter (``t·max(|A|,|B|) ≤ min(|A|,|B|)``,
+    necessary for J ≥ t) prunes candidates before verification, and
+    the verify step computes the exact intersection by joining only
+    the surviving pairs back to the full shingle table.
+
+    Shuffle census: gram-frequency agg (gh), frequency join (gh),
+    size join + in-doc rank window (doc_id, one exchange — the window
+    reuses the join's partitioning), prefix self-join (gh over
+    prefixes only), verify joins (candidate-sized). Versus the plain
+    operator it trades one extra small agg + window for a candidate
+    set that shrinks as the threshold rises — at t=0.5 the prefix is
+    half the index; at t=0.9 a tenth.
+
+    Registered as the scale-path twin of ``dedup_ngram_jaccard`` with
+    the SAME oracle SQL — the result sets are equal by construction
+    (see test_dedup_properties: pair-for-pair equality on the real
+    corpus).
+    """
+    from pyspark.sql.window import Window
+
+    g = shingles(df, id_col, text_col, n).withColumn(
+        "gh", CF.hash60("gram")
+    ).drop("gram")
+    # the shingle table feeds the frequency agg, the prefix ranking,
+    # and both verify sides — one pin instead of four re-tokenisations
+    g = materialize(g)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = g.groupBy("gh").agg(F.count("*").alias("dfct"))
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("dfct", "gh")
+    )
+    pre = (
+        g.join(freq, "gh")
+        .join(sizes, "doc_id")
+        .withColumn("pos", pos)
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+        )
+        .select("doc_id", "gh", "sz")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # length filter: J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ⇒ t·max ≤ min
+        .filter(
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("id_a"), "gh")
+    gb = g.select(F.col("doc_id").alias("id_b"), "gh")
+    common = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            CF.round_det(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # -------------------------------------------------------------- MinHash LSH
 
 # Universal-hash permutation family over the 60-bit gram hash:

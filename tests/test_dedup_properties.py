@@ -94,3 +94,73 @@ def test_dsir_weight_matches_local_model(spark, docs):
         for r in dsir_weights(df, target, buckets=buckets).collect()
     }
     assert got == want
+
+
+def test_prefix_jaccard_equals_baseline_on_real_corpus(spark):
+    """ngram_jaccard_pairs_prefix is an EXACT optimization: identical
+    pair set + scores to the plain inverted-index join on the real
+    corpus at multiple thresholds (prefix filtering is lossless — if
+    J(A,B) >= t the rarest-gram prefixes must intersect)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.25, 0.5, 0.8):
+        base = sorted(
+            map(tuple, D.ngram_jaccard_pairs(d, n=3, threshold=t).collect())
+        )
+        pref = sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_pairs_prefix(d, n=3, threshold=t).collect(),
+            )
+        )
+        assert base == pref, f"threshold {t}: prefix variant diverged"
+    assert len(base) > 0  # the corpus has planted near-dups
+
+
+def test_prefix_jaccard_reduces_candidates(spark):
+    """The point of the prefix variant: strictly fewer candidate pairs
+    reach verification than the plain join co-occurrence count."""
+    import chillastic_spark.functions as CF
+    from pyspark.sql.window import Window
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = 0.5
+    g = D.shingles(d, "doc_id", "text", 3).withColumn(
+        "gh", CF.hash60("gram")
+    ).drop("gram")
+    a, b = g.alias("a"), g.alias("b")
+    full = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = g.groupBy("gh").agg(F.count("*").alias("dfct"))
+    pos = F.row_number().over(Window.partitionBy("doc_id").orderBy("dfct", "gh"))
+    pre = (
+        g.join(freq, "gh")
+        .join(sizes, "doc_id")
+        .withColumn("pos", pos)
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1)
+        .select("doc_id", "gh", "sz")
+    )
+    pa, pb = pre.alias("a"), pre.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(t) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert cand < full, (cand, full)
