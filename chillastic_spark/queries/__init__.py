@@ -65,9 +65,12 @@ PANEL_FIRST = [
     # search (never sampled)
     "bool_search", "wildcard_search", "search_snippets",
     "terms_set_query",
+    # r5 additions with no driver row yet: the approx-deciles twin and
+    # the prefix-filtered jaccard twin take two anchor slots so they
+    # get driver evidence in their first round
+    "balance_deciles_approx", "dedup_jaccard_prefix",
     # family anchors (driver-green in prior rounds)
-    "q5_local_supplier_volume", "count_per_slice", "dedup_minhash_lsh",
-    "ann_lsh_topk", "fuzzy_search",
+    "q5_local_supplier_volume", "count_per_slice", "fuzzy_search",
 ]
 
 
