@@ -51,7 +51,12 @@ def test_scan_projection_reads_three_columns(spark):
 
 
 def test_dedup_has_no_cartesian(spark):
-    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "embedding_dup_pairs"):
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_jaccard_prefix",
+        "dedup_minhash_lsh",
+        "embedding_dup_pairs",
+    ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
