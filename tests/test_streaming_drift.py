@@ -111,12 +111,17 @@ def test_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch, mode):
     assert spark.read.parquet(str(tmp_path / "out")).count() > 0
 
 
-def test_curation_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch):
+@pytest.mark.parametrize("mode", ["local", "reliable"])
+def test_curation_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch, mode):
     """The composed stream pins five per-batch intermediates (drift
     counts, lm flags, kept, signatures, dedup flags) — all must be
     released per batch: after 3 batches the persistent-RDD count may
     exceed the baseline only by the FOUR frozen references (LM ctx/big,
-    drift ref, corpus signatures)."""
+    drift ref, corpus signatures). Parameterized over the single-node
+    pin mode AND the cluster mode (reliable = DataFrame.checkpoint) —
+    the latter drives the eager-release branch for the LM flags and
+    proves the composed pipeline runs under executor-loss-safe
+    materialization end-to-end."""
     from chillastic_spark.pipelines import assemble
     from chillastic_spark.streaming import curation_stream
 
@@ -141,7 +146,7 @@ def test_curation_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch):
             str(stream_dir / f"part-{i:04d}.parquet"),
         )
 
-    monkeypatch.setenv("CHILLASTIC_PERSIST", "local")
+    monkeypatch.setenv("CHILLASTIC_PERSIST", mode)
     n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     q = curation_stream(
         spark, str(stream_dir), corpus, manifest,
