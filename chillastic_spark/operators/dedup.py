@@ -337,6 +337,89 @@ def ngram_containment_pairs(
     )
 
 
+def ngram_containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT twin of :func:`ngram_containment_pairs` with ASYMMETRIC
+    prefix filtering — identical output, candidates cut by roughly the
+    prefix fraction (≈ 1 − t, so ~10× at the registered t=0.9).
+
+    Containment |A∩B| / min(|A|,|B|) ≥ t only bounds the overlap in
+    terms of the SMALLER doc, so the symmetric Jaccard prefix rule
+    does not apply to the larger side. The standard asymmetric scheme:
+    give each unordered pair one canonical "smaller" role by the total
+    order (sz, doc_id); if the pair qualifies, the smaller doc's
+    overlap is ≥ t·|small|, so its rarest-gram prefix of
+    ``|d| − ⌈t·|d|⌉ + 1`` grams must hit the partner's FULL gram set.
+    Join = small-side prefixes × full index (posting volume
+    Σ |prefix_posting|·|full_posting| instead of Σ|posting|²), then
+    verify surviving pairs exactly as the plain operator does.
+    Equality with the plain join is test-pinned on the real corpus.
+    """
+    from pyspark.sql.window import Window
+
+    g = shingles(df, id_col, text_col, n).withColumn(
+        "gh", CF.hash60("gram")
+    ).drop("gram")
+    g = materialize(g)  # feeds freq, prefix ranking, full probe side,
+    # both verify sides and the size agg
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = g.groupBy("gh").agg(F.count("*").alias("dfct"))
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("dfct", "gh")
+    )
+    pre = (
+        g.join(freq, "gh")
+        .join(sizes, "doc_id")
+        .withColumn("pos", pos)
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+        )
+        .select("doc_id", "gh", "sz")
+    )
+    full = g.join(sizes, "doc_id")
+    a, b = pre.alias("a"), full.alias("b")
+    smaller_role = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    cand = (
+        a.join(b, (F.col("a.gh") == F.col("b.gh")) & smaller_role)
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("id_a"), "gh")
+    gb = g.select(F.col("doc_id").alias("id_b"), "gh")
+    common = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            CF.round_det(
+                F.col("common") / F.least(F.col("sz_a"), F.col("sz_b")), 4
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str = "doc_id",

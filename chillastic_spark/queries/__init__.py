@@ -69,8 +69,9 @@ PANEL_FIRST = [
     # the prefix-filtered jaccard twin take two anchor slots so they
     # get driver evidence in their first round
     "balance_deciles_approx", "dedup_jaccard_prefix",
+    "dedup_containment_prefix",
     # family anchors (driver-green in prior rounds)
-    "q5_local_supplier_volume", "count_per_slice", "fuzzy_search",
+    "q5_local_supplier_volume", "count_per_slice",
 ]
 
 

@@ -164,3 +164,24 @@ def test_prefix_jaccard_reduces_candidates(spark):
         .count()
     )
     assert cand < full, (cand, full)
+
+
+def test_prefix_containment_equals_baseline_on_real_corpus(spark):
+    """ngram_containment_pairs_prefix (asymmetric prefix: the
+    canonical smaller doc's prefix probes the full index) is an EXACT
+    optimization of ngram_containment_pairs."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.5, 0.9):
+        base = sorted(
+            map(tuple, D.ngram_containment_pairs(d, n=3, threshold=t).collect())
+        )
+        pref = sorted(
+            map(
+                tuple,
+                D.ngram_containment_pairs_prefix(
+                    d, n=3, threshold=t
+                ).collect(),
+            )
+        )
+        assert base == pref, f"threshold {t}: prefix variant diverged"
+    assert len(base) > 0

@@ -54,6 +54,7 @@ def test_dedup_has_no_cartesian(spark):
     for name in (
         "dedup_ngram_jaccard",
         "dedup_jaccard_prefix",
+        "dedup_containment_prefix",
         "dedup_minhash_lsh",
         "embedding_dup_pairs",
     ):
