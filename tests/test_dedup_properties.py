@@ -185,3 +185,41 @@ def test_prefix_containment_equals_baseline_on_real_corpus(spark):
         )
         assert base == pref, f"threshold {t}: prefix variant diverged"
     assert len(base) > 0
+
+
+def test_prefix_twins_on_edge_shapes(spark):
+    """Edge shapes the corpus test may not contain: empty text, doc
+    shorter than the gram width (no shingles at all), byte-identical
+    docs (J = C = 1.0), a doc fully contained in a longer one, and a
+    singleton gram set. Both prefix twins must match their plain
+    operator exactly on every one."""
+    rows = [
+        (1, ""),                                  # empty
+        (2, "a b"),                               # < n words, no 3-grams
+        (3, "x y z w q r s t"),                   # base doc
+        (4, "x y z w q r s t"),                   # identical twin
+        (5, "x y z w q r s t u v a b c d e f"),   # superset (contains 3)
+        (6, "p p p"),                             # single distinct gram
+        (7, "completely different tokens here now"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    for t in (0.3, 0.9):
+        bj = sorted(map(tuple, D.ngram_jaccard_pairs(d, n=3, threshold=t).collect()))
+        pj = sorted(
+            map(tuple, D.ngram_jaccard_pairs_prefix(d, n=3, threshold=t).collect())
+        )
+        assert bj == pj, f"jaccard t={t}"
+        bc = sorted(
+            map(tuple, D.ngram_containment_pairs(d, n=3, threshold=t).collect())
+        )
+        pc = sorted(
+            map(
+                tuple,
+                D.ngram_containment_pairs_prefix(d, n=3, threshold=t).collect(),
+            )
+        )
+        assert bc == pc, f"containment t={t}"
+    # sanity on the semantics themselves: the identical pair is found
+    assert any(r[:2] == (3, 4) and r[2] == 1.0 for r in bj)
+    # containment at 0.9 finds the embedded doc against its superset
+    assert any(r[:2] == (3, 5) for r in bc) and any(r[:2] == (4, 5) for r in bc)
