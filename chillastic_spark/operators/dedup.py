@@ -337,6 +337,54 @@ def ngram_containment_pairs(
     )
 
 
+def _verify_common(cand: DataFrame, g: DataFrame) -> DataFrame:
+    """Exact-verification stage shared by the prefix-filtered twins:
+    (id_a, id_b, common, sz_a, sz_b) for each candidate pair.
+
+    Verifies by pairing each candidate with BOTH docs' sorted gram
+    arrays and intersecting in codegen (`array_intersect`), the
+    Vernica SIGMOD'10 verify shape — one row per candidate, never a
+    row-expansion. The rejected alternative (candidates ⋈ grams(A) ⋈
+    grams(B) and count matches) multiplies every candidate by |A|
+    BEFORE the gh equality can prune: on a corpus whose gram
+    frequencies are near-uniform (prefix filtering prunes little) the
+    intermediate is |cand|·|doc| rows and dominates the whole job —
+    measured 18× slower than the plain operator on a synthetic
+    flat-frequency corpus, vs at-par with the array verify.
+
+    Exactness: ``shingles`` emits per-doc DISTINCT grams, so the gram
+    array is a set and |array_intersect| equals the plain operator's
+    per-pair match count (they could diverge only if two distinct
+    grams of one doc collided in the 60-bit hash — the same event that
+    would skew the plain count)."""
+    arrs = g.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("gh")).alias("ghs"),
+        F.count("*").alias("sz"),
+    )
+    return (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("ghs").alias("ghs_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("ghs").alias("ghs_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "common", F.size(F.array_intersect("ghs_a", "ghs_b"))
+        )
+        .select("id_a", "id_b", "common", "sz_a", "sz_b")
+    )
+
+
 def ngram_containment_pairs_prefix(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -396,20 +444,9 @@ def ngram_containment_pairs_prefix(
         )
         .distinct()
     )
-    ga = g.select(F.col("doc_id").alias("id_a"), "gh")
-    gb = g.select(F.col("doc_id").alias("id_b"), "gh")
-    common = (
-        cand.join(ga, "id_a")
-        .join(gb, ["id_b", "gh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    common = _verify_common(cand, g)
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        common.withColumn(
             "containment",
             CF.round_det(
                 F.col("common") / F.least(F.col("sz_a"), F.col("sz_b")), 4
@@ -498,20 +535,9 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
-    ga = g.select(F.col("doc_id").alias("id_a"), "gh")
-    gb = g.select(F.col("doc_id").alias("id_b"), "gh")
-    common = (
-        cand.join(ga, "id_a")
-        .join(gb, ["id_b", "gh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    common = _verify_common(cand, g)
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             CF.round_det(
                 F.col("common")
