@@ -400,6 +400,6 @@ QUERIES = {
         dedup_ngram_containment, DEDUP_CONTAINMENT_SQL
     ),
     "dedup_containment_prefix": Query(
-        dedup_containment_prefix, DEDUP_CONTAINMENT_SQL
+        dedup_containment_prefix, DEDUP_CONTAINMENT_SQL, headline=True
     ),
 }
