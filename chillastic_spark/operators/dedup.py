@@ -337,6 +337,53 @@ def ngram_containment_pairs(
     )
 
 
+# The plain operators (and the shared DuckDB oracles) filter on the
+# ROUNDED score — round_det(s, 4) ≥ t, i.e. floor(s·10⁴ + 0.5)/10⁴ ≥ t —
+# which admits true scores down to t − 0.5·10⁻⁴ (inclusive). Candidate
+# pruning in the prefix twins must therefore be lossless for every pair
+# whose TRUE score is ≥ t − 0.5·10⁻⁴, or a rounded-boundary pair the
+# plain operator emits could be pruned before verification.
+_ROUND_MARGIN = 0.5e-4
+
+
+def _prefix_index(
+    df: DataFrame, id_col: str, text_col: str, n: int, t_eff: float
+) -> "tuple[DataFrame, DataFrame]":
+    """(g, pre) for the prefix-filtered twins — the ONE definition of
+    the prefix rule, shared so the Jaccard and containment twins can
+    never diverge on it.
+
+    ``g``: materialized (doc_id, gh) distinct-shingle table (feeds the
+    frequency agg, the prefix ranking, and the verify arrays).
+    ``pre``: (doc_id, gh, sz) — each doc's first ``sz − ⌈t_eff·sz⌉ + 1``
+    grams in the global rarest-first total order (ascending document
+    frequency, gh tie-break). By the prefix-filter theorem, any pair
+    whose overlap is ≥ ⌈t_eff·sz⌉ for a doc must have a common gram in
+    that doc's prefix."""
+    from pyspark.sql.window import Window
+
+    g = shingles(df, id_col, text_col, n).withColumn(
+        "gh", CF.hash60("gram")
+    ).drop("gram")
+    g = materialize(g)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = g.groupBy("gh").agg(F.count("*").alias("dfct"))
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("dfct", "gh")
+    )
+    pre = (
+        g.join(freq, "gh")
+        .join(sizes, "doc_id")
+        .withColumn("pos", pos)
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(t_eff)) + 1
+        )
+        .select("doc_id", "gh", "sz")
+    )
+    return g, pre
+
+
 def _verify_common(cand: DataFrame, g: DataFrame) -> DataFrame:
     """Exact-verification stage shared by the prefix-filtered twins:
     (id_a, id_b, common, sz_a, sz_b) for each candidate pair.
@@ -406,31 +453,15 @@ def ngram_containment_pairs_prefix(
     Join = small-side prefixes × full index (posting volume
     Σ |prefix_posting|·|full_posting| instead of Σ|posting|²), then
     verify surviving pairs exactly as the plain operator does.
+    Candidate pruning runs at ``t − 0.5·10⁻⁴`` so rounded-boundary
+    pairs the plain operator emits are never pruned (_ROUND_MARGIN).
     Equality with the plain join is test-pinned on the real corpus.
     """
-    from pyspark.sql.window import Window
-
-    g = shingles(df, id_col, text_col, n).withColumn(
-        "gh", CF.hash60("gram")
-    ).drop("gram")
-    g = materialize(g)  # feeds freq, prefix ranking, full probe side,
-    # both verify sides and the size agg
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    freq = g.groupBy("gh").agg(F.count("*").alias("dfct"))
-    pos = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("dfct", "gh")
+    t_eff = max(threshold - _ROUND_MARGIN, 0.0)
+    g, pre = _prefix_index(df, id_col, text_col, n, t_eff)
+    full = g.join(
+        g.groupBy("doc_id").agg(F.count("*").alias("sz")), "doc_id"
     )
-    pre = (
-        g.join(freq, "gh")
-        .join(sizes, "doc_id")
-        .withColumn("pos", pos)
-        .filter(
-            F.col("pos")
-            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
-        )
-        .select("doc_id", "gh", "sz")
-    )
-    full = g.join(sizes, "doc_id")
     a, b = pre.alias("a"), full.alias("b")
     smaller_role = (F.col("a.sz") < F.col("b.sz")) | (
         (F.col("a.sz") == F.col("b.sz"))
@@ -493,31 +524,12 @@ def ngram_jaccard_pairs_prefix(
     Registered as the scale-path twin of ``dedup_ngram_jaccard`` with
     the SAME oracle SQL — the result sets are equal by construction
     (see test_dedup_properties: pair-for-pair equality on the real
-    corpus).
+    corpus). Candidate pruning runs at ``t − 0.5·10⁻⁴`` so
+    rounded-boundary pairs the plain operator emits are never pruned
+    (_ROUND_MARGIN).
     """
-    from pyspark.sql.window import Window
-
-    g = shingles(df, id_col, text_col, n).withColumn(
-        "gh", CF.hash60("gram")
-    ).drop("gram")
-    # the shingle table feeds the frequency agg, the prefix ranking,
-    # and both verify sides — one pin instead of four re-tokenisations
-    g = materialize(g)
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    freq = g.groupBy("gh").agg(F.count("*").alias("dfct"))
-    pos = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("dfct", "gh")
-    )
-    pre = (
-        g.join(freq, "gh")
-        .join(sizes, "doc_id")
-        .withColumn("pos", pos)
-        .filter(
-            F.col("pos")
-            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
-        )
-        .select("doc_id", "gh", "sz")
-    )
+    t_eff = max(threshold - _ROUND_MARGIN, 0.0)
+    g, pre = _prefix_index(df, id_col, text_col, n, t_eff)
     a, b = pre.alias("a"), pre.alias("b")
     cand = (
         a.join(
@@ -528,7 +540,7 @@ def ngram_jaccard_pairs_prefix(
         # length filter: J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ⇒ t·max ≤ min
         .filter(
             F.least(F.col("a.sz"), F.col("b.sz"))
-            >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(t_eff) * F.greatest(F.col("a.sz"), F.col("b.sz"))
         )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")

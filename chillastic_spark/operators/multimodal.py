@@ -140,17 +140,27 @@ def _ffmpeg_extract_frames(
         with open(src, "wb") as f:
             f.write(payload)
         pat = _os.path.join(td, "f_%05d.png")
-        _sp.run(
-            [
-                ffmpeg, "-v", "error", "-i", src,
-                "-vf", f"select=not(mod(n\\,{max(stride, 1)}))",
-                # -vsync (not -fps_mode): accepted by ffmpeg 4.x AND
-                # 5+; -fps_mode only exists >= 5.1 and would crash
-                # every decode on older executors the probe accepts
-                "-vsync", "vfr", "-frames:v", str(max_frames), pat,
-            ],
-            check=True, capture_output=True,
-        )
+        try:
+            _sp.run(
+                [
+                    ffmpeg, "-v", "error", "-i", src,
+                    "-vf", f"select=not(mod(n\\,{max(stride, 1)}))",
+                    # -vsync (not -fps_mode): accepted by ffmpeg 4.x AND
+                    # 5+; -fps_mode only exists >= 5.1 and would crash
+                    # every decode on older executors the probe accepts
+                    "-vsync", "vfr", "-frames:v", str(max_frames), pat,
+                ],
+                check=True, capture_output=True,
+            )
+        except _sp.CalledProcessError as e:  # noqa: BLE001 — codec boundary
+            # surface ffmpeg's stderr: CalledProcessError alone says
+            # only "exit status 1", which makes one corrupt payload in
+            # a corpus an undiagnosable job-killer after task retries
+            err = (e.stderr or b"").decode("utf-8", "replace").strip()
+            raise NotImplementedError(
+                f"undecodable video payload ({len(payload)} bytes): "
+                f"{err or 'ffmpeg gave no error output'}; pass fake=True"
+            ) from e
         return [
             open(p, "rb").read()
             for p in sorted(_glob.glob(_os.path.join(td, "f_*.png")))

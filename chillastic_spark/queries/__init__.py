@@ -35,10 +35,13 @@ PANEL_FIRST = [
     # r5 rotation (r4 verdict #1): the 45 queries that had never been
     # driver-sampled in CORRECTNESS_r01–r04 fill 45 slots, so after
     # this round EVERY registered query has at least one
-    # driver-verified row. The remaining 5 slots are family anchors,
-    # all driver-green in a prior round: q5 (relational),
-    # count_per_slice (engine parity), dedup_minhash_lsh (dedup),
-    # ann_lsh_topk (vectors), fuzzy_search (search).
+    # driver-verified row. The remaining 5 slots: the THREE queries
+    # registered mid-r5 (balance_deciles_approx, dedup_jaccard_prefix,
+    # dedup_containment_prefix — no driver row yet) plus two family
+    # anchors already driver-green in a prior round (q5 relational,
+    # count_per_slice engine parity). dedup_minhash_lsh, ann_lsh_topk
+    # and fuzzy_search, originally pencilled in as anchors, gave up
+    # their slots to the mid-round additions — they are r4-green.
     # relational / analytics (never sampled)
     "snapshot_reconcile", "events_pivot", "skew_top_keys",
     "geomean_value_by_type", "value_outliers", "rolling_event_stats",
@@ -65,9 +68,8 @@ PANEL_FIRST = [
     # search (never sampled)
     "bool_search", "wildcard_search", "search_snippets",
     "terms_set_query",
-    # r5 additions with no driver row yet: the approx-deciles twin and
-    # the prefix-filtered jaccard twin take two anchor slots so they
-    # get driver evidence in their first round
+    # r5 additions with no driver row yet — driver evidence in their
+    # first round
     "balance_deciles_approx", "dedup_jaccard_prefix",
     "dedup_containment_prefix",
     # family anchors (driver-green in prior rounds)

@@ -550,6 +550,42 @@ def incremental_dedup_stream(
     return writer.start()
 
 
+def _freeze_lm_refs(corpus: DataFrame, b: int) -> "tuple[DataFrame, DataFrame]":
+    """Frozen corpus bigram-LM count tables (ctx, big) — ONE
+    definition shared by lm_filter_stream and curation_stream, so a
+    smoothing/bucketing change can never apply to the standalone
+    filter and silently fork the composed pipeline's keep decisions
+    (the scoring half is shared via ``_lm_score_batch`` for the same
+    reason). Both tables are bounded (≤ b rows) and materialized for
+    the stream's lifetime; the corpus-sized bigram expansion is
+    aggregated and never pinned."""
+    from chillastic_spark.operators import dedup as D
+    from chillastic_spark.operators import lm
+
+    grams = lm._bigram_stream(corpus, "doc_id", "text", b)
+    ctx = D.materialize(
+        grams.groupBy("pb").agg(F.count(F.lit(1)).alias("ctx_ct"))
+    )
+    big = D.materialize(
+        grams.groupBy("bb").agg(F.count(F.lit(1)).alias("big_ct"))
+    )
+    return ctx, big
+
+
+def _freeze_drift_ref(corpus: DataFrame, b: int) -> DataFrame:
+    """Frozen corpus unigram reference for drift scoring — ONE
+    definition shared by drift_stream and curation_stream (same
+    rationale as :func:`_freeze_lm_refs`). Bounded at ≤ b rows."""
+    from chillastic_spark.operators import importance as IMP
+    from chillastic_spark.operators.dedup import materialize
+
+    return materialize(
+        IMP.unigram_counts(corpus, "source", buckets=b)
+        .groupBy("bkt")
+        .agg(F.sum("ct").alias("cct"))
+    )
+
+
 def _lm_score_batch(
     batch_df: DataFrame, ctx: DataFrame, big: DataFrame, b: int,
     nll_keep_max: float,
@@ -631,13 +667,10 @@ def lm_filter_stream(
     materialized; the corpus-sized bigram expansion is aggregated in
     two passes and never pinned for the stream's lifetime.
     """
-    from chillastic_spark.operators import dedup as D
     from chillastic_spark.operators import lm
 
     b = buckets or lm.LM_BUCKETS
-    grams = lm._bigram_stream(corpus, "doc_id", "text", b)
-    ctx = D.materialize(grams.groupBy("pb").agg(F.count(F.lit(1)).alias("ctx_ct")))
-    big = D.materialize(grams.groupBy("bb").agg(F.count(F.lit(1)).alias("big_ct")))
+    ctx, big = _freeze_lm_refs(corpus, b)
 
     stream = (
         spark.readStream.schema(corpus.schema)
@@ -695,10 +728,21 @@ def _accumulated_sides(
     stability contract.
     """
     def _try_read(path: str):
+        """None ONLY when the path does not exist yet (first batch).
+        Any other read failure (storage hiccup, corrupt footer) must
+        FAIL the batch so the normal retry/replay path reprocesses it
+        — swallowing it would silently match against the static corpus
+        only, commit manifest rows that ignore all earlier batches,
+        and never revisit them (the checkpoint advances)."""
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 — first batch: nothing yet
-            return None
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
 
     acc_sig = _try_read(sig_path)
     if acc_sig is not None:
@@ -936,11 +980,7 @@ def drift_stream(
     from chillastic_spark.operators.dedup import materialize
 
     b = buckets or IMP.DEFAULT_BUCKETS
-    ref = materialize(
-        IMP.unigram_counts(corpus, "source", buckets=b)
-        .groupBy("bkt")
-        .agg(F.sum("ct").alias("cct"))
-    )
+    ref = _freeze_drift_ref(corpus, b)
 
     stream = (
         spark.readStream.schema(corpus.schema)
@@ -1026,19 +1066,11 @@ def curation_stream(
     b_lm = buckets or lm.LM_BUCKETS
     b_drift = buckets or IMP.DEFAULT_BUCKETS
 
-    # frozen references, materialized once before the stream starts
-    grams = lm._bigram_stream(corpus, "doc_id", "text", b_lm)
-    ctx = D.materialize(
-        grams.groupBy("pb").agg(F.count(F.lit(1)).alias("ctx_ct"))
-    )
-    big = D.materialize(
-        grams.groupBy("bb").agg(F.count(F.lit(1)).alias("big_ct"))
-    )
-    drift_ref = D.materialize(
-        IMP.unigram_counts(corpus, "source", buckets=b_drift)
-        .groupBy("bkt")
-        .agg(F.sum("ct").alias("cct"))
-    )
+    # frozen references, materialized once before the stream starts —
+    # the LM and drift references come from the SAME builders as the
+    # standalone streams, so the composed model freeze cannot fork
+    ctx, big = _freeze_lm_refs(corpus, b_lm)
+    drift_ref = _freeze_drift_ref(corpus, b_drift)
     ex_sig = D.materialize(
         D.minhash_signatures_wide(corpus, "doc_id", "text", n, num_perm)
     )

@@ -223,3 +223,40 @@ def test_prefix_twins_on_edge_shapes(spark):
     assert any(r[:2] == (3, 4) and r[2] == 1.0 for r in bj)
     # containment at 0.9 finds the embedded doc against its superset
     assert any(r[:2] == (3, 5) for r in bc) and any(r[:2] == (4, 5) for r in bc)
+
+
+def test_prefix_twins_keep_rounded_boundary_pairs(spark):
+    """A pair whose TRUE score is in [t − 0.5e-4, t) rounds UP to t, so
+    the plain operators (and the shared oracle) emit it — candidate
+    pruning in the prefix twins must not drop it. Both constructions
+    make the common grams GLOBALLY FREQUENT (df=2 vs df=1 for unique
+    grams) so they sort to the very END of the rarest-first order: a
+    prefix computed at the naive threshold t would contain no common
+    gram at all (containment case) or fail the length filter (jaccard
+    case). Only the _ROUND_MARGIN-adjusted pruning keeps them.
+
+    Containment: |A|=20000 grams, 17999 shared → C = 0.89995 → rounds
+    to 0.9. Naive required overlap ceil(0.9·20000)=18000 > 17999.
+    Jaccard: A ⊂ B with |A|=49996, |B|=100000 → J = 0.49996 → rounds
+    to 0.5. Naive length filter 49996 >= 0.5·100000 fails."""
+    S = [f"s{i}" for i in range(18001)]           # 17999 shared grams
+    a_txt = " ".join(S + [f"ua{i}" for i in range(2001)])
+    b_txt = " ".join(S + [f"ub{i}" for i in range(12001)])
+    d = spark.createDataFrame(
+        [(1, a_txt), (2, b_txt)], "doc_id: long, text: string"
+    )
+    plain = {tuple(r) for r in D.ngram_containment_pairs(d, n=3, threshold=0.9).collect()}
+    pref = {tuple(r) for r in D.ngram_containment_pairs_prefix(d, n=3, threshold=0.9).collect()}
+    assert (1, 2, 0.9) in plain, plain  # premise: the boundary pair rounds up
+    assert pref == plain, (plain, pref)
+
+    S2 = [f"t{i}" for i in range(49998)]          # 49996 shared grams
+    a2 = " ".join(S2)
+    b2 = " ".join(S2 + [f"vb{i}" for i in range(50004)])
+    d2 = spark.createDataFrame(
+        [(1, a2), (2, b2)], "doc_id: long, text: string"
+    )
+    plain2 = {tuple(r) for r in D.ngram_jaccard_pairs(d2, n=3, threshold=0.5).collect()}
+    pref2 = {tuple(r) for r in D.ngram_jaccard_pairs_prefix(d2, n=3, threshold=0.5).collect()}
+    assert (1, 2, 0.5) in plain2, plain2
+    assert pref2 == plain2, (plain2, pref2)
