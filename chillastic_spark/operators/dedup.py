@@ -404,9 +404,15 @@ def _verify_common(cand: DataFrame, g: DataFrame) -> DataFrame:
     per-pair match count (they could diverge only if two distinct
     grams of one doc collided in the 60-bit hash — the same event that
     would skew the plain count)."""
-    arrs = g.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("gh")).alias("ghs"),
-        F.count("*").alias("sz"),
+    # pinned: the doc→gram-array table feeds BOTH join sides, and the
+    # differing output aliases defeat Spark's exchange reuse — without
+    # the pin the corpus-sized collect_list shuffle+agg runs twice
+    # (plan-verified: two ObjectHashAggregate subtrees)
+    arrs = materialize(
+        g.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("gh")).alias("ghs"),
+            F.count("*").alias("sz"),
+        )
     )
     return (
         cand.join(
