@@ -348,13 +348,15 @@ _ROUND_MARGIN = 0.5e-4
 
 def _prefix_index(
     df: DataFrame, id_col: str, text_col: str, n: int, t_eff: float
-) -> "tuple[DataFrame, DataFrame]":
-    """(g, pre) for the prefix-filtered twins — the ONE definition of
-    the prefix rule, shared so the Jaccard and containment twins can
-    never diverge on it.
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """(g, sizes, pre) for the prefix-filtered twins — the ONE
+    definition of the prefix rule, shared so the Jaccard and
+    containment twins can never diverge on it.
 
     ``g``: materialized (doc_id, gh) distinct-shingle table (feeds the
     frequency agg, the prefix ranking, and the verify arrays).
+    ``sizes``: (doc_id, sz) gram counts — returned so callers reuse
+    the one aggregate instead of re-shuffling the corpus for it.
     ``pre``: (doc_id, gh, sz) — each doc's first ``sz − ⌈t_eff·sz⌉ + 1``
     grams in the global rarest-first total order (ascending document
     frequency, gh tie-break). By the prefix-filter theorem, any pair
@@ -381,7 +383,7 @@ def _prefix_index(
         )
         .select("doc_id", "gh", "sz")
     )
-    return g, pre
+    return g, sizes, pre
 
 
 def _verify_common(cand: DataFrame, g: DataFrame) -> DataFrame:
@@ -464,10 +466,8 @@ def ngram_containment_pairs_prefix(
     Equality with the plain join is test-pinned on the real corpus.
     """
     t_eff = max(threshold - _ROUND_MARGIN, 0.0)
-    g, pre = _prefix_index(df, id_col, text_col, n, t_eff)
-    full = g.join(
-        g.groupBy("doc_id").agg(F.count("*").alias("sz")), "doc_id"
-    )
+    g, sizes, pre = _prefix_index(df, id_col, text_col, n, t_eff)
+    full = g.join(sizes, "doc_id")
     a, b = pre.alias("a"), full.alias("b")
     smaller_role = (F.col("a.sz") < F.col("b.sz")) | (
         (F.col("a.sz") == F.col("b.sz"))
@@ -535,7 +535,7 @@ def ngram_jaccard_pairs_prefix(
     (_ROUND_MARGIN).
     """
     t_eff = max(threshold - _ROUND_MARGIN, 0.0)
-    g, pre = _prefix_index(df, id_col, text_col, n, t_eff)
+    g, _sizes, pre = _prefix_index(df, id_col, text_col, n, t_eff)
     a, b = pre.alias("a"), pre.alias("b")
     cand = (
         a.join(
