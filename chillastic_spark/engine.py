@@ -119,12 +119,21 @@ class TaskState:
             self._lock.release()
 
     # -- queue ops (FIFO + dedup, subtasks.js:45-69) ---------------------
-    def enqueue(self, subtask: Subtask, save: bool = True) -> bool:
+    def enqueue(
+        self, subtask: Subtask, save: bool = True, seen: "set | None" = None
+    ) -> bool:
         """FIFO append with duplicate guard. ``save=False`` defers the
         state write (build_backlog batches thousands of enqueues into
-        one save — per-enqueue rewrites would be O(N²) driver I/O)."""
+        one save — per-enqueue rewrites would be O(N²) driver I/O).
+        ``seen`` lets a bulk caller supply the already-enqueued sid set
+        so the guard is O(1) per enqueue instead of a linear backlog
+        scan (O(N²) across a big build)."""
         sid = subtask.subtask_id()
-        if any(sid == s for s, _ in self.data["backlog"]) or sid in self.data["completed"]:
+        if seen is not None:
+            if sid in seen or sid in self.data["completed"]:
+                return False  # duplicate-enqueue guard (subtasks.js:51-67)
+            seen.add(sid)
+        elif any(sid == s for s, _ in self.data["backlog"]) or sid in self.data["completed"]:
             return False  # duplicate-enqueue guard (subtasks.js:51-67)
         self.data["backlog"].append([sid, subtask.count])
         self.data["total"] += subtask.count
@@ -311,9 +320,18 @@ class Engine:
             self._index_comparator(task)  # bad comparator fails admission
         except Exception as e:  # admission surfaces one error kind (tasks.js:72-82)
             raise TaskError(str(e)) from e
+        # plan BEFORE persisting: a transient build_backlog failure
+        # (source 500 during index listing) must not leave a
+        # half-admitted task that 'already exists' on retry yet was
+        # never planned
         self._tasks[task_id] = task
+        try:
+            state = self.build_backlog(task_id)
+        except Exception:
+            self._tasks.pop(task_id, None)
+            raise
         self._save_tasks()
-        return self.build_backlog(task_id)
+        return state
 
     def get_task(self, task_id: str) -> Task:
         if task_id not in self._tasks:
@@ -324,12 +342,20 @@ class Engine:
         return sorted(self._tasks)
 
     def remove_task(self, task_id: str) -> None:
-        """tasks.js:89-97: drop state + the task's registry namespace."""
-        self._tasks.pop(task_id, None)
-        self._save_tasks()
-        state = TaskState(self.state_root, task_id)
-        if os.path.exists(state.path):
-            os.remove(state.path)
+        """tasks.js:89-97: drop state + the task's registry namespace.
+
+        Takes the state writer lock first: removing while a run_task is
+        draining would otherwise race — the runner's next state.save()
+        resurrects the deleted task-<id>.json as an orphan. Fails fast
+        with TaskError when the task is mid-run."""
+        state = TaskState(self.state_root, task_id).acquire_writer()
+        try:
+            self._tasks.pop(task_id, None)
+            self._save_tasks()
+            if os.path.exists(state.path):
+                os.remove(state.path)
+        finally:
+            state.release_writer()
         self.mutators.remove_namespace(task_id)
         self.filters.remove_namespace(task_id)
 
@@ -372,6 +398,7 @@ class Engine:
             potential.extend(self._document_subtasks(task, source))
 
         completed = state.completed_ids()  # resume anti-join (subtasks.js:385-392)
+        seen = {s for s, _ in state.data["backlog"]}
         for sub in potential:
             if sub.subtask_id() in completed:
                 continue
@@ -380,7 +407,7 @@ class Engine:
                     self.spark, sub.index, sub.type, sub.min_size, sub.max_size
                 )
                 sub = Subtask(**{**vars(sub), "count": count})
-            state.enqueue(sub, save=False)
+            state.enqueue(sub, save=False, seen=seen)
         state.save()
         return state
 
@@ -428,12 +455,16 @@ class Engine:
                 if flush_override:
                     bounds = [Bound(-1, -1, flush_override)]
                 else:
-                    df = source.read(self.spark, cfg["name"], type_cfg["name"])
-                    # planning probes stats + histograms (several
-                    # actions); a wire source would re-scroll the
-                    # cluster per action, so pin the one-column sample
-                    # for the duration of the search
-                    stats_df = df.select("_size")
+                    # sizes-only planning read: the wire store scrolls
+                    # metadata-only (_source: false) so planning never
+                    # ships document bodies; parquet prunes to the one
+                    # column natively. Planning probes stats +
+                    # histograms (several actions); a wire source would
+                    # re-scroll the cluster per action, so pin the
+                    # one-column sample for the duration of the search
+                    stats_df = source.read_sizes(
+                        self.spark, cfg["name"], type_cfg["name"]
+                    )
                     if hasattr(source, "deliver"):
                         stats_df = stats_df.persist()
                     try:
@@ -556,8 +587,14 @@ class Engine:
                         pass
 
                 with ThreadPoolExecutor(max_workers=parallelism) as pool:
-                    for _ in range(parallelism):
-                        pool.submit(drain)
+                    futures = [pool.submit(drain) for _ in range(parallelism)]
+                # surface drainer crashes: run_one catches per-subtask
+                # transfer errors itself, so an exception escaping a
+                # drain thread is a state-layer failure (save/pop) the
+                # serial path would raise — swallowing it reports a
+                # normal-looking status for work that never ran
+                for f in futures:
+                    f.result()
             if shared:
                 state.reload()  # fold in what other workers finished
             return state.status()
@@ -614,6 +651,9 @@ def _task_from_dict(d: dict) -> Task:
             from_indices=t.get("from_indices"),
             filters=[ActionRef(**f) for f in t.get("filters", [])],
             flush_size=t.get("flush_size"),
+            # without this, a restarted Engine silently loses the
+            # task's index ordering (and its admission-time validation)
+            index_comparator=t.get("index_comparator"),
         ),
         mutators=[ActionRef(**m) for m in d.get("mutators", [])],
         arguments=d.get("arguments"),

@@ -305,6 +305,15 @@ class DocumentStore:
             df = df.filter(in_range)
         return df
 
+    def read_sizes(
+        self, spark: SparkSession, index: str, type: Optional[str] = None
+    ) -> DataFrame:
+        """One-column planning projection for plan_bounds: parquet
+        column pruning means only the ``_size`` column is read from
+        disk (ReadSchema shows the single column). Wire stores
+        override this with a metadata-only scroll."""
+        return self.read(spark, index, type).select("_size")
+
     def write_documents(
         self,
         df: DataFrame,

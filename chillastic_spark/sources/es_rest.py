@@ -195,6 +195,7 @@ def scan(
     body: "Optional[dict]" = None,
     slice_id: Optional[int] = None,
     slice_max: Optional[int] = None,
+    include_source: bool = True,
 ) -> "Iterable[dict]":
     """Scan-and-scroll generator yielding raw hit dicts — the
     transfer.js:119-146 loop: page, then keep scrolling until the slice
@@ -211,6 +212,11 @@ def scan(
     if slice_max is not None and slice_max > 1:
         body = dict(body or {})
         body["slice"] = {"id": int(slice_id or 0), "max": int(slice_max)}
+    if not include_source:
+        # metadata-only scroll (_size lives in hit metadata): planning
+        # must not ship every document body over the wire
+        body = dict(body or {})
+        body["_source"] = False
     resp = wire.post(f"{path}/_search?scroll={SCROLL_TTL}&size={flush_size}", body)
     scrolled = 0
     scroll_id = resp.get("_scroll_id")
@@ -267,6 +273,7 @@ def scan_to_df(
     min_size: float = -1,
     max_size: float = -1,
     slices=None,
+    include_source: bool = True,
 ) -> DataFrame:
     """Executor-side partitioned scan of one (index[,type][,size-range])
     slice: N Spark tasks each drain their own sliced scroll and yield
@@ -288,12 +295,15 @@ def scan_to_df(
             for h in scan(
                 w, index, doc_type, flush_size, min_size, max_size,
                 slice_id=sid, slice_max=n if n > 1 else None,
+                include_source=include_source,
             ):
                 yield (
                     h["_index"],
                     h.get("_type"),
                     str(h["_id"]),
-                    json.dumps(h["_source"], sort_keys=True),
+                    json.dumps(h["_source"], sort_keys=True)
+                    if h.get("_source") is not None
+                    else None,
                     h.get("_size"),
                 )
 
@@ -315,29 +325,111 @@ def doc_to_bulk(doc: dict) -> list[str]:
     ]
 
 
+def _item_rejected(err) -> bool:
+    """True when a bulk item's ``error`` field is a queue rejection
+    (retryable). ES ≥ 2 reports a dict with a ``type`` chain; ES 1.x
+    reports a plain string — inspect ONLY the error field, never the
+    serialized item (an ``_id`` containing the exception name must not
+    look like a rejection)."""
+    while isinstance(err, dict):
+        if err.get("type") == BULK_REJECTED:
+            return True
+        err = err.get("caused_by")
+    return isinstance(err, str) and BULK_REJECTED in err
+
+
 def _send_bulk(
     wire: Wire, lines: list[str], n_docs: int,
     max_retries: int = 5, backoff_sec: float = 0.01,
 ) -> int:
-    """POST one ``_bulk`` payload; whole-batch retry with backoff on
-    ``es_rejected_execution_exception`` items (transfer.js:306-352 —
-    safe because doc_as_upsert / delete are idempotent); any other item
-    error raises (mapper/validation failures must not be silently
-    counted as delivered)."""
-    payload = "\n".join(lines) + "\n"
+    """POST one ``_bulk`` upsert payload with per-item retry
+    accounting (transfer.js:306-352): items whose error is an
+    ``es_rejected_execution_exception`` are RESENT alone with backoff
+    (safe — doc_as_upsert is idempotent), so delivered docs are never
+    re-upserted alongside them and a permanent mapper/validation
+    failure in the same batch raises IMMEDIATELY instead of burning
+    every retry and being misreported as a rejection. Each update op
+    spans two NDJSON lines (meta + doc), items align 1:1 with ops."""
+    pending = lines
     for attempt in range(max_retries + 1):
-        resp = wire.post("/_bulk", payload, ndjson=True)
+        resp = wire.post("/_bulk", "\n".join(pending) + "\n", ndjson=True)
         if not resp.get("errors"):
             return n_docs
         items = resp.get("items", [])
-        rejected = any(BULK_REJECTED in json.dumps(i) for i in items)
-        if not rejected:
-            bad = [i for i in items if "error" in json.dumps(i)][:3]
-            raise RuntimeError(f"bulk item failures: {bad}")
+        if 2 * len(items) != len(pending):
+            # whole-request rejection shape (fewer items than ops):
+            # nothing item-accountable — resend everything if it looks
+            # like backpressure, raise otherwise (delete-path parity)
+            if any(_item_rejected((next(iter(i.values()), None) or {}).get("error")) for i in items):
+                if attempt == max_retries:
+                    raise RuntimeError(
+                        f"bulk rejected after {max_retries} retries"
+                    )
+                time.sleep(backoff_sec * (2**attempt))
+                continue
+            raise RuntimeError(
+                f"bulk: {len(items)} items for {len(pending) // 2} ops"
+            )
+        retry_idx, hard = [], []
+        for pos, item in enumerate(items):
+            op = next(iter(item.values()), None) or {}
+            err = op.get("error")
+            if not err:
+                continue
+            if _item_rejected(err):
+                retry_idx.append(pos)
+            else:
+                hard.append(item)
+        if hard:
+            raise RuntimeError(f"bulk item failures: {hard[:3]}")
+        if not retry_idx:  # errors flag with no item error — surface it
+            raise RuntimeError(f"bulk errors without item detail: {resp}")
         if attempt == max_retries:
-            raise RuntimeError(f"bulk rejected after {max_retries} retries")
+            raise RuntimeError(
+                f"bulk rejected after {max_retries} retries "
+                f"({len(retry_idx)} items)"
+            )
+        pending = [
+            ln for pos in retry_idx for ln in pending[2 * pos : 2 * pos + 2]
+        ]
         time.sleep(backoff_sec * (2**attempt))
     return n_docs
+
+
+class _BulkBatcher:
+    """THE accumulate-then-``_send_bulk`` flush loop (transfer.js:159-167
+    flush threshold), shared by the executor delivery path
+    (``_deliver_rows``) and the driver-paged ``pipe`` so the two can
+    never diverge on batching semantics. Constant memory: at most one
+    pending batch is buffered; ``peak`` is the high-water mark of docs
+    pending delivery."""
+
+    def __init__(
+        self, wire: Wire, flush_size: int, max_retries: int, backoff_sec: float
+    ):
+        self.wire = wire
+        self.flush_size = flush_size
+        self.max_retries = max_retries
+        self.backoff_sec = backoff_sec
+        self.delivered = 0
+        self.peak = 0
+        self._batch: list[str] = []
+        self._pending = 0
+
+    def add(self, doc: dict) -> None:
+        self._batch.extend(doc_to_bulk(doc))
+        self._pending += 1
+        self.peak = max(self.peak, self._pending)
+        if self._pending >= self.flush_size:
+            self.flush()
+
+    def flush(self) -> None:
+        if self._pending:
+            self.delivered += _send_bulk(
+                self.wire, self._batch, self._pending,
+                self.max_retries, self.backoff_sec,
+            )
+            self._batch, self._pending = [], 0
 
 
 def _deliver_rows(
@@ -348,27 +440,17 @@ def _deliver_rows(
     backoff_sec: float = 0.01,
 ) -> int:
     """Stream envelope rows (Row or dict) into ``_bulk`` doc_as_upsert
-    batches of ``flush_size`` docs (transfer.js:159-167 flush
-    threshold). Constant memory: at most one pending batch is ever
-    buffered. Returns docs delivered."""
-    delivered = 0
-    batch: list[str] = []
-    pending = 0
+    batches of ``flush_size`` docs. Returns docs delivered."""
+    b = _BulkBatcher(wire, flush_size, max_retries, backoff_sec)
     for row in rows:
-        doc = {
+        b.add({
             "_index": row["_index"],
             "_type": row["_type"],
             "_id": row["_id"],
             "_source": json.loads(row["_source"]),
-        }
-        batch.extend(doc_to_bulk(doc))
-        pending += 1
-        if pending >= flush_size:
-            delivered += _send_bulk(wire, batch, pending, max_retries, backoff_sec)
-            batch, pending = [], 0
-    if batch:
-        delivered += _send_bulk(wire, batch, pending, max_retries, backoff_sec)
-    return delivered
+        })
+    b.flush()
+    return b.delivered
 
 
 def bulk_upsert(
@@ -437,8 +519,8 @@ def pipe(
     from chillastic_spark.operators.mutate import apply_chain
 
     src, dst = as_wire(source), as_wire(dest)
-    batch: list[str] = []
-    pending = delivered = scanned = peak = 0
+    b = _BulkBatcher(dst, flush_size, max_retries, backoff_sec)
+    scanned = 0
     for h in scan(src, index, doc_type, flush_size, min_size, max_size):
         scanned += 1
         doc = {
@@ -452,15 +534,9 @@ def pipe(
             doc = apply_chain(doc, mutators)
             if doc is None:
                 continue
-        batch.extend(doc_to_bulk(doc))
-        pending += 1
-        peak = max(peak, pending)
-        if pending >= flush_size:
-            delivered += _send_bulk(dst, batch, pending, max_retries, backoff_sec)
-            batch, pending = [], 0
-    if batch:
-        delivered += _send_bulk(dst, batch, pending, max_retries, backoff_sec)
-    return {"delivered": delivered, "scanned": scanned, "peak_buffered": peak}
+        b.add(doc)
+    b.flush()
+    return {"delivered": b.delivered, "scanned": scanned, "peak_buffered": b.peak}
 
 
 class ESStore:
@@ -583,6 +659,19 @@ class ESStore:
             min_size=min_size, max_size=max_size, slices=self.slices,
         )
 
+    def read_sizes(
+        self, spark: SparkSession, index: str, type: Optional[str] = None
+    ) -> DataFrame:
+        """One-column planning scan: a metadata-only scroll
+        (``_source: false``, page size 10k) shipping just hit metadata
+        — plan_bounds needs ONLY ``_size``, and the default read would
+        drag every document body across the wire to compute size
+        stats (a full-index transfer before the transfer)."""
+        return scan_to_df(
+            spark, self.wire, index, type, flush_size=10_000,
+            slices=self.slices, include_source=False,
+        ).select("_size")
+
     def count(
         self,
         spark: SparkSession,
@@ -599,7 +688,22 @@ class ESStore:
         if self.wire.major_version() >= 7:
             body = dict(body or {})
             body["track_total_hits"] = True
-        total, _exact = _total_of(self.wire.post(f"{path}/_search?size=0", body))
+        total, exact = _total_of(self.wire.post(f"{path}/_search?size=0", body))
+        if not exact:
+            # version probe transiently failed against an ES >= 7
+            # cluster: the total is the 10k cap, not a count. Re-ask
+            # WITH track_total_hits (a no-op body key before 7.x, where
+            # totals are always exact) instead of silently planning a
+            # wrong backlog total.
+            body = dict(body or {})
+            body["track_total_hits"] = True
+            total, exact = _total_of(
+                self.wire.post(f"{path}/_search?size=0", body)
+            )
+            if not exact:
+                raise RuntimeError(
+                    f"could not obtain an exact count for {path}"
+                )
         return total
 
     def deliver(self, spark: SparkSession, df: DataFrame, flush_size: int = 100) -> int:
@@ -643,10 +747,18 @@ class ESStore:
         for vals in id_chunks():
             victims = set(vals)
             # ids query: only the victims travel, not the index
-            body = {"query": {"ids": {"values": vals}}}
+            # _source: false — only (_type, _id) is needed, don't ship
+            # every victim's document body back over the wire
+            body = {"query": {"ids": {"values": vals}}, "_source": False}
             keys = [
                 (h.get("_type"), str(h["_id"]))
-                for h in scan(self.wire, index, type, body=body)
+                # page at the chunk size (ES caps pages at 10k): the
+                # default 100-doc pages cost ~100 scroll round-trips
+                # per chunk just to recover _type per id
+                for h in scan(
+                    self.wire, index, type, body=body,
+                    flush_size=min(len(vals), 10_000),
+                )
                 if str(h["_id"]) in victims
             ]
             deleted += bulk_delete(self.wire, index, keys)

@@ -110,7 +110,12 @@ class FakeES:
         rows = self.request_log if kind is None else self.requests_of(kind)
         return {r["worker"] for r in rows if r["worker"]}
 
-    def _total(self, n: int) -> "int | dict":
+    def _total(self, n: int, body: "dict | None" = None) -> "int | dict":
+        # real-ES semantics: track_total_hits=true always yields the
+        # exact count; without it totals cap at total_cap (10k on a
+        # real >= 7 cluster)
+        if (body or {}).get("track_total_hits") is True and self.major >= 7:
+            return {"value": n, "relation": "eq"}
         if self.total_cap is not None and n > self.total_cap:
             return {"value": self.total_cap, "relation": "gte"}
         if self.major >= 7:
@@ -213,12 +218,16 @@ class FakeES:
                     return {"error": {"type": "injected_search_failure"}}, 500
             size = int(request.args.get("size", "10"))
             body = request.get_json(silent=True)
+            # honor source filtering: "_source": false omits the body
+            # from every hit (metadata-only scans must actually work
+            # without it, not just request it)
+            with_source = (body or {}).get("_source", True) is not False
             hits = [
                 {
                     "_index": ix,
                     "_type": t,
                     "_id": _id,
-                    "_source": src,
+                    **({"_source": src} if with_source else {}),
                     "_size": src.get("__size"),
                 }
                 for (ix, t, _id), src in sorted(self.docs.items())
@@ -235,7 +244,7 @@ class FakeES:
                 }
             return {
                 "_scroll_id": sid,
-                "hits": {"total": self._total(len(hits)), "hits": hits[:size]},
+                "hits": {"total": self._total(len(hits), body), "hits": hits[:size]},
             }
 
         @app.post("/_search/scroll")
@@ -271,12 +280,18 @@ class FakeES:
                 self.bulk_bodies.append(payload)
                 if self.reject_remaining > 0:
                     self.reject_remaining -= 1
+                    # real-ES shape: one item PER op, each rejected
+                    n_ops = sum(
+                        1
+                        for line in payload.splitlines()
+                        if line and set(json.loads(line)) & {"update", "delete", "index", "create"}
+                    )
                     return {
                         "errors": True,
                         "items": [
                             {"update": {"status": 429, "error": {
                                 "type": "es_rejected_execution_exception"}}}
-                        ],
+                        ] * max(n_ops, 1),
                     }
                 lines = [json.loads(line) for line in payload.splitlines() if line]
                 items = []

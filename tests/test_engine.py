@@ -382,3 +382,83 @@ def test_flush_override_and_subtask_id_roundtrip():
     assert s2 == s
     assert s.has_size_range()
     assert not Subtask(kind="documents", index="i", type="t").has_size_range()
+
+
+def test_restart_preserves_index_comparator(spark, tmp_path, store_factory):
+    """A restarted Engine must reload the task's index_comparator —
+    silently dropping it loses the index ordering (and its
+    admission-time validation) after every restart."""
+    src = store_factory(
+        "src", {"logs_2020-01-01": docs_f1(1), "alpha": docs_f1(1)}
+    )
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    eng.add_task(
+        "t1",
+        _task(src, dst, transfer={
+            "from_indices": "*", "index_comparator": DATE_COMPARATOR,
+        }),
+    )
+    eng2 = _engine(spark, tmp_path)  # same state root, fresh process
+    assert eng2.get_task("t1").transfer.index_comparator == DATE_COMPARATOR
+    state = eng2.build_backlog("t1")
+    order = [json.loads(sid)["index"] for sid, _ in state.data["backlog"]]
+    assert order == ["alpha", "logs_2020-01-01"]
+
+
+def test_add_task_rolls_back_on_planning_failure(spark, tmp_path, store_factory, monkeypatch):
+    """A transient build_backlog failure must not half-admit the task:
+    the retry must not hit 'already exists'."""
+    src = store_factory("src", {"ix": docs_f1(2)})
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    orig = type(src).get_indices
+    calls = {"n": 0}
+
+    def flaky(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient 500 from the source")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(type(src), "get_indices", flaky)
+    with pytest.raises(RuntimeError):
+        eng.add_task("t1", _task(src, dst, transfer={"from_indices": "ix"}))
+    assert "t1" not in eng.list_tasks()
+    eng2 = _engine(spark, tmp_path)
+    assert "t1" not in eng2.list_tasks()  # nothing persisted either
+    # retry succeeds
+    state = eng.add_task("t1", _task(src, dst, transfer={"from_indices": "ix"}))
+    assert len(state.data["backlog"]) == 1
+
+
+def test_remove_task_refused_while_running(spark, tmp_path, store_factory):
+    """remove_task fails fast when another holder has the state writer
+    lock instead of racing the runner and resurrecting state files."""
+    src = store_factory("src", {"ix": docs_f1(2)})
+    dst = store_factory("dst")
+    eng = _engine(spark, tmp_path)
+    eng.add_task("t1", _task(src, dst, transfer={"from_indices": "ix"}))
+    import multiprocessing as mp
+
+    def hold(root, q):
+        from chillastic_spark.engine import TaskState
+
+        s = TaskState(root, "t1").acquire_writer()
+        q.put("held")
+        import time as _t
+
+        _t.sleep(3)
+        s.release_writer()
+
+    q = mp.Queue()
+    p = mp.Process(target=hold, args=(eng.state_root, q))
+    p.start()
+    try:
+        assert q.get(timeout=10) == "held"
+        with pytest.raises(TaskError, match="being written"):
+            eng.remove_task("t1")
+    finally:
+        p.join()
+    eng.remove_task("t1")  # lock released: removal proceeds
+    assert "t1" not in eng.list_tasks()

@@ -161,3 +161,115 @@ def test_es_purge_deletes_victims_idempotently(spark, es_pair):
     assert store.purge(spark, "log_2016-12-01", ["id3", "id7", "ghost"]) == 2
     assert len(src.contents("log_2016-12-01")) == 8
     assert store.purge(spark, "log_2016-12-01", ["id3", "id7"]) == 0  # no-op
+
+
+def test_send_bulk_mixed_failure_raises_immediately_without_retry_burn():
+    """A permanent mapper failure mixed with 429 rejections must raise
+    on the FIRST attempt naming the mapper error — not burn every
+    retry and be misreported as 'bulk rejected'."""
+    calls = []
+
+    class W:
+        def post(self, path, payload, ndjson=False):
+            calls.append(payload)
+            return {"errors": True, "items": [
+                {"update": {"status": 429, "error": {
+                    "type": "es_rejected_execution_exception"}}},
+                {"update": {"status": 400, "error": {
+                    "type": "mapper_parsing_exception", "reason": "boom"}}},
+            ]}
+
+    lines = []
+    for i in range(2):
+        lines += [json.dumps({"update": {"_index": "ix", "_id": str(i)}}),
+                  json.dumps({"doc": {"v": i}, "doc_as_upsert": True})]
+    with pytest.raises(RuntimeError, match="mapper_parsing_exception"):
+        es_rest._send_bulk(W(), lines, 2, max_retries=5)
+    assert len(calls) == 1
+
+
+def test_send_bulk_resends_only_rejected_items():
+    """Per-item retry accounting: delivered docs are not re-upserted
+    alongside the rejected one."""
+    calls = []
+
+    class W:
+        def post(self, path, payload, ndjson=False):
+            calls.append(payload)
+            if len(calls) == 1:
+                return {"errors": True, "items": [
+                    {"update": {"status": 200}},
+                    {"update": {"status": 429, "error": {
+                        "type": "es_rejected_execution_exception"}}},
+                    {"update": {"status": 200}},
+                ]}
+            return {"errors": False, "items": [{"update": {"status": 200}}]}
+
+    lines = []
+    for i in range(3):
+        lines += [json.dumps({"update": {"_index": "ix", "_id": f"d{i}"}}),
+                  json.dumps({"doc": {"v": i}, "doc_as_upsert": True})]
+    assert es_rest._send_bulk(W(), lines, 3, max_retries=5) == 3
+    assert len(calls) == 2
+    assert '"d1"' in calls[1] and '"d0"' not in calls[1] and '"d2"' not in calls[1]
+
+
+def test_item_rejected_inspects_error_field_only():
+    """An _id containing the exception name must not classify a mapper
+    failure as retryable backpressure."""
+    assert es_rest._item_rejected(
+        {"type": "es_rejected_execution_exception"})
+    assert es_rest._item_rejected(
+        {"type": "x", "caused_by": {"type": "es_rejected_execution_exception"}})
+    assert es_rest._item_rejected("rejected: es_rejected_execution_exception")
+    assert not es_rest._item_rejected(
+        {"type": "mapper_parsing_exception",
+         "reason": "field es_rejected_execution_exception bad"})
+    assert not es_rest._item_rejected(None)
+
+
+def test_read_sizes_is_metadata_only(spark):
+    """Planning reads sizes via a `_source: false` scroll at 10k pages
+    — the size-stats sample must not drag document bodies over the
+    wire (the fixture honors the filter, so this also proves the scan
+    works without _source present)."""
+    src = FakeES()
+    url = src.start()
+    try:
+        for i in range(7):
+            src.seed("ix", "t", {f"d{i}": {"pad": "x" * 50, "__size": 10 + i}})
+        store = es_rest.ESStore(url, slices=1)
+        sizes = sorted(
+            r["_size"] for r in store.read_sizes(spark, "ix", "t").collect()
+        )
+        assert sizes == [10 + i for i in range(7)]
+        searches = [
+            r for r in src.request_log
+            if r["kind"] == "search" and "scroll=" in r["path"]
+        ]
+        assert searches, src.request_log
+        assert '"_source": false' in searches[-1]["body"]
+        assert "size=10000" in searches[-1]["path"]
+    finally:
+        src.stop()
+
+
+def test_count_falls_back_to_track_total_hits_when_probe_fails(spark):
+    """A transiently failing version probe against an ES>=7 cluster
+    must not plan with the 10k-capped total: count re-asks with
+    track_total_hits instead of returning the cap."""
+    src = FakeES(version="7.10.0", total_cap=2)  # cap BINDS: 3 docs
+    url = src.start()
+    try:
+        src.seed("ix", "t", {f"d{i}": {"v": i} for i in range(3)})
+        store = es_rest.ESStore(url, slices=1)
+        # simulate the probe failing: major_version() sees 0
+        store.wire._version = None
+        orig = es_rest.Wire.version
+        try:
+            es_rest.Wire.version = lambda self: ()
+            assert store.count(spark, "ix", "t") == 3
+        finally:
+            es_rest.Wire.version = orig
+    finally:
+        src.stop()

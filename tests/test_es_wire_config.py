@@ -106,9 +106,9 @@ def test_es7_object_totals_and_capped_total_drain(spark):
         store = ESStore(url, slices=1)
         # full drain despite the total reading {value: 5, relation: gte}
         assert store.read(spark, "ix", flush_size=4).count() == 23
-        # count() asks for exact totals (track_total_hits) — fixture
-        # caps regardless, so this documents the inexact floor
-        assert store.count(spark, "ix") == 5
+        # count() asks for exact totals (track_total_hits), which real
+        # ES answers exactly even when the default total is capped
+        assert store.count(spark, "ix") == 23
     finally:
         es.stop()
 
