@@ -30,22 +30,30 @@ from chillastic_spark.registry import RegistryError
 
 
 def task_from_json(body: dict) -> Task:
-    t = body.get("transfer", {})
-    return Task(
-        source=body.get("source", ""),
-        destination=body.get("destination", ""),
-        transfer=TransferSpec(
-            index_names=t.get("index_names") or t.get("indices", {}).get("names"),
-            template_names=t.get("template_names")
-            or t.get("indices", {}).get("templates"),
-            from_indices=t.get("from_indices")
-            or t.get("documents", {}).get("fromIndices"),
-            filters=[ActionRef.parse(f) for f in t.get("filters", [])],
-            flush_size=t.get("flush_size") or t.get("documents", {}).get("flushSize"),
-        ),
-        mutators=[ActionRef.parse(m) for m in body.get("mutators", [])],
-        arguments=body.get("arguments"),
-    )
+    try:
+        t = body.get("transfer", {}) or {}
+        indices = t.get("indices") or {}
+        documents = t.get("documents") or {}
+        return Task(
+            source=body.get("source", ""),
+            destination=body.get("destination", ""),
+            transfer=TransferSpec(
+                index_names=t.get("index_names") or indices.get("names"),
+                template_names=t.get("template_names")
+                or indices.get("templates"),
+                from_indices=t.get("from_indices")
+                or documents.get("fromIndices"),
+                filters=[ActionRef.parse(f) for f in t.get("filters", [])],
+                flush_size=t.get("flush_size") or documents.get("flushSize"),
+                index_comparator=t.get("index_comparator")
+                or indices.get("comparator"),
+            ),
+            mutators=[ActionRef.parse(m) for m in body.get("mutators", [])],
+            arguments=body.get("arguments"),
+        )
+    except (KeyError, AttributeError, TypeError) as e:
+        # client-shaped parse failures must be 400s, not 500s
+        raise ValueError(f"malformed task body: {e!r}") from e
 
 
 def create_app(
@@ -79,7 +87,9 @@ def create_app(
             or request.headers.get("api_key")
             or request.headers.get("api-key")
         )
-        if sent != api_key:
+        import hmac
+
+        if not (sent and hmac.compare_digest(str(sent), api_key)):
             return jsonify({"error": "Not Authorized"}), 401
 
     def handle(fn):
@@ -104,10 +114,16 @@ def create_app(
         vec = body.get("vector")
         if not isinstance(vec, list) or not vec:
             return jsonify({"error": "vector (non-empty list) required"}), 400
-        k = int(body.get("k", 10))
-        probes = int(body.get("probes", 1))
+        try:
+            k = int(body.get("k", 10))
+            probes = int(body.get("probes", 1))
+            qvec = [float(x) for x in vec]
+        except (TypeError, ValueError):
+            return jsonify(
+                {"error": "k/probes must be ints, vector elements numeric"}
+            ), 400
         q = engine.spark.createDataFrame(
-            [(-1, [float(x) for x in vec])], "query_id long, embedding array<double>"
+            [(-1, qvec)], "query_id long, embedding array<double>"
         )
         rows = ann_query_index(
             engine.spark, vector_index_dir, q, k=k, probes=probes
@@ -262,8 +278,13 @@ def create_app(
 
     @app.delete("/tasks/<task_id>")
     def delete_task(task_id):
-        engine.remove_task(task_id)
-        return jsonify({"deleted": task_id})
+        def run():
+            engine.remove_task(task_id)
+            return jsonify({"deleted": task_id})
+
+        # handle(): removing a mid-run task raises TaskError (writer
+        # lock held) — that is a 400 fail-fast, not a 500
+        return handle(run)
 
     @app.get("/tasks/<task_id>/errors")
     def task_errors(task_id):

@@ -237,8 +237,14 @@ def approx_plan_bounds(
         return [Bound(-1, -1, Subtask.DEFAULT_FLUSH_SIZE)]
     q60, q90, mx = df.approxQuantile(size_col, [0.6, 0.9, 1.0], rel_err)
     upper = mx + 1
-    b2 = min(q90, MB) if upper > MB else q90
-    edges = [(0.0, q60), (q60, b2), (b2, upper)]
+    b1, b2 = q60, min(q90, MB) if upper > MB else q90
+    if b1 > b2:
+        # same inversion guard as initial_bounds: capping b2 at 1 MB
+        # can push it BELOW q60, and edges (0,q60),(b2,upper) would
+        # then double-cover [b2, q60) — overlapping subtasks scan and
+        # transfer those docs twice
+        b1 = math.floor(b2 / 2)
+    edges = [(0.0, b1), (b1, b2), (b2, upper)]
     return [
         Bound(lo, hi, flush_size_for(hi, shards))
         for lo, hi in edges

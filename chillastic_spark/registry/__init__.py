@@ -17,6 +17,8 @@ from __future__ import annotations
 import ast
 import json
 import os
+import threading
+import uuid
 import types
 from typing import Any, Callable, Iterable, Optional
 
@@ -220,6 +222,10 @@ class _Registry:
         self._entries: dict[tuple[str, str], Any] = {}
         self._sources: dict[tuple[str, str], str] = {}
         self._state_dir = state_dir
+        # serializes mutation+save: Flask serves threaded, and two
+        # concurrent registrations writing the SAME fixed .tmp path
+        # would interleave json.dump output and install corrupt JSON
+        self._mutex = threading.Lock()
         if state_dir:
             os.makedirs(state_dir, exist_ok=True)
             self._load()
@@ -238,11 +244,14 @@ class _Registry:
 
     def _save(self) -> None:
         if self._state_dir:
-            data = {f"{ns}/{id_}": s for (ns, id_), s in self._sources.items()}
-            tmp = self._path() + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(data, f, indent=1)
-            os.replace(tmp, self._path())
+            with self._mutex:
+                data = {
+                    f"{ns}/{id_}": s for (ns, id_), s in self._sources.items()
+                }
+                tmp = f"{self._path()}.{uuid.uuid4().hex[:8]}.tmp"
+                with open(tmp, "w") as f:
+                    json.dump(data, f, indent=1)
+                os.replace(tmp, self._path())
 
     # -- CRUD (api/mutators/index.js:5-8) --------------------------------
     def add(self, id: str, obj: Any, namespace: str = DEFAULT_NAMESPACE) -> None:

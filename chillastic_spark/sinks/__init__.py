@@ -41,6 +41,21 @@ from chillastic_spark.sources import (
 
 KEY = ["_index", "_type", "_id"]
 
+
+def _key_cond(a: DataFrame, b: DataFrame):
+    """Null-safe key equality for the MERGE anti-join: a plain
+    ``join(KEY)`` never matches NULL == NULL, so a null-typed doc
+    (typeless ES 7+/8 envelopes) would DUPLICATE on every re-upsert
+    instead of replacing — the anti-join must treat NULL keys as
+    equal, exactly like the within-batch dedup window (whose
+    partitionBy groups NULLs together)."""
+    import functools
+    import operator
+
+    return functools.reduce(
+        operator.and_, [a[k].eqNullSafe(b[k]) for k in KEY]
+    )
+
 # The parquet store has no transaction log, so one-writer-per-index is
 # enforced here: concurrent read-merge-swap on the same index dir
 # (Engine.run_task parallelism>1, or two REST /_run calls in the same
@@ -94,8 +109,11 @@ def upsert(
 ) -> int:
     """MERGE ``df`` into ``store`` keyed on (_index,_type,_id).
 
-    Within-batch duplicates keep the last occurrence (bulk-update
-    semantics: later ops win). Returns rows delivered. ``n_buckets``
+    Within-batch duplicates keep ONE row chosen by a deterministic
+    tie-break (highest md5(_source), then _size) — "arrival order" is
+    not meaningful in a distributed DataFrame, and the stable winner
+    keeps re-runs (and the Delta sink, which pins the SAME rule)
+    byte-identical. Returns rows delivered. ``n_buckets``
     applies only when an index is first converted to the bucketed
     layout (default: sized from the index bytes, see _auto_buckets);
     an already-bucketed index keeps its pinned N.
@@ -113,6 +131,11 @@ def upsert(
     try:
         delivered = 0
         indices = [r["_index"] for r in df.select("_index").distinct().collect()]
+        if any(ix is None for ix in indices):
+            raise ValueError(
+                "upsert: rows with NULL _index cannot be delivered — "
+                "every envelope row needs a destination index"
+            )
         for index in indices:
             batch = df.filter(F.col("_index") == index)
             delivered += batch.count()  # rows delivered = batch size
@@ -127,7 +150,8 @@ def upsert(
                     n = n_buckets or _auto_buckets(store.index_path(index))
                     existing = store.read(spark, index)
                     merged = _normalise(
-                        existing.join(batch, KEY, "left_anti").unionByName(batch)
+                        existing.join(batch, _key_cond(existing, batch), "left_anti")
+                        .unionByName(batch)
                     )
                     _replace_index_bucketed(store, index, merged, n)
                 else:
@@ -139,7 +163,8 @@ def upsert(
                     )
                     existing = store.read(spark, index, buckets=touched)
                     merged = _normalise(
-                        existing.join(batch, KEY, "left_anti").unionByName(batch)
+                        existing.join(batch, _key_cond(existing, batch), "left_anti")
+                        .unionByName(batch)
                     )
                     _replace_buckets(store, index, nb, merged, touched)
         return delivered

@@ -165,7 +165,12 @@ class DocumentStore:
         self._write_catalog("indices", cat)
 
     def reachable(self) -> bool:
-        return os.path.isdir(self.root)
+        # a store is its data/ + catalog/ layout, not just any dir:
+        # /tmp must not probe as a reachable store (admission would
+        # pass, then every listing would 500 on the missing data/)
+        return os.path.isdir(self.root) and os.path.isdir(
+            os.path.join(self.root, "data")
+        )
 
     # ---------------------------------------------------- templates
     def get_templates(self, pattern: str) -> list[dict]:
@@ -259,6 +264,8 @@ class DocumentStore:
 
     def list_data_indices(self, pattern: str = "*") -> list[str]:
         data = os.path.join(self.root, "data")
+        if not os.path.isdir(data):  # bare root: no indices, not a 500
+            return []
         return sorted(
             d for d in os.listdir(data)
             if fnmatch.fnmatch(d, pattern)

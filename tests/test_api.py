@@ -262,3 +262,32 @@ def test_drift_endpoint(spark, tmp_path):
     # worst drift first
     kls = [s["kl"] for s in body["sources"]]
     assert kls == sorted(kls, reverse=True)
+
+
+def test_malformed_task_bodies_are_400s(client):
+    """Client-shaped parse failures (bad mutator spec, null transfer
+    sub-objects) must be 400 validation errors, not 500s."""
+    c, _src, _dst = client
+    r = c.post("/tasks/bad1", json={"mutators": [{}]})
+    assert r.status_code == 400, r.data
+    assert "malformed" in r.get_json()["error"]
+    r = c.post("/tasks/bad2", json={"transfer": {"indices": None}})
+    assert r.status_code == 400, r.data
+
+
+def test_rest_task_carries_index_comparator(spark, tmp_path, store_factory):
+    """The REST control plane must map transfer.index_comparator —
+    silently dropping it builds backlogs in default order."""
+    from chillastic_spark.api import task_from_json
+
+    body = {
+        "source": "/s", "destination": "/d",
+        "transfer": {"from_indices": "*", "index_comparator": "CMPSRC"},
+    }
+    assert task_from_json(body).transfer.index_comparator == "CMPSRC"
+    # the reference-shaped nested spelling works too
+    body2 = {
+        "source": "/s", "destination": "/d",
+        "transfer": {"indices": {"comparator": "CMPSRC2"}},
+    }
+    assert task_from_json(body2).transfer.index_comparator == "CMPSRC2"

@@ -125,3 +125,18 @@ def test_approx_plan_is_sane(spark):
     assert bounds[-1].max_size > KB(10)  # covers the max
     for b in bounds:
         assert 1 <= b.flush_size <= 10_000
+
+
+def test_approx_bounds_disjoint_when_q60_exceeds_1mb(spark):
+    """Capping the second boundary at 1 MB can push it below q60; the
+    edges must never double-cover a size range (overlapping subtasks
+    would transfer those docs twice)."""
+    from chillastic_spark.plans import approx_plan_bounds
+
+    df = spark.range(100).selectExpr("(2000000 + id * 10000) as _size")
+    bounds = approx_plan_bounds(df)
+    bs = sorted((b.min_size, b.max_size) for b in bounds)
+    for (lo1, hi1), (lo2, hi2) in zip(bs, bs[1:]):
+        assert hi1 <= lo2, bs  # disjoint
+    assert bs[0][0] == 0.0
+    assert bs[-1][1] > 2_990_000  # covers the max

@@ -190,3 +190,35 @@ def test_stray_scratch_dirs_do_not_break_reads(spark, tmp_path):
     # and a subsequent merge still works
     upsert(spark, store, _batch(spark, [("z", 1)]), n_buckets=N_BUCKETS)
     assert store.read(spark, "ix").count() == 31
+
+
+def test_null_typed_docs_replace_instead_of_duplicating(spark, tmp_path):
+    """Typeless envelopes (_type NULL — ES 7+/8 documents) must MERGE:
+    a plain equi-join anti-join never matches NULL == NULL, which
+    silently duplicated every null-typed doc on re-upsert."""
+    store = DocumentStore(str(tmp_path / "s"))
+    nullbatch = spark.createDataFrame(
+        [("ix", None, "a", json.dumps({"v": 1}), 10)],
+        "_index string, _type string, _id string, _source string, _size long",
+    )
+    upsert(spark, store, nullbatch, n_buckets=N_BUCKETS)
+    newer = spark.createDataFrame(
+        [("ix", None, "a", json.dumps({"v": 2}), 10)],
+        "_index string, _type string, _id string, _source string, _size long",
+    )
+    upsert(spark, store, newer, n_buckets=N_BUCKETS)
+    rows = store.read(spark, "ix").collect()
+    assert len(rows) == 1, rows  # replaced, not duplicated
+    assert json.loads(rows[0]["_source"]) == {"v": 2}
+
+
+def test_null_index_is_a_clear_error(spark, tmp_path):
+    import pytest
+
+    store = DocumentStore(str(tmp_path / "s2"))
+    bad = spark.createDataFrame(
+        [(None, "t", "a", json.dumps({"v": 1}), 10)],
+        "_index string, _type string, _id string, _source string, _size long",
+    )
+    with pytest.raises(ValueError, match="NULL _index"):
+        upsert(spark, store, bad, n_buckets=N_BUCKETS)
