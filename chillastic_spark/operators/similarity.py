@@ -50,6 +50,24 @@ def brute_force_topk(
     )
 
 
+def _empty_topk(spark, score_col: str = "cos") -> DataFrame:
+    """Schema-stable empty result for the no-queries edge (an empty
+    collect would otherwise reach numpy as a 1-D array and crash with
+    AxisError on axis=1)."""
+    return spark.createDataFrame(
+        [], f"query_id long, neighbor_id long, {score_col} double"
+    )
+
+
+def _unit_rows(M):
+    """Row-normalize, mapping zero-norm rows to the zero vector
+    (cos 0 against everything) instead of NaN-poisoning the scores."""
+    import numpy as np
+
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.where(n == 0, 1.0, n)
+
+
 def brute_force_topk_fast(
     vectors: DataFrame,
     queries: DataFrame,
@@ -73,9 +91,11 @@ def brute_force_topk_fast(
     q_rows = sorted(
         queries.select(query_id_col, vec_col).collect(), key=lambda r: r[0]
     )
+    if not q_rows:
+        return _empty_topk(vectors.sparkSession)
     q_ids = [r[0] for r in q_rows]
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _unit_rows(Q)
     kk = k
 
     def score(batches):
@@ -87,7 +107,8 @@ def brute_force_topk_fast(
                 continue
             ids = pdf["_nid"].to_numpy()
             V = np_.array(list(pdf["_vec"]), dtype=np_.float64)
-            Vn = V / np_.linalg.norm(V, axis=1, keepdims=True)
+            n = np_.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / np_.where(n == 0, 1.0, n)
             S = Vn @ Qn.T  # (batch × m) cosines
             out = []
             for j, qid in enumerate(q_ids):
@@ -97,7 +118,14 @@ def brute_force_topk_fast(
                 if len(cand_idx) == 0:
                     continue
                 take = min(kk, len(cand_idx))
-                top = cand_idx[np_.argpartition(-col[cand_idx], take - 1)[:take]]
+                # batch-local selection must agree with the GLOBAL
+                # ranking (rounded score desc, id asc): raw-score
+                # argpartition breaks ties by batch position, so two
+                # equal-rounded rows straddling the cutoff would make
+                # the result partition-dependent
+                rcol = np_.floor(col[cand_idx] * 1e6 + 0.5) / 1e6
+                order = np_.lexsort((ids[cand_idx], -rcol))
+                top = cand_idx[order[:take]]
                 for i in top:
                     out.append((qid, int(ids[i]), float(col[i])))
             yield pd_.DataFrame(out, columns=["query_id", "neighbor_id", "cos_raw"])
@@ -119,35 +147,58 @@ def brute_force_topk_fast(
 
 
 def random_hyperplane_buckets(
-    vec_col: str = "embedding", planes: int = 8, seed: str = "rp"
+    vec_col: str = "embedding", planes: int = 8, seed: str = "rp",
+    dims: "int | None" = None,
 ) -> F.Column:
     """LSH bucket id (int) from ``planes`` pseudo-random hyperplanes.
 
     Plane p's component for dimension d is hash60(f"{seed}:{p}:{d}")
     mapped to [-1, 1) — deterministic, no state to ship. Bucket bit p =
     sign of ⟨vec, plane_p⟩.
+
+    ``dims`` (when the embedding width is known at plan time) embeds
+    the coefficient matrix as ARRAY LITERALS via
+    :func:`plane_coefficients` instead of evaluating planes×dims md5
+    hashes PER ROW — bit-identical bucket ids (same IEEE op order), no
+    per-row hashing in the hottest path. The hashed fallback remains
+    for callers that cannot know the width at plan time.
     """
     vec = CF.as_double_array(vec_col)
     bit_terms = []
-    for p in range(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d: x
-                * (
-                    (
-                        CF.hash60(F.concat(F.lit(f"{seed}:{p}:"), d.cast("string")))
-                        % F.lit(2000001)
-                    ).cast("double")
-                    / F.lit(1000000.0)
-                    - F.lit(1.0)
+    if dims is not None:
+        coeffs = plane_coefficients(planes, int(dims), seed)
+        for p in range(planes):
+            lit_plane = F.array(*[F.lit(c) for c in coeffs[p]])
+            proj = F.aggregate(
+                F.zip_with(vec, lit_plane, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit_terms.append(
+                F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            )
+    else:
+        for p in range(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda x, d: x
+                    * (
+                        (
+                            CF.hash60(F.concat(F.lit(f"{seed}:{p}:"), d.cast("string")))
+                            % F.lit(2000001)
+                        ).cast("double")
+                        / F.lit(1000000.0)
+                        - F.lit(1.0)
+                    ),
                 ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit_terms.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit_terms.append(
+                F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            )
     bucket = bit_terms[0]
     for t in bit_terms[1:]:
         bucket = bucket + t
@@ -173,12 +224,14 @@ def lsh_topk(
     distance 1 from its own (probes-1 single-bit flips), trading
     probes× more candidates for recall — the standard LSH recall knob.
     """
+    first_q = queries.select(CF.as_double_array(vec_col)).first()
+    dims = len(first_q[0]) if first_q and first_q[0] is not None else None
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         CF.as_double_array(vec_col).alias("vec"),
-        random_hyperplane_buckets(vec_col, planes).alias("bucket"),
+        random_hyperplane_buckets(vec_col, planes, dims=dims).alias("bucket"),
     )
-    base_bucket = random_hyperplane_buckets(vec_col, planes)
+    base_bucket = random_hyperplane_buckets(vec_col, planes, dims=dims)
     probe_buckets = F.array(
         base_bucket,
         *[
@@ -247,10 +300,12 @@ def knn_graph(
     Deterministic: hash-derived hyperplanes, rounded scores, id
     tie-breaks — exactly reproducible in ANSI SQL (oracle-checked).
     """
+    first_v = vectors.select(CF.as_double_array(vec_col)).first()
+    dims = len(first_v[0]) if first_v and first_v[0] is not None else None
     b = vectors.select(
         F.col(id_col).alias("id"),
         CF.as_double_array(vec_col).alias("v"),
-        random_hyperplane_buckets(vec_col, planes).alias("bkt"),
+        random_hyperplane_buckets(vec_col, planes, dims=dims).alias("bkt"),
     )
     a, c = b.alias("a"), b.alias("b")
     scored = a.join(
@@ -297,8 +352,10 @@ def ivf_coarse_centroids(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError("ivf_coarse_centroids: no vectors to train on")
     X = np.array([r["_v"] for r in rows], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = _unit_rows(X)
     C = X[: min(n_cells, len(X))].copy()
     for _ in range(iters):
         assign = (X @ C.T).argmax(axis=1)
@@ -383,8 +440,10 @@ def ivf_topk(
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"), CF.as_double_array(vec_col).alias("qvec")
     ).collect()
+    if not q_rows:
+        return _empty_topk(vectors.sparkSession)
     Q = np.array([r["qvec"] for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _unit_rows(Q)
     probe_cells = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, : max(nprobe, 1)]
     probe = [
         (r["query_id"], r["qvec"], int(c))
@@ -455,8 +514,10 @@ def pq_train_codebooks(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_train_codebooks: no vectors to train on")
     X = np.array([r["_v"] for r in rows], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = _unit_rows(X)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -562,8 +623,10 @@ def pq_topk(
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"), CF.as_double_array(vec_col).alias("qvec")
     ).collect()
+    if not q_rows:
+        return _empty_topk(vectors.sparkSession, "adc_d2" if not refine else "cos")
     Q = np.array([r["qvec"] for r in q_rows], dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = _unit_rows(Q)
     luts = []
     for r, qv in zip(q_rows, Q):
         lut = np.empty(mm * kk)
@@ -605,7 +668,10 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"), CF.as_double_array(vec_col).alias("vec")
     )
     reranked = (
-        shortlist.join(full, "neighbor_id")
+        # the shortlist is at most |queries|*k*refine rows: broadcast
+        # it so the rerank is a map over the corpus scan, not a
+        # corpus-wide shuffle (the cost PQ compression exists to avoid)
+        F.broadcast(shortlist).join(full, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
         .select("query_id", "neighbor_id", "cos")

@@ -30,8 +30,12 @@ from pyspark.sql import functions as F
 from chillastic_spark import functions as CF
 
 # Sentinel token carrying a partition's total decrement (error mass).
-# \x00 cannot appear in whitespace-split tokens.
-_DECR_SENTINEL = "\x00__MG_DECR__"
+# It contains a SPACE: tokens come from splitting on \s+, so no corpus
+# token can ever contain whitespace — the previous \x00-prefixed
+# sentinel was NOT collision-proof (NUL is not whitespace and survives
+# the split, so a binary-contaminated corpus could fold a real token's
+# counts into the error bound).
+_DECR_SENTINEL = "\x00 MG DECR \x00"
 
 
 def _mg_partial(capacity: int):

@@ -57,14 +57,28 @@ def build_inverted_index(
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "postings"))
     )
-    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # derive term_stats and corpus stats FROM the postings just
+    # written — the update path's recipe (one tokenize pass instead of
+    # three, and the same doc universe: a null-/empty-text doc that
+    # produces no postings is excluded from n_docs/avgdl here exactly
+    # as update's recompute excludes it, so incremental updates can't
+    # shift every BM25 score by re-deriving a different universe.
+    # (The old toks-side agg also summed dl=-1 for null texts —
+    # F.size(null) — poisoning avgdl.)
+    written = spark.read.parquet(os.path.join(index_dir, "postings"))
+    term_stats = written.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     term_stats.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "term_stats")
     )
-    row = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    ).collect()[0]
+    row = (
+        written.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        .collect()[0]
+    )
     stats = {"n_docs": row["n_docs"], "avgdl": row["avgdl"]}
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f)

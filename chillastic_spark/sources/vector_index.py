@@ -42,10 +42,12 @@ def build_vector_index(
     vec_col: str = "embedding",
 ) -> dict:
     """Bucket the corpus and write it partitioned by bucket id."""
+    first = df.select(F.col(vec_col)).first()
+    dims = len(first[0]) if first and first[0] is not None else None
     rows = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        random_hyperplane_buckets(vec_col, planes, seed).alias("bucket"),
+        random_hyperplane_buckets(vec_col, planes, seed, dims=dims).alias("bucket"),
     )
     rows.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(index_dir, DATA)
@@ -55,6 +57,10 @@ def build_vector_index(
         "seed": seed,
         "n_vectors": df.count(),
         "n_buckets": 1 << planes,
+        # persisted so every later bucket computation (update, serve)
+        # can embed the plane coefficients as literals instead of
+        # hashing planes*dims md5s per row
+        "dims": dims,
     }
     with open(os.path.join(index_dir, META), "w") as f:
         json.dump(meta, f, indent=1)
@@ -66,21 +72,58 @@ def update_vector_index(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_existing: str = "error",
 ) -> dict:
     """Append new vectors into their bucket partitions (dynamic
-    partition append: existing buckets' files are untouched)."""
+    partition append: existing buckets' files are untouched).
+
+    Duplicate-id guard (same contract as ``update_inverted_index``):
+    ``on_existing='skip'`` anti-joins out ids already indexed — the
+    idempotence an at-least-once streaming source needs on redelivery;
+    the default ``'error'`` raises. Without the guard a redelivered
+    batch would double-count ``n_vectors``, and a RE-ADDED id with a
+    CHANGED embedding could land in a different bucket, making
+    multi-probe queries see two rows with different cosines and serve
+    whichever survives dropDuplicates — nondeterministic results."""
     meta = _meta(index_dir)
     rows = df_new.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        random_hyperplane_buckets(vec_col, meta["planes"], meta["seed"]).alias(
-            "bucket"
-        ),
+        random_hyperplane_buckets(
+            vec_col, meta["planes"], meta["seed"], dims=meta.get("dims")
+        ).alias("bucket"),
     )
-    rows.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(index_dir, DATA)
+    spark = df_new.sparkSession
+    existing_ids = spark.read.parquet(os.path.join(index_dir, DATA)).select(
+        "vec_id"
     )
-    meta["n_vectors"] += df_new.count()
+    if on_existing == "skip":
+        rows = rows.join(existing_ids.distinct(), "vec_id", "left_anti")
+    else:
+        dup = rows.select("vec_id").join(existing_ids, "vec_id", "semi")
+        clash = [r["vec_id"] for r in dup.limit(3).collect()]
+        if clash:
+            raise ValueError(
+                f"vector ids already indexed (e.g. {clash}); use "
+                "on_existing='skip' for at-least-once redelivery, or "
+                "rebuild the index to change embeddings"
+            )
+    # pin before writing: the skip-mode anti-join READS the same data
+    # dir the append writes — cutting lineage here avoids a
+    # self-read-while-write plan. Forced 'local': the pinned frame is
+    # batch-sized and a lost-block failure just retries the batch.
+    from chillastic_spark.persist import materialize, release
+
+    rows = materialize(rows, mode="local")
+    try:
+        n_added = rows.count()
+        if n_added:
+            rows.write.mode("append").partitionBy("bucket").parquet(
+                os.path.join(index_dir, DATA)
+            )
+    finally:
+        release(rows)
+    meta["n_vectors"] += n_added
     with open(os.path.join(index_dir, META), "w") as f:
         json.dump(meta, f, indent=1)
     return meta
@@ -110,7 +153,9 @@ def ann_query_index(
     """
     meta = _meta(index_dir)
     planes = meta["planes"]
-    base = random_hyperplane_buckets(vec_col, planes, meta["seed"])
+    base = random_hyperplane_buckets(
+        vec_col, planes, meta["seed"], dims=meta.get("dims")
+    )
     probe_buckets = F.array(
         base,
         *[

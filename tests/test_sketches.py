@@ -49,3 +49,18 @@ def test_sketches_are_deterministic(spark):
     a = sorted(map(tuple, sketch_distinct_users(spark, SF).collect()))
     b = sorted(map(tuple, sketch_distinct_users(spark, SF).collect()))
     assert a == b
+
+
+def test_mg_sentinel_cannot_collide_with_corpus_tokens(spark):
+    """A NUL-containing corpus token must not be folded into the error
+    bound: the sentinel contains a space, which whitespace-split tokens
+    never can."""
+    from chillastic_spark.operators.sketches import _DECR_SENTINEL, heavy_hitter_tokens
+
+    assert " " in _DECR_SENTINEL
+    evil = "\x00__MG_DECR__"  # the old sentinel, as a real corpus token
+    df = spark.createDataFrame(
+        [(f"{evil} {evil} normal token",)], "text: string"
+    )
+    got = {r["token"]: r["est"] for r in heavy_hitter_tokens(df, k=10).collect()}
+    assert got.get(evil) == 2  # counted as a token, not error mass

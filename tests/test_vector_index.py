@@ -146,3 +146,37 @@ def test_ivf_index_serving_matches_scan_time(spark, tmp_path):
     df = ann_query_ivf_index(spark, idx, _queries(e), k=5, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_update_rejects_duplicate_ids_and_skip_is_idempotent(spark, tmp_path):
+    """At-least-once redelivery: on_existing='skip' makes a replayed
+    batch a no-op (n_vectors stable, no duplicate rows); the default
+    raises so a changed embedding can't silently serve two versions."""
+    import pytest
+
+    from chillastic_spark.sources.vector_index import (
+        ann_query_index,
+        build_vector_index,
+        update_vector_index,
+    )
+
+    base = spark.range(20).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 4), j -> cast(pmod(id * j, 7) as double)) as embedding",
+    )
+    idx = str(tmp_path / "vidx")
+    build_vector_index(base, idx, planes=4)
+    batch = spark.range(20, 25).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 4), j -> cast(pmod(id * j, 7) as double)) as embedding",
+    )
+    m1 = update_vector_index(batch, idx)
+    # replay: skip mode is a no-op
+    m2 = update_vector_index(batch, idx, on_existing="skip")
+    assert m2["n_vectors"] == m1["n_vectors"] == 25
+    # default mode refuses the duplicate ids outright
+    with pytest.raises(ValueError, match="already indexed"):
+        update_vector_index(batch, idx)
+    # and the index has exactly one row per id
+    rows = spark.read.parquet(idx + "/data").groupBy("vec_id").count()
+    assert rows.filter("count > 1").count() == 0
