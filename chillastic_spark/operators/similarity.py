@@ -40,14 +40,7 @@ def brute_force_topk(
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos")
-    )
+    return _rank_topk(scored, k)
 
 
 def _empty_topk(spark, score_col: str = "cos") -> DataFrame:
@@ -56,6 +49,31 @@ def _empty_topk(spark, score_col: str = "cos") -> DataFrame:
     AxisError on axis=1)."""
     return spark.createDataFrame(
         [], f"query_id long, neighbor_id long, {score_col} double"
+    )
+
+
+def _rank_topk(
+    scored: DataFrame,
+    k: int,
+    part_col: str = "query_id",
+    score_col: str = "cos",
+    ascending: bool = False,
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """THE per-group top-k ranking every *_topk operator (and the
+    index serving path) uses: row_number over (score, id-tie-break)
+    partitioned by the query/node — one definition, so a tie-break fix
+    can never apply to one copy and silently diverge in another. The
+    PARTITIONED window compiles to WindowGroupLimit (each map task
+    keeps k rows per group before the shuffle) — never a global sort."""
+    from pyspark.sql.window import Window
+
+    order = F.asc(score_col) if ascending else F.desc(score_col)
+    w = Window.partitionBy(part_col).orderBy(order, F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(part_col, id_col, score_col)
     )
 
 
@@ -136,14 +154,7 @@ def brute_force_topk_fast(
     scored = v.mapInPandas(
         score, "query_id long, neighbor_id long, cos_raw double"
     ).withColumn("cos", CF.round_det(F.col("cos_raw"), 6)).drop("cos_raw")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos")
-    )
+    return _rank_topk(scored, k)
 
 
 def random_hyperplane_buckets(
@@ -251,14 +262,7 @@ def lsh_topk(
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos")
-    )
+    return _rank_topk(scored, k)
 
 
 def plane_coefficients(planes: int, dims: int, seed: str = "rp") -> list[list[float]]:
@@ -315,14 +319,7 @@ def knn_graph(
         F.col("b.id").alias("dst"),
         CF.round_det(CF.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("src", "dst", "cos")
-    )
+    return _rank_topk(scored, k, part_col="src", id_col="dst")
 
 
 def ivf_coarse_centroids(
@@ -385,7 +382,6 @@ def ivf_assign_cells(
 
     Cn = np.asarray(centroids_arr, dtype=np.float64)
     schema = df.withColumn(out_col, F.lit(0)).schema
-    cols = [f.name for f in df.schema.fields]
 
     def assign(batches):
         import numpy as np_
@@ -459,14 +455,7 @@ def ivf_topk(
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos")
-    )
+    return _rank_topk(scored, k)
 
 
 def centroids(
@@ -649,13 +638,9 @@ def pq_topk(
         .withColumn("adc_d2", CF.round_det(adc, 6))
         .select("query_id", "neighbor_id", "adc_d2")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
-    shortlist = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= (k * refine if refine else k))
-        .select("query_id", "neighbor_id", "adc_d2")
+    shortlist = _rank_topk(
+        scored, k * refine if refine else k,
+        score_col="adc_d2", ascending=True,
     )
     if not refine:
         return shortlist
@@ -676,12 +661,7 @@ def pq_topk(
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        reranked.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos")
-    )
+    return _rank_topk(reranked, k)
 
 
 def centroid_arrays(

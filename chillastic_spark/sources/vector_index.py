@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chillastic_spark import functions as CF
-from chillastic_spark.operators.similarity import random_hyperplane_buckets
+from chillastic_spark.operators.similarity import (
+    _rank_topk,
+    random_hyperplane_buckets,
+)
 
 META = "meta.json"
 DATA = "data"
@@ -185,14 +188,7 @@ def ann_query_index(
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos")
-    )
+    return _rank_topk(scored, k)
 
 
 def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
@@ -316,11 +312,4 @@ def ann_query_ivf_index(
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos")
-    )
+    return _rank_topk(scored, k)
