@@ -44,17 +44,19 @@ def asof_join(
         ts,
         F.struct(*[F.col(c) for c in value_cols]).alias("__vals"),
     ).withColumn("__side", F.lit(0 if not strict else 2))
-    all_cols = set(lt.columns) | set(rt.columns)
-    for c in sorted(all_cols):
-        if c not in lt.columns:
-            lt = lt.withColumn(c, F.lit(None))
-        if c not in rt.columns:
-            rt = rt.withColumn(c, F.lit(None))
-    u = lt.select(*sorted(all_cols)).unionByName(rt.select(*sorted(all_cols)))
+    u = lt.unionByName(rt, allowMissingColumns=True)
 
+    # side precedence must dominate any user tiebreak: a tiebreak
+    # sorted BEFORE __side would put right rows (NULL tiebreak,
+    # nulls-first) ahead of left rows at equal timestamps, silently
+    # re-including the equal-ts matches ``strict`` exists to exclude.
+    # The value-struct hash is the FINAL component so duplicate right
+    # rows at the same (key, ts) carry one deterministic winner
+    # (highest hash) instead of whichever row the shuffle ordered last.
     order = [F.col(ts).asc(), F.col("__side").asc()]
     if order_tiebreak:
-        order.insert(1, F.col(order_tiebreak).asc_nulls_first())
+        order.append(F.col(order_tiebreak).asc_nulls_first())
+    order.append(F.xxhash64(F.col("__vals")).asc_nulls_first())
     w = Window.partitionBy(key).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -104,6 +104,7 @@ def assemble_incremental(
     m = new_docs.select(id_col, source_col).join(adopted, id_col, "left")
     if batch_pairs is not None:
         from chillastic_spark.operators.components import connected_components
+        from chillastic_spark.persist import materialize
 
         comp = connected_components(batch_pairs).withColumnRenamed(
             "node", id_col
@@ -111,6 +112,10 @@ def assemble_incremental(
         m = m.join(comp, id_col, "left").withColumn(
             "__cluster", F.coalesce("component", F.col(id_col))
         )
+        # m feeds BOTH the cluster-adoption agg and the final join —
+        # pin it so the flags-manifest join runs once per micro-batch
+        # (the streaming callers' batch_scope releases it at exit)
+        m = materialize(m)
         cluster_adopt = m.groupBy("__cluster").agg(
             F.min("__adopted_rep").alias("__cluster_rep")
         )

@@ -45,13 +45,17 @@ def dsir_weights(
     target-domain subset (e.g. ``F.col("lang") == "en"``). Positive
     weights mean "looks like the target".
     """
-    from chillastic_spark.operators.dedup import materialize
+    from chillastic_spark.persist import materialize
 
     extra = list(extra_cols or [])
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in extra],
-        target.alias("__tgt"),
+        # NULL-evaluating targets (e.g. lang IS NULL under lang=='en')
+        # count as non-target, matching the SQL twin's CASE ... ELSE 0;
+        # an un-coalesced NULL would poison the bucket's tgt_ct sum and
+        # NULL the weight of every doc sharing the bucket
+        F.coalesce(target, F.lit(False)).alias("__tgt"),
         F.explode(CF.words(text_col)).alias("tok"),
     ).select(
         "doc_id",

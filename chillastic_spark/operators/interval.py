@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_UNIT_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
+_UNITS = frozenset({"minute", "hour", "day"})
 
 
 def bin_interval_join(
@@ -36,7 +36,7 @@ def bin_interval_join(
     ``start <= ts < end`` via bin equi-join (columns of both inputs
     are preserved; name-collisions must be resolved by the caller).
     """
-    if unit not in _UNIT_SECONDS:
+    if unit not in _UNITS:
         raise ValueError(f"unsupported bin unit: {unit!r}")
     for side, cols in (("points", points.columns), ("intervals", intervals.columns)):
         if "__bin" in cols:

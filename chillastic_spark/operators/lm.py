@@ -90,7 +90,7 @@ def hashed_bigram_nll(
     two BROADCAST count tables; one groupBy(doc). The model never
     scales with the corpus.
     """
-    from chillastic_spark.operators.dedup import materialize
+    from chillastic_spark.persist import materialize
 
     grams = materialize(_bigram_stream(df, id_col, text_col, buckets))
     ctx = grams.groupBy("pb").agg(F.count(F.lit(1)).alias("ctx_ct"))

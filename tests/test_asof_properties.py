@@ -44,3 +44,33 @@ def test_asof_matches_brute_force(spark, left, right, strict):
                            strict=strict).collect()
     }
     assert got == brute_force(left, right or [], strict)
+
+
+def test_strict_excludes_equal_ts_even_with_tiebreak(spark):
+    """Regression: a user tiebreak sorted before __side let right rows
+    (NULL tiebreak, nulls-first) precede left rows at equal
+    timestamps, silently re-including the matches strict excludes."""
+    from chillastic_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10, 5)], "key string, ts long, seq long")
+    right = spark.createDataFrame([("k", 10, 99), ("k", 9, 7)],
+                                  "key string, ts long, v long")
+    r = asof_join(left, right, "key", "ts", ["v"],
+                  strict=True, order_tiebreak="seq").collect()
+    assert r[0]["v"] == 7  # the ts=9 row, never the equal-ts 99
+
+
+def test_duplicate_right_rows_carry_deterministic_winner(spark):
+    """Two right rows at the same (key, ts): the carried value must not
+    depend on shuffle order — the value-struct hash picks one winner."""
+    from chillastic_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10)], "key string, ts long")
+    right = spark.createDataFrame([("k", 10, 1), ("k", 10, 2)],
+                                  "key string, ts long, v long")
+    seen = {
+        asof_join(left.repartition(p), right.repartition(p + 2),
+                  "key", "ts", ["v"]).collect()[0]["v"]
+        for p in (1, 3, 7)
+    }
+    assert len(seen) == 1, seen

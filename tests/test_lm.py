@@ -182,3 +182,23 @@ def test_lm_filter_stream_unseen_bigrams_penalized(spark, tmp_path):
     assert r["n_bigrams"] == 5
     assert abs(r["nll"] - expect) < 1e-3
     assert not r["keep"]
+
+
+def test_dsir_null_target_counts_as_non_target(spark):
+    """A NULL-evaluating target (lang IS NULL under lang=='en') must
+    count as non-target like the SQL twin's CASE ELSE 0 — an
+    un-coalesced NULL poisoned the bucket sum and NULLed the weight of
+    every doc sharing the bucket."""
+    import pyspark.sql.functions as F
+
+    from chillastic_spark.operators.importance import dsir_weights
+
+    docs = spark.createDataFrame(
+        [("d1", None, "zzz zzz qqq"), ("d2", "en", "hello world")],
+        "doc_id string, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights(docs, F.col("lang") == "en").collect()
+    }
+    assert got["d1"] is not None and got["d2"] is not None
