@@ -87,7 +87,14 @@ def chunk_text_udtf(size: int = 50, stride: int = 40):
         def eval(self, text: str):
             if text is None:
                 return
-            toks = text.strip().split()
+            import re as _re
+
+            # regex split, NOT str.split(): functions.words() (and the
+            # SQL oracles) split '' to [''] — one empty token — so the
+            # documented-equivalent expression/UDTF pair must agree on
+            # empty/whitespace-only docs (str.split would yield 0
+            # tokens where chunk_documents reports 1)
+            toks = _re.split(r"\s+", text.strip())
             n = max(len(toks), 1)
             n_chunks = max((n - win + step - 1) // step + 1, 1)
             for i in range(n_chunks):

@@ -77,16 +77,23 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
             for rec in pdf.to_dict("records"):
                 payload = rec[payload_col] or b""
                 if not fake:
-                    with image_mod.open(_io.BytesIO(bytes(payload))) as img:
-                        rows.append(
-                            {
-                                "doc_id": rec[id_col],
-                                "n_bytes": len(payload),
-                                "width": img.width,
-                                "height": img.height,
-                                "format": (img.format or "unknown").lower(),
-                            }
-                        )
+                    try:
+                        with image_mod.open(_io.BytesIO(bytes(payload))) as img:
+                            rows.append(
+                                {
+                                    "doc_id": rec[id_col],
+                                    "n_bytes": len(payload),
+                                    "width": img.width,
+                                    "height": img.height,
+                                    "format": (img.format or "unknown").lower(),
+                                }
+                            )
+                    except Exception as e:  # noqa: BLE001 — codec boundary
+                        raise NotImplementedError(
+                            f"undecodable image payload for doc "
+                            f"{rec[id_col]} ({len(payload)} bytes): {e}; "
+                            "pass fake=True"
+                        ) from e
                     continue
                 h = int(_hashlib.md5(bytes(payload)).hexdigest()[:15], 16)
                 rows.append(
@@ -282,13 +289,23 @@ def resize_images(
             for rec in pdf.to_dict("records"):
                 payload = bytes(rec[payload_col] or b"")
                 if not fake:
-                    with image_mod.open(_io.BytesIO(payload)) as img:
-                        resized = img.resize((width, height))
-                        buf = _io.BytesIO()
-                        resized.save(buf, format="PNG")
-                    out = buf.getvalue()
+                    try:
+                        with image_mod.open(_io.BytesIO(payload)) as img:
+                            resized = img.resize((width, height))
+                            buf = _io.BytesIO()
+                            resized.save(buf, format="PNG")
+                        out = buf.getvalue()
+                    except Exception as e:  # noqa: BLE001 — codec boundary
+                        raise NotImplementedError(
+                            f"unresizable image payload for doc "
+                            f"{rec[id_col]} ({len(payload)} bytes): {e}; "
+                            "pass fake=True"
+                        ) from e
                 else:
-                    out = (payload * (target // max(len(payload), 1) + 1))[:target]
+                    # empty payload: repeat a zero byte so the output
+                    # honors the fixed width*height/64-byte contract
+                    base = payload or b"\x00"
+                    out = (base * (target // len(base) + 1))[:target]
                 rows.append(
                     {
                         "doc_id": rec[id_col],
@@ -477,14 +494,25 @@ def phash_images(
             for rec in pdf.to_dict("records"):
                 payload = bytes(rec[payload_col] or b"")
                 if not fake:
-                    with image_mod.open(_io.BytesIO(payload)) as img:
-                        plane = _np.asarray(
-                            img.convert("L").resize((N, N)), dtype=_np.float64
-                        )
+                    try:
+                        with image_mod.open(_io.BytesIO(payload)) as img:
+                            plane = _np.asarray(
+                                img.convert("L").resize((N, N)),
+                                dtype=_np.float64,
+                            )
+                    except Exception as e:  # noqa: BLE001 — codec boundary
+                        raise NotImplementedError(
+                            f"unhashable image payload for doc "
+                            f"{rec[id_col]} ({len(payload)} bytes): {e}; "
+                            "pass fake=True"
+                        ) from e
                     imgs.append(plane)
                     ids.append(rec[id_col])
                     continue
-                buf = (payload * (1024 // max(len(payload), 1) + 1))[:1024]
+                # empty payload: b'' * k is still b'' — hash a zeroed
+                # plane instead of crashing frombuffer().reshape(32,32)
+                base = payload or b"\x00"
+                buf = (base * (1024 // len(base) + 1))[:1024]
                 imgs.append(
                     _np.frombuffer(buf, dtype=_np.uint8)
                     .astype(_np.float64)

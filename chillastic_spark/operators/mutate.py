@@ -103,6 +103,22 @@ def apply_data_mutators(
                             break
                         if pred(doc, args):
                             doc = mut(doc, args)
+                    # serialize INSIDE the guard: a mutator returning a
+                    # non-dict or non-JSON-serializable _source (e.g. a
+                    # datetime) is user-code failure too — outside the
+                    # try it would bypass the quarantine side-channel
+                    # and kill the slice
+                    out_row = None
+                    if not _drop(doc):
+                        out_row = {
+                            "_index": doc.get("_index"),
+                            "_type": doc.get("_type"),
+                            "_id": doc.get("_id"),
+                            "_source": _json.dumps(
+                                doc.get("_source", {}), sort_keys=True
+                            ),
+                            "_size": doc.get("_size"),
+                        }
                 except Exception as e:  # noqa: BLE001 — user-code boundary
                     if not do_quarantine:
                         raise
@@ -123,17 +139,9 @@ def apply_data_mutators(
                         }
                     )
                     continue
-                if _drop(doc):
+                if out_row is None:
                     continue
-                rows.append(
-                    {
-                        "_index": doc.get("_index"),
-                        "_type": doc.get("_type"),
-                        "_id": doc.get("_id"),
-                        "_source": _json.dumps(doc.get("_source", {}), sort_keys=True),
-                        "_size": doc.get("_size"),
-                    }
-                )
+                rows.append(out_row)
             yield _pd.DataFrame(
                 rows, columns=["_index", "_type", "_id", "_source", "_size"]
             )

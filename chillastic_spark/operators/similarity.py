@@ -598,6 +598,14 @@ def pq_topk(
     touches only the shortlist — a broadcast-able id semi-join at any
     corpus size). Approximate by design → rows-only oracle, recall
     pinned by tests/test_pq.py.
+
+    SCHEMA DIFFERS BY MODE, deliberately: ``refine > 0`` returns
+    (query_id, neighbor_id, cos) like every sibling *_topk (cos
+    descending = better); ``refine = 0`` returns
+    (query_id, neighbor_id, adc_d2) where SMALLER is better — ADC
+    squared distances are not cosines and presenting them under a
+    ``cos`` column would silently invert any generic
+    higher-is-better consumer. Select the column by name.
     """
     import numpy as np
 

@@ -22,14 +22,22 @@ def salted_join(
 ) -> DataFrame:
     """Join with the hot-key shuffle scattered over ``salt_buckets``.
 
-    big gets a random-ish deterministic salt (hash of all columns mod R
-    would be ideal; monotonically varying row id suffices and avoids a
-    wide hash); small is exploded ×R. Correct for inner/left joins on
-    equi-keys. Use when key-frequency skew defeats AQE (e.g. a single
-    null-ish key holding >1 partition's worth of rows).
+    big's salt is a CONTENT hash of the whole row (xxhash64 over all
+    columns, mod R); small is exploded ×R. The salt must be
+    deterministic under recomputation: position-derived expressions
+    (spark_partition_id / monotonically_increasing_id) change when a
+    lost map stage is recomputed after a fetch failure, so a big row
+    could land in a different salt bucket than the attempt reducers
+    already fetched — duplicating or dropping join rows. Identical
+    rows share a bucket under the content hash, which still scatters
+    hot KEYS (the rows of a hot key differ in their other columns).
+    Correct for inner/left joins on equi-keys. Use when key-frequency
+    skew defeats AQE (e.g. a single null-ish key holding >1
+    partition's worth of rows).
     """
     salted_big = big.withColumn(
-        "__salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),
     )
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -16,6 +16,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _desc_key(score: str, id_col: str) -> F.Column:
+    """Sort-key struct whose ascending order equals
+    ``orderBy(score desc, id asc)`` including Spark's desc null/NaN
+    placement (NaN first, finite by score desc, NULL last). The
+    original score rides along as ``_s`` so callers emit it verbatim
+    (negating a key would turn NULL into NULL but also NaN into NaN —
+    fine — yet could not restore a null's position)."""
+    c = F.col(score)
+    klass = (
+        F.when(c.isNull(), F.lit(2))
+        .when(F.isnan(c), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+    )
+    ns = F.when(c.isNull() | F.isnan(c), F.lit(0.0)).otherwise(-c)
+    return F.struct(
+        klass.alias("_k"),
+        ns.alias("_ns"),
+        F.col(id_col).alias("_id"),
+        c.alias("_s"),
+    )
+
+
 def ranked_topk(
     df: DataFrame, score: str, id_col: str, k: int, rank_name: str = "rank"
 ) -> DataFrame:
@@ -27,19 +50,18 @@ def ranked_topk(
     total order, independent of partitioning.
     """
     top = df.orderBy(F.desc(score), F.asc(id_col)).limit(k)
-    # rank the ≤k survivors in-plan: negated score makes the ascending
-    # struct sort equal to (score desc, id asc)
+    # rank the ≤k survivors in-plan with a key whose ASCENDING struct
+    # order replicates orderBy(desc) exactly, INCLUDING the null/NaN
+    # rules (desc = NaN first, finite desc, nulls last): a bare
+    # negated score would instead sort null scores FIRST and NaN last,
+    # handing rank 1 to a null-score row the limit ranked dead last.
     packed = top.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct((-F.col(score)).alias("_ns"), F.col(id_col).alias("_id"))
-            )
-        ).alias("_a")
+        F.array_sort(F.collect_list(_desc_key(score, id_col))).alias("_a")
     )
     return packed.select(F.posexplode("_a").alias("_r", "_x")).select(
         (F.col("_r") + 1).alias(rank_name),
         F.col("_x._id").alias(id_col),
-        (-F.col("_x._ns")).alias(score),
+        F.col("_x._s").alias(score),
     )
 
 
@@ -48,11 +70,8 @@ def last_of_topk(df: DataFrame, score: str, id_col: str, k: int) -> DataFrame:
     DataFrame ``(cur_score, cur_id)`` — the keyset-pagination cursor,
     without a global window. Empty input yields one all-NULL row."""
     top = df.orderBy(F.desc(score), F.asc(id_col)).limit(k)
-    # the order-k row is the struct-max of (−score, id) over the top-k
-    return top.agg(
-        F.max(
-            F.struct((-F.col(score)).alias("_ns"), F.col(id_col).alias("_id"))
-        ).alias("_c")
-    ).select(
-        (-F.col("_c._ns")).alias("cur_score"), F.col("_c._id").alias("cur_id")
+    # the order-k row is the struct-max of the desc-order key (same
+    # null/NaN-consistent key as ranked_topk) over the top-k
+    return top.agg(F.max(_desc_key(score, id_col)).alias("_c")).select(
+        F.col("_c._s").alias("cur_score"), F.col("_c._id").alias("cur_id")
     )

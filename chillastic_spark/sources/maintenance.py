@@ -125,10 +125,13 @@ def _compact_index_locked(
             sort_by, zorder_by,
         )
     path = store.index_path(index)
+    _recover_interrupted_swap(path)
     before = file_stats(path, small_file_bytes=target_file_bytes // 4)
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
     relayout = sort_by is not None or zorder_by is not None
     if not relayout and before["n_files"] <= max(n_out, min_files_to_compact - 1):
+        return {"before": before, "after": before, "compacted": False}
+    if before["n_files"] == 0:  # empty or absent index: relayout no-ops
         return {"before": before, "after": before, "compacted": False}
 
     partitioned = _is_type_partitioned(path)
@@ -161,6 +164,26 @@ def _compact_index_locked(
     }
 
 
+def _recover_interrupted_swap(path: str) -> None:
+    """Heal the two-rename swap's crash window: if a previous
+    compaction died between ``rename(path, old)`` and
+    ``rename(tmp, path)``, the live path is missing while a single
+    ``.old-``/**complete** ``.compact-`` sibling holds the data —
+    restore the old dir so reads work again (the interrupted rewrite's
+    tmp dir is left for inspection; rerunning compaction redoes it)."""
+    if os.path.exists(path):
+        return
+    base = os.path.basename(path)
+    parent = os.path.dirname(path) or "."
+    if not os.path.isdir(parent):
+        return
+    olds = sorted(
+        d for d in os.listdir(parent) if d.startswith(base + ".old-")
+    )
+    if olds:
+        os.rename(os.path.join(parent, olds[0]), path)
+
+
 def _compact_bucketed(
     spark: SparkSession,
     store: DocumentStore,
@@ -178,6 +201,7 @@ def _compact_bucketed(
     agg_after: dict = {"n_files": 0, "total_bytes": 0, "small_files": 0}
     compacted_any = False
     for bpath in store.bucket_paths(index):
+        _recover_interrupted_swap(bpath)
         before = file_stats(bpath, small_file_bytes=target_file_bytes // 4)
         n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
         relayout = sort_by is not None or zorder_by is not None
@@ -229,6 +253,9 @@ def compact_store(
 
 
 def zorder_layout(df, cols: "list[str]", n_files: int, bits: int = 12):
+    # (bits is capped below so the interleaved key fits in 63 bits:
+    # Java's << wraps the shift amount mod 64, so bit positions past 63
+    # would silently fold onto the low bits and scramble the curve)
     """Shape a DataFrame so each output file clusters on ALL of
     ``cols`` at once: interleave the bit representations of the
     min/max-scaled columns (Morton / Z-order curve) and range-partition
@@ -273,6 +300,7 @@ def zorder_layout(df, cols: "list[str]", n_files: int, bits: int = 12):
 
     key = F.lit(0).cast("long")
     n = len(scaled)
+    bits = max(1, min(bits, 63 // max(n, 1)))
     for b in range(bits):
         for i, s in enumerate(scaled):
             bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
