@@ -13,7 +13,10 @@ from dataclasses import asdict, dataclass, field
 from typing import Any, Optional
 
 # Reference: app/models/objectId.js:58
-ID_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9]{1,40}$")
+# \Z, not $: Python's $ also matches before a trailing newline,
+# so "task1\n" would validate as an id and become a distinct
+# state-file key rendering identically to "task1" everywhere
+ID_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9]{1,40}\Z")
 DEFAULT_NAMESPACE = "global"  # objectId.js:5-31
 
 

@@ -140,15 +140,25 @@ def curate(
         # top-token pass (one map-side-combining agg)
         from chillastic_spark import functions as CF
 
-        w = F.split(F.trim(F.col(text_col)), r"\s+")
-        gated = gated.withColumn(
-            "__dup_bi",
-            F.when(
-                F.size(w) >= 2,
-                F.lit(1.0)
-                - F.size(CF.ngrams_of_words(w, 2)) / (F.size(w) - 1).cast("double"),
-            ).otherwise(F.lit(0.0)),
-        ).filter(F.col("__dup_bi") <= cfg.max_dup_bigram_frac).drop("__dup_bi")
+        # project the words array FIRST: inlining the split() subtree
+        # into ngrams_of_words makes codegen re-tokenise the text once
+        # per gram — O(words²) per doc (functions.ngrams_of_words's own
+        # documented caveat)
+        gated = (
+            gated.withColumn("__w", F.split(F.trim(F.col(text_col)), r"\s+"))
+            .withColumn(
+                "__dup_bi",
+                F.when(
+                    F.size("__w") >= 2,
+                    F.lit(1.0)
+                    - F.size(CF.ngrams_of_words(F.col("__w"), 2))
+                    / (F.size("__w") - 1).cast("double"),
+                ).otherwise(F.lit(0.0)),
+            )
+            .filter(F.col("__dup_bi") <= cfg.max_dup_bigram_frac)
+            .drop("__dup_bi")
+        )
+        w = F.col("__w")
         if cfg.max_top_tok_frac < 1.0:
             top = (
                 gated.select(id_col, F.explode(w).alias("__t"))
@@ -165,6 +175,7 @@ def curate(
                 )
                 .drop("__max_tok")
             )
+        gated = gated.drop("__w")
     after_quality = gated.count()
     after_decon = None
     if benchmark is not None:
@@ -173,11 +184,22 @@ def curate(
         from chillastic_spark import functions as CF
 
         def _grams(frame: DataFrame, idc: str) -> DataFrame:
-            wcol = F.split(F.trim(F.col(text_col)), r"\s+")
-            return frame.select(
-                F.col(idc).alias("__gid"),
-                F.explode(CF.ngrams_of_words(wcol, cfg.decontaminate_n)).alias("__g"),
-            ).select("__gid", CF.hash60("__g").alias("__gh"))
+            # two-step projection (words array first) — see the
+            # dup-bigram gate note: inlining split() into the gram
+            # transform is O(words²) per doc
+            return (
+                frame.select(
+                    F.col(idc).alias("__gid"),
+                    F.split(F.trim(F.col(text_col)), r"\s+").alias("__gw"),
+                )
+                .select(
+                    "__gid",
+                    F.explode(
+                        CF.ngrams_of_words(F.col("__gw"), cfg.decontaminate_n)
+                    ).alias("__g"),
+                )
+                .select("__gid", CF.hash60("__g").alias("__gh"))
+            )
 
         bench_grams = _grams(benchmark, benchmark.columns[0]).select("__gh").distinct()
         tainted = (
@@ -244,6 +266,11 @@ def curate(
             .agg(F.sum(F.size(CF.words(text_col))).alias("t"))
             .collect()
         }
+        if w_tot <= 0:
+            raise ValueError(
+                "curate: mixture weights must sum to a positive value "
+                f"(got {mixture!r})"
+            )
         rate_expr = None
         for src, toks in per_src.items():
             desired = (cfg.mixture_budget * mixture.get(src, 0)) // w_tot

@@ -25,6 +25,16 @@ def resolve_master(
     return env.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"), cpus
 
 
+def shuffle_partitions_for(cpus: "str | int") -> str:
+    """Shuffle-partition default from the cpus setting. Pure so the
+    rule is unit-testable: SPARK_GRAFT_CPUS can legitimately be ``*``
+    (local[*]) — that is not a partition count, so fall back to the
+    machine's cores instead of building a session whose FIRST shuffle
+    throws a NumberFormatException deep inside Spark."""
+    s = str(cpus)
+    return s if s.isdigit() else str(os.cpu_count() or 8)
+
+
 def get_spark(app_name: str = "chillastic-spark", cpus: str | int | None = None) -> SparkSession:
     # an already-active session (spark-submit on a cluster, a notebook)
     # wins outright — never override its master with local[]
@@ -44,7 +54,7 @@ def get_spark(app_name: str = "chillastic-spark", cpus: str | int | None = None)
         .appName(app_name)
         # One shuffle partition per core locally; on a real cluster AQE
         # coalesces from a higher initial number, so set both.
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", shuffle_partitions_for(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

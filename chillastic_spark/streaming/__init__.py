@@ -104,9 +104,12 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
-                "sum_value"
-            ),
+            # round the DECIMAL then cast (exact HALF_UP), matching
+            # the batch twin events_hourly — rounding after the double
+            # cast can disagree at repr boundaries
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"), "event_type", "cnt", "sum_value"
@@ -170,10 +173,7 @@ def deduplicated_ingest(
     ``dropDuplicatesWithinWatermark`` so state stays bounded by event
     time instead of growing with distinct keys.
     """
-    from pyspark.sql import functions as F
-
     from chillastic_spark import functions as CF
-    from chillastic_spark.operators.mutate import apply_data_mutators  # noqa: F401
 
     stream = (
         spark.readStream.schema(ENVELOPE_SCHEMA)
@@ -238,7 +238,12 @@ def stateful_sessionize(
         for t in ts_list:
             if last_ts is None or t - last_ts > gap_us:
                 n_sessions += 1
-            last_ts = t
+            # never regress: a late event older than the frontier must
+            # not drag last_ts backwards, or the NEXT in-order event
+            # would measure its gap against the stale timestamp and
+            # open a spurious session (late events cannot retroactively
+            # split earlier sessions — the kappa-architecture caveat)
+            last_ts = t if last_ts is None else max(last_ts, t)
             n_events += 1
         state.update((last_ts, n_sessions, n_events))
         yield pd_.DataFrame(
@@ -333,9 +338,11 @@ def sliding_window_rates(
         .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
+            # round the DECIMAL then cast (exact HALF_UP) — same rule
+            # as windowed_event_counts / the batch twin
             F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
-            ).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(18,6)")), 2
+            ).cast("double").alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -427,7 +434,7 @@ def continuous_index_update(
 
     def fold(batch_df, _batch_id):
         batch = batch_df.dropDuplicates(["doc_id"])
-        if not batch.limit(1).count():
+        if batch.isEmpty():
             return
         update_inverted_index(spark, batch, index_dir, on_existing="skip")
 
@@ -453,32 +460,43 @@ def percolate_stream(
     queries watch the stream). The query table is a literal broadcast;
     matching is the same postings-join + count==qsize contract as the
     batch `percolate` query (queries/search2.py)."""
-    rows = [
-        (qid, t, len(terms)) for qid, terms in stored_queries.items() for t in terms
-    ]
-    qdf = spark.createDataFrame(rows, "qid string, term string, qsize int")
-    all_terms = [t for _, t, _ in rows]
-
     docs = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .parquet(docs_path)
     )
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
-    ).filter(F.col("term").isin(all_terms))
+    # STATELESS matching: a doc is one row, so the conjunctive match
+    # is decidable within that row — each stored query becomes a
+    # literal subset test over the doc's distinct-term array. The
+    # previous shape (explode → cross-batch dropDuplicates → stateful
+    # count==qsize agg) keyed state on every (doc, term) ever seen and
+    # grew without bound on a continuous stream, for a dedup only ever
+    # needed inside one row.
+    doc_terms = F.array_distinct(F.split(F.trim("text"), r"\s+"))
+    matched = F.array(
+        *[
+            F.when(
+                F.size(
+                    F.array_except(
+                        F.array(*[F.lit(t) for t in terms]), F.col("__dt")
+                    )
+                )
+                == 0,
+                F.lit(qid),
+            )
+            for qid, terms in stored_queries.items()
+        ]
+    )
     alerts = (
-        toks.dropDuplicates(["doc_id", "term"])
-        .join(F.broadcast(qdf), "term")
-        .groupBy("qid", "qsize", "doc_id")
-        .agg(F.count(F.lit(1)).alias("nt"))
-        .filter(F.col("nt") == F.col("qsize"))
+        docs.select("doc_id", doc_terms.alias("__dt"))
+        .select("doc_id", F.explode(matched).alias("qid"))
+        .filter(F.col("qid").isNotNull())
         .select("qid", "doc_id")
     )
     return (
         alerts.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("update")
+        .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -501,14 +519,17 @@ def incremental_dedup_stream(
     """Ingest-time near-dedup as a stream: each micro-batch of incoming
     docs is flagged against the STATIC curated corpus with the same
     MinHash banding as ``dedup.minhash_lsh_incremental``, and flags
-    (doc_id, match_id, est_jaccard) append to ``out_dir``.
+    (doc_id, match_id, est_jaccard) land under ``out_dir`` as
+    per-batch partitions (``batch=<id>``; read with
+    ``spark.read.parquet(out_dir)``).
 
     The existing corpus's signatures and band tables are computed ONCE
     (materialized before the stream starts); each micro-batch only
     hashes its own docs, so per-batch cost scales with the batch.
     Exactly-once effect: the checkpoint makes each source file
-    processed once, and a replayed batch re-appends identical flags
-    keyed by doc_id (downstream MERGE dedups, as with every sink here).
+    processed once, and a replayed batch OVERWRITES its own partition
+    dir (the sibling streams' idempotent-sink rule) — a blind append
+    would duplicate every flag row on replay.
     """
     from chillastic_spark.operators import dedup as D
 
@@ -538,7 +559,9 @@ def incremental_dedup_stream(
                 num_perm,
                 threshold,
             )
-            flags.write.mode("append").parquet(out_dir)
+            flags.write.mode("overwrite").parquet(
+                f"{out_dir.rstrip('/')}/batch={_batch_id}"
+            )
 
     writer = (
         stream.writeStream.foreachBatch(process)

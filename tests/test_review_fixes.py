@@ -213,6 +213,33 @@ def test_resolve_master_behavior():
     ) == ("spark://h:7077", "4")
 
 
+def test_shuffle_partitions_star_fallback():
+    """SPARK_GRAFT_CPUS='*' (local[*]) is not a partition count — the
+    shuffle-partition rule must fall back to real cores, never hand
+    Spark a non-numeric value."""
+    import os
+
+    from chillastic_spark.session import shuffle_partitions_for
+
+    assert shuffle_partitions_for(32) == "32"
+    assert shuffle_partitions_for("8") == "8"
+    assert shuffle_partitions_for("*") == str(os.cpu_count() or 8)
+
+
+def test_object_id_rejects_trailing_newline():
+    """re's $ also matches before a trailing newline; ids are state-file
+    keys, so 'task1\\n' must NOT validate as a distinct key rendering
+    identically to 'task1' everywhere."""
+    import pytest as _pytest
+
+    from chillastic_spark.model import validate_object_id
+
+    assert validate_object_id("task1") == "task1"
+    for bad in ("task1\n", "task1\r", "\ntask1", "1task", "a" * 50):
+        with _pytest.raises(ValueError):
+            validate_object_id(bad)
+
+
 def test_service_bind_rules():
     """Non-loopback binds refuse to start without an api key (the
     endpoints read local filesystem paths); loopback is the default."""

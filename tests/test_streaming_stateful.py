@@ -75,6 +75,61 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path, events_dir):
     assert got == expected
 
 
+def test_sessionize_late_event_never_regresses_frontier(spark, tmp_path):
+    """A late event arriving in a LATER micro-batch must not drag the
+    per-user frontier (last_ts) backwards: the next in-order event would
+    measure its gap against the stale timestamp and open a spurious
+    session. Stage 5 files (reader takes 4/trigger) so the late event
+    is in batch 2."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chillastic_spark.streaming import stateful_sessionize
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    base = 1_600_000_000 * 1_000_000  # epoch µs
+    m = 60 * 1_000_000
+
+    def write(i, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        p = str(d / f"part-{i:04d}.parquet")
+        pq.write_table(tbl, p)
+        t = time.time() + i  # ascending mtimes fix batch order
+        os.utime(p, (t, t))
+
+    # batch 1 (files 0-3): frontier ends at base+12min, one session
+    write(0, [(1, base)])
+    write(1, [(2, base + 10 * m)])
+    write(2, [(3, base + 11 * m)])
+    write(3, [(4, base + 12 * m)])
+    # batch 2 (file 4): late event at +5min, then in-order at +40min.
+    # 40-12=28min < 30min gap → SAME session. A regressed frontier
+    # (last_ts=5min) would see 35min > gap and open a spurious one.
+    write(4, [(5, base + 5 * m), (6, base + 40 * m)])
+
+    q = stateful_sessionize(
+        spark, str(d), str(tmp_path / "ck-late"), gap_minutes=30, query_name="sess_late"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT max(n_sessions) AS s, max(n_events) AS e FROM sess_late"
+    ).collect()
+    assert (rows[0]["s"], rows[0]["e"]) == (1, 6)
+
+
 def test_windowed_distinct_users_matches_batch_hll(spark, tmp_path, events_dir):
     """Streaming HLL result == batch HLL over the same data (the sketch
     is deterministic), and within 5% of exact distinct counts."""
