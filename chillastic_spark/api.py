@@ -89,7 +89,16 @@ def create_app(
         )
         import hmac
 
-        if not (sent and hmac.compare_digest(str(sent), api_key)):
+        # compare BYTES: compare_digest raises TypeError on non-ASCII
+        # str operands, which would turn a garbage api-key header into
+        # a 500 instead of the 401 it deserves
+        if not (
+            sent
+            and hmac.compare_digest(
+                str(sent).encode("utf-8", "surrogateescape"),
+                api_key.encode("utf-8", "surrogateescape"),
+            )
+        ):
             return jsonify({"error": "Not Authorized"}), 401
 
     def handle(fn):

@@ -113,7 +113,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-safe: a zero-norm vector has cosine 0 against everything
+    # (the operators' _unit_rows convention). Under ANSI mode (Spark 4
+    # default) the bare division wouldn't just NaN — it would FAIL the
+    # whole job on the first zero vector in the corpus.
+    d = norm(a) * norm(b)
+    return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
 
 
 def as_double_array(col: Column | str) -> Column:

@@ -390,7 +390,12 @@ def ivf_assign_cells(
             if pdf.empty:
                 continue
             V = np_.array(list(pdf["_dvec"]), dtype=np_.float64)
-            V /= np_.linalg.norm(V, axis=1, keepdims=True)
+            # zero-norm rows → zero vector (cos 0 everywhere), the
+            # _unit_rows rule — a bare divide yields a NaN row whose
+            # argmax silently lands on cell 0 and whose query-time
+            # cosine is NaN (ranked FIRST by desc)
+            nrm = np_.linalg.norm(V, axis=1, keepdims=True)
+            V /= np_.where(nrm == 0, 1.0, nrm)
             out = pdf.drop(columns=["_dvec"])
             out[out_col] = (V @ Cn.T).argmax(axis=1).astype("int32")
             yield out
@@ -556,7 +561,10 @@ def pq_encode(
             if pdf.empty:
                 continue
             V = np_.array(list(pdf["_dvec"]), dtype=np_.float64)
-            V /= np_.linalg.norm(V, axis=1, keepdims=True)
+            # zero-norm rows → zero vector (the _unit_rows rule), not
+            # a NaN row that would poison every subquantizer distance
+            nrm = np_.linalg.norm(V, axis=1, keepdims=True)
+            V /= np_.where(nrm == 0, 1.0, nrm)
             codes = np_.empty((len(V), m), dtype=np_.int32)
             for j in range(m):
                 Vj = V[:, j * dsub : (j + 1) * dsub]

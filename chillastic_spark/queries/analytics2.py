@@ -79,7 +79,11 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        e.join(F.broadcast(stats), "event_type")
+        # sd == 0 (constant-valued or single-row group) → z is
+        # undefined and the group has no outliers; under ANSI mode the
+        # bare division would FAIL the whole job on such a group, and
+        # the oracle's 0/0 → NaN falls out of the z-filter anyway
+        e.join(F.broadcast(stats.filter(F.col("sd") > 0)), "event_type")
         .withColumn("z", CF.round_det((F.col("value") - F.col("mean")) / F.col("sd"), 2))
         .filter((F.col("z") >= 2.0) | (F.col("z") <= -2.0))
         .select("event_id", "event_type", "z")

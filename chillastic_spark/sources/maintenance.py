@@ -165,23 +165,38 @@ def _compact_index_locked(
 
 
 def _recover_interrupted_swap(path: str) -> None:
-    """Heal the two-rename swap's crash window: if a previous
-    compaction died between ``rename(path, old)`` and
-    ``rename(tmp, path)``, the live path is missing while a single
-    ``.old-``/**complete** ``.compact-`` sibling holds the data —
-    restore the old dir so reads work again (the interrupted rewrite's
-    tmp dir is left for inspection; rerunning compaction redoes it)."""
-    if os.path.exists(path):
-        return
+    """Heal the two-rename swap's crash window. ``.old-`` siblings can
+    only exist because a compaction crashed, and the live dir tells us
+    WHICH window it died in:
+
+    * live path missing → it died between ``rename(path, old)`` and
+      ``rename(tmp, path)``: the NEWEST ``.old-`` (by mtime — the
+      suffixes are random hex, not ordered) holds the current data;
+      restore it. Any older leftovers are from earlier crashes and are
+      superseded — remove them so a later crash can never resurrect a
+      stale snapshot.
+    * live path present → it died after ``rename(tmp, path)`` but
+      before ``rmtree(old)``: every ``.old-`` is a superseded snapshot;
+      remove them all.
+
+    The interrupted rewrite's ``.compact-`` tmp dir is left for
+    inspection; rerunning compaction redoes it."""
     base = os.path.basename(path)
     parent = os.path.dirname(path) or "."
     if not os.path.isdir(parent):
         return
-    olds = sorted(
-        d for d in os.listdir(parent) if d.startswith(base + ".old-")
-    )
-    if olds:
-        os.rename(os.path.join(parent, olds[0]), path)
+    olds = [
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(base + ".old-")
+    ]
+    if not olds:
+        return
+    olds.sort(key=lambda p: os.path.getmtime(p))
+    if not os.path.exists(path):
+        os.rename(olds.pop(), path)
+    for stale in olds:
+        shutil.rmtree(stale)
 
 
 def _compact_bucketed(
@@ -200,8 +215,18 @@ def _compact_bucketed(
     agg_before: dict = {"n_files": 0, "total_bytes": 0, "small_files": 0}
     agg_after: dict = {"n_files": 0, "total_bytes": 0, "small_files": 0}
     compacted_any = False
+    # recover from crash leftovers FIRST, keyed off the ``.old-`` dirs
+    # themselves: ``bucket_paths`` only lists EXISTING dirs, so a bucket
+    # whose live dir vanished mid-swap would otherwise never be handed
+    # to recovery and its documents would stay invisible forever
+    root = store.index_path(index)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if ".old-" in d:
+                _recover_interrupted_swap(
+                    os.path.join(root, d.split(".old-", 1)[0])
+                )
     for bpath in store.bucket_paths(index):
-        _recover_interrupted_swap(bpath)
         before = file_stats(bpath, small_file_bytes=target_file_bytes // 4)
         n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
         relayout = sort_by is not None or zorder_by is not None
@@ -283,6 +308,11 @@ def zorder_layout(df, cols: "list[str]", n_files: int, bits: int = 12):
         *[F.max(v).alias(f"hi{i}") for i, v in enumerate(vals)],
     ).collect()[0]
 
+    # cap BEFORE scaling: the columns must be scaled into [0, 2^bits)
+    # for the capped bits, else the interleave below reads only each
+    # value's LOW-order bits and the curve clusters on noise instead
+    # of coarsening
+    bits = max(1, min(bits, 63 // max(len(vals), 1)))
     top = (1 << bits) - 1
     scaled = []
     for i, v in enumerate(vals):
@@ -300,7 +330,6 @@ def zorder_layout(df, cols: "list[str]", n_files: int, bits: int = 12):
 
     key = F.lit(0).cast("long")
     n = len(scaled)
-    bits = max(1, min(bits, 63 // max(n, 1)))
     for b in range(bits):
         for i, s in enumerate(scaled):
             bit = F.shiftright(s, b).bitwiseAND(F.lit(1))

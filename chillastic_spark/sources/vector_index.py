@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 
 from chillastic_spark import functions as CF
 from chillastic_spark.operators.similarity import (
+    _empty_topk,
     _rank_topk,
+    _unit_rows,
     random_hyperplane_buckets,
 )
 
@@ -97,9 +99,15 @@ def update_vector_index(
         ).alias("bucket"),
     )
     spark = df_new.sparkSession
-    existing_ids = spark.read.parquet(os.path.join(index_dir, DATA)).select(
-        "vec_id"
-    )
+    try:
+        existing_ids = spark.read.parquet(os.path.join(index_dir, DATA)).select(
+            "vec_id"
+        )
+    except Exception:
+        # an index built from an EMPTY frame has a data dir with no
+        # part files ('Unable to infer schema') — the first update of
+        # a bootstrap-empty index must append, not crash
+        existing_ids = rows.select("vec_id").limit(0)
     if on_existing == "skip":
         rows = rows.join(existing_ids.distinct(), "vec_id", "left_anti")
     else:
@@ -287,8 +295,12 @@ def ann_query_ivf_index(
         F.col(query_id_col).alias("query_id"),
         CF.as_double_array(vec_col).alias("qvec"),
     ).collect()
+    if not q_rows:
+        return _empty_topk(spark)
     Q = np.array([r["qvec"] for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # zero-norm queries → zero vector (cos 0 per _unit_rows), not a
+    # NaN row whose argsort picks arbitrary probe cells
+    Qn = _unit_rows(Q)
     probe_cells = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, : max(nprobe, 1)]
     probe = [
         (r["query_id"], r["qvec"], int(c))

@@ -473,20 +473,25 @@ def percolate_stream(
     # grew without bound on a continuous stream, for a dedup only ever
     # needed inside one row.
     doc_terms = F.array_distinct(F.split(F.trim("text"), r"\s+"))
-    matched = F.array(
-        *[
-            F.when(
-                F.size(
-                    F.array_except(
-                        F.array(*[F.lit(t) for t in terms]), F.col("__dt")
-                    )
+    # a zero-term query NEVER matches (the batch percolate contract:
+    # its postings join produces no group) — without the filter the
+    # vacuous subset test would alert on every document
+    tests = [
+        F.when(
+            F.size(
+                F.array_except(
+                    F.array(*[F.lit(t) for t in terms]), F.col("__dt")
                 )
-                == 0,
-                F.lit(qid),
             )
-            for qid, terms in stored_queries.items()
-        ]
-    )
+            == 0,
+            F.lit(qid),
+        )
+        for qid, terms in stored_queries.items()
+        if terms
+    ]
+    # no (non-empty) queries → a typed never-matching array, not the
+    # void-typed F.array() the sink schema would choke on
+    matched = F.array(*tests) if tests else F.array(F.lit(None).cast("string"))
     alerts = (
         docs.select("doc_id", doc_terms.alias("__dt"))
         .select("doc_id", F.explode(matched).alias("qid"))

@@ -124,6 +124,9 @@ def test_api_key_auth(spark, tmp_path, store_factory):
     c = app.test_client()
     assert c.get("/").status_code == 401
     assert c.get("/", headers={"api_key": "wrong"}).status_code == 401
+    # non-ASCII header must 401, not 500 (str compare_digest raises
+    # TypeError on non-ASCII — the comparison runs on bytes)
+    assert c.get("/", headers={"api_key": "café"}).status_code == 401
     assert c.get("/", headers={"api_key": "sekrit"}).status_code == 200
 
 

@@ -170,3 +170,85 @@ def test_store_health_report(spark, store_factory):
     # bucketed layout figures are coherent when present
     if r["n_buckets"]:
         assert r["files_per_bucket_min"] <= r["files_per_bucket_max"]
+
+
+def test_bucketed_swap_recovery_heals_missing_bucket(spark, tmp_path):
+    """A crash between the two swap renames leaves a bucket's live dir
+    missing with only the .old- sibling — recovery must be keyed off
+    the LEFTOVER (bucket_paths only lists existing dirs), or the
+    bucket's documents stay invisible forever."""
+    import os
+
+    from chillastic_spark.sinks import upsert
+
+    store = DocumentStore(str(tmp_path / "store"))
+    df = spark.range(100).select(
+        F.lit("ixb").alias("_index"),
+        F.lit("t").alias("_type"),
+        F.col("id").cast("string").alias("_id"),
+        F.to_json(F.struct(F.col("id").alias("v"))).alias("_source"),
+        F.lit(10).cast("long").alias("_size"),
+    )
+    upsert(spark, store, df, n_buckets=4)
+    total = store.read(spark, "ixb").count()
+    assert total == 100
+    # simulate the crash window on one bucket: live dir renamed away
+    victim = store.bucket_paths("ixb")[0]
+    os.rename(victim, victim + ".old-deadbeef")
+    assert store.read(spark, "ixb").count() < total  # docs invisible
+    compact_index(spark, store, "ixb")
+    assert store.read(spark, "ixb").count() == total  # healed
+
+
+def test_swap_recovery_restores_newest_and_removes_stale(spark, tmp_path):
+    """Multiple .old- leftovers: restore the NEWEST (mtime — the hex
+    suffixes are unordered), remove superseded snapshots; with the live
+    dir present every .old- is stale and is removed."""
+    import os
+    import time
+
+    from chillastic_spark.sources.maintenance import _recover_interrupted_swap
+
+    root = tmp_path / "r"
+    root.mkdir()
+    live = str(root / "idx")
+
+    def mk(name, marker):
+        d = root / name
+        d.mkdir()
+        (d / marker).touch()
+        return str(d)
+
+    stale = mk("idx.old-aaaa", "stale")
+    time.sleep(0.02)
+    newest = mk("idx.old-zzzz", "current")
+    os.utime(stale, (1, 1))  # force older mtime regardless of suffix
+    _recover_interrupted_swap(live)
+    assert os.path.exists(os.path.join(live, "current"))  # newest won
+    assert not os.path.exists(stale) and not os.path.exists(newest)
+
+    # live present → leftovers are superseded snapshots, removed
+    leftover = mk("idx.old-ffff", "old")
+    _recover_interrupted_swap(live)
+    assert os.path.exists(os.path.join(live, "current"))
+    assert not os.path.exists(leftover)
+
+
+def test_zorder_many_columns_keeps_high_bits(spark, tmp_path):
+    """With 7 zorder columns the 63-bit budget caps bits/column to 9 —
+    the cap must apply BEFORE scaling, or the interleave reads only
+    each value's low-order bits and the curve orders on noise. With all
+    columns equal the Z-key is monotone in the value, so a single-file
+    layout must come back exactly value-sorted."""
+    from chillastic_spark.sources.maintenance import zorder_layout
+
+    cols = [f"c{i}" for i in range(7)]
+    df = (
+        spark.range(256)
+        .select((F.col("id") * 16).alias("v"))
+        .orderBy(F.rand(7))
+        .select("v", *[F.col("v").alias(c) for c in cols])
+    )
+    out = zorder_layout(df, cols, n_files=1, bits=12)
+    vals = [r["v"] for r in out.select("v").toLocalIterator()]
+    assert vals == sorted(vals)

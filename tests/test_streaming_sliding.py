@@ -96,8 +96,11 @@ def test_percolate_stream_matches_batch(spark, tmp_path):
     d = tmp_path / "docstream"
     d.mkdir()
     _sh.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    # a zero-term stored query must match NOTHING (the batch contract:
+    # its postings join yields no group), not every document
+    queries = dict(STORED_QUERIES, __empty=[])
     q = percolate_stream(
-        spark, str(d), str(tmp_path / "ck-perc"), STORED_QUERIES, query_name="perc_t1"
+        spark, str(d), str(tmp_path / "ck-perc"), queries, query_name="perc_t1"
     )
     q.awaitTermination(180)
     got = {

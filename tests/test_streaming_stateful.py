@@ -37,9 +37,11 @@ def test_windowed_counts_match_batch(spark, tmp_path, events_dir):
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
-                "sum_value"
-            ),
+            # same rounding rule as the stream AND events_hourly:
+            # round the DECIMAL, then cast
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(F.col("win.start").alias("ws"), "event_type", "cnt", "sum_value")
         .collect()

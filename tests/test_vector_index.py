@@ -180,3 +180,54 @@ def test_update_rejects_duplicate_ids_and_skip_is_idempotent(spark, tmp_path):
     # and the index has exactly one row per id
     rows = spark.read.parquet(idx + "/data").groupBy("vec_id").count()
     assert rows.filter("count > 1").count() == 0
+
+
+def test_ivf_query_edge_guards(spark, tmp_path):
+    """No queries → schema-stable empty result (not a numpy AxisError);
+    a zero-norm query follows the _unit_rows rule (cos 0 everywhere)
+    instead of NaN-poisoning probe-cell selection."""
+    from chillastic_spark.sources.vector_index import (
+        ann_query_ivf_index,
+        build_ivf_index,
+    )
+
+    e = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf-edge")
+    build_ivf_index(e, idx, n_cells=4)
+    empty = ann_query_ivf_index(
+        spark, idx, _queries(e).limit(0), k=5, nprobe=2
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema] == ["query_id", "neighbor_id", "cos"]
+    zq = spark.range(1).selectExpr(
+        "9999 as query_id",
+        "transform(sequence(1, 64), j -> cast(0.0 as double)) as embedding",
+    )
+    # zero-norm query: probe cells are the _unit_rows zero-vector rule
+    # and the zero-safe cosine scores 0 everywhere (under ANSI mode the
+    # bare division used to FAIL the job, not just NaN)
+    rows = ann_query_ivf_index(spark, idx, zq, k=5, nprobe=2).collect()
+    assert len(rows) == 5
+    assert all(r["cos"] == 0.0 for r in rows)
+
+
+def test_update_after_empty_build_bootstraps(spark, tmp_path):
+    """An index built from an EMPTY frame (bootstrap-then-stream) must
+    accept its first update instead of crashing on the unreadable
+    empty data dir."""
+    from chillastic_spark.sources.vector_index import (
+        ann_query_index,
+        build_vector_index,
+        update_vector_index,
+    )
+
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 4), j -> cast(pmod(id * j + 1, 7) as double)) as embedding",
+    )
+    idx = str(tmp_path / "vidx-empty")
+    build_vector_index(mk(0, 0), idx, planes=4)
+    m = update_vector_index(mk(0, 10), idx, on_existing="skip")
+    assert m["n_vectors"] == 10
+    q = mk(0, 2).selectExpr("vec_id as query_id", "embedding")
+    assert ann_query_index(spark, idx, q, k=3).count() > 0
