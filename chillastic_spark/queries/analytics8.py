@@ -163,7 +163,14 @@ def domain_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("actual_tokens")
     )
-    w = (F.regexp_extract("source", r"(\d+)", 1).cast("long") % 4) + 1
+    # try_cast: a DIGITLESS source name extracts '' and a plain cast
+    # would fail the job under ANSI mode — dirty names get weight 1
+    w = (
+        F.coalesce(
+            F.regexp_extract("source", r"(\d+)", 1).try_cast("long"), F.lit(0)
+        )
+        % 4
+    ) + 1
     # materialize the |sources|-row aggregate so the weight total does
     # not re-scan the corpus (one documents scan total)
     per_src = D.materialize(per_src.withColumn("mix_weight", w))
@@ -194,7 +201,7 @@ MIXTURE_SQL = f"""
 WITH per_src AS (
   SELECT source, count(*) AS n_docs,
          sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS actual_tokens,
-         (regexp_extract(source, '(\\d+)', 1)::BIGINT % 4) + 1 AS mix_weight
+         (coalesce(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 4) + 1 AS mix_weight
   FROM documents GROUP BY source
 ), tot AS (SELECT sum(mix_weight) AS w_tot FROM per_src),
 plan AS (

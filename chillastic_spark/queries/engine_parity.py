@@ -354,7 +354,9 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload extraction (§2.8 JSON.parse analog): props.k stats
     per event_type."""
     e = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # try_cast: a non-numeric $.k in dirty JSON must become NULL (as a
+    # missing key already does), not fail the whole job under ANSI mode
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -368,8 +370,8 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_SQL = """
 SELECT event_type,
-  floor((sum(CAST(json_extract_string(props, '$.k') AS INT))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_k,
-  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+  floor((sum(TRY_CAST(json_extract_string(props, '$.k') AS INT))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+  max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -413,7 +415,11 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
         F.datediff(F.lit("2002-01-01"), F.col("o_orderdate")).alias("days_before_2002"),
-        F.regexp_extract("o_orderpriority", r"^(\d+)", 1).cast("int").alias("priority_rank"),
+        # try_cast: a priority without a leading digit extracts '' and
+        # a plain cast would fail the job under ANSI mode
+        F.regexp_extract("o_orderpriority", r"^(\d+)", 1)
+        .try_cast("int")
+        .alias("priority_rank"),
         F.regexp_replace("o_orderpriority", r"^\d+-", "").alias("priority_name"),
         F.format_number(F.col("o_totalprice").cast("decimal(18,2)"), 2).alias("price_fmt"),
         F.lower("o_orderstatus").alias("status_lower"),
@@ -425,7 +431,7 @@ SCALAR_FUNCTIONS_SQL = """
 SELECT o_orderkey,
   strftime(o_orderdate, '%Y-%m') AS order_month,
   datediff('day', o_orderdate::DATE, DATE '2002-01-01') AS days_before_2002,
-  regexp_extract(o_orderpriority, '^(\\d+)', 1)::INT AS priority_rank,
+  TRY_CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS INT) AS priority_rank,
   regexp_replace(o_orderpriority, '^\\d+-', '') AS priority_name,
   format('{:,}', ((o_totalprice::DECIMAL(18,2) * 100)::BIGINT // 100)) || '.' ||
     lpad(((o_totalprice::DECIMAL(18,2) * 100)::BIGINT % 100)::VARCHAR, 2, '0') AS price_fmt,
