@@ -266,9 +266,14 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", CF.words("text").alias("w"))
     t1, t2 = PHRASE
+    # the <2-token case must yield an EMPTY index sequence, not a
+    # clamped [1]: if the lone token equals t1 the lambda would read
+    # element_at(w, 2) and fail the job under ANSI mode
     hits = F.size(
         F.filter(
-            F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1))),
+            F.when(
+                F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+            ).otherwise(F.array().cast("array<int>")),
             lambda i: (F.element_at("w", i) == t1) & (F.element_at("w", i + 1) == t2),
         )
     )

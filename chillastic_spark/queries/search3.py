@@ -102,9 +102,14 @@ def search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load(spark, sf_dir, "documents")
     t1, t2 = PHRASE
+    # empty index sequence for <2-token docs — the clamped [1] form
+    # reads element_at(w, 2) when the lone token equals t1 and fails
+    # the job under ANSI mode (see search.phrase_search)
     phrase_n = F.size(
         F.filter(
-            F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1))),
+            F.when(
+                F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+            ).otherwise(F.array().cast("array<int>")),
             lambda i: (F.element_at("w", i) == t1) & (F.element_at("w", i + 1) == t2),
         )
     )

@@ -79,3 +79,20 @@ def test_value_outliers_tolerates_constant_group(spark, tmp_path):
     rows = value_outliers(spark, d).collect()
     assert all(r["event_type"] == "vary" for r in rows)
     assert any(r["event_id"] == 99 for r in rows)
+
+
+def test_phrase_search_tolerates_one_token_doc(spark, tmp_path):
+    """A doc whose ONLY token equals the first phrase term used to read
+    element_at(w, 2) of a 1-element array — an ANSI job failure."""
+    from chillastic_spark.queries.search import PHRASE, phrase_search
+
+    d = str(tmp_path / "sf-phrase")
+    spark.createDataFrame(
+        [
+            (1, "web", PHRASE[0]),  # lone first-term token
+            (2, "web", f"a {PHRASE[0]} {PHRASE[1]} b"),
+        ],
+        "doc_id long, source string, text string",
+    ).write.parquet(d + "/documents.parquet")
+    rows = phrase_search(spark, d).collect()
+    assert [(r["doc_id"], r["n_occurrences"]) for r in rows] == [(2, 1)]
