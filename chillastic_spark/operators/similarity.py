@@ -474,7 +474,17 @@ def centroids(
     return (
         df.select(F.col(group_col).alias("grp"), F.posexplode(CF.as_double_array(vec_col)))
         .groupBy("grp", "pos")
-        .agg(CF.round_det(F.avg("col"), 6).alias("centroid"))
+        # DECIMAL-sum, not engine avg: double partial sums merge in
+        # shuffle-fetch order, so a mean one ulp from a rounding
+        # boundary flips buckets across runs — decimal addition is
+        # exact and order-independent (the repo determinism contract)
+        .agg(
+            CF.round_det(
+                F.sum(F.col("col").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid")
+        )
         .select(F.col("grp").alias(group_col), (F.col("pos") + 1).alias("dim"), "centroid")
     )
 
@@ -693,8 +703,14 @@ def centroid_arrays(
     long = df.select(
         group_col, F.posexplode(CF.as_double_array(vec_col)).alias("dim", "val")
     )
+    # DECIMAL-sum / count, not engine avg — see centroids(): double
+    # partial-sum merge order is nondeterministic across runs
     cent = long.groupBy(group_col, "dim").agg(
-        CF.round_det(F.avg("val"), digits).alias("c")
+        CF.round_det(
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            digits,
+        ).alias("c")
     )
     packed = cent.groupBy(group_col).agg(
         F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_s")

@@ -128,7 +128,12 @@ def geomean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _geomean(v):
         import numpy as np
 
-        return float(np.exp(np.log(np.abs(v) + 1.0).mean()))
+        # sum ROUNDED micro-units as int64 (exact, order-independent)
+        # rather than np.mean over raw doubles: pairwise float
+        # accumulation depends on row order, which shuffle fetch does
+        # not fix — the oracle sums the identical integer terms
+        units = np.floor(np.log(np.abs(v) + 1.0) * 1e6 + 0.5).astype("int64")
+        return float(np.exp(units.sum() / 1e6 / len(v)))
 
     # module uses `from __future__ import annotations` (string hints),
     # which pandas_udf can't inspect — set real annotations explicitly
@@ -145,7 +150,8 @@ def geomean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GEOMEAN_SQL = """
 SELECT event_type,
-       floor((exp(avg(ln(abs(value) + 1.0)))) * 10000.0 + 0.5) / 10000.0 AS geomean_value
+       floor((exp((sum(floor(ln(abs(value) + 1.0) * 1000000.0 + 0.5)::BIGINT)::DOUBLE / 1000000.0) / count(*)))
+             * 10000.0 + 0.5) / 10000.0 AS geomean_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 

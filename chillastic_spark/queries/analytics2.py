@@ -71,18 +71,28 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+            # clamp the variance at 0: catastrophic cancellation can
+            # push E[x²]−E[x]² a few ulps negative for a near-constant
+            # group, and sqrt(negative) is NaN here but a HARD ERROR in
+            # the DuckDB oracle — clamped, both engines get sd=0 and
+            # the sd>0 filter below drops the group on both sides
             F.sqrt(
-                F.col("s2").cast("double") / F.col("n")
-                - (F.col("s1").cast("double") / F.col("n"))
-                * (F.col("s1").cast("double") / F.col("n"))
+                F.greatest(
+                    F.col("s2").cast("double") / F.col("n")
+                    - (F.col("s1").cast("double") / F.col("n"))
+                    * (F.col("s1").cast("double") / F.col("n")),
+                    F.lit(0.0),
+                )
             ).alias("sd"),
         )
     )
     return (
         # sd == 0 (constant-valued or single-row group) → z is
         # undefined and the group has no outliers; under ANSI mode the
-        # bare division would FAIL the whole job on such a group, and
-        # the oracle's 0/0 → NaN falls out of the z-filter anyway
+        # bare division would FAIL the whole job on such a group. The
+        # oracle carries the same `WHERE sd > 0` so both engines skip
+        # identical groups (NaN/0-division semantics differ per engine
+        # and even per DuckDB version — never rely on them).
         e.join(F.broadcast(stats.filter(F.col("sd") > 0)), "event_type")
         .withColumn("z", CF.round_det((F.col("value") - F.col("mean")) / F.col("sd"), 2))
         .filter((F.col("z") >= 2.0) | (F.col("z") <= -2.0))
@@ -94,15 +104,18 @@ VALUE_OUTLIERS_SQL = """
 WITH stats AS (
   SELECT event_type,
          sum(value::DECIMAL(18,6))::DOUBLE / count(*) AS mean,
-         sqrt(sum((value::DECIMAL(18,6) * value::DECIMAL(18,6))::DECIMAL(38,12))::DOUBLE / count(*)
-              - (sum(value::DECIMAL(18,6))::DOUBLE / count(*)) * (sum(value::DECIMAL(18,6))::DOUBLE / count(*))) AS sd
+         sqrt(greatest(
+           sum((value::DECIMAL(18,6) * value::DECIMAL(18,6))::DECIMAL(38,12))::DOUBLE / count(*)
+              - (sum(value::DECIMAL(18,6))::DOUBLE / count(*)) * (sum(value::DECIMAL(18,6))::DOUBLE / count(*)),
+           0.0)) AS sd
   FROM events GROUP BY event_type
 )
 SELECT event_id, e.event_type,
        floor(((value - mean) / sd) * 100.0 + 0.5) / 100.0 AS z
 FROM events e JOIN stats USING (event_type)
-WHERE floor(((value - mean) / sd) * 100.0 + 0.5) / 100.0 >= 2.0
-   OR floor(((value - mean) / sd) * 100.0 + 0.5) / 100.0 <= -2.0
+WHERE sd > 0
+  AND (floor(((value - mean) / sd) * 100.0 + 0.5) / 100.0 >= 2.0
+    OR floor(((value - mean) / sd) * 100.0 + 0.5) / 100.0 <= -2.0)
 """
 
 

@@ -388,8 +388,14 @@ def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
     )
-    views = e.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("value").alias("last_view_value")
+    # pre-dedup ties: two views at the SAME (user, ts) would otherwise
+    # be resolved by the operator's deterministic hash tiebreak but by
+    # an ARBITRARY pick in DuckDB's ASOF JOIN — collapse to max(value)
+    # per instant on BOTH sides so no tie survives to the as-of
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_view_value"))
     )
     return asof_join(
         purchases, views, key="user_id", ts="ts", value_cols=["last_view_value"]
@@ -399,7 +405,9 @@ def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASOF_SQL = """
 SELECT p.user_id, p.event_id, p.ts, v.value AS last_view_value
 FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts) v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 

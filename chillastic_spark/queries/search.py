@@ -78,15 +78,20 @@ GROUP BY doc_id HAVING count(*) = {len(TERMS)}
 """
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (Robertson/Okapi, the ES default ranking) top-20 for a
-    disjunctive query: score(d) = Σ_t idf(t) · tf·(k1+1) /
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE BM25 scorer (Robertson/Okapi, the ES default ranking):
+    unlimited per-doc frame (doc_id, bm25, n_terms_matched) for the
+    disjunctive ``TERMS`` query — score(d) = Σ_t idf(t) · tf·(k1+1) /
     (tf + k1·(1−b+b·dl/avgdl)), idf = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Single definition on purpose: bm25_topk, search_after_page,
+    hybrid_search_rrf, search_rank_eval, and search_rescore all rank
+    from this frame (SQL twin: ``_BM25_RANKED_CTE``), so the math,
+    rounding, and tie-break can never drift between queries.
 
     Constants (N, avgdl) and per-term df are tiny broadcast joins;
     per-term scores round to 9 digits then sum exactly through
-    DECIMAL(18,9) so the ≤3-summand addition is order-free; final
-    rank by (rounded score desc, doc_id)."""
+    DECIMAL(18,9) so the ≤3-summand addition is order-free."""
     d = load(spark, sf_dir, "documents")
     corpus = d.select("doc_id", F.size(CF.words("text")).alias("dl"))
     stats = corpus.agg(
@@ -119,15 +124,26 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(18,9)"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         CF.round_det(F.sum("tscore").cast("double"), 6).alias("bm25"),
         F.count(F.lit(1)).alias("n_terms_matched"),
     )
-    return per_doc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(TOP_K)
 
 
-BM25_SQL = f"""
-WITH corpus AS (
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 — ``bm25_scored`` ranked by (rounded score desc,
+    doc_id)."""
+    return (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+# The one BM25 oracle definition (twin of ``bm25_scored``): CTE chain
+# ending in ``bm25_ranked`` (doc_id, bm25, n_terms_matched). Every
+# BM25-based oracle interpolates this — never restate the scoring SQL.
+_BM25_RANKED_CTE = f"""corpus AS (
   SELECT doc_id, len({_W}) AS dl FROM documents),
 stats AS (
   SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM corpus),
@@ -140,10 +156,17 @@ scored AS (
         "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
         f" * (tf * {K1 + 1.0}) / (tf + {K1} * ({1.0 - B} + {B} * dl / avgdl))", 9
     )})::DECIMAL(18,9) AS tscore
-  FROM p JOIN dfreq ON p.term = dfreq.term CROSS JOIN stats)
-SELECT doc_id, {CF.round_det_sql("sum(tscore)::DOUBLE", 6)} AS bm25,
-       count(*) AS n_terms_matched
-FROM scored GROUP BY doc_id
+  FROM p JOIN dfreq ON p.term = dfreq.term CROSS JOIN stats),
+bm25_ranked AS (
+  SELECT doc_id, {CF.round_det_sql("sum(tscore)::DOUBLE", 6)} AS bm25,
+         count(*) AS n_terms_matched
+  FROM scored GROUP BY doc_id)"""
+
+
+BM25_SQL = f"""
+WITH {_BM25_RANKED_CTE}
+SELECT doc_id, bm25, n_terms_matched
+FROM bm25_ranked
 ORDER BY bm25 DESC, doc_id ASC LIMIT {TOP_K}
 """
 
@@ -210,23 +233,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HYBRID_RRF_SQL = f"""
-WITH corpus AS (
-  SELECT doc_id, len({_W}) AS dl FROM documents),
-stats AS (
-  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM corpus),
-p AS ({_POSTINGS_SQL}),
-dfreq AS (
-  SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-    ({CF.round_det_sql(
-        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
-        f" * (tf * {K1 + 1.0}) / (tf + {K1} * ({1.0 - B} + {B} * dl / avgdl))", 9
-    )})::DECIMAL(18,9) AS tscore
-  FROM p JOIN dfreq ON p.term = dfreq.term CROSS JOIN stats),
+WITH {_BM25_RANKED_CTE},
 bm_full AS (
-  SELECT doc_id, {CF.round_det_sql("sum(tscore)::DOUBLE", 6)} AS bm25
-  FROM scored GROUP BY doc_id
+  SELECT doc_id, bm25 FROM bm25_ranked
   ORDER BY bm25 DESC, doc_id ASC LIMIT {TOP_K}),
 bm AS (
   SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rt
@@ -256,6 +265,34 @@ ORDER BY rrf DESC, doc_id ASC LIMIT {TOP_K}
 PHRASE = ["table", "scan"]
 
 
+def phrase_hits(w, t1: str, t2: str):
+    """Count of ADJACENT (t1, t2) occurrences in a words-array column —
+    the positional-postings primitive shared by phrase_search and
+    search_rescore (one definition: guard + lambda can't drift).
+
+    The <2-token case must yield an EMPTY index sequence, not a
+    clamped [1]: if the lone token equals t1 the lambda would read
+    element_at(w, 2) and fail the job under ANSI mode."""
+    w = F.col(w) if isinstance(w, str) else w
+    return F.size(
+        F.filter(
+            F.when(F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: (F.element_at(w, i) == t1) & (F.element_at(w, i + 1) == t2),
+        )
+    )
+
+
+def phrase_hits_sql(w: str, t1: str, t2: str) -> str:
+    """DuckDB twin of ``phrase_hits`` (out-of-range list index is NULL
+    in DuckDB, so the clamped range is tolerant there)."""
+    return (
+        f"len(list_filter(range(1, greatest(len({w}) - 1, 1) + 1), "
+        f"i -> {w}[i] = '{t1}' AND {w}[i + 1] = '{t2}'))"
+    )
+
+
 def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase search ("table scan" as adjacent tokens) with
     per-doc occurrence counts — the positional-postings op, expressed
@@ -265,18 +302,7 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda (codegen pitfall, functions.ngrams_of_words)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", CF.words("text").alias("w"))
-    t1, t2 = PHRASE
-    # the <2-token case must yield an EMPTY index sequence, not a
-    # clamped [1]: if the lone token equals t1 the lambda would read
-    # element_at(w, 2) and fail the job under ANSI mode
-    hits = F.size(
-        F.filter(
-            F.when(
-                F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
-            ).otherwise(F.array().cast("array<int>")),
-            lambda i: (F.element_at("w", i) == t1) & (F.element_at("w", i + 1) == t2),
-        )
-    )
+    hits = phrase_hits("w", *PHRASE)
     return (
         toks.select("doc_id", hits.alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
@@ -286,11 +312,9 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHRASE_SQL = f"""
 WITH t AS (SELECT doc_id, {_W} AS w FROM documents)
 SELECT doc_id,
-       len(list_filter(range(1, greatest(len(w) - 1, 1) + 1),
-           i -> w[i] = '{PHRASE[0]}' AND w[i + 1] = '{PHRASE[1]}')) AS n_occurrences
+       {phrase_hits_sql("w", *PHRASE)} AS n_occurrences
 FROM t
-WHERE len(list_filter(range(1, greatest(len(w) - 1, 1) + 1),
-          i -> w[i] = '{PHRASE[0]}' AND w[i + 1] = '{PHRASE[1]}')) > 0
+WHERE {phrase_hits_sql("w", *PHRASE)} > 0
 """
 
 

@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 from chillastic_spark import functions as CF
 from chillastic_spark.queries import Query
 from chillastic_spark.queries.documents import _W
-from chillastic_spark.queries.search import B, K1, TERMS, _POSTINGS_SQL, _postings
+from chillastic_spark.queries.search import (
+    _BM25_RANKED_CTE,
+    _POSTINGS_SQL,
+    TERMS,
+    _postings,
+    bm25_scored,
+)
 from chillastic_spark.tables import load
 
 # ------------------------------------------------------- fuzzy search
@@ -166,7 +172,7 @@ def search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, so no corpus-sized ranking serializes through one task."""
     from chillastic_spark.operators.topk import last_of_topk
 
-    full = _bm25_scored_full(spark, sf_dir)
+    full = bm25_scored(spark, sf_dir)
     cursor = F.broadcast(last_of_topk(full, "bm25", "doc_id", PAGE_SIZE))
     page2 = (
         full.crossJoin(cursor)
@@ -179,73 +185,13 @@ def search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page2.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(PAGE_SIZE)
 
 
-def _bm25_scored_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unlimited BM25 scoring (same math/rounding as bm25_topk)."""
-    from chillastic_spark.queries.search import B, K1
-
-    d = load(spark, sf_dir, "documents")
-    corpus = d.select("doc_id", F.size(CF.words("text")).alias("dl"))
-    stats = corpus.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    p = _postings(spark, sf_dir, TERMS)
-    dfreq = p.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        p.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "tscore",
-            CF.round_det(
-                F.col("idf")
-                * (F.col("tf") * F.lit(K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(K1)
-                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
-                ),
-                9,
-            ).cast("decimal(18,9)"),
-        )
-    )
-    return scored.groupBy("doc_id").agg(
-        CF.round_det(F.sum("tscore").cast("double"), 6).alias("bm25"),
-        F.count(F.lit(1)).alias("n_terms_matched"),
-    )
-
-
-
 SEARCH_AFTER_SQL = f"""
-WITH corpus AS (
-  SELECT doc_id, len({_W}) AS dl FROM documents),
-stats AS (
-  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM corpus),
-p AS ({_POSTINGS_SQL}),
-dfreq AS (
-  SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-    ({CF.round_det_sql(
-        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
-        f" * (tf * {K1 + 1.0}) / (tf + {K1} * ({1.0 - B} + {B} * dl / avgdl))", 9
-    )})::DECIMAL(18,9) AS tscore
-  FROM p JOIN dfreq ON p.term = dfreq.term CROSS JOIN stats),
-full_rank AS (
-  SELECT doc_id, {CF.round_det_sql("sum(tscore)::DOUBLE", 6)} AS bm25,
-         count(*) AS n_terms_matched
-  FROM scored GROUP BY doc_id),
+WITH {_BM25_RANKED_CTE},
 cur AS (
-  SELECT bm25 AS cur_score, doc_id AS cur_id FROM full_rank
+  SELECT bm25 AS cur_score, doc_id AS cur_id FROM bm25_ranked
   QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) = {PAGE_SIZE})
 SELECT doc_id, bm25, n_terms_matched
-FROM full_rank CROSS JOIN cur
+FROM bm25_ranked CROSS JOIN cur
 WHERE bm25 < cur_score OR (bm25 = cur_score AND doc_id > cur_id)
 ORDER BY bm25 DESC, doc_id ASC LIMIT {PAGE_SIZE}
 """
@@ -480,7 +426,7 @@ def search_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a global window."""
     from chillastic_spark.operators.topk import ranked_topk
 
-    full = _bm25_scored_full(spark, sf_dir)
+    full = bm25_scored(spark, sf_dir)
     topk = ranked_topk(full, "bm25", "doc_id", _EVAL_K, "rn")
     from chillastic_spark.queries.search import keyword_search_and
 
@@ -503,9 +449,15 @@ def search_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ideal = (
         n_rel.select(
             "n_rel",
-            F.explode(F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(_EVAL_K)))).alias(
-                "i"
-            ),
+            # n_rel == 0 must yield an EMPTY result (oracle's range(1,1)
+            # is empty): unguarded, sequence(1, 0) descends to [1, 0]
+            # and the i=0 row's 1/log2(1) divides by zero under ANSI
+            F.explode(
+                F.when(
+                    F.col("n_rel") >= 1,
+                    F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(_EVAL_K))),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("i"),
         )
         .select(
             "n_rel",
@@ -525,26 +477,10 @@ def search_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RANK_EVAL_SQL = f"""
-WITH corpus AS (
-  SELECT doc_id, len({_W}) AS dl FROM documents),
-stats AS (
-  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM corpus),
-p AS ({_POSTINGS_SQL}),
-dfreq AS (
-  SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-    ({CF.round_det_sql(
-        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
-        f" * (tf * {K1 + 1.0}) / (tf + {K1} * ({1.0 - B} + {B} * dl / avgdl))", 9
-    )})::DECIMAL(18,9) AS tscore
-  FROM p JOIN dfreq ON p.term = dfreq.term CROSS JOIN stats),
-full_rank AS (
-  SELECT doc_id, {CF.round_det_sql("sum(tscore)::DOUBLE", 6)} AS bm25
-  FROM scored GROUP BY doc_id),
+WITH {_BM25_RANKED_CTE},
 topk AS (
   SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
-  FROM full_rank QUALIFY rn <= {_EVAL_K}),
+  FROM bm25_ranked QUALIFY rn <= {_EVAL_K}),
 rel AS (
   SELECT doc_id FROM ({_POSTINGS_SQL}) GROUP BY doc_id HAVING count(*) = {len(TERMS)}),
 judged AS (

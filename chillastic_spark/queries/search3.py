@@ -25,13 +25,14 @@ from chillastic_spark import functions as CF
 from chillastic_spark.queries import Query
 from chillastic_spark.queries.documents import _W
 from chillastic_spark.queries.search import (
-    B,
-    K1,
+    _BM25_RANKED_CTE,
+    _POSTINGS_SQL,
     PHRASE,
     TERMS,
-    _POSTINGS_SQL,
     _postings,
-    bm25_topk,
+    bm25_scored,
+    phrase_hits,
+    phrase_hits_sql,
 )
 from chillastic_spark.tables import load
 
@@ -41,46 +42,6 @@ RESCORE_WINDOW = 50  # ES rescore window_size
 QUERY_WEIGHT = 1.0
 RESCORE_WEIGHT = 0.5
 RESCORE_K = 10
-
-
-def _bm25_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unlimited BM25 ranking (same math as search.bm25_topk)."""
-    d = load(spark, sf_dir, "documents")
-    corpus = d.select("doc_id", F.size(CF.words("text")).alias("dl"))
-    stats = corpus.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    p = _postings(spark, sf_dir, TERMS)
-    dfreq = p.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        p.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "tscore",
-            CF.round_det(
-                F.col("idf")
-                * (F.col("tf") * F.lit(K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(K1)
-                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
-                ),
-                9,
-            ).cast("decimal(18,9)"),
-        )
-    )
-    return scored.groupBy("doc_id").agg(
-        CF.round_det(F.sum("tscore").cast("double"), 6).alias("bm25")
-    )
 
 
 def search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,27 +57,15 @@ def search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     second scorer literally never sees a non-candidate, exactly like ES
     rescore."""
     cand = (
-        _bm25_all(spark, sf_dir)
+        bm25_scored(spark, sf_dir)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(RESCORE_WINDOW)
     )
     d = load(spark, sf_dir, "documents")
-    t1, t2 = PHRASE
-    # empty index sequence for <2-token docs — the clamped [1] form
-    # reads element_at(w, 2) when the lone token equals t1 and fails
-    # the job under ANSI mode (see search.phrase_search)
-    phrase_n = F.size(
-        F.filter(
-            F.when(
-                F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
-            ).otherwise(F.array().cast("array<int>")),
-            lambda i: (F.element_at("w", i) == t1) & (F.element_at("w", i + 1) == t2),
-        )
-    )
     phr = (
         d.join(F.broadcast(cand), "doc_id")
         .select("doc_id", "bm25", CF.words("text").alias("w"))
-        .select("doc_id", "bm25", phrase_n.alias("phrase_n"))
+        .select("doc_id", "bm25", phrase_hits("w", *PHRASE).alias("phrase_n"))
     )
     return (
         phr.withColumn(
@@ -130,35 +79,16 @@ def search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_ALL_SQL = f"""
-WITH corpus AS (
-  SELECT doc_id, len({_W}) AS dl FROM documents),
-stats AS (
-  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM corpus),
-p AS ({_POSTINGS_SQL}),
-dfreq AS (
-  SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-    ({CF.round_det_sql(
-        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
-        f" * (tf * {K1 + 1.0}) / (tf + {K1} * ({1.0 - B} + {B} * dl / avgdl))", 9
-    )})::DECIMAL(18,9) AS tscore
-  FROM p JOIN dfreq ON p.term = dfreq.term CROSS JOIN stats),
-bm AS (
-  SELECT doc_id, {CF.round_det_sql("sum(tscore)::DOUBLE", 6)} AS bm25
-  FROM scored GROUP BY doc_id)
-"""
 
-SEARCH_RESCORE_SQL = f"""{_BM25_ALL_SQL},
+
+SEARCH_RESCORE_SQL = f"""
+WITH {_BM25_RANKED_CTE},
 cand AS (
   SELECT doc_id, bm25,
          row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
-  FROM bm QUALIFY rnk <= {RESCORE_WINDOW}),
+  FROM bm25_ranked QUALIFY rnk <= {RESCORE_WINDOW}),
 phr AS (
-  SELECT doc_id,
-         len(list_filter(range(1, greatest(len({_W}) - 1, 1) + 1),
-             i -> {_W}[i] = '{PHRASE[0]}' AND {_W}[i + 1] = '{PHRASE[1]}')) AS phrase_n
+  SELECT doc_id, {phrase_hits_sql(_W, *PHRASE)} AS phrase_n
   FROM documents)
 SELECT cand.doc_id, bm25,
        coalesce(phrase_n, 0)::INT AS phrase_n,

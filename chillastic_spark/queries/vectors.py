@@ -44,7 +44,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_CENTROIDS_SQL = """
-SELECT label, dim, floor((avg(val)) * 1000000.0 + 0.5) / 1000000.0 AS centroid FROM (
+SELECT label, dim, floor((sum(val::DECIMAL(28,12))::DOUBLE / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS centroid FROM (
   SELECT label,
          unnest(generate_series(1, len(embedding))) AS dim,
          unnest(embedding::DOUBLE[]) AS val
@@ -258,7 +258,7 @@ long AS (
          unnest(v) AS val
   FROM e),
 cent_long AS (
-  SELECT label, dim, floor((avg(val)) * 1000000.0 + 0.5) / 1000000.0 AS c
+  SELECT label, dim, floor((sum(val::DECIMAL(28,12))::DOUBLE / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS c
   FROM long GROUP BY label, dim),
 cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent_long GROUP BY label),
 scored AS (

@@ -84,14 +84,11 @@ def test_hybrid_rrf_fuses_both_modalities(spark):
 def test_search_after_is_exact_continuation(spark):
     """Page 2 (keyset) must be exactly ranks 21-40 of the full
     ranking, with no overlap against page 1."""
-    from chillastic_spark.queries.search2 import (
-        PAGE_SIZE,
-        _bm25_scored_full,
-        search_after_page,
-    )
+    from chillastic_spark.queries.search import bm25_scored
+    from chillastic_spark.queries.search2 import PAGE_SIZE, search_after_page
 
     full = sorted(
-        [(r["doc_id"], r["bm25"]) for r in _bm25_scored_full(spark, SF).collect()],
+        [(r["doc_id"], r["bm25"]) for r in bm25_scored(spark, SF).collect()],
         key=lambda t: (-t[1], t[0]),
     )
     want = [d for d, _ in full[PAGE_SIZE : 2 * PAGE_SIZE]]
@@ -162,14 +159,11 @@ def test_percolate_matches_local_replay(spark):
 def test_rank_eval_matches_local_metrics(spark):
     import math
 
-    from chillastic_spark.queries.search2 import (
-        _EVAL_K,
-        _bm25_scored_full,
-        search_rank_eval,
-    )
+    from chillastic_spark.queries.search import bm25_scored
+    from chillastic_spark.queries.search2 import _EVAL_K, search_rank_eval
 
     full = sorted(
-        [(r["doc_id"], r["bm25"]) for r in _bm25_scored_full(spark, SF).collect()],
+        [(r["doc_id"], r["bm25"]) for r in bm25_scored(spark, SF).collect()],
         key=lambda t: (-t[1], t[0]),
     )
     topk = [d for d, _ in full[:_EVAL_K]]
