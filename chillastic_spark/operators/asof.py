@@ -31,6 +31,16 @@ def asof_join(
     ``strict`` (then after), so equality matches are in/excluded
     deterministically.
     """
+    # helper-column collision guard (same contract as
+    # interval.bin_interval_join's __bin): silently overwriting and
+    # then dropping a caller's column would lose user data
+    reserved = {"__side", "__vals", "__asof_vals"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; rename "
+            f"{sorted(clash)} before joining"
+        )
     # Right values travel as ONE struct so every carried column comes
     # from the SAME matched row — carrying columns independently with
     # last(ignorenulls) would backfill a NULL field of the true match

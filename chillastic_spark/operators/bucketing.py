@@ -29,7 +29,12 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    location = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    # managed-table location: a qualified name 'db.t' lives under
+    # <warehouse>/db.db/t — joining the raw dotted name would clean
+    # the wrong path and leave the stale dir this guard exists for
+    parts = table.lower().split(".")
+    rel = os.path.join(f"{parts[-2]}.db", parts[-1]) if len(parts) > 1 else parts[-1]
+    location = os.path.join(warehouse.removeprefix("file:"), rel)
     if os.path.isdir(location):
         shutil.rmtree(location)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)

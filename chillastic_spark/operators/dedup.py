@@ -48,10 +48,16 @@ def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep exactly one row (min id) per distinct content fingerprint."""
-    w = df.withColumn("__fp", CF.fingerprint(text_col))
+    """Keep exactly one row (min id) per distinct content fingerprint.
+
+    NULL text is ONE dedup group like any other (fingerprint coalesced
+    to a sentinel): a plain equi-join would never match the NULL
+    fingerprints (three-valued equality) and silently DELETE every
+    null-text row instead of keeping one."""
+    fp = F.coalesce(CF.fingerprint(text_col), F.lit("__null__"))
+    w = df.withColumn("__fp", fp)
     keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return w.join(keep, [ "__fp", id_col], "left_semi").drop("__fp")
+    return w.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
 
 
 # ------------------------------------------------------------- winnowing
@@ -603,12 +609,19 @@ def minhash_signatures_wide(
     volume = num_perm longs per doc.
     """
     g = hashed_shingles(df, id_col, text_col, n)
+    return g.groupBy("doc_id").agg(*minhash_min_aggs(num_perm))
+
+
+def minhash_min_aggs(num_perm: int) -> "list[Column]":
+    """THE permutation min-aggregates over a hashed-shingle column
+    ``gh`` — single definition shared by the batch and incremental
+    signature paths, so the permutation arithmetic cannot diverge
+    between them."""
     hmod = F.col("gh") % MINHASH_P
-    aggs = [
+    return [
         F.min((F.lit(a) * hmod + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_perm_constants(num_perm))
     ]
-    return g.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -715,12 +728,9 @@ def minhash_lsh_incremental(
     g = shingles(flagged, id_col, text_col, n, extra_cols=["__inc"]).select(
         "doc_id", "__inc", CF.hash60("gram").alias("gh")
     )
-    hmod = F.col("gh") % MINHASH_P
-    aggs = [
-        F.min((F.lit(a) * hmod + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_perm_constants(num_perm))
-    ]
-    sig = materialize(g.groupBy("doc_id", "__inc").agg(*aggs))
+    sig = materialize(
+        g.groupBy("doc_id", "__inc").agg(*minhash_min_aggs(num_perm))
+    )
     banded = minhash_bands(sig, num_perm, bands, extra_cols=["__inc"])
     inc_sig = sig.filter(F.col("__inc")).drop("__inc")
     ex_sig = sig.filter(~F.col("__inc")).drop("__inc")
@@ -771,17 +781,20 @@ def minhash_flag_against(
         .withColumn("est_jaccard", CF.round_det(eq_count / F.lit(float(num_perm)), 4))
         .filter(F.col("est_jaccard") >= threshold)
     )
+    # struct-MIN on (-est, match_id): only the numeric score is negated,
+    # so the (est desc, match_id asc) tie-break works for STRING ids
+    # too — negating match_id itself crashed on non-numeric ids
     best = est.groupBy("doc_id").agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col("est_jaccard").alias("e"), (-F.col("match_id")).alias("nm")
+                (-F.col("est_jaccard")).alias("ne"), F.col("match_id").alias("m")
             )
         ).alias("_b")
     )
     return best.select(
         "doc_id",
-        (-F.col("_b.nm")).alias("match_id"),
-        F.col("_b.e").alias("est_jaccard"),
+        F.col("_b.m").alias("match_id"),
+        (-F.col("_b.ne")).alias("est_jaccard"),
     )
 
 
@@ -815,31 +828,52 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3, chunks: int = 4) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+def hamming_band_pairs(
+    sh: DataFrame,
+    hash_col: str,
+    bits: int,
+    chunks: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """THE pigeonhole-banded Hamming-pair pipeline, shared by text
+    SimHash (``simhash_pairs``) and image pHash
+    (``multimodal.phash_pairs``): split ``bits`` into ``chunks`` equal
+    chunks; any pair within Hamming ≤ chunks−1 shares ≥1 exact chunk,
+    so candidates come from an equi-join on (chunk_idx, chunk_value) —
+    never a cross join. Verification is JVM-side bit_count(xor).
 
-    Pigeonhole banding: split 60 bits into ``chunks`` 15-bit chunks; any
-    pair within Hamming ≤ chunks−1 shares ≥1 exact chunk, so candidates
-    come from an equi-join on (chunk_idx, chunk_value) — no cross join.
-    """
-    sh = materialize(simhash(df, id_col, text_col))
-    width = SIMHASH_BITS // chunks
+    ``max_hamming > chunks − 1`` RAISES: beyond that the pigeonhole
+    recall guarantee silently disappears (a pair can differ in every
+    chunk yet sit under the threshold) — same misconfiguration
+    contract as minhash bands not dividing num_perm."""
+    if chunks <= 0 or bits % chunks != 0:
+        raise ValueError(
+            f"chunks must be positive and divide bits (bits={bits}, chunks={chunks})"
+        )
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee for "
+            f"chunks={chunks} (recall is only complete for max_hamming <= "
+            f"{chunks - 1}; raise chunks instead)"
+        )
+    width = bits // chunks
+    sh = materialize(sh)
     chunked = sh.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("doc_id"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("ci"),
-                    F.shiftright(F.col("simhash"), i * width)
+                    F.shiftright(F.col(hash_col), i * width)
                     .bitwiseAND(F.lit((1 << width) - 1))
                     .alias("cv"),
                 )
                 for i in range(chunks)
             ])
         ).alias("c"),
-    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    ).select("doc_id", "__h", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     a, b = chunked.alias("a"), chunked.alias("b")
     cand = (
         a.join(
@@ -851,19 +885,27 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.__h").alias("h_a"),
+            F.col("b.__h").alias("h_b"),
         )
         .distinct()
     )
-    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    hamming = sum(
-        F.shiftright(xor, j).bitwiseAND(F.lit(1)) for j in range(SIMHASH_BITS)
-    )
     return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — the shared
+    ``hamming_band_pairs`` pipeline over 60-bit text SimHashes."""
+    return hamming_band_pairs(
+        simhash(df, id_col, text_col), "simhash", SIMHASH_BITS, chunks, max_hamming
     )
 
 

@@ -542,54 +542,11 @@ def phash_pairs(
 ) -> DataFrame:
     """Image near-dup pairs with Hamming(phash) ≤ max_hamming.
 
-    Same pigeonhole banding as the text simhash (dedup.simhash_pairs):
-    64 bits → ``chunks`` 8-bit chunks; any pair within Hamming ≤
-    chunks−1 shares at least one exact chunk, so candidates come from
-    an equi-join on (chunk_idx, chunk_value) — never a cross join.
-    Verification is JVM-side bit_count(xor).
+    The shared ``dedup.hamming_band_pairs`` pipeline (one definition
+    with the text simhash): 64 bits → ``chunks`` 8-bit chunks, equi-join
+    candidates, JVM-side bit_count(xor) verification. max_hamming
+    beyond chunks−1 raises (pigeonhole recall guarantee).
     """
-    width = 64 // chunks
-    from chillastic_spark.persist import materialize
+    from chillastic_spark.operators.dedup import hamming_band_pairs
 
-    sh = materialize(ph)  # feeds both join sides
-    chunked = sh.select(
-        "doc_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright(F.col("phash"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("cv"),
-                    )
-                    for i in range(chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", "phash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-    a, b = chunked.alias("a"), chunked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.phash").alias("ph_a"),
-            F.col("b.phash").alias("ph_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return hamming_band_pairs(ph, "phash", 64, chunks, max_hamming)

@@ -35,8 +35,16 @@ def with_scrubbed_text(
     df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
 ) -> DataFrame:
     """Adds the scrubbed text plus a per-rule hit flag column (which
-    rules fired — the audit signal a curation run reports)."""
+    rules ACTUALLY fired — the audit signal a curation run reports).
+
+    Each flag is evaluated against the progressively-scrubbed
+    intermediate, in the same chain order scrub_text applies: a flag
+    matched against the ORIGINAL text would report rules whose match
+    was already swallowed by an earlier rule (an email inside a URL),
+    contradicting the placeholder counts an auditor reconciles."""
     out = df.withColumn(out_col, scrub_text(text_col))
-    for name, pattern, _ in SCRUB_RULES:
-        out = out.withColumn(f"hit_{name}", F.col(text_col).rlike(pattern))
+    stage = F.col(text_col)
+    for name, pattern, repl in SCRUB_RULES:
+        out = out.withColumn(f"hit_{name}", stage.rlike(pattern))
+        stage = F.regexp_replace(stage, pattern, repl)
     return out

@@ -82,10 +82,14 @@ def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", _augmented_text().alias("aug")
     )
     s = d.withColumn("scrubbed", scrub_text("aug"))
-    aggs = [
-        F.sum(F.col("aug").rlike(pattern).cast("long")).alias(f"hit_{name}")
-        for name, pattern, _ in SCRUB_RULES
-    ]
+    # flags against the progressively-scrubbed intermediate (the
+    # with_scrubbed_text rule): a rule whose match an earlier rule
+    # already swallowed did NOT fire and must not count
+    aggs = []
+    stage = F.col("aug")
+    for name, pattern, repl in SCRUB_RULES:
+        aggs.append(F.sum(stage.rlike(pattern).cast("long")).alias(f"hit_{name}"))
+        stage = F.regexp_replace(stage, pattern, repl)
     return s.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         *aggs,
@@ -95,14 +99,17 @@ def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pii_sql() -> str:
+    # flags against the progressively-scrubbed intermediate — same
+    # chain order as the Spark side (with_scrubbed_text rule)
     scrub = "aug"
-    for _, pattern, repl in SCRUB_RULES:
+    hit_terms = []
+    for name, pattern, repl in SCRUB_RULES:
+        hit_terms.append(
+            f"sum(CASE WHEN regexp_matches({scrub}, '{pattern}') THEN 1 ELSE 0 END)"
+            f"::BIGINT AS hit_{name}"
+        )
         scrub = f"regexp_replace({scrub}, '{pattern}', '{repl}', 'g')"
-    hits = ",\n       ".join(
-        f"sum(CASE WHEN regexp_matches(aug, '{pattern}') THEN 1 ELSE 0 END)::BIGINT"
-        f" AS hit_{name}"
-        for name, pattern, _ in SCRUB_RULES
-    )
+    hits = ",\n       ".join(hit_terms)
     return f"""
 WITH a AS (SELECT doc_id, source, {_AUG_SQL} AS aug FROM documents),
 s AS (SELECT doc_id, source, aug, {scrub} AS scrubbed FROM a)

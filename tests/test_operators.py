@@ -103,8 +103,10 @@ def test_simhash_hamming_properties(spark, docs):
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(sh[1], sh[3]) <= 10          # near dup → close
     assert ham(sh[1], sh[4]) > ham(sh[1], sh[3])  # unrelated → farther
+    # chunks must satisfy the pigeonhole bound: max_hamming 10 needs
+    # ≥11 chunks dividing 60 → 12 five-bit chunks
     pairs = {(r["id_a"], r["id_b"]) for r in
-             D.simhash_pairs(docs, max_hamming=10).collect()}
+             D.simhash_pairs(docs, max_hamming=10, chunks=12).collect()}
     assert (1, 2) in pairs
 
 
@@ -451,3 +453,92 @@ def test_sample_frames_real_raises_without_ffmpeg(spark, docs, monkeypatch):
     payloads = M.with_binary_payload(docs)
     with pytest.raises(Exception):
         M.sample_frames(payloads, fake=False).collect()
+
+
+def test_exact_dedup_keeps_one_null_text_doc(spark):
+    """NULL text is one dedup group: a plain equi-join on the NULL
+    fingerprint matched nothing and silently DELETED every null-text
+    row instead of keeping the min-id one."""
+    from chillastic_spark.operators.dedup import exact_dedup, exact_groups
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, None), (4, None), (5, "x")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 3, 5]
+    groups = {r["keeper"]: r["n_dups"] for r in exact_groups(df).collect()}
+    assert groups == {1: 2, 3: 2}  # operators agree on the NULL group
+
+
+def test_minhash_incremental_supports_string_ids(spark):
+    """The best-match tie-break negated match_id, which crashed for
+    string ids under ANSI — only the score may be negated."""
+    from chillastic_spark.operators.dedup import minhash_lsh_incremental
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [("a1", text, False), ("b2", text, False), ("c3", text + " x", True)],
+        "doc_id string, text string, inc boolean",
+    )
+    rows = minhash_lsh_incremental(
+        df, F.col("inc"), num_perm=16, bands=4, threshold=0.3
+    ).collect()
+    assert len(rows) == 1
+    # ties on est resolve to the SMALLEST existing id
+    assert rows[0]["doc_id"] == "c3" and rows[0]["match_id"] == "a1"
+
+
+def test_scrub_flags_report_rules_that_actually_fired(spark):
+    """Flags are evaluated against the progressively-scrubbed text: an
+    email/phone swallowed by the earlier URL rule did NOT fire."""
+    from chillastic_spark.operators.scrub import with_scrubbed_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "docs at https://ex.com/a@b.com and https://t.co/555-123-4567x"),
+            (2, "mail me a@b.com or call +1 (555) 123-4567 now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in with_scrubbed_text(df).collect()}
+    assert got[1]["hit_url"] and not got[1]["hit_email"] and not got[1]["hit_phone"]
+    assert not got[2]["hit_url"] and got[2]["hit_email"] and got[2]["hit_phone"]
+
+
+def test_hamming_banding_rejects_guarantee_breaking_config(spark, docs):
+    """max_hamming beyond chunks-1 silently loses recall (a pair can
+    differ in every chunk yet sit under the threshold) — it must raise,
+    like minhash bands that don't divide num_perm."""
+    from chillastic_spark.operators.dedup import simhash_pairs
+    from chillastic_spark.operators.multimodal import phash_pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=5, chunks=4)
+    ph = docs.limit(1).selectExpr("doc_id", "cast(doc_id as long) as phash")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_pairs(ph, max_hamming=8, chunks=8)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_pairs(docs, max_hamming=2, chunks=7)  # 7 does not divide 60
+
+
+def test_asof_join_rejects_reserved_columns(spark):
+    from chillastic_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, 0)], "k long, ts long, __vals long")
+    right = spark.createDataFrame([(1, 1, 2.0)], "k long, ts long, v double")
+    with pytest.raises(ValueError, match="reserves"):
+        asof_join(left, right, key="k", ts="ts", value_cols=["v"])
+
+
+def test_write_bucketed_qualified_table_roundtrip(spark, tmp_path):
+    """A db-qualified managed table lives under <warehouse>/db.db/t —
+    the leftover-dir cleanup must target that path, or the second
+    write fails on the stale location."""
+    from chillastic_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS tdb")
+    df = spark.range(20).selectExpr("id as k", "id * 2 as v")
+    write_bucketed(df, "tdb.bt1", "k", num_buckets=4)
+    write_bucketed(df, "tdb.bt1", "k", num_buckets=4)  # exercises cleanup
+    assert spark.table("tdb.bt1").count() == 20
