@@ -49,7 +49,8 @@ class TaskState:
             "errors": [],  # [{ts, subtask_id, message}]
             "total": 0,
         }
-        if os.path.exists(self.path):
+        self._seen_on_disk = os.path.exists(self.path)
+        if self._seen_on_disk:
             with open(self.path) as f:
                 self.data = json.load(f)
 
@@ -58,11 +59,21 @@ class TaskState:
         with open(tmp, "w") as f:
             json.dump(self.data, f, indent=1)
         os.replace(tmp, self.path)
+        self._seen_on_disk = True
 
     def reload(self) -> None:
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self.data = json.load(f)
+            self._seen_on_disk = True
+        elif self._seen_on_disk:
+            # the file existed for THIS holder and is now gone:
+            # remove_task deleted it mid-run. Silently keeping the
+            # stale in-memory copy would let the next save() resurrect
+            # the deleted task as an orphan — abort the run instead.
+            raise TaskError(
+                f"task {self.task_id} state was removed by another process"
+            )
 
     # -- cross-process coordination (the Redis-atomics analog,
     # subtasks.js:45-69; see locks.py). Two modes, mirroring the
@@ -366,19 +377,35 @@ class Engine:
         self._running = False
 
     # --------------------------------------------------------- planning
-    def build_backlog(self, task_id: str) -> TaskState:
+    def build_backlog(self, task_id: str, force: bool = False) -> TaskState:
         """subtasks.js:369-396: generate index + template + document
-        subtasks, subtract completed, count, enqueue FIFO."""
+        subtasks, subtract completed, count, enqueue FIFO.
+
+        Refuses while subtasks are in flight: in SHARED mode the flock
+        is free between worker ops, so a rebuild here would clear LIVE
+        progress entries and re-enqueue work another process is mid-way
+        through delivering (a duplicate full transfer). ``force=True``
+        overrides after a crashed run left stale progress behind."""
         task = self.get_task(task_id)
         state = TaskState(self.state_root, task_id).acquire_writer()
         try:
-            return self._build_backlog_locked(task, state)
+            return self._build_backlog_locked(task, state, force)
         finally:
             state.release_writer()
 
-    def _build_backlog_locked(self, task: Task, state: TaskState) -> TaskState:
+    def _build_backlog_locked(
+        self, task: Task, state: TaskState, force: bool = False
+    ) -> TaskState:
+        inflight = list(state.data["progress"])
+        if inflight and not force:
+            raise TaskError(
+                f"task {state.task_id} has in-flight subtasks "
+                f"{inflight[:3]}{'...' if len(inflight) > 3 else ''}; a "
+                "shared-mode run may still be draining — rebuild with "
+                "force=True only once the previous run is known dead"
+            )
         state.data["backlog"] = []
-        state.data["progress"] = {}  # clear stale in-progress from failed runs
+        state.data["progress"] = {}  # stale in-progress from a dead run
         state.data["total"] = sum(state.data["completed"].values())
         state.save()  # persist the clear even if nothing gets enqueued
         source = open_store(task.source)
@@ -605,11 +632,21 @@ class Engine:
     def run_all(self) -> dict:
         """Round-robin across tasks, one subtask each per cycle
         (worker.js:43-51: drain taskIds, pop one from each) until all
-        backlogs drain or stop() is called."""
+        backlogs drain or stop() is called.
+
+        With a SINGLE task there is nothing to be fair between, so the
+        whole backlog drains in one run_task call — the per-cycle setup
+        (open both stores, compile every mutator, writer flock) is paid
+        once instead of once per subtask."""
+        ids = self.list_tasks()
+        if len(ids) == 1:
+            if self._running and TaskState(self.state_root, ids[0]).data["backlog"]:
+                self.run_task(ids[0])
+            return self.status()
         progressed = True
         while progressed and self._running:
             progressed = False
-            for task_id in self.list_tasks():
+            for task_id in ids:
                 before = TaskState(self.state_root, task_id).data["backlog"]
                 if before:
                     self.run_task(task_id, max_subtasks=1)

@@ -235,6 +235,10 @@ def approx_plan_bounds(
     count = df.count()
     if count == 0:
         return [Bound(-1, -1, Subtask.DEFAULT_FLUSH_SIZE)]
+    # NULL _size → 0, matching DataFrameSizeStats: approxQuantile
+    # IGNORES nulls, and an index of all-unsized docs would return []
+    # and crash the unpack even though count > 0
+    df = df.withColumn(size_col, F.coalesce(F.col(size_col), F.lit(0)))
     q60, q90, mx = df.approxQuantile(size_col, [0.6, 0.9, 1.0], rel_err)
     upper = mx + 1
     b1, b2 = q60, min(q90, MB) if upper > MB else q90

@@ -148,6 +148,14 @@ def upsert(
                 if nb is None:
                     # one-time migration: flat (or empty) → bucketed
                     n = n_buckets or _auto_buckets(store.index_path(index))
+                    if not 0 < n <= 9999:
+                        # bucket dirs are bucket-NNNN and the stream
+                        # glob matches exactly 4 digits — a 5-digit
+                        # bucket id would be written but silently
+                        # excluded from readStream
+                        raise ValueError(
+                            f"n_buckets must be in [1, 9999] (got {n})"
+                        )
                     existing = store.read(spark, index)
                     merged = _normalise(
                         existing.join(batch, _key_cond(existing, batch), "left_anti")

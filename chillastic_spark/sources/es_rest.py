@@ -801,8 +801,15 @@ def bulk_delete(
             # and silently under-report the purge. A response with
             # fewer items than actions (whole-request rejection shape)
             # can't be item-accounted: nothing succeeded, resend all.
+            # rejection detection inspects ONLY the error field
+            # (_item_rejected) — substring-matching the serialized item
+            # would misclassify a doc whose _id mentions the exception
+            # name (the invariant _send_bulk already pins)
             if len(items) != len(pending):
-                if any(BULK_REJECTED in json.dumps(i) for i in items):
+                if any(
+                    _item_rejected((next(iter(i.values()), None) or {}).get("error"))
+                    for i in items
+                ):
                     if attempt == max_retries:
                         raise RuntimeError(
                             f"bulk delete rejected after {max_retries} retries"
@@ -815,8 +822,11 @@ def bulk_delete(
             retry_lines = []
             bad = []
             for line, item in zip(pending, items):
-                r = item.get("delete", {})
-                if BULK_REJECTED in json.dumps(item):
+                # op-type-agnostic item read (the _send_bulk pattern):
+                # we only send delete ops, but a proxy/fixture may echo
+                # a different op key on the rejection shape
+                r = next(iter(item.values()), None) or {}
+                if _item_rejected(r.get("error")):
                     retry_lines.append(line)
                 elif r.get("result") == "deleted":
                     deleted += 1

@@ -297,11 +297,20 @@ def zorder_layout(df, cols: "list[str]", n_files: int, bits: int = 12):
     """
     from pyspark.sql import functions as F
 
-    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double", "date"}
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
     vals = []
     for c in cols:
         dt = dict(df.dtypes)[c]
-        v = F.col(c).cast("long") if dt in numeric else F.xxhash64(F.col(c))
+        if dt == "date":
+            # DATE does not cast to BIGINT in Spark — epoch-day keeps
+            # the range semantics a date column wants from the curve
+            v = F.unix_date(F.col(c))
+        elif dt.startswith("timestamp"):
+            v = F.unix_micros(F.col(c).cast("timestamp"))
+        elif dt in numeric:
+            v = F.col(c).cast("long")
+        else:
+            v = F.xxhash64(F.col(c))
         vals.append(v)
     stats = df.select(
         *[F.min(v).alias(f"lo{i}") for i, v in enumerate(vals)],

@@ -29,6 +29,45 @@ from chillastic_spark import functions as CF
 DEFAULT_POSTING_FILES = 8
 
 
+def _recover_swap(index_dir: str) -> None:
+    """Roll FORWARD an interrupted update swap. update_inverted_index
+    replaces postings, term_stats, and stats.json in three steps; a
+    crash between them would otherwise leave postings that disagree
+    with term df / corpus stats — silently wrong BM25 scores with no
+    error. The journal (written before the first rename, removed after
+    the last write) records the tmp dirs and the already-computed
+    stats, so recovery completes whichever steps remain, idempotently.
+    Every index entry point calls this before touching the artifacts."""
+    import shutil
+
+    jpath = os.path.join(index_dir, "swap-journal.json")
+    if not os.path.exists(jpath):
+        return
+    with open(jpath) as f:
+        journal = json.load(f)
+    for live_name, tmp_key in (("postings", "post_tmp"), ("term_stats", "ts_tmp")):
+        live = os.path.join(index_dir, live_name)
+        tmp = journal[tmp_key]
+        if os.path.exists(tmp):  # this step never completed
+            if os.path.exists(live):
+                bak = live + ".old-recover"
+                if os.path.exists(bak):
+                    shutil.rmtree(bak)
+                os.rename(live, bak)
+            os.rename(tmp, live)
+        # superseded backups from the interrupted run
+        parent = os.path.dirname(live)
+        base = os.path.basename(live)
+        for d in os.listdir(parent):
+            if d.startswith(base + ".old-"):
+                shutil.rmtree(os.path.join(parent, d))
+    tmp_stats = os.path.join(index_dir, "stats.json.tmp")
+    with open(tmp_stats, "w") as f:
+        json.dump(journal["stats"], f)
+    os.replace(tmp_stats, os.path.join(index_dir, "stats.json"))
+    os.remove(jpath)
+
+
 def build_inverted_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -65,7 +104,9 @@ def build_inverted_index(
     # shift every BM25 score by re-deriving a different universe.
     # (The old toks-side agg also summed dl=-1 for null texts —
     # F.size(null) — poisoning avgdl.)
-    written = spark.read.parquet(os.path.join(index_dir, "postings"))
+    written = spark.read.schema(postings.schema).parquet(
+        os.path.join(index_dir, "postings")
+    )
     term_stats = written.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     term_stats.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "term_stats")
@@ -75,7 +116,10 @@ def build_inverted_index(
         .distinct()
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+            (
+                F.sum("dl").cast("double")
+                / F.greatest(F.count(F.lit(1)), F.lit(1))
+            ).alias("avgdl"),
         )
         .collect()[0]
     )
@@ -96,6 +140,7 @@ def bm25_search_index(
     """Serve a BM25 top-k from the prebuilt index. Identical math and
     rounding to queries/search.py:bm25_topk — the golden equivalence is
     test-pinned."""
+    _recover_swap(index_dir)
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -161,8 +206,25 @@ def update_inverted_index(
     import shutil
     import uuid
 
+    _recover_swap(index_dir)
     post_dir = os.path.join(index_dir, "postings")
-    old = spark.read.parquet(post_dir)
+    try:
+        old = spark.read.parquet(post_dir)
+    except Exception:
+        # an index built from an EMPTY corpus has a postings dir with
+        # no part files — bootstrap-then-stream must append, not crash
+        old = spark.createDataFrame(
+            [],
+            toks.select(
+                "doc_id", "dl", F.posexplode("w").alias("pos0", "term")
+            )
+            .groupBy("term", "doc_id", "dl")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"),
+            )
+            .schema,
+        )
     toks = new_docs.select(
         F.col(id_col).alias("doc_id"), CF.words(text_col).alias("w")
     ).select("doc_id", F.size("w").alias("dl"), "w")
@@ -174,7 +236,10 @@ def update_inverted_index(
                 .distinct()
                 .agg(
                     F.count(F.lit(1)).alias("n_docs"),
-                    (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+                    (
+                F.sum("dl").cast("double")
+                / F.greatest(F.count(F.lit(1)), F.lit(1))
+            ).alias("avgdl"),
                 )
                 .collect()[0]
             )
@@ -202,33 +267,51 @@ def update_inverted_index(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    bak = post_dir + ".old-" + uuid.uuid4().hex[:8]
-    os.rename(post_dir, bak)
-    os.rename(tmp, post_dir)
-    shutil.rmtree(bak)
 
-    merged2 = spark.read.parquet(post_dir)
-    term_stats = merged2.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # compute BOTH derived artifacts from the tmp postings BEFORE any
+    # swap, journal the plan, then perform the renames. A crash between
+    # the three replacement steps left postings disagreeing with term
+    # df / corpus stats (silently wrong BM25) — with the journal every
+    # entry point rolls the interrupted swap FORWARD (_recover_swap).
+    merged2 = spark.read.schema(merged.schema).parquet(tmp)
     ts_dir = os.path.join(index_dir, "term_stats")
     ts_tmp = ts_dir + ".tmp-" + uuid.uuid4().hex[:8]
-    term_stats.coalesce(1).write.mode("overwrite").parquet(ts_tmp)
-    ts_bak = ts_dir + ".old-" + uuid.uuid4().hex[:8]
-    os.rename(ts_dir, ts_bak)
-    os.rename(ts_tmp, ts_dir)
-    shutil.rmtree(ts_bak)
-
+    merged2.groupBy("term").agg(F.count(F.lit(1)).alias("df")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(ts_tmp)
     row = (
         merged2.select("doc_id", "dl")
         .distinct()
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+            (
+                F.sum("dl").cast("double")
+                / F.greatest(F.count(F.lit(1)), F.lit(1))
+            ).alias("avgdl"),
         )
         .collect()[0]
     )
     stats = {"n_docs": row["n_docs"], "avgdl": row["avgdl"]}
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+
+    jpath = os.path.join(index_dir, "swap-journal.json")
+    jtmp = jpath + ".tmp"
+    with open(jtmp, "w") as f:
+        json.dump({"post_tmp": tmp, "ts_tmp": ts_tmp, "stats": stats}, f)
+    os.replace(jtmp, jpath)
+
+    bak = post_dir + ".old-" + uuid.uuid4().hex[:8]
+    os.rename(post_dir, bak)
+    os.rename(tmp, post_dir)
+    shutil.rmtree(bak)
+    ts_bak = ts_dir + ".old-" + uuid.uuid4().hex[:8]
+    os.rename(ts_dir, ts_bak)
+    os.rename(ts_tmp, ts_dir)
+    shutil.rmtree(ts_bak)
+    stats_tmp = os.path.join(index_dir, "stats.json.tmp")
+    with open(stats_tmp, "w") as f:
         json.dump(stats, f)
+    os.replace(stats_tmp, os.path.join(index_dir, "stats.json"))
+    os.remove(jpath)
     return stats
 
 
@@ -240,6 +323,7 @@ def wildcard_search_index(
     sorted-term layout turns it into a contiguous range of files
     (footer min/max skipping — the reason build sorts by term). Per-doc
     hit counts + matched terms, top-k by hits."""
+    _recover_swap(index_dir)
     p = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("term").startswith(prefix)
     )
@@ -260,6 +344,7 @@ def suggest_terms(
     """Autocomplete: most-frequent vocabulary terms with the given
     prefix, straight off the tiny term_stats artifact (df = doc
     frequency) — no postings touched."""
+    _recover_swap(index_dir)
     ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
     rows = (
         ts.filter(F.col("term").startswith(prefix))
@@ -365,6 +450,7 @@ def phrase_search_index(
     Adjacency for an m-term phrase: p ∈ positions(t0) such that
     p+i ∈ positions(ti) for all i — folded as iterative array
     intersects of shifted position lists."""
+    _recover_swap(index_dir)
     if len(phrase) < 2:
         raise ValueError("phrase needs at least 2 terms")
     posts = spark.read.parquet(os.path.join(index_dir, "postings")).filter(

@@ -307,7 +307,12 @@ def ann_query_ivf_index(
         for r, cells in zip(q_rows, probe_cells)
         for c in cells
     ]
-    q = spark.createDataFrame(probe, "query_id long, qvec array<double>, cell int")
+    # carry the caller's query-id TYPE (string ids work on the LSH
+    # serving path; hardcoding long here made the twins diverge)
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    q = spark.createDataFrame(
+        probe, f"query_id {qid_t}, qvec array<double>, cell int"
+    )
     wanted = sorted({c for _, _, c in probe})
     idx = (
         spark.read.parquet(os.path.join(index_dir, IVF_DATA))

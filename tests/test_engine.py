@@ -462,3 +462,39 @@ def test_remove_task_refused_while_running(spark, tmp_path, store_factory):
         p.join()
     eng.remove_task("t1")  # lock released: removal proceeds
     assert "t1" not in eng.list_tasks()
+
+
+def test_build_backlog_refuses_inflight_progress(spark, tmp_path, store_factory):
+    """Rebuilding while subtasks are in flight would clear LIVE
+    progress and re-enqueue work another process is delivering —
+    refuse unless force=True (the crashed-run escape hatch)."""
+    src = store_factory("src-bf", {"idx1": [
+        {"_id": f"d{i}", "_type": "t", "_source": {"v": i}} for i in range(6)
+    ]})
+    dst = store_factory("dst-bf")
+    eng = Engine(spark, str(tmp_path / "st-bf"))
+    eng.add_task("t1", Task(source=src.root, destination=dst.root,
+                            transfer=TransferSpec(from_indices="idx1")))
+    state = TaskState(str(tmp_path / "st-bf"), "t1")
+    state.data["progress"]["doc:idx1:0"] = {"ts": 1}
+    state.save()
+    with pytest.raises(TaskError, match="in-flight"):
+        eng.build_backlog("t1")
+    eng.build_backlog("t1", force=True)  # crashed-run override
+
+
+def test_removed_task_state_is_not_resurrected(spark, tmp_path):
+    """A shared-mode worker whose state file was deleted by
+    remove_task must ABORT its next state op, not re-save the stale
+    in-memory copy as an orphan task file."""
+    import os
+
+    root = str(tmp_path / "st-rm")
+    s1 = TaskState(root, "tx")
+    s1.data["total"] = 5
+    s1.save()
+    s2 = TaskState(root, "tx")  # the running worker's handle
+    os.remove(s1.path)  # remove_task deleted it mid-run
+    with pytest.raises(TaskError, match="removed"):
+        s2.log_error(None, "boom")  # shared-mode atomic op
+    assert not os.path.exists(s1.path)  # nothing resurrected

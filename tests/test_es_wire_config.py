@@ -310,3 +310,21 @@ def test_bulk_delete_counts_successes_on_partial_rejection():
         assert retry_actions[0]["delete"]["_id"] == "d1"
     finally:
         es.stop()
+
+
+def test_bulk_delete_ignores_exception_name_in_doc_id():
+    """Rejection detection inspects ONLY the error field: a doc whose
+    _id CONTAINS the rejection exception name must delete normally,
+    not loop as phantom backpressure until the retry budget raises."""
+    es = FakeES()
+    url = es.start()
+    try:
+        evil = "es_rejected_execution_exception-user"
+        es.seed("ix", "t1", {evil: {"v": 1}, "d1": {"v": 2}})
+        n = es_rest.bulk_delete(
+            url, "ix", [("t1", evil), ("t1", "d1")], max_retries=1
+        )
+        assert n == 2
+        assert es.contents("ix") == {}
+    finally:
+        es.stop()

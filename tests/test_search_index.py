@@ -203,3 +203,68 @@ def test_phrase_from_index_matches_scan_time_phrase(spark, tmp_path):
         r["doc_id"]: r["n_occurrences"] for r in phrase_search(spark, SF).collect()
     }
     assert got == want
+
+
+def test_empty_corpus_index_bootstraps(spark, tmp_path):
+    """An index built from an EMPTY corpus must build (no part files →
+    the naive re-read crashed on schema inference) and accept its
+    first incremental update."""
+    from chillastic_spark.sources.search_index import update_inverted_index
+
+    docs = load(spark, SF, "documents")
+    idx = str(tmp_path / "empty-idx")
+    stats = build_inverted_index(spark, docs.limit(0), idx)
+    assert stats["n_docs"] == 0
+    stats = update_inverted_index(
+        spark, docs.limit(30), idx, on_existing="skip"
+    )
+    assert stats["n_docs"] == 30
+    assert bm25_search_index(spark, idx, TERMS, k=5).count() > 0
+
+
+def test_interrupted_update_swap_rolls_forward(spark, tmp_path):
+    """A crash between the postings swap and the stats writes left the
+    index silently inconsistent (new postings, stale df/avgdl). The
+    journal makes every entry point complete the interrupted swap, so
+    serving equals the fully-updated index."""
+    import json
+    import os
+
+    from chillastic_spark.sources.search_index import update_inverted_index
+
+    docs = load(spark, SF, "documents")
+    idx = str(tmp_path / "crash-idx")
+    build_inverted_index(spark, docs.filter("doc_id <= 300"), idx)
+    # full reference: the same update completed normally
+    ref = str(tmp_path / "ref-idx")
+    build_inverted_index(spark, docs.filter("doc_id <= 300"), ref)
+    update_inverted_index(spark, docs.filter("doc_id > 300"), ref)
+    want = [tuple(r) for r in bm25_search_index(spark, ref, TERMS, k=20).collect()]
+
+    # simulate the crash: run the update, then REWIND term_stats +
+    # stats.json to their pre-update state while re-planting the
+    # journal the crashed process would have left behind
+    import shutil
+
+    pre_ts = str(tmp_path / "pre-ts")
+    shutil.copytree(os.path.join(idx, "term_stats"), pre_ts)
+    pre_stats = json.load(open(os.path.join(idx, "stats.json")))
+    update_inverted_index(spark, docs.filter("doc_id > 300"), idx)
+    post_stats = json.load(open(os.path.join(idx, "stats.json")))
+    ts_tmp = os.path.join(idx, "term_stats.tmp-deadbeef")
+    shutil.move(os.path.join(idx, "term_stats"), ts_tmp)
+    shutil.copytree(pre_ts, os.path.join(idx, "term_stats"))
+    json.dump(pre_stats, open(os.path.join(idx, "stats.json"), "w"))
+    json.dump(
+        {
+            "post_tmp": os.path.join(idx, "postings.tmp-gone"),
+            "ts_tmp": ts_tmp,
+            "stats": post_stats,
+        },
+        open(os.path.join(idx, "swap-journal.json"), "w"),
+    )
+    # serving must roll the swap forward and match the clean index
+    got = [tuple(r) for r in bm25_search_index(spark, idx, TERMS, k=20).collect()]
+    assert got == want
+    assert not os.path.exists(os.path.join(idx, "swap-journal.json"))
+    assert json.load(open(os.path.join(idx, "stats.json"))) == post_stats
