@@ -106,6 +106,10 @@ def create_app(
             return fn()
         except (TaskError, RegistryError, ValueError) as e:
             return jsonify({"error": str(e)}), 400
+        except FileNotFoundError as e:
+            # a configured-but-unbuilt index is a client-visible 404
+            # (like /drift and /stores/health), not a 500 traceback
+            return jsonify({"error": f"index not built: {e}"}), 404
 
     @app.get("/")
     def root():
@@ -134,16 +138,27 @@ def create_app(
         q = engine.spark.createDataFrame(
             [(-1, qvec)], "query_id long, embedding array<double>"
         )
-        rows = ann_query_index(
-            engine.spark, vector_index_dir, q, k=k, probes=probes
-        ).collect()
-        return jsonify(
-            {
-                "hits": [
-                    {"vec_id": r["neighbor_id"], "cos": r["cos"]} for r in rows
-                ]
-            }
-        )
+
+        def run():
+            try:
+                rows = ann_query_index(
+                    engine.spark, vector_index_dir, q, k=k, probes=probes
+                ).collect()
+            except Exception as e:
+                # missing/empty index dir surfaces as AnalysisException
+                # — a 404 like the sibling read routes, never a 500
+                if "PATH_NOT_FOUND" in str(e) or "Unable to infer" in str(e):
+                    return jsonify({"error": "vector index not built"}), 404
+                raise
+            return jsonify(
+                {
+                    "hits": [
+                        {"vec_id": r["neighbor_id"], "cos": r["cos"]} for r in rows
+                    ]
+                }
+            )
+
+        return handle(run)
 
     @app.get("/stores/health")
     def store_health():

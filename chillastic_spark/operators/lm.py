@@ -64,6 +64,54 @@ def _bigram_stream(
     )
 
 
+def score_bigrams_against(
+    grams: DataFrame,
+    ctx: DataFrame,
+    big: DataFrame,
+    buckets: int,
+    frozen: bool = False,
+) -> DataFrame:
+    """(doc_id, n_bigrams, nll) from a bigram-bucket stream scored
+    against the two LM count tables — THE one definition of the
+    nll-term rounding and DECIMAL summation, shared by
+    ``hashed_bigram_nll`` (self-trained: inner joins, every bucket
+    exists) and the streaming frozen-model path (``frozen=True``:
+    left joins + count 0 for buckets unseen in the frozen corpus).
+    A rounding or smoothing change here changes both scorers at once;
+    duplicated, the streaming filter silently forks from the batch
+    operator the composed pipeline is pinned against."""
+    how = "left" if frozen else "inner"
+    big_ct = (
+        F.coalesce(F.col("big_ct"), F.lit(0)) if frozen else F.col("big_ct")
+    )
+    ctx_ct = (
+        F.coalesce(F.col("ctx_ct"), F.lit(0)) if frozen else F.col("ctx_ct")
+    )
+    return (
+        grams.join(F.broadcast(ctx), "pb", how)
+        .join(F.broadcast(big), "bb", how)
+        .withColumn(
+            "nll_term",
+            CF.round_det(
+                -F.log((big_ct + 1) / (ctx_ct + F.lit(buckets))),
+                NLL_DIGITS,
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("nll_term").cast("decimal(28,6)")).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            CF.round_det(
+                F.col("__s").cast("double") / F.col("n_bigrams"), 4
+            ).alias("nll"),
+        )
+    )
+
+
 def hashed_bigram_nll(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -95,31 +143,7 @@ def hashed_bigram_nll(
     grams = materialize(_bigram_stream(df, id_col, text_col, buckets))
     ctx = grams.groupBy("pb").agg(F.count(F.lit(1)).alias("ctx_ct"))
     big = grams.groupBy("bb").agg(F.count(F.lit(1)).alias("big_ct"))
-    scored = (
-        grams.join(F.broadcast(ctx), "pb")
-        .join(F.broadcast(big), "bb")
-        .withColumn(
-            "nll_term",
-            CF.round_det(
-                -F.log(
-                    (F.col("big_ct") + 1) / (F.col("ctx_ct") + F.lit(buckets))
-                ),
-                NLL_DIGITS,
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("nll_term").cast("decimal(28,6)")).alias("__s"),
-        )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            CF.round_det(
-                F.col("__s").cast("double") / F.col("n_bigrams"), 4
-            ).alias("nll"),
-        )
-    )
+    scored = score_bigrams_against(grams, ctx, big, buckets)
     ids = df.select(F.col(id_col).alias("doc_id"))
     return ids.join(scored, "doc_id", "left").select(
         "doc_id",

@@ -176,6 +176,11 @@ def curate(
                 .drop("__max_tok")
             )
         gated = gated.drop("__w")
+    # pin once: gated feeds the quality count, the decontamination gram
+    # build + anti-join + count, the fingerprint groupBy, and the
+    # near-dup stage — unpinned, the scrub/tokenize/score subtree
+    # recomputes for EVERY consumer (4-5 full corpus passes)
+    gated = materialize(gated)
     after_quality = gated.count()
     after_decon = None
     if benchmark is not None:
@@ -325,6 +330,8 @@ def assemble(
     n_shards: int = 8,
     near_dup_threshold: float = 0.5,
     shingle_n: int = 3,
+    minhash_perms: int = 16,
+    minhash_bands: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
     """Dataset-assembly stage (the step after ``curate``): assign every
     doc a leakage-safe train/val/test split and an output shard.
@@ -348,9 +355,14 @@ def assemble(
     from chillastic_spark.operators.assembly import rep_of, shard_of, split_of
 
     if pairs is None:
+        # expose ALL the LSH knobs curate has: a fallback computed with
+        # different num_perm/bands than the dedup stage would produce a
+        # DIFFERENT candidate set, and two surviving near-dups could
+        # straddle splits — the exact leakage this function prevents
         pairs = D.minhash_lsh_pairs(
             df, id_col=id_col, text_col=text_col,
-            n=shingle_n, threshold=near_dup_threshold,
+            n=shingle_n, num_perm=minhash_perms, bands=minhash_bands,
+            threshold=near_dup_threshold,
         )
     m = rep_of(
         df.select(id_col, source_col, T.token_count(text_col).alias("n_tokens")),

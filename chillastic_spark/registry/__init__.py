@@ -242,30 +242,38 @@ class _Registry:
                     self._entries[(ns_, id_)] = self.entry_cls(_as_namespace(src))
                     self._sources[(ns_, id_)] = src
 
-    def _save(self) -> None:
+    def _save_unlocked(self) -> None:
+        """Callers hold self._mutex (threading.Lock is not reentrant)."""
         if self._state_dir:
-            with self._mutex:
-                data = {
-                    f"{ns}/{id_}": s for (ns, id_), s in self._sources.items()
-                }
-                tmp = f"{self._path()}.{uuid.uuid4().hex[:8]}.tmp"
-                with open(tmp, "w") as f:
-                    json.dump(data, f, indent=1)
-                os.replace(tmp, self._path())
+            data = {
+                f"{ns}/{id_}": s for (ns, id_), s in self._sources.items()
+            }
+            tmp = f"{self._path()}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(data, f, indent=1)
+            os.replace(tmp, self._path())
 
     # -- CRUD (api/mutators/index.js:5-8) --------------------------------
     def add(self, id: str, obj: Any, namespace: str = DEFAULT_NAMESPACE) -> None:
         validate_object_id(id, "id")
         if namespace != DEFAULT_NAMESPACE:
             validate_object_id(namespace, "namespace")
-        self._entries[(namespace, id)] = self.entry_cls(_as_namespace(obj))
-        if isinstance(obj, str):
-            self._sources[(namespace, id)] = obj
-        else:
-            # replacing a code-string entry with an object must also drop
-            # the persisted source, or a restart resurrects the old code
-            self._sources.pop((namespace, id), None)
-        self._save()
+        # compile OUTSIDE the mutex (sandbox compilation can be slow),
+        # publish + persist INSIDE it: threaded Flask serves concurrent
+        # requests, and an unlocked dict write racing _save's iteration
+        # (or another request's list/remove_namespace scan) throws
+        # "dictionary changed size during iteration"
+        entry = self.entry_cls(_as_namespace(obj))
+        with self._mutex:
+            self._entries[(namespace, id)] = entry
+            if isinstance(obj, str):
+                self._sources[(namespace, id)] = obj
+            else:
+                # replacing a code-string entry with an object must also
+                # drop the persisted source, or a restart resurrects the
+                # old code
+                self._sources.pop((namespace, id), None)
+            self._save_unlocked()
 
     def get(self, id: str, namespace: str = DEFAULT_NAMESPACE) -> Any:
         key = (namespace, id)
@@ -277,20 +285,24 @@ class _Registry:
         return (namespace, id) in self._entries
 
     def remove(self, id: str, namespace: str = DEFAULT_NAMESPACE) -> None:
-        self._entries.pop((namespace, id), None)
-        if self._sources.pop((namespace, id), None) is not None:
-            self._save()
+        with self._mutex:
+            self._entries.pop((namespace, id), None)
+            if self._sources.pop((namespace, id), None) is not None:
+                self._save_unlocked()
 
     def remove_namespace(self, namespace: str) -> None:
-        for key in [k for k in self._entries if k[0] == namespace]:
-            self._entries.pop(key)
-            self._sources.pop(key, None)
-        self._save()
+        with self._mutex:
+            for key in [k for k in self._entries if k[0] == namespace]:
+                self._entries.pop(key)
+                self._sources.pop(key, None)
+            self._save_unlocked()
 
     def list(self, namespace: Optional[str] = None) -> list[str]:
+        with self._mutex:  # snapshot — don't iterate a mutating dict
+            keys = list(self._entries)
         return [
             f"{ns}/{id_}"
-            for (ns, id_) in sorted(self._entries)
+            for (ns, id_) in sorted(keys)
             if namespace is None or ns == namespace
         ]
 

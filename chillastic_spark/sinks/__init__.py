@@ -144,6 +144,15 @@ def upsert(
             with _index_lock(store.index_path(index)), FileLock(
                 store.index_path(index) + ".lock"
             ):
+                # heal any interrupted bucket swap from a crashed prior
+                # delivery BEFORE reading: a bucket whose live dir died
+                # mid-swap reads as empty, and merging against "empty"
+                # would permanently drop its pre-crash rows
+                from chillastic_spark.sources.maintenance import (
+                    recover_bucket_swaps,
+                )
+
+                recover_bucket_swaps(store.index_path(index))
                 nb = store.bucket_count(index)
                 if nb is None:
                     # one-time migration: flat (or empty) → bucketed
@@ -277,6 +286,9 @@ def purge(
     with _index_lock(store.index_path(index)), FileLock(
         store.index_path(index) + ".lock"
     ):
+        from chillastic_spark.sources.maintenance import recover_bucket_swaps
+
+        recover_bucket_swaps(store.index_path(index))
         nb = store.bucket_count(index)
         buckets = None
         if nb is not None:

@@ -32,9 +32,14 @@ from pyspark.sql import functions as F
 
 from chillastic_spark.sources import N_BUCKETS_DEFAULT, bucket_expr
 
-# null-safe on _type: typeless envelopes must match typeless rows, not
-# silently never-match (NULL = NULL is NULL in plain SQL)
-MERGE_KEY = "t._index = s._index AND t._type <=> s._type AND t._id = s._id"
+# null-safe on EVERY key part: a NULL _id (or _index) row must match
+# its previous delivery, not silently never-match (NULL = NULL is NULL
+# in plain SQL) and duplicate on every at-least-once redelivery — the
+# parquet twin's _key_cond is eqNullSafe on all three for this reason.
+# The __bucket equality stays plain =: bucket_expr is never NULL
+# (xxhash64(NULL) is the seed constant), and <=> there would defeat
+# partition pruning on some engines.
+MERGE_KEY = "t._index <=> s._index AND t._type <=> s._type AND t._id <=> s._id"
 
 
 def bucket_sql(n_buckets: int) -> str:
@@ -206,22 +211,30 @@ class DeltaStore:
             .withColumn("_type", F.lit(type).cast("string")),
             self.n_buckets,
         )
+        # count the victims present BEFORE the MERGE (pruned semi-join
+        # on the same predicate). DESCRIBE HISTORY LIMIT 1 is NOT tied
+        # to this purge's commit — under a concurrent writer it reads
+        # the OTHER writer's metrics and reports 0 for a purge that
+        # deleted rows. The semi-join is exact unless another process
+        # deletes the same victim keys in the race window, which is the
+        # caller's own concurrent-purge race, not a metrics artifact.
+        t = spark.table(self.table)
+        v = F.broadcast(victims)
+        n = t.join(
+            v,
+            t["_index"].eqNullSafe(v["_index"])
+            & (t["__bucket"] == v["__bucket"])
+            & t["_id"].eqNullSafe(v["_id"])
+            & (v["_type"].isNull() | (t["_type"] == v["_type"])),
+            "left_semi",
+        ).count()
         view = f"__victims_{uuid.uuid4().hex}"
         victims.createOrReplaceTempView(view)
         try:
             spark.sql(merge_purge_sql(self.table, ids_view=view))
         finally:
             spark.catalog.dropTempView(view)
-        return self._last_merge_deleted(spark)
-
-    def _last_merge_deleted(self, spark: SparkSession) -> int:
-        """Deleted-row count from the MERGE's own operation metrics —
-        exact under concurrent writers, no table scans."""
-        row = spark.sql(
-            f"DESCRIBE HISTORY {self.table} LIMIT 1"
-        ).collect()[0]
-        metrics = row["operationMetrics"] or {}
-        return int(metrics.get("numTargetRowsDeleted", 0))
+        return n
 
     # -- catalog surface: a Delta destination stores documents only.
     # Index/template config subtasks need a catalog store; failing with

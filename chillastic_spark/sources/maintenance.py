@@ -199,6 +199,21 @@ def _recover_interrupted_swap(path: str) -> None:
         shutil.rmtree(stale)
 
 
+def recover_bucket_swaps(root: str) -> None:
+    """Heal interrupted dir swaps under an index root, keyed off the
+    ``.old-`` LEFTOVERS themselves: ``bucket_paths`` only lists
+    existing dirs, so a bucket whose live dir vanished mid-swap would
+    otherwise never be handed to recovery and its documents would stay
+    invisible forever. Shared by compaction and the upsert sink (both
+    perform the same two-rename swap)."""
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if ".old-" in d:
+                _recover_interrupted_swap(
+                    os.path.join(root, d.split(".old-", 1)[0])
+                )
+
+
 def _compact_bucketed(
     spark: SparkSession,
     store: DocumentStore,
@@ -215,17 +230,7 @@ def _compact_bucketed(
     agg_before: dict = {"n_files": 0, "total_bytes": 0, "small_files": 0}
     agg_after: dict = {"n_files": 0, "total_bytes": 0, "small_files": 0}
     compacted_any = False
-    # recover from crash leftovers FIRST, keyed off the ``.old-`` dirs
-    # themselves: ``bucket_paths`` only lists EXISTING dirs, so a bucket
-    # whose live dir vanished mid-swap would otherwise never be handed
-    # to recovery and its documents would stay invisible forever
-    root = store.index_path(index)
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            if ".old-" in d:
-                _recover_interrupted_swap(
-                    os.path.join(root, d.split(".old-", 1)[0])
-                )
+    recover_bucket_swaps(store.index_path(index))
     for bpath in store.bucket_paths(index):
         before = file_stats(bpath, small_file_bytes=target_file_bytes // 4)
         n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))

@@ -250,7 +250,12 @@ def stateful_sessionize(
             [{"user_id": user_id, "n_sessions": n_sessions, "n_events": n_events}]
         )
 
-    events = read_events_stream(spark, events_path)
+    # drop null-ts rows like every watermarked twin here does
+    # implicitly: a NaT reaches pandas as INT64_MIN, sorts first, and
+    # fabricates up to two sessions per null row
+    events = read_events_stream(spark, events_path).filter(
+        F.col("ts").isNotNull()
+    )
     sessions = events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=SESSION_OUTPUT_SCHEMA,
@@ -626,32 +631,9 @@ def _lm_score_batch(
     from chillastic_spark.operators import lm
 
     g = lm._bigram_stream(batch_df, "doc_id", "text", b)
-    scored = (
-        g.join(F.broadcast(ctx), "pb", "left")
-        .join(F.broadcast(big), "bb", "left")
-        .withColumn(
-            "nll_term",
-            CF.round_det(
-                -F.log(
-                    (F.coalesce(F.col("big_ct"), F.lit(0)) + 1)
-                    / (F.coalesce(F.col("ctx_ct"), F.lit(0)) + F.lit(b))
-                ),
-                lm.NLL_DIGITS,
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("nll_term").cast("decimal(28,6)")).alias("__s"),
-        )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            CF.round_det(
-                F.col("__s").cast("double") / F.col("n_bigrams"), 4
-            ).alias("nll"),
-        )
-    )
+    # the one scoring definition (lm.score_bigrams_against): frozen
+    # model — left joins, unseen buckets count 0
+    scored = lm.score_bigrams_against(g, ctx, big, b, frozen=True)
     ids = batch_df.select("doc_id")
     return ids.join(scored, "doc_id", "left").select(
         "doc_id",

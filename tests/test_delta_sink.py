@@ -12,17 +12,20 @@ def test_merge_upsert_sql_golden():
     assert sql == (
         "MERGE INTO docs t\n"
         "USING __batch s\n"
-        "ON t._index = s._index AND t._type <=> s._type AND t._id = s._id"
+        "ON t._index <=> s._index AND t._type <=> s._type AND t._id <=> s._id"
         " AND t.__bucket = s.__bucket\n"
         "WHEN MATCHED THEN UPDATE SET *\n"
         "WHEN NOT MATCHED THEN INSERT *"
     )
 
 
-def test_merge_key_is_null_safe_on_type():
-    # a typeless envelope must MATCH an existing typeless row — plain
-    # equality would never-match on NULL and duplicate the doc
-    assert "t._type <=> s._type" in DL.MERGE_KEY
+def test_merge_key_is_null_safe_on_every_part():
+    # a null-keyed envelope must MATCH its previous delivery — plain
+    # equality would never-match on NULL and duplicate the doc on
+    # every at-least-once redelivery (the parquet twin is eqNullSafe
+    # on all three key parts)
+    for part in ("_index", "_type", "_id"):
+        assert f"t.{part} <=> s.{part}" in DL.MERGE_KEY
 
 
 def test_merge_purge_sql_scopes_index_and_binds_type_via_view():

@@ -190,3 +190,46 @@ def test_mutator_functions_work():
     doc = {"_index": "log_2016-12-01", "_source": {}}
     assert mut.predicate(doc, None)
     assert mut.mutate(doc, None)["_index"] == "log_2016-12"
+
+
+def test_registry_mutations_are_thread_safe(tmp_path):
+    """Threaded Flask serves concurrent requests: an unlocked dict
+    write racing list()/save() iteration raises 'dictionary changed
+    size during iteration'."""
+    import threading
+
+    from chillastic_spark.registry import Mutators
+
+    reg = Mutators(state_dir=str(tmp_path))
+    errs = []
+
+    def writer():
+        try:
+            for i in range(300):
+                reg.add(
+                    f"m{i}",
+                    "TYPE='data'\n"
+                    "def predicate(d, a):\n    return True\n"
+                    "def mutate(d, a):\n    return d\n",
+                    namespace="nsa",
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def reader():
+        try:
+            for _ in range(300):
+                reg.list()
+                reg.list("nsa")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert len(reg.list("nsa")) == 300

@@ -260,3 +260,37 @@ def test_heavy_hitters_stream_bound(spark, tmp_path):
         r["shard"] for r in rows if r["version"] == latest_version[r["shard"]]
     )
     assert all(v <= capacity for v in per_shard.values())
+
+
+def test_sessionize_drops_null_ts_rows(spark, tmp_path):
+    """A NULL ts reaches pandas as NaT (INT64_MIN) and used to open up
+    to two phantom sessions per null row — null-ts events are dropped
+    like every watermarked twin drops them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chillastic_spark.streaming import stateful_sessionize
+
+    d = tmp_path / "null_ts_stream"
+    d.mkdir()
+    base = 1_600_000_000 * 1_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([base, None, base + 60_000_000], pa.int64()),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_type": pa.array(["view"] * 3),
+            "value": pa.array([1.0] * 3),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(tbl, str(d / "part-0.parquet"))
+    q = stateful_sessionize(
+        spark, str(d), str(tmp_path / "ck-null"), gap_minutes=30,
+        query_name="sess_null",
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT max(n_sessions) AS s, max(n_events) AS e FROM sess_null"
+    ).collect()
+    assert (rows[0]["s"], rows[0]["e"]) == (1, 2)
