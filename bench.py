@@ -50,9 +50,16 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     t = time.time()
     if os.path.isdir(warm_dir):
+        from chillastic_spark.persist import batch_scope as _bs
+
         for name, q in qs.items():
             try:
-                q.fn(spark, warm_dir).count()
+                with _bs():
+                    # noop sink so the computed columns' codegen
+                    # actually compiles (count() would prune them)
+                    q.fn(spark, warm_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
             except Exception as e:  # noqa: BLE001
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
     warmup = time.time() - t
@@ -76,14 +83,31 @@ def main() -> None:
 
     calib = [calibrate()]
 
+    from chillastic_spark.persist import batch_scope
+
+    def execute_full(df) -> None:
+        # the noop sink executes EVERY operator and discards rows
+        # executor-side. count() is NOT a full materialisation:
+        # Catalyst prunes all deterministic computed columns under
+        # Aggregate(count(1)), so a projection-only query (e.g.
+        # text_features) would be timed as a metadata-only row count.
+        df.write.format("noop").mode("overwrite").save()
+
     samples: dict[str, list[float]] = {name: [] for name in qs}
     rows: dict[str, int] = {}
     for run in range(N_RUNS):
         for name, q in qs.items():
-            t = time.time()
-            df = q.fn(spark, SF_DIR)
-            rows[name] = df.count()  # materialise the full plan
-            dt = time.time() - t
+            # batch_scope: queries that pin intermediates internally
+            # (persist.materialize) release them per run — unscoped,
+            # the blocks accumulate across warmup + N_RUNS rounds and
+            # skew the later interleaved rounds
+            with batch_scope():
+                t = time.time()
+                df = q.fn(spark, SF_DIR)
+                execute_full(df)
+                dt = time.time() - t
+                if name not in rows:
+                    rows[name] = df.count()  # untimed, reporting only
             samples[name].append(dt)
             print(
                 f"# run {run + 1}/{N_RUNS} {name}: {dt:.2f}s ({rows[name]} rows)",
@@ -117,6 +141,13 @@ def main() -> None:
                 "calibration_sec": round(statistics.median(calib), 3),
                 "calibration_samples": [round(c, 3) for c in calib],
                 "n_queries": len(timings),
+                # measurement method note: rounds 1-5 timed df.count(),
+                # which lets Catalyst PRUNE computed columns (projection
+                # -only queries timed as metadata row counts; aggregate
+                # value expressions skipped). The noop sink executes the
+                # full plan — numbers are honest but ~1s higher in total
+                # than the old method on identical code.
+                "materialize": "noop-sink",
             }
         )
     )

@@ -46,10 +46,20 @@ class ActionRef:
             return spec
         if isinstance(spec, str):
             ns, _, id_ = spec.rpartition("/")
+            # validate at PARSE time: the API maps ValueError to a 400
+            # at task admission — unvalidated, 'ns/' or 'a/b/c' is
+            # accepted and only fails mid-run as an unknown mutator
+            validate_object_id(id_, "id")
+            if ns and ns != DEFAULT_NAMESPACE:
+                validate_object_id(ns, "namespace")
             return ActionRef(id=id_, namespace=ns or DEFAULT_NAMESPACE)
+        ns = spec.get("namespace", DEFAULT_NAMESPACE)
+        validate_object_id(spec["id"], "id")
+        if ns != DEFAULT_NAMESPACE:
+            validate_object_id(ns, "namespace")
         return ActionRef(
             id=spec["id"],
-            namespace=spec.get("namespace", DEFAULT_NAMESPACE),
+            namespace=ns,
             arguments=spec.get("arguments"),
         )
 
@@ -114,6 +124,13 @@ class Subtask:
     def subtask_id(self) -> str:
         d = asdict(self)
         d.pop("count")
+        # numerically canonical: json renders int -1 and float -1.0
+        # DIFFERENTLY, but equal Subtasks must share one id — the
+        # completed-ids anti-join and the enqueue dedup guard key on it,
+        # and producers mix int and float bounds
+        for k, v in d.items():
+            if isinstance(v, float) and v.is_integer():
+                d[k] = int(v)
         return json.dumps(d, sort_keys=True, separators=(",", ":"))
 
     @staticmethod
@@ -140,6 +157,9 @@ class Progress:
     def validate(self) -> "Progress":
         for f_ in ("tick", "transferred", "total"):
             v = getattr(self, f_)
-            if not isinstance(v, int) or v < 0:
+            # type(v) is int, not isinstance: bool passes isinstance
+            # and would round-trip the state JSON as true/false where
+            # every reader expects an integer
+            if type(v) is not int or v < 0:
                 raise ValueError(f"progress.{f_} must be a non-negative int")
         return self

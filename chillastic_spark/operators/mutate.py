@@ -89,14 +89,19 @@ def apply_data_mutators(
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
-                doc = {
-                    "_index": rec["_index"],
-                    "_type": rec["_type"],
-                    "_id": rec["_id"],
-                    "_source": _json.loads(rec["_source"]) if rec["_source"] else {},
-                    "_size": rec.get("_size"),
-                }
                 try:
+                    # decode INSIDE the guard: a corrupt _source string
+                    # (truncated upstream write, hand-edited parquet) is
+                    # per-record bad data — outside the try it would
+                    # bypass the quarantine side-channel and kill the
+                    # whole slice after retries
+                    doc = {
+                        "_index": rec["_index"],
+                        "_type": rec["_type"],
+                        "_id": rec["_id"],
+                        "_source": _json.loads(rec["_source"]) if rec["_source"] else {},
+                        "_size": rec.get("_size"),
+                    }
                     for pred, mut, args in chain:
                         if _drop(doc):
                             doc = None

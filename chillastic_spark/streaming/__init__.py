@@ -8,6 +8,8 @@ offsets replacing the Redis progress hash.
 """
 from __future__ import annotations
 
+import os
+
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,7 +25,9 @@ from chillastic_spark.sources import ENVELOPE_SCHEMA, DocumentStore
 # Stream-dir contract: ``ts`` is a raw int64 epoch-MICROS column (see
 # tests/conftest.stage_events_stream). A nanos-unit timestamp parquet
 # (e.g. testdata events.parquet copied verbatim) must FAIL to read, not
-# silently misparse — hence no legacy nanosAsLong fallback below.
+# silently misparse — enforced by an explicit footer probe in
+# read_events_stream (the batch path's session-wide nanosAsLong flag
+# would otherwise let such a file read as long, 1000x off).
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -37,14 +41,30 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    # enforce the stream-dir contract DIRECTLY: ts must be raw int64
+    # epoch-MICROS. Relying on the read to fail for timestamp-typed
+    # files is not enough — tables.load sets the session-wide
+    # nanosAsLong legacy flag for the batch path, after which a nanos
+    # parquet would silently read as long and every timestamp would be
+    # interpreted 1000x off. Probe the footers of whatever files exist
+    # at start (best-effort for files that appear later).
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)[:4]:
+        t = _pq.read_schema(f).field("ts").type
+        if str(t) != "int64":
+            raise ValueError(
+                f"events stream contract: ts must be int64 epoch-micros, "
+                f"got {t} in {f} (stage the stream dir with raw micros — "
+                "see tests/conftest.stage_events_stream)"
+            )
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .parquet(path)
     )
-    # stream-dir contract: ts is raw int64 epoch-MICROS (see
-    # tests/conftest.stage_events_stream — a timestamp-typed column would
-    # tie this reader to the file's parquet time unit)
     return raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
 
 

@@ -294,3 +294,35 @@ def test_rest_task_carries_index_comparator(spark, tmp_path, store_factory):
         "transfer": {"indices": {"comparator": "CMPSRC2"}},
     }
     assert task_from_json(body2).transfer.index_comparator == "CMPSRC2"
+
+
+def test_action_ref_parse_validates_parts():
+    """Malformed mutator specs 400 at ADMISSION (ValueError from parse),
+    not mid-run as an unknown mutator."""
+    import pytest as _pytest
+
+    from chillastic_spark.model import ActionRef
+
+    assert ActionRef.parse("ns1/m1").key() == ("ns1", "m1")
+    for bad in ("ns/", "a/b/c", "1bad", ""):
+        with _pytest.raises(ValueError):
+            ActionRef.parse(bad)
+
+
+def test_subtask_id_is_numerically_canonical():
+    """Equal Subtasks must share ONE id — producers mix int and float
+    bounds, and json renders -1 and -1.0 differently."""
+    from chillastic_spark.model import Subtask
+
+    a = Subtask(kind="doc", names="ix", min_size=-1, max_size=-1)
+    b = Subtask(kind="doc", names="ix", min_size=-1.0, max_size=-1.0)
+    assert a == b and a.subtask_id() == b.subtask_id()
+
+
+def test_progress_rejects_bools():
+    import pytest as _pytest
+
+    from chillastic_spark.model import Progress
+
+    with _pytest.raises(ValueError):
+        Progress(tick=True, transferred=False, total=0).validate()

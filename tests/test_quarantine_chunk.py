@@ -92,3 +92,25 @@ def test_chunking_windows(spark):
     for r in by_doc[1]:
         covered.update(r["chunk_text"].split())
     assert covered == set(text90.split())
+
+
+def test_quarantine_absorbs_malformed_source_json(spark):
+    """A corrupt _source string is per-record bad data: it must route
+    to _quarantine like a mutator failure, not kill the whole slice
+    (the decode used to run OUTSIDE the guard)."""
+    rows = [
+        ("i1", "t", "0", json.dumps({"v": 0}), 10),
+        ("i1", "t", "1", '{"v": 1, TRUNCATED', 10),  # corrupt JSON
+    ]
+    df = spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+    out = apply_data_mutators(
+        df, [Mut(lambda d, a: True, lambda d, a: d)], quarantine=True
+    ).collect()
+    by_index = {}
+    for r in out:
+        by_index.setdefault(r["_index"], []).append(r)
+    assert len(by_index["i1"]) == 1
+    q = by_index["_quarantine"]
+    assert len(q) == 1
+    payload = json.loads(q[0]["_source"])
+    assert payload["original_source"].startswith('{"v": 1, TRUNCATED')

@@ -101,3 +101,20 @@ def test_stream_over_bucketed_source_ignores_scratch_dirs(spark, tmp_path, store
     q = continuous_reindex(spark, src, "bix", dst, str(tmp_path / "ckb"))
     q.awaitTermination(120)
     assert dst.count(spark, "bix") == 12  # no double reads
+
+
+def test_events_stream_rejects_timestamp_typed_files(spark, tmp_path):
+    """The stream contract requires raw int64 micros — a nanos/timestamp
+    parquet must FAIL loudly (the batch path's session-wide nanosAsLong
+    flag would otherwise let it read as long, 1000x off)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from chillastic_spark.streaming import read_events_stream
+
+    d = tmp_path / "bad_stream"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "p0.parquet")
+    with _pytest.raises(ValueError, match="int64 epoch-micros"):
+        read_events_stream(spark, str(d))
