@@ -254,3 +254,16 @@ def approx_plan_bounds(
         for lo, hi in edges
         if hi > lo
     ]
+
+
+def formatted_plan(df) -> str:
+    """Formatted physical plan of a DataFrame — the ONE explain
+    incantation shared by the plan-shape tests and the PLANS.md dump,
+    so the audited artifact and the asserted plans can never use
+    different explain modes."""
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )

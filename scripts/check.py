@@ -32,11 +32,14 @@ def value_hash(df: pd.DataFrame) -> str:
     # and the driver's gate sees it — so must we), and floats keep full
     # repr precision rather than 9 significant digits.
     def norm(v):
-        if v is None or (isinstance(v, float) and pd.isna(v)):
+        # np.floating too: np.float32 is NOT a float subclass, and an
+        # unnormalized float32 NaN strs to 'nan' while the other
+        # engine's float64 NaN normalizes to NULL — a false mismatch
+        if v is None or (isinstance(v, (float, np.floating)) and pd.isna(v)):
             return "NULL"
         if isinstance(v, (bool, np.bool_)):
             return "T" if v else "F"
-        if isinstance(v, float):
+        if isinstance(v, (float, np.floating)):
             return repr(float(v))
         return str(v)
 
@@ -57,6 +60,11 @@ def main() -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - qs.keys()
+    if unknown:
+        # a typo must not skip everything and exit 0 with '0 failures'
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

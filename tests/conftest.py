@@ -112,8 +112,8 @@ def docs_f1(n=20, index_type="mytype1"):
 
 
 def plan_of(spark, df) -> str:
-    """Formatted physical plan of a DataFrame (shared by the
-    plan-shape tests)."""
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    """Formatted physical plan (delegates to the one shared explain
+    helper, chillastic_spark.plans.formatted_plan)."""
+    from chillastic_spark.plans import formatted_plan
+
+    return formatted_plan(df)

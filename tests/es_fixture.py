@@ -96,9 +96,9 @@ class FakeES:
         self.templates[name] = template
 
     def contents(self, index: str) -> dict[str, dict]:
-        return {
-            _id: src for (ix, _t, _id), src in self.docs.items() if ix == index
-        }
+        with self._lock:  # snapshot: the server thread mutates docs
+            items = list(self.docs.items())
+        return {_id: src for (ix, _t, _id), src in items if ix == index}
 
     # ------------------------------------------------- log conveniences
     def requests_of(self, kind: str) -> list[dict]:
@@ -114,13 +114,15 @@ class FakeES:
         # real-ES semantics: track_total_hits=true always yields the
         # exact count; without it totals cap at total_cap (10k on a
         # real >= 7 cluster)
-        if (body or {}).get("track_total_hits") is True and self.major >= 7:
+        if self.major < 7:
+            # pre-7 totals are bare EXACT ints — the object/capped form
+            # is a >= 7 wire shape a 5.x/6.x cluster can never produce
+            return n
+        if (body or {}).get("track_total_hits") is True:
             return {"value": n, "relation": "eq"}
         if self.total_cap is not None and n > self.total_cap:
             return {"value": self.total_cap, "relation": "gte"}
-        if self.major >= 7:
-            return {"value": n, "relation": "eq"}
-        return n
+        return {"value": n, "relation": "eq"}
 
     # ------------------------------------------------------------- app
     def _build(self) -> Flask:
@@ -222,6 +224,8 @@ class FakeES:
             # from every hit (metadata-only scans must actually work
             # without it, not just request it)
             with_source = (body or {}).get("_source", True) is not False
+            with self._lock:  # snapshot: concurrent _bulk mutates docs
+                doc_items = sorted(self.docs.items())
             hits = [
                 {
                     "_index": ix,
@@ -230,7 +234,7 @@ class FakeES:
                     **({"_source": src} if with_source else {}),
                     "_size": src.get("__size"),
                 }
-                for (ix, t, _id), src in sorted(self.docs.items())
+                for (ix, t, _id), src in doc_items
                 if ix == index
                 and (doc_type is None or t == doc_type)
                 and matches(_id, src.get("__size"), body)
@@ -241,6 +245,9 @@ class FakeES:
                 self.scrolls[sid] = {
                     "rest": hits[size:], "total": len(hits), "size": size,
                     "slice": (body or {}).get("slice"),
+                    # continuation pages must report totals the same way
+                    # the original request asked for them
+                    "track": (body or {}).get("track_total_hits") is True,
                 }
             return {
                 "_scroll_id": sid,
@@ -250,12 +257,23 @@ class FakeES:
         @app.post("/_search/scroll")
         def scroll():
             body = request.get_json()
-            st = self.scrolls[body["scroll_id"]]
             with self._lock:
+                st = self.scrolls.get(body["scroll_id"])
+                if st is None or st.get("cleared"):
+                    # real ES: a cleared/expired context is a 404, not
+                    # more pages — an engine that clears too early must
+                    # FAIL here, not silently keep scanning
+                    return {
+                        "error": {"type": "search_context_missing_exception"}
+                    }, 404
                 page, st["rest"] = st["rest"][: st["size"]], st["rest"][st["size"]:]
+                total = self._total(
+                    st["total"],
+                    {"track_total_hits": True} if st.get("track") else None,
+                )
             return {
                 "_scroll_id": body["scroll_id"],
-                "hits": {"total": self._total(st["total"]), "hits": page},
+                "hits": {"total": total, "hits": page},
             }
 
         @app.delete("/_search/scroll")
@@ -330,6 +348,18 @@ class FakeES:
                     meta = action["update"]
                     doc = lines[i + 1]
                     key = (meta["_index"], meta.get("_type"), str(meta["_id"]))
+                    # per-item backpressure applies to EVERY op kind —
+                    # restricted to deletes, an upsert-path partial-
+                    # rejection test would pass vacuously
+                    if str(meta["_id"]) in self.reject_once_ids:
+                        self.reject_once_ids.discard(str(meta["_id"]))
+                        items.append({"update": {
+                            "status": 429,
+                            "error": {"type": "es_rejected_execution_exception"},
+                        }})
+                        errors = True
+                        i += 2
+                        continue
                     assert doc.get("doc_as_upsert") is True  # the S4 contract
                     existing = self.docs.get(key, {})
                     existing.update(doc["doc"])  # partial-doc merge semantics

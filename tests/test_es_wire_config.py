@@ -328,3 +328,29 @@ def test_bulk_delete_ignores_exception_name_in_doc_id():
         assert es.contents("ix") == {}
     finally:
         es.stop()
+
+
+def test_bulk_upsert_partial_rejection_resends_only_rejected_item():
+    """The upsert path's per-item retry accounting, exercised over the
+    wire: one item of a 2-doc bulk is 429-rejected; the retry carries
+    ONLY that op and every doc lands exactly once."""
+    from chillastic_spark.sources.es_rest import Wire, _send_bulk, doc_to_bulk
+
+    es = FakeES(reject_once_ids={"d1"})
+    url = es.start()
+    try:
+        docs = [
+            {"_index": "ix", "_type": "t1", "_id": "d0", "_source": {"v": 0}},
+            {"_index": "ix", "_type": "t1", "_id": "d1", "_source": {"v": 1}},
+        ]
+        lines = [l for d in docs for l in doc_to_bulk(d)]
+        n = _send_bulk(Wire(url), lines, n_docs=2, max_retries=3)
+        assert n == 2
+        assert set(es.contents("ix")) == {"d0", "d1"}
+        retry_ops = [
+            json.loads(l) for l in es.bulk_bodies[-1].splitlines()
+        ]
+        metas = [op for op in retry_ops if "update" in op]
+        assert len(metas) == 1 and metas[0]["update"]["_id"] == "d1"
+    finally:
+        es.stop()
