@@ -260,3 +260,35 @@ def test_prefix_twins_keep_rounded_boundary_pairs(spark):
     pref2 = {tuple(r) for r in D.ngram_jaccard_pairs_prefix(d2, n=3, threshold=0.5).collect()}
     assert (1, 2, 0.5) in plain2, plain2
     assert pref2 == plain2, (plain2, pref2)
+
+
+def test_hamming_band_pairs_complete_and_exact_within_guarantee(spark):
+    """Pigeonhole completeness: with max_hamming <= chunks-1, EVERY
+    pair within the threshold is found (any such pair shares an exact
+    chunk), and the bit_count verify admits nothing beyond it — the
+    banded result equals the brute-force pair set exactly."""
+    import random
+
+    from chillastic_spark.operators.dedup import hamming_band_pairs
+
+    rng = random.Random(7)
+    vals = [rng.getrandbits(60) for _ in range(40)]
+    for i in range(12):  # plant close pairs: flip 0-3 bits
+        flipped = vals[i]
+        for b in rng.sample(range(60), rng.randint(0, 3)):
+            flipped ^= 1 << b
+        vals.append(flipped)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, h long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_band_pairs(df, "h", 60, 4, 3).collect()
+    }
+    want = {}
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            d = bin(vals[i] ^ vals[j]).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+    assert got == want and len(want) >= 8
