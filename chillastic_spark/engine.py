@@ -53,6 +53,29 @@ class TaskState:
         if self._seen_on_disk:
             with open(self.path) as f:
                 self.data = json.load(f)
+            self._canonicalize_ids()
+
+    def _canonicalize_ids(self) -> None:
+        """Normalize subtask ids persisted before the int/float
+        canonicalization (model/__init__.py subtask_id): a legacy state
+        file keys completed/progress on `-1.0` renderings while fresh
+        producers emit `-1`, so the resume anti-join would miss and
+        re-enqueue already-completed subtasks. One rewrite on read
+        makes old and new state formats interchangeable."""
+
+        def canon(sid: str) -> str:
+            try:
+                return Subtask.from_id(sid).subtask_id()
+            except Exception:
+                return sid  # unknown shape: keep verbatim
+
+        self.data["backlog"] = [[canon(s), c] for s, c in self.data["backlog"]]
+        self.data["completed"] = {
+            canon(s): c for s, c in self.data["completed"].items()
+        }
+        self.data["progress"] = {
+            canon(s): p for s, p in self.data["progress"].items()
+        }
 
     def save(self) -> None:
         tmp = self.path + ".tmp"
@@ -65,6 +88,7 @@ class TaskState:
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self.data = json.load(f)
+            self._canonicalize_ids()
             self._seen_on_disk = True
         elif self._seen_on_disk:
             # the file existed for THIS holder and is now gone:
@@ -642,10 +666,17 @@ class Engine:
         if len(ids) == 1:
             if self._running and TaskState(self.state_root, ids[0]).data["backlog"]:
                 self.run_task(ids[0])
-            return self.status()
+            # a task admitted while the fast path drained is picked up
+            # by the loop below on the re-listed id set
+            ids = self.list_tasks()
+            if len(ids) == 1:
+                return self.status()
         progressed = True
         while progressed and self._running:
             progressed = False
+            # re-list each cycle: a task admitted mid-drain joins the
+            # rotation now, not on the next run_all invocation
+            ids = self.list_tasks()
             for task_id in ids:
                 before = TaskState(self.state_root, task_id).data["backlog"]
                 if before:

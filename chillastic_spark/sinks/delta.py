@@ -84,7 +84,11 @@ def merge_purge_sql(table: str, ids_view: str = "__victims") -> str:
     return (
         f"MERGE INTO {table} t\n"
         f"USING {ids_view} s\n"
-        "ON t._index = s._index AND t._id = s._id"
+        # <=> mirrors MERGE_KEY: a NULL-keyed doc is upsertable, so it
+        # must be purgeable too, and purge()'s pre-count uses the same
+        # null-safe predicate — plain = would count such a victim yet
+        # never delete it (count overstates, row lingers).
+        "ON t._index <=> s._index AND t._id <=> s._id"
         " AND t.__bucket = s.__bucket"
         " AND (s._type IS NULL OR t._type = s._type)\n"
         "WHEN MATCHED THEN DELETE"

@@ -208,6 +208,13 @@ def update_inverted_index(
 
     _recover_swap(index_dir)
     post_dir = os.path.join(index_dir, "postings")
+    # toks is assigned BEFORE the read attempt: the empty-postings
+    # bootstrap branch derives its schema from it, so a later
+    # assignment would hit UnboundLocalError exactly when that branch
+    # runs (a postings dir with no part files).
+    toks = new_docs.select(
+        F.col(id_col).alias("doc_id"), CF.words(text_col).alias("w")
+    ).select("doc_id", F.size("w").alias("dl"), "w")
     try:
         old = spark.read.parquet(post_dir)
     except Exception:
@@ -225,9 +232,6 @@ def update_inverted_index(
             )
             .schema,
         )
-    toks = new_docs.select(
-        F.col(id_col).alias("doc_id"), CF.words(text_col).alias("w")
-    ).select("doc_id", F.size("w").alias("dl"), "w")
     if on_existing == "skip":
         toks = toks.join(old.select("doc_id").distinct(), "doc_id", "left_anti")
         if not toks.limit(1).count():

@@ -32,9 +32,12 @@ def test_merge_purge_sql_scopes_index_and_binds_type_via_view():
     sql = DL.merge_purge_sql("docs")
     assert "WHEN MATCHED THEN DELETE" in sql
     # one table holds ALL indices: without the index equality a purge
-    # of (index_a, doc1) would also delete (index_b, doc1)
-    assert "t._index = s._index" in sql
-    assert "t._id = s._id" in sql and "t.__bucket = s.__bucket" in sql
+    # of (index_a, doc1) would also delete (index_b, doc1). Null-safe
+    # <=> mirrors MERGE_KEY: a NULL-keyed doc that upsert can write
+    # must be deletable, and purge()'s pre-count uses eqNullSafe — a
+    # plain = here counted NULL-keyed victims it never deleted.
+    assert "t._index <=> s._index" in sql
+    assert "t._id <=> s._id" in sql and "t.__bucket = s.__bucket" in sql
     # the type restriction is a VIEW COLUMN (NULL = unrestricted) —
     # never interpolated SQL, so a crafted doc_type can't widen it
     assert "(s._type IS NULL OR t._type = s._type)" in sql
