@@ -64,24 +64,12 @@ def main() -> None:
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
     warmup = time.time() - t
 
-    def calibrate() -> float:
-        """Fixed machine-speed probe, independent of the code under
-        test: one 20M-row shuffle+agg. Timed before and after the
-        measurement rounds so cross-round comparisons can be de-noised
-        mechanically (a loaded sandbox inflates this the same way it
-        inflates the queries)."""
-        from pyspark.sql import functions as F
+    # shared machine-speed probe (chillastic_spark.session.calibrate),
+    # timed before and after the measurement rounds so cross-round
+    # comparisons can be de-noised mechanically
+    from chillastic_spark.session import calibrate
 
-        t = time.time()
-        (
-            spark.range(0, 20_000_000, 1, 32)
-            .groupBy((F.col("id") % 97).alias("k"))
-            .agg(F.sum("id"))
-            .count()
-        )
-        return time.time() - t
-
-    calib = [calibrate()]
+    calib = [calibrate(spark)]
 
     from chillastic_spark.persist import batch_scope
 
@@ -114,7 +102,7 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    calib.append(calibrate())
+    calib.append(calibrate(spark))
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {

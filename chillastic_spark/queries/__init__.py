@@ -32,48 +32,36 @@ class Query:
 # Everything rotated out stays locally twinned by scripts/check.py
 # every round.
 PANEL_FIRST = [
-    # r5 rotation (r4 verdict #1): the 45 queries that had never been
-    # driver-sampled in CORRECTNESS_r01–r04 fill 45 slots, so after
-    # this round EVERY registered query has at least one
-    # driver-verified row. The remaining 5 slots: the THREE queries
-    # registered mid-r5 (balance_deciles_approx, dedup_jaccard_prefix,
-    # dedup_containment_prefix — no driver row yet) plus two family
-    # anchors already driver-green in a prior round (q5 relational,
-    # count_per_slice engine parity). dedup_minhash_lsh, ann_lsh_topk
-    # and fuzzy_search, originally pencilled in as anchors, gave up
-    # their slots to the mid-round additions — they are r4-green.
-    # relational / analytics (never sampled)
-    "snapshot_reconcile", "events_pivot", "skew_top_keys",
-    "geomean_value_by_type", "value_outliers", "rolling_event_stats",
-    "median_value_by_type", "events_daily_rollup",
-    "user_retention_cohorts", "sample_stratified",
-    "purchase_prior_window", "balance_deciles", "event_transitions",
-    "referential_integrity", "basket_part_pairs",
-    "events_unpivot_roundtrip", "events_ohlc", "value_winsorized_stats",
-    "top_event_paths", "quality_percentile_gate",
-    # sketches / approx (never sampled)
-    "sketch_distinct_users", "sketch_value_quantiles",
-    "heavy_hitter_terms",
-    # documents / text / curation (never sampled)
-    "token_histogram", "source_similarity", "source_quality_report",
-    "source_diversity", "top_collocations", "source_oov_rate",
-    "source_unigram_psi", "dataset_split_manifest",
-    "semantic_decontaminate_flags", "bpe_merge_candidates",
-    "bpe_trained_merges",
-    # multimodal (never sampled)
-    "multimodal_meta", "image_phash_pairs", "audio_features_meta",
-    # vectors / graph (never sampled)
-    "embedding_outliers", "ann_ivf_topk", "ann_pq_topk",
-    "knn_communities",
-    # search (never sampled)
-    "bool_search", "wildcard_search", "search_snippets",
-    "terms_set_query",
-    # r5 additions with no driver row yet — driver evidence in their
-    # first round
-    "balance_deciles_approx", "dedup_jaccard_prefix",
-    "dedup_containment_prefix",
-    # family anchors (driver-green in prior rounds)
-    "q5_local_supplier_volume", "count_per_slice",
+    # ROTATION POLICY (LRU, r5 verdict #8): each round the panel is the
+    # 50 registered queries whose most-recent driver-verified
+    # CORRECTNESS row is OLDEST (ties broken by prior registration
+    # order), so evidence freshness compounds instead of decaying.
+    # Computed mechanically from CORRECTNESS_r01..r{N-1}.
+    #
+    # r6 panel: every query now has ≥1 driver row (r5 closed that), so
+    # this round refreshes the STALEST evidence — 8 queries last
+    # sampled in r2 and 42 last sampled in r3, over code that has
+    # changed in every round since.
+    # last driver evidence: r2
+    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
+    "top_customers", "q4_late_orders", "q18_large_orders",
+    "rollup_nation_status", "event_funnel",
+    # last driver evidence: r3
+    "nation_order_stats", "above_avg_balance", "q10_returned_items",
+    "q14_promo_share", "distinct_counts", "top_terms",
+    "q11_important_parts", "events_json_extract", "q2_min_cost_parts",
+    "q9_product_profit", "q21_sole_returned_supplier", "scan_projection",
+    "asof_view_before_purchase", "scalar_functions", "size_histogram",
+    "backlog_totals", "resume_anti_join", "latest_event_per_user",
+    "mutate_pipeline", "sessionize", "text_features", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_simhash", "chunk_windows", "similarity_topk",
+    "embedding_centroids", "embedding_dup_pairs", "tfidf_top_terms",
+    "q19_discounted_revenue", "dedup_edit_distance",
+    "decontaminate_flags", "quality_topk_per_lang", "events_gapfill",
+    "revenue_grouping_sets", "dedup_ngram_containment",
+    "value_percentiles", "sequence_packing", "time_weighted_avg",
+    "keyword_search_and",
 ]
 
 

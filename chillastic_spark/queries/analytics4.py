@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from chillastic_spark import functions as CF
 from chillastic_spark.operators import dedup as D
+from chillastic_spark.persist import materialize
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
 
@@ -150,21 +151,76 @@ GROUP BY GROUPING SETS ((nation, yr), (nation), (yr), ())
 # ------------------------------------------------- ntile deciles
 
 def balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer account-balance deciles (ntile(10)) with per-decile
-    stats — the exact-quantile companion to the GK sketch in
-    ``sketch_value_quantiles``.
+    """Customer account-balance deciles (exact ntile(10) semantics)
+    with per-decile stats — the exact-quantile companion to the GK
+    sketch in ``sketch_value_quantiles``.
 
-    An unpartitioned ntile window is a single-task total sort; that is
-    the correct shape for dimension-scale tables (customer). For a
-    100 TB fact column, route to :func:`balance_deciles_approx`
-    (registered as ``balance_deciles_approx``): quantile cuts from
-    ``approx_percentile``, broadcast onto the rows, no global window —
-    exactness on ranks is what this operator trades for.
+    Scale shape (no global window, no single-task total sort): EXACT
+    global ranks come from range-partitioned distributed ranking —
+    ``repartitionByRange`` on the sort key spreads the total order
+    across partitions, a per-partition count pass (bounded collect:
+    one row per partition) yields each partition's global rank
+    offset, and rank = offset + per-partition ``row_number``. The
+    only window is partitioned by ``spark_partition_id`` — every
+    stage is parallel at any scale. The ntile bucket then follows
+    arithmetically from (rank, n): the first n%10 buckets take
+    ceil(n/10) rows, the rest floor(n/10) — exactly SQL ntile over
+    the same total order, so the DuckDB ntile oracle stays
+    hash-exact. The range-partitioned input is materialized
+    (``persist.materialize(iterative=True)``) so partition ids are
+    identical between the offset job and the rank job — under
+    ``none`` the escalation to ``reliable`` keeps that pin.
+
+    For a quick approximate cut at 100 TB, :func:`balance_deciles_approx`
+    trades rank exactness for a single sketch aggregate.
     """
-    c = load(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    d = c.select("c_custkey", "c_acctbal").withColumn(
-        "decile", F.ntile(10).over(w)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = materialize(
+        c.repartitionByRange(
+            nparts, F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+        ),
+        iterative=True,  # pid stability across the two jobs is correctness
+    )
+    # bounded collect: ≤ nparts rows, independent of data volume
+    rows = (
+        parts.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    counts = sorted((r["pid"], r["cnt"]) for r in rows)
+    total = sum(cnt for _, cnt in counts)
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    q, rem = divmod(total, 10)
+    big = q + 1
+    rank = F.col("__rank")
+    d = (
+        parts.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__rank",
+            off_map[F.col("__pid")] + F.row_number().over(w),
+        )
+        .withColumn(
+            "decile",
+            F.when(
+                rank <= rem * big, F.floor((rank - 1) / F.lit(big)) + 1
+            ).otherwise(
+                # unreachable when q == 0 (then rem*big == total);
+                # max(q,1) keeps the divisor ANSI-safe regardless
+                rem
+                + F.floor((rank - rem * big - 1) / F.lit(max(q, 1)))
+                + 1
+            ),
+        )
     )
     return d.groupBy("decile").agg(
         F.count("*").alias("n_customers"),

@@ -94,3 +94,22 @@ def tune_session(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # immutable in this session; fine
     return spark
+
+def calibrate(spark: SparkSession) -> float:
+    """Fixed machine-speed probe, independent of the code under test:
+    one 20M-row shuffle+agg, returning wall seconds. Both harnesses
+    (bench.py and scripts/check.py) emit it so cross-round comparisons
+    can be de-noised mechanically — a loaded sandbox inflates the probe
+    the same way it inflates the queries (r5 verdict #9)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    t = time.time()
+    (
+        spark.range(0, 20_000_000, 1, 32)
+        .groupBy((F.col("id") % 97).alias("k"))
+        .agg(F.sum("id"))
+        .count()
+    )
+    return time.time() - t

@@ -109,6 +109,9 @@ def main() -> int:
                 print("  duck :", o[neq].head(3).to_dict("records"))
         else:
             print(f"PASS  {name} ({len(sdf)} rows, {spark_t:.1f}s)")
+    from chillastic_spark.session import calibrate
+
+    print(f"calibration_sec: {calibrate(spark):.3f}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

@@ -261,3 +261,53 @@ def test_events_hourly_minimal_plan(spark):
     for col in ("ts", "event_type", "value"):
         assert col in read
     assert "user_id" not in read and "event_id" not in read
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window specs whose FIRST argument is a sort spec (contains
+    ASC/DESC) — i.e. windows with an empty PARTITION BY, which at
+    100 TB are a single-task total sort."""
+    bad = []
+    for seg in plan.split("windowspecdefinition(")[1:]:
+        first = seg.split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            bad.append(first.strip())
+    return bad
+
+
+def test_balance_deciles_exact_no_global_window(spark):
+    """The r6 exact-deciles rewrite: EXACT ntile semantics from
+    range-partitioned ranking (repartitionByRange + bounded
+    per-partition-count collect + pid-partitioned row_number), so the
+    registered surface keeps zero unpartitioned windows. ntile() must
+    never reappear."""
+    plan = _plan(spark, "balance_deciles")
+    assert "ntile(" not in plan
+    assert _unpartitioned_windows(plan) == []
+    # the only window is partitioned by the stable partition id (the
+    # range exchange itself is hidden behind the materialize boundary,
+    # so the visible plan starts at the checkpointed RDD scan)
+    assert "windowspecdefinition(__pid" in plan
+    assert "hashpartitioning(__pid" in plan
+
+
+def test_no_unpartitioned_window_registry_sweep(spark):
+    """No registered query may plan an unpartitioned WindowExec — the
+    one documented exception is busy_window_counts, whose global
+    island window runs over the ≤|distinct hours| aggregate, not the
+    corpus (analytics11.py docstring)."""
+    from chillastic_spark.queries import all_queries
+
+    allow = {"busy_window_counts"}
+    offenders = {}
+    for name, q in all_queries().items():
+        if name in allow:
+            continue
+        try:
+            plan = _plan(spark, name)
+        except Exception:
+            continue  # non-plannable entries are covered elsewhere
+        bad = _unpartitioned_windows(plan)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
