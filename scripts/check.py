@@ -78,7 +78,23 @@ def main() -> int:
             continue
         spark_t = time.time() - t0
         if name not in oracles:
-            print(f"ok?   {name}: rows-only ({len(sdf)} rows, {spark_t:.1f}s)")
+            from twins import TWINS
+
+            if name in TWINS:
+                # value-level local twin (pure-Python/duckdb exact
+                # recompute or pinned error/recall bound) — the
+                # rows-only queries' evidence gate (r5 verdict #1)
+                try:
+                    ok, detail = TWINS[name](sdf, sf_dir, con)
+                except Exception as e:  # noqa: BLE001
+                    ok, detail = False, f"twin error: {e}"
+                if ok:
+                    print(f"TWIN-PASS  {name} ({len(sdf)} rows, {spark_t:.1f}s): {detail}")
+                else:
+                    failures.append(name)
+                    print(f"FAIL  {name}: twin: {detail}")
+            else:
+                print(f"ok?   {name}: rows-only ({len(sdf)} rows, {spark_t:.1f}s)")
             continue
         try:
             odf = con.sql(oracles[name]).df()
