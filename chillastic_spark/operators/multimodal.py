@@ -4,7 +4,11 @@ columns with typed metadata.
 The Spark-side plumbing (schema, batching, partition shape) is real and
 tested. Decoders probe for the media libraries AT RUNTIME inside the
 executor closure: with PIL present the image ops (``decode_media``,
-``resize_images``, ``phash_images``) decode real payloads; audio
+``resize_images``, ``phash_images``) decode real payloads; when PIL is
+absent, ``decode_media`` and ``phash_images`` fall back to a
+pure-stdlib PNG decoder (``_png_decode``: zlib inflate + scanline
+unfilter) so the REAL decode branch still executes on PNG payloads in
+codec-less containers; audio
 decodes via soundfile when importable, falling back to the stdlib
 ``wave`` reader for 16-bit PCM WAV payloads (so the real path runs
 even in codec-less containers); video probes for an ffmpeg binary on
@@ -43,34 +47,145 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
+# ------------------------------------------------ stdlib PNG decoder
+#
+# The middle tier of the image probe ladder (PIL -> stdlib PNG ->
+# NotImplementedError): a dependency-free decoder for non-interlaced
+# 8-bit PNG (gray / gray+alpha / RGB / RGBA), so the REAL decode branch
+# executes even in containers without pillow. Pure spec math (zlib
+# inflate + per-scanline unfilter, RFC 2083); correctness is pinned by
+# tests that round-trip against an independent encoder. This is the
+# codec-absent fallback, not the perf path — PIL, when importable,
+# always wins the probe.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode(payload: bytes):
+    """payload -> (width, height, channels, unfiltered pixel bytes,
+    row-major, channel-interleaved). Raises ValueError on anything
+    that is not a supported PNG."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos, idat = 8, b""
+    w = h = nch = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if inter != 0:
+                raise ValueError("interlaced PNG unsupported")
+            try:
+                nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+            except KeyError:
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _y in range(h):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out += line
+        prev = line
+    return w, h, nch, bytes(out)
+
+
+def _png_luma_plane(payload: bytes, n: int):
+    """Decode a PNG and return an (n, n) float64 luminance plane:
+    ITU-R 601 grayscale + nearest-neighbor resample — the stdlib twin
+    of PIL's convert('L').resize((n, n))."""
+    import numpy as _np
+
+    w, h, nch, px = _png_decode(payload)
+    arr = _np.frombuffer(px, dtype=_np.uint8).reshape(h, w, nch).astype(_np.float64)
+    if nch >= 3:
+        luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    else:  # gray / gray+alpha: channel 0 is the luminance
+        luma = arr[:, :, 0]
+    yi = _np.minimum((_np.arange(n) * h) // n, h - 1)
+    xi = _np.minimum((_np.arange(n) * w) // n, w - 1)
+    return luma[yi][:, xi]
+
+
 def decode_media(df: DataFrame, id_col: str = "doc_id",
                  payload_col: str = "payload", fake: bool = False) -> DataFrame:
     """Extract (n_bytes, width, height, format) from a binary payload
     column via Arrow-batched mapInPandas.
 
-    ``fake=False`` decodes with PIL when importable on the executors
-    and raises NotImplementedError otherwise; ``fake=True`` derives
+    ``fake=False`` decodes with PIL when importable on the executors,
+    falls back to the pure-stdlib PNG decoder (``_png_decode``) for
+    PNG payloads when PIL is absent, and raises NotImplementedError
+    for anything the ladder can't decode; ``fake=True`` derives
     deterministic metadata from the payload hash (matches
     functions.hash60 on the utf-8 string, i.e. the multimodal_meta
     oracle).
     """
 
     def run(batches):
-        # self-contained: executors must not need chillastic_spark on
-        # their path (see operators.mutate.apply_data_mutators)
+        # self-contained up to the stdlib-PNG tier: executors without
+        # PIL *and* without the package on their path get a clean
+        # NotImplementedError (see operators.mutate.apply_data_mutators)
         import hashlib as _hashlib
         import io as _io
 
         import pandas as _pd
 
-        image_mod = None
+        image_mod = png_decode = None
         if not fake:
             try:
                 from PIL import Image as image_mod  # noqa: N813
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real media decode needs PIL (pillow); pass fake=True"
-                ) from e
+            except ImportError:
+                try:
+                    from chillastic_spark.operators.multimodal import (
+                        _png_decode as png_decode,
+                    )
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "real media decode needs PIL (pillow), or the "
+                        "engine package on the executor path for the "
+                        "stdlib PNG tier; pass fake=True"
+                    ) from e
 
         for pdf in batches:
             rows = []
@@ -78,16 +193,22 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
                 payload = rec[payload_col] or b""
                 if not fake:
                     try:
-                        with image_mod.open(_io.BytesIO(bytes(payload))) as img:
-                            rows.append(
-                                {
-                                    "doc_id": rec[id_col],
-                                    "n_bytes": len(payload),
-                                    "width": img.width,
-                                    "height": img.height,
-                                    "format": (img.format or "unknown").lower(),
-                                }
-                            )
+                        if image_mod is not None:
+                            with image_mod.open(_io.BytesIO(bytes(payload))) as img:
+                                wd, ht = img.width, img.height
+                                fmt = (img.format or "unknown").lower()
+                        else:
+                            wd, ht, _nch, _px = png_decode(bytes(payload))
+                            fmt = "png"
+                        rows.append(
+                            {
+                                "doc_id": rec[id_col],
+                                "n_bytes": len(payload),
+                                "width": wd,
+                                "height": ht,
+                                "format": fmt,
+                            }
+                        )
                     except Exception as e:  # noqa: BLE001 — codec boundary
                         raise NotImplementedError(
                             f"undecodable image payload for doc "
@@ -480,14 +601,21 @@ def phash_images(
         k = _np.arange(N)
         dct = _np.cos(_np.pi * (k[None, :] + 0.5) * k[:, None] / N)
 
-        image_mod = None
+        image_mod = luma_plane = None
         if not fake:
             try:
                 from PIL import Image as image_mod  # noqa: N813
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real image decode needs PIL (pillow); pass fake=True"
-                ) from e
+            except ImportError:
+                try:
+                    from chillastic_spark.operators.multimodal import (
+                        _png_luma_plane as luma_plane,
+                    )
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "real image decode needs PIL (pillow), or the "
+                        "engine package on the executor path for the "
+                        "stdlib PNG tier; pass fake=True"
+                    ) from e
 
         for pdf in batches:
             ids, imgs = [], []
@@ -495,11 +623,14 @@ def phash_images(
                 payload = bytes(rec[payload_col] or b"")
                 if not fake:
                     try:
-                        with image_mod.open(_io.BytesIO(payload)) as img:
-                            plane = _np.asarray(
-                                img.convert("L").resize((N, N)),
-                                dtype=_np.float64,
-                            )
+                        if image_mod is not None:
+                            with image_mod.open(_io.BytesIO(payload)) as img:
+                                plane = _np.asarray(
+                                    img.convert("L").resize((N, N)),
+                                    dtype=_np.float64,
+                                )
+                        else:
+                            plane = luma_plane(payload, N)
                     except Exception as e:  # noqa: BLE001 — codec boundary
                         raise NotImplementedError(
                             f"unhashable image payload for doc "
