@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Generate an sf1 scaling dataset (10x sf0.1) for the one-off
+superlinearity check (r5 verdict #2).
+
+/root/testdata is read-only and has no sf1, so this derives one from
+sf0.1 by 10-way replication with DISJOINT key/content spaces per copy:
+
+* fact/dim keys are offset per copy so joins stay valid and keys stay
+  unique (custkey, orderkey, partkey, suppkey, doc_id, vec_id,
+  event_id, user_id);
+* document TEXT is copy-tagged per token (every word gets a _cN
+  suffix), making the gram/prefix/minhash spaces of different copies
+  disjoint — near-dup structure (pairs, postings, bands) scales
+  exactly 10x instead of exploding combinatorially across copies,
+  which is what "10x more data" means for a dedup workload;
+* embeddings get small deterministic per-copy perturbations so vector
+  near-dup structure also replicates instead of collapsing onto
+  cos=1.0 cross-copy pairs.
+
+Output: /root/repo/.scale/sf1/*.parquet (gitignored). Usage:
+    python scripts/make_sf1.py
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from chillastic_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+COPIES = 10
+
+OFFSETS = {
+    "customer": {"c_custkey": 1_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "lineitem": {
+        "l_orderkey": 10_000_000,
+        "l_partkey": 1_000_000,
+        "l_suppkey": 100_000,
+    },
+    "part": {"p_partkey": 1_000_000},
+    "supplier": {"s_suppkey": 100_000},
+    "events": {"event_id": 100_000_000, "user_id": 10_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+
+
+def main() -> None:
+    spark = get_spark("make-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(DST, exist_ok=True)
+    for t in ("region", "nation"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+        print(f"copied {t}")
+    for t, offs in OFFSETS.items():
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(COPIES):
+            c = base
+            for col, step in offs.items():
+                if col in c.columns:
+                    c = c.withColumn(col, F.col(col) + F.lit(i * step))
+            if t == "documents" and i > 0:
+                # disjoint token space per copy (see module docstring)
+                c = c.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1_c{i}")
+                )
+            if t == "embeddings" and i > 0:
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: x
+                        + 0.01
+                        * F.sin(
+                            F.col("vec_id") * 31 + j * 7 + F.lit(i * 13)
+                        ).cast("float"),
+                    ),
+                )
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(f"{DST}/{t}_dir")
+        # single-file layout to match the sf dirs' <table>.parquet contract
+        import glob
+
+        files = glob.glob(f"{DST}/{t}_dir/part-*.parquet")
+        if len(files) == 1:
+            shutil.move(files[0], f"{DST}/{t}.parquet")
+            shutil.rmtree(f"{DST}/{t}_dir")
+        else:
+            # multi-file: keep the directory, spark/duckdb both read it
+            shutil.rmtree(f"{DST}/{t}.parquet", ignore_errors=True)
+            os.rename(f"{DST}/{t}_dir", f"{DST}/{t}.parquet")
+        n = spark.read.parquet(f"{DST}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
