@@ -95,14 +95,34 @@ def merge_purge_sql(table: str, ids_view: str = "__victims") -> str:
     )
 
 
-def delta_session_options() -> dict[str, str]:
+# Supported Spark-line → Delta artifact matrix (public delta.io
+# compatibility table): each Delta protocol line binds to one Spark
+# minor and one Scala binary version. Pinned by per-combo goldens
+# (tests/goldens/delta_merge_*.json) so an adapter regression breaks a
+# golden even though the jars can't run in this container.
+DELTA_COMPAT: dict[str, tuple[str, str]] = {
+    "4.0": ("2.13", "4.0.0"),   # Spark 4.0.x — Scala 2.13 only
+    "3.5": ("2.12", "3.3.2"),   # Spark 3.5.x — Delta 3.x line
+    "3.4": ("2.12", "2.4.0"),   # Spark 3.4.x — last Delta 2.x line
+}
+
+
+def delta_session_options(spark_line: "str | None" = None) -> dict[str, str]:
     """Session config required for the Delta SQL surface — the
-    deployment recipe the jar gate error points at."""
+    deployment recipe the jar gate error points at. ``spark_line``
+    ("major.minor", default: the running pyspark) selects the matching
+    Delta artifact from DELTA_COMPAT; unknown lines fall back to the
+    newest supported combo."""
+    if spark_line is None:
+        import pyspark
+
+        spark_line = ".".join(pyspark.__version__.split(".")[:2])
+    scala, delta = DELTA_COMPAT.get(spark_line, DELTA_COMPAT["4.0"])
     return {
         "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
         "spark.sql.catalog.spark_catalog":
             "org.apache.spark.sql.delta.catalog.DeltaCatalog",
-        "spark.jars.packages": "io.delta:delta-spark_2.13:4.0.0",
+        "spark.jars.packages": f"io.delta:delta-spark_{scala}:{delta}",
     }
 
 
