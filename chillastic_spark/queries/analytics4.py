@@ -155,60 +155,53 @@ def balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-decile stats — the exact-quantile companion to the GK
     sketch in ``sketch_value_quantiles``.
 
-    Scale shape (no global window, no single-task total sort): EXACT
-    global ranks come from range-partitioned distributed ranking —
-    ``repartitionByRange`` on the sort key spreads the total order
-    across partitions, a per-partition count pass (bounded collect:
-    one row per partition) yields each partition's global rank
-    offset, and rank = offset + per-partition ``row_number``. The
-    only window is partitioned by ``spark_partition_id`` — every
-    stage is parallel at any scale. The ntile bucket then follows
-    arithmetically from (rank, n): the first n%10 buckets take
-    ceil(n/10) rows, the rest floor(n/10) — exactly SQL ntile over
-    the same total order, so the DuckDB ntile oracle stays
-    hash-exact. The range-partitioned input is materialized
-    (``persist.materialize(iterative=True)``) so partition ids are
-    identical between the offset job and the rank job — under
-    ``none`` the escalation to ``reliable`` keeps that pin.
+    Scale shape (ONE shuffle, no window, no single-task total sort):
+    EXACT global ranks come from range-partitioned distributed
+    ranking — ``repartitionByRange`` on the sort key spreads the
+    total order across partitions and ``sortWithinPartitions``
+    finishes it locally (both inside the one materialized exchange).
+    ``monotonically_increasing_id`` then encodes (partition id <<
+    33) + local row offset for free — no second exchange, no window:
+    a per-partition count pass (bounded collect: one row per
+    partition) yields each partition's global rank offset, and
+    rank = offset[pid] + local_offset + 1 is a narrow projection.
+    The ntile bucket follows arithmetically from (rank, n): the
+    first n%10 buckets take ceil(n/10) rows, the rest floor(n/10) —
+    exactly SQL ntile over the same total order, so the DuckDB ntile
+    oracle stays hash-exact. The sorted input is materialized
+    (``persist.materialize(iterative=True)``) so partition ids AND
+    intra-partition order are identical between the offset job and
+    the rank job — under ``none`` the escalation to ``reliable``
+    keeps that pin.
 
     For a quick approximate cut at 100 TB, :func:`balance_deciles_approx`
     trades rank exactness for a single sketch aggregate.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
     parts = materialize(
-        c.repartitionByRange(
-            nparts, F.col("c_acctbal").asc(), F.col("c_custkey").asc()
-        ),
-        iterative=True,  # pid stability across the two jobs is correctness
-    )
+        c.repartitionByRange(nparts, *order).sortWithinPartitions(*order),
+        iterative=True,  # pid + row-order stability across jobs is correctness
+    ).withColumn("__mid", F.monotonically_increasing_id())
+    pid = F.shiftright(F.col("__mid"), 33)
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
     # bounded collect: ≤ nparts rows, independent of data volume
-    rows = (
-        parts.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    )
+    rows = parts.groupBy(pid.alias("pid")).agg(F.count("*").alias("cnt")).collect()
     counts = sorted((r["pid"], r["cnt"]) for r in rows)
     total = sum(cnt for _, cnt in counts)
     offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
+    for p, cnt in counts:
+        offsets[p] = acc
         acc += cnt
     off_map = F.create_map(
         *[F.lit(v) for kv in offsets.items() for v in kv]
-    )
-    w = Window.partitionBy("__pid").orderBy(
-        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
     )
     q, rem = divmod(total, 10)
     big = q + 1
     rank = F.col("__rank")
     d = (
-        parts.withColumn("__pid", F.spark_partition_id())
-        .withColumn(
-            "__rank",
-            off_map[F.col("__pid")] + F.row_number().over(w),
-        )
+        parts.withColumn("__rank", off_map[pid] + local + 1)
         .withColumn(
             "decile",
             F.when(

@@ -277,18 +277,21 @@ def _unpartitioned_windows(plan: str) -> list[str]:
 
 def test_balance_deciles_exact_no_global_window(spark):
     """The r6 exact-deciles rewrite: EXACT ntile semantics from
-    range-partitioned ranking (repartitionByRange + bounded
-    per-partition-count collect + pid-partitioned row_number), so the
-    registered surface keeps zero unpartitioned windows. ntile() must
-    never reappear."""
+    range-partitioned ranking — repartitionByRange +
+    sortWithinPartitions (both behind the materialize boundary, so
+    the visible plan starts at the checkpointed RDD scan), then
+    monotonically_increasing_id decodes to (pid, local offset) and
+    rank is a narrow projection over the broadcast offset map. NO
+    window of any kind and NO exchange besides the final 10-key agg;
+    ntile() must never reappear."""
     plan = _plan(spark, "balance_deciles")
     assert "ntile(" not in plan
+    assert "Window" not in plan
     assert _unpartitioned_windows(plan) == []
-    # the only window is partitioned by the stable partition id (the
-    # range exchange itself is hidden behind the materialize boundary,
-    # so the visible plan starts at the checkpointed RDD scan)
-    assert "windowspecdefinition(__pid" in plan
-    assert "hashpartitioning(__pid" in plan
+    assert "monotonically_increasing_id" in plan
+    # exactly one exchange: the final decile hash agg
+    assert plan.count("- Exchange") == 1
+    assert "hashpartitioning(decile" in plan
 
 
 def test_no_unpartitioned_window_registry_sweep(spark):
