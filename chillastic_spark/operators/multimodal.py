@@ -131,6 +131,74 @@ def _png_decode(payload: bytes):
     return w, h, nch, bytes(out)
 
 
+def _png_encode(pixels: bytes, w: int, h: int, nch: int = 1) -> bytes:
+    """Minimal PNG encoder (filter 0, 8-bit gray/gray+alpha/RGB/RGBA)
+    — the output side of the stdlib tier: lets the video-frame and
+    resize paths emit spec-valid PNG bytes without PIL."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    stride = w * nch
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _y4m_frames(payload: bytes, stride: int, max_frames: int) -> "list[bytes]":
+    """Stdlib video tier: parse an uncompressed YUV4MPEG2 (y4m) stream
+    and return every ``stride``-th frame's luminance plane as PNG
+    bytes (same per-frame PNG contract as the ffmpeg path). Supports
+    C420-family and Cmono chroma; anything else raises ValueError."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    chroma = b"420"
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            chroma = tok[1:]
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if chroma.startswith(b"420"):
+        fsz = w * h * 3 // 2
+    elif chroma == b"mono":
+        fsz = w * h
+    else:
+        raise ValueError(f"unsupported y4m chroma {chroma!r}")
+    frames: list[bytes] = []
+    pos, idx = nl + 1, 0
+    while payload[pos : pos + 5] == b"FRAME" and len(frames) < max_frames:
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + fsz > len(payload):
+            raise ValueError("truncated y4m frame")
+        if idx % max(stride, 1) == 0:
+            y_plane = payload[fnl + 1 : fnl + 1 + w * h]
+            frames.append(_png_encode(y_plane, w, h, 1))
+        pos = fnl + 1 + fsz
+        idx += 1
+    return frames
+
+
 def _png_luma_plane(payload: bytes, n: int):
     """Decode a PNG and return an (n, n) float64 luminance plane:
     ITU-R 601 grayscale + nearest-neighbor resample — the stdlib twin
@@ -313,9 +381,12 @@ def sample_frames(
     ``every_n_bytes`` chunks. ``fake=False`` extracts REAL frames via
     an ffmpeg runtime probe (the video twin of the PIL / soundfile
     probes): every ``every_n_bytes``-th FRAME (the parameter doubles
-    as the frame stride in real mode) is decoded to PNG bytes, and a
-    missing ffmpeg binary raises NotImplementedError on the executor —
-    schema, partitioning, and batch shape are identical in both modes.
+    as the frame stride in real mode) is decoded to PNG bytes; with no
+    ffmpeg binary, uncompressed YUV4MPEG2 payloads decode through the
+    stdlib ``_y4m_frames`` tier (luminance plane per frame, same PNG
+    contract), and anything else raises NotImplementedError on the
+    executor — schema, partitioning, and batch shape are identical in
+    all modes.
 
     ``rebalance=True`` repartitions on a content hash first so a few
     huge videos don't pin one executor — the skew story for media
@@ -328,13 +399,20 @@ def sample_frames(
     def run(batches):
         import pandas as _pd
 
-        ffmpeg = None
+        ffmpeg = y4m = None
         if not fake:
             ffmpeg = _ffmpeg_path()
             if ffmpeg is None:
-                raise NotImplementedError(
-                    "real video decode needs ffmpeg on PATH; pass fake=True"
-                )
+                try:
+                    from chillastic_spark.operators.multimodal import (
+                        _y4m_frames as y4m,
+                    )
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "real video decode needs ffmpeg on PATH, or the "
+                        "engine package on the executor path for the "
+                        "stdlib y4m tier; pass fake=True"
+                    ) from e
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
@@ -345,10 +423,19 @@ def sample_frames(
                         payload[i * every_n_bytes : (i + 1) * every_n_bytes]
                         for i in range(n)
                     ]
-                else:
+                elif ffmpeg is not None:
                     frames = _ffmpeg_extract_frames(
                         ffmpeg, payload, every_n_bytes, max_frames
                     )
+                else:
+                    try:
+                        frames = y4m(payload, every_n_bytes, max_frames)
+                    except ValueError as e:  # codec boundary
+                        raise NotImplementedError(
+                            f"undecodable video payload "
+                            f"({len(payload)} bytes) for the stdlib y4m "
+                            f"tier: {e}; install ffmpeg or pass fake=True"
+                        ) from e
                 for i, frame in enumerate(frames):
                     rows.append(
                         {
@@ -385,7 +472,9 @@ def resize_images(
 ) -> DataFrame:
     """Image resize plumbing (1→1 mapInPandas, payload in / payload
     out). ``fake=False`` resizes with PIL when importable (PNG bytes
-    out, deterministic) and raises NotImplementedError otherwise;
+    out, deterministic), falls back to the stdlib PNG tier (decode +
+    nearest-neighbor resample + re-encode) when PIL is absent, and
+    raises NotImplementedError for anything the ladder can't decode;
     ``fake=True`` truncates/pads the payload to width·height/64 bytes
     deterministically — the batch shape, schema, and size contract of
     the real decoder."""
@@ -396,14 +485,29 @@ def resize_images(
 
         import pandas as _pd
 
-        image_mod = None
+        image_mod = png_mod = None
         if not fake:
             try:
                 from PIL import Image as image_mod  # noqa: N813
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real image resize needs PIL (pillow); pass fake=True"
-                ) from e
+            except ImportError:
+                try:
+                    from chillastic_spark.operators import multimodal as png_mod
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "real image resize needs PIL (pillow), or the "
+                        "engine package on the executor path for the "
+                        "stdlib PNG tier; pass fake=True"
+                    ) from e
+
+        def _stdlib_resize(payload: bytes) -> bytes:
+            import numpy as _np
+
+            w0, h0, nch, px = png_mod._png_decode(payload)
+            arr = _np.frombuffer(px, dtype=_np.uint8).reshape(h0, w0, nch)
+            yi = _np.minimum((_np.arange(height) * h0) // height, h0 - 1)
+            xi = _np.minimum((_np.arange(width) * w0) // width, w0 - 1)
+            out = arr[yi][:, xi]
+            return png_mod._png_encode(out.tobytes(), width, height, nch)
 
         for pdf in batches:
             rows = []
@@ -411,11 +515,14 @@ def resize_images(
                 payload = bytes(rec[payload_col] or b"")
                 if not fake:
                     try:
-                        with image_mod.open(_io.BytesIO(payload)) as img:
-                            resized = img.resize((width, height))
-                            buf = _io.BytesIO()
-                            resized.save(buf, format="PNG")
-                        out = buf.getvalue()
+                        if image_mod is not None:
+                            with image_mod.open(_io.BytesIO(payload)) as img:
+                                resized = img.resize((width, height))
+                                buf = _io.BytesIO()
+                                resized.save(buf, format="PNG")
+                            out = buf.getvalue()
+                        else:
+                            out = _stdlib_resize(payload)
                     except Exception as e:  # noqa: BLE001 — codec boundary
                         raise NotImplementedError(
                             f"unresizable image payload for doc "
