@@ -12,7 +12,10 @@ codec-less containers; audio
 decodes via soundfile when importable, falling back to the stdlib
 ``wave`` reader for 16-bit PCM WAV payloads (so the real path runs
 even in codec-less containers); video probes for an ffmpeg binary on
-the executor PATH (``sample_frames(fake=False)`` → real PNG frames).
+the executor PATH (``sample_frames(fake=False)`` → real PNG frames)
+and falls back to the stdlib YUV4MPEG2 parser (``_y4m_frames``) for
+uncompressed streams, so every modality's real branch executes
+without any optional codec library.
 Absent codecs raise
 NotImplementedError unless ``fake=True``, which produces the
 deterministic hash-derived output pinned by the ``multimodal_meta``
