@@ -182,12 +182,14 @@ def _y4m_frames(payload: bytes, stride: int, max_frames: int) -> "list[bytes]":
             chroma = tok[1:]
     if not w or not h:
         raise ValueError("y4m header missing W/H")
-    if chroma.startswith(b"420"):
+    # exact 8-bit chroma tags only: C420p10/p12/p16 (high-bit-depth)
+    # would match a prefix test and mis-size every frame — reject them
+    if chroma in (b"420", b"420jpeg", b"420paldv", b"420mpeg2"):
         fsz = w * h * 3 // 2
     elif chroma == b"mono":
         fsz = w * h
     else:
-        raise ValueError(f"unsupported y4m chroma {chroma!r}")
+        raise ValueError(f"unsupported y4m chroma {chroma!r} (8-bit 420/mono only)")
     frames: list[bytes] = []
     pos, idx = nl + 1, 0
     while payload[pos : pos + 5] == b"FRAME" and len(frames) < max_frames:
@@ -199,6 +201,11 @@ def _y4m_frames(payload: bytes, stride: int, max_frames: int) -> "list[bytes]":
             frames.append(_png_encode(y_plane, w, h, 1))
         pos = fnl + 1 + fsz
         idx += 1
+    if len(frames) < max_frames and pos != len(payload):
+        # loud desync, matching the ffmpeg tier's corrupt-payload error:
+        # trailing bytes that are not a FRAME header mean the stream is
+        # corrupt — a silent partial frame list would look like success
+        raise ValueError(f"desynchronized y4m stream at byte {pos}")
     return frames
 
 

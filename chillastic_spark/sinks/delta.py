@@ -111,13 +111,31 @@ def delta_session_options(spark_line: "str | None" = None) -> dict[str, str]:
     """Session config required for the Delta SQL surface — the
     deployment recipe the jar gate error points at. ``spark_line``
     ("major.minor", default: the running pyspark) selects the matching
-    Delta artifact from DELTA_COMPAT; unknown lines fall back to the
-    newest supported combo."""
+    Delta artifact from DELTA_COMPAT. Lines NEWER than the matrix fall
+    forward to the newest combo (a future 4.x is at least plausibly
+    compatible); unknown OLDER lines raise — silently handing Spark 3.3
+    the Scala-2.13 Delta-4.0 jar would fail with opaque classloading
+    errors at runtime instead of a clear message here."""
     if spark_line is None:
         import pyspark
 
         spark_line = ".".join(pyspark.__version__.split(".")[:2])
-    scala, delta = DELTA_COMPAT.get(spark_line, DELTA_COMPAT["4.0"])
+    if spark_line in DELTA_COMPAT:
+        scala, delta = DELTA_COMPAT[spark_line]
+    else:
+        newest = max(DELTA_COMPAT, key=lambda v: tuple(map(int, v.split("."))))
+        try:
+            newer = tuple(map(int, spark_line.split("."))) > tuple(
+                map(int, newest.split("."))
+            )
+        except ValueError:
+            newer = False
+        if not newer:
+            raise ValueError(
+                f"no supported Delta artifact for Spark {spark_line}; "
+                f"supported lines: {sorted(DELTA_COMPAT)}"
+            )
+        scala, delta = DELTA_COMPAT[newest]
     return {
         "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
         "spark.sql.catalog.spark_catalog":

@@ -73,14 +73,17 @@ def main() -> None:
                     "text", F.regexp_replace("text", r"(\S+)", f"$1_c{i}")
                 )
             if t == "embeddings" and i > 0:
+                # cast the perturbed element BACK to float: x + <double>
+                # widens to array<double>, silently doubling the table's
+                # bytes vs sf0.1 and breaking the 10x-data claim
                 c = c.withColumn(
                     "embedding",
                     F.transform(
                         "embedding",
-                        lambda x, j: x
-                        + 0.01
-                        * F.sin(
-                            F.col("vec_id") * 31 + j * 7 + F.lit(i * 13)
+                        lambda x, j: (
+                            x
+                            + 0.01
+                            * F.sin(F.col("vec_id") * 31 + j * 7 + F.lit(i * 13))
                         ).cast("float"),
                     ),
                 )
@@ -89,17 +92,23 @@ def main() -> None:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.repartition(32).write.mode("overwrite").parquet(f"{DST}/{t}_dir")
-        # single-file layout to match the sf dirs' <table>.parquet contract
+        # single-file layout to match the sf dirs' <table>.parquet contract;
+        # remove ANY stale target first (file OR directory) so re-runs
+        # never nest a new part file inside a leftover directory
         import glob
 
+        target = f"{DST}/{t}.parquet"
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        elif os.path.exists(target):
+            os.remove(target)
         files = glob.glob(f"{DST}/{t}_dir/part-*.parquet")
         if len(files) == 1:
-            shutil.move(files[0], f"{DST}/{t}.parquet")
+            shutil.move(files[0], target)
             shutil.rmtree(f"{DST}/{t}_dir")
         else:
             # multi-file: keep the directory, spark/duckdb both read it
-            shutil.rmtree(f"{DST}/{t}.parquet", ignore_errors=True)
-            os.rename(f"{DST}/{t}_dir", f"{DST}/{t}.parquet")
+            os.rename(f"{DST}/{t}_dir", target)
         n = spark.read.parquet(f"{DST}/{t}.parquet").count()
         print(f"{t}: {n} rows")
 

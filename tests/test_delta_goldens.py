@@ -62,3 +62,17 @@ def test_purge_scopes_index_and_optional_type():
     assert "t._index <=> s._index" in sql
     assert "(s._type IS NULL OR t._type = s._type)" in sql
     assert "WHEN MATCHED THEN DELETE" in sql
+
+
+def test_unsupported_older_spark_line_raises():
+    """Spark 3.3 has no compatible artifact in the matrix: a clear
+    ValueError beats handing out the Scala-2.13 Delta-4.0 jar and
+    failing with classloading errors at runtime. Future lines newer
+    than the matrix still fall forward to the newest combo."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="3.3"):
+        D.delta_session_options("3.3")
+    assert "delta-spark_2.13:4.0.0" in D.delta_session_options("4.9")[
+        "spark.jars.packages"
+    ]

@@ -350,3 +350,27 @@ def test_resize_images_real_png_stdlib_tier(spark):
         import PIL  # noqa: F401
     except ImportError:
         assert np.array_equal(got, want)
+
+
+def test_y4m_rejects_high_bit_depth_and_desync():
+    """Review findings: C420p10 (10-bit) must raise, not mis-size
+    frames; a stream with trailing garbage after the parsed frames
+    must raise, not silently return a partial list."""
+    import numpy as np
+    import pytest as _pytest
+
+    w, h = 4, 2
+    plane = np.arange(w * h, dtype=np.uint8).tobytes()
+    frame = b"FRAME\n" + plane + bytes(w * h // 2)
+    good = f"YUV4MPEG2 W{w} H{h} C420\n".encode() + frame * 3
+    assert len(M._y4m_frames(good, 1, 8)) == 3
+
+    ten_bit = f"YUV4MPEG2 W{w} H{h} C420p10\n".encode() + frame * 3
+    with _pytest.raises(ValueError, match="chroma"):
+        M._y4m_frames(ten_bit, 1, 8)
+
+    corrupt = good + b"garbage-tail"
+    with _pytest.raises(ValueError, match="desynchronized"):
+        M._y4m_frames(corrupt, 1, 8)
+    # ...but stopping early at max_frames with data left is NOT a desync
+    assert len(M._y4m_frames(corrupt, 1, 2)) == 2

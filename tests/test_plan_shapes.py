@@ -303,14 +303,17 @@ def test_no_unpartitioned_window_registry_sweep(spark):
 
     allow = {"busy_window_counts"}
     offenders = {}
+    swept = 0
     for name, q in all_queries().items():
         if name in allow:
             continue
-        try:
-            plan = _plan(spark, name)
-        except Exception:
-            continue  # non-plannable entries are covered elsewhere
+        # NO exception swallowing: every registered query plans cleanly
+        # at sf0.001 (probed), so a build failure here is a regression —
+        # and silently skipping would make this guarantee vacuous
+        plan = _plan(spark, name)
+        swept += 1
         bad = _unpartitioned_windows(plan)
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+    assert swept >= 150  # the sweep really covered the registry
