@@ -43,13 +43,28 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
-def _empty_topk(spark, score_col: str = "cos") -> DataFrame:
+def _empty_topk(
+    spark,
+    score_col: str = "cos",
+    qid_t: str = "long",
+    nid_t: str = "long",
+) -> DataFrame:
     """Schema-stable empty result for the no-queries edge (an empty
     collect would otherwise reach numpy as a 1-D array and crash with
-    AxisError on axis=1)."""
+    AxisError on axis=1). ``qid_t``/``nid_t`` carry the caller's id
+    TYPES so the empty edge has the same schema as the non-empty path
+    (a string-id caller must not get back long columns)."""
     return spark.createDataFrame(
-        [], f"query_id long, neighbor_id long, {score_col} double"
+        [], f"query_id {qid_t}, neighbor_id {nid_t}, {score_col} double"
     )
+
+
+def _id_type(df: DataFrame, col: str) -> str:
+    """The caller's id column type as a DDL string — every *_topk that
+    round-trips ids through createDataFrame/mapInPandas must carry it
+    (hardcoding long crashes string-id callers; see ann_query_ivf_index
+    history)."""
+    return df.schema[col].dataType.simpleString()
 
 
 def _rank_topk(
@@ -106,11 +121,13 @@ def brute_force_topk_fast(
     """
     import numpy as np
 
+    qid_t = _id_type(queries, query_id_col)
+    nid_t = _id_type(vectors, id_col)
     q_rows = sorted(
         queries.select(query_id_col, vec_col).collect(), key=lambda r: r[0]
     )
     if not q_rows:
-        return _empty_topk(vectors.sparkSession)
+        return _empty_topk(vectors.sparkSession, qid_t=qid_t, nid_t=nid_t)
     q_ids = [r[0] for r in q_rows]
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     Qn = _unit_rows(Q)
@@ -145,14 +162,16 @@ def brute_force_topk_fast(
                 order = np_.lexsort((ids[cand_idx], -rcol))
                 top = cand_idx[order[:take]]
                 for i in top:
-                    out.append((qid, int(ids[i]), float(col[i])))
+                    # no int() cast: ids keep the caller's type (string
+                    # ids crashed here; numpy scalars convert via Arrow)
+                    out.append((qid, ids[i], float(col[i])))
             yield pd_.DataFrame(out, columns=["query_id", "neighbor_id", "cos_raw"])
 
     v = vectors.select(
         F.col(id_col).alias("_nid"), CF.as_double_array(vec_col).alias("_vec")
     )
     scored = v.mapInPandas(
-        score, "query_id long, neighbor_id long, cos_raw double"
+        score, f"query_id {qid_t}, neighbor_id {nid_t}, cos_raw double"
     ).withColumn("cos", CF.round_det(F.col("cos_raw"), 6)).drop("cos_raw")
     return _rank_topk(scored, k)
 
@@ -438,11 +457,14 @@ def ivf_topk(
         vec_col=vec_col,
     ).select("neighbor_id", CF.as_double_array(vec_col).alias("vec"), "cell")
 
+    qid_t = _id_type(queries, query_id_col)
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"), CF.as_double_array(vec_col).alias("qvec")
     ).collect()
     if not q_rows:
-        return _empty_topk(vectors.sparkSession)
+        return _empty_topk(
+            vectors.sparkSession, qid_t=qid_t, nid_t=_id_type(vectors, id_col)
+        )
     Q = np.array([r["qvec"] for r in q_rows], dtype=np.float64)
     Qn = _unit_rows(Q)
     probe_cells = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, : max(nprobe, 1)]
@@ -452,7 +474,7 @@ def ivf_topk(
         for c in cells
     ]
     spark = vectors.sparkSession
-    q = spark.createDataFrame(probe, "query_id long, qvec array<double>, cell int")
+    q = spark.createDataFrame(probe, f"query_id {qid_t}, qvec array<double>, cell int")
 
     scored = (
         v.join(F.broadcast(q), ["cell"])
@@ -635,11 +657,17 @@ def pq_topk(
         vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), B, vec_col=vec_col
     )
 
+    qid_t = _id_type(queries, query_id_col)
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"), CF.as_double_array(vec_col).alias("qvec")
     ).collect()
     if not q_rows:
-        return _empty_topk(vectors.sparkSession, "adc_d2" if not refine else "cos")
+        return _empty_topk(
+            vectors.sparkSession,
+            "adc_d2" if not refine else "cos",
+            qid_t=qid_t,
+            nid_t=_id_type(vectors, id_col),
+        )
     Q = np.array([r["qvec"] for r in q_rows], dtype=np.float64)
     Q = _unit_rows(Q)
     luts = []
@@ -650,7 +678,7 @@ def pq_topk(
             lut[j * kk : (j + 1) * kk] = ((B[j] - qj[None, :]) ** 2).sum(axis=1)
         luts.append((r["query_id"], [round(float(x), 9) for x in lut]))
     spark = vectors.sparkSession
-    q = spark.createDataFrame(luts, "query_id long, lut array<double>")
+    q = spark.createDataFrame(luts, f"query_id {qid_t}, lut array<double>")
 
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(mm - 1)),
@@ -673,7 +701,7 @@ def pq_topk(
 
     qv = spark.createDataFrame(
         [(r["query_id"], [float(x) for x in q]) for r, q in zip(q_rows, Q)],
-        "query_id long, qvec array<double>",
+        f"query_id {qid_t}, qvec array<double>",
     )
     full = vectors.select(
         F.col(id_col).alias("neighbor_id"), CF.as_double_array(vec_col).alias("vec")

@@ -38,6 +38,49 @@ META = "meta.json"
 DATA = "data"
 
 
+def _write_meta(index_dir: str, meta: dict, name: str = META) -> None:
+    """Atomic meta write (tmp + os.replace) — an in-place json.dump
+    killed mid-write leaves a truncated file that bricks every later
+    _meta() read even though the parquet data is intact (same recipe
+    as search_index's stats.json)."""
+    path = os.path.join(index_dir, name)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _recover_compact(index_dir: str, data_name: str = DATA) -> None:
+    """Roll an interrupted compaction swap FORWARD (leftover-keyed, the
+    same recovery contract as the doc store's bucket swap): compaction
+    writes ``data.new-<tag>``, renames data → ``data.old-<tag>``, then
+    new → data, then removes old. A crash in any window leaves tagged
+    leftovers from which the live dir is reconstructible; every entry
+    point calls this before touching the artifacts."""
+    import shutil
+
+    parent = os.path.dirname(os.path.join(index_dir, data_name)) or "."
+    if not os.path.isdir(parent):
+        return
+    base = data_name
+    live = os.path.join(index_dir, data_name)
+    news = sorted(d for d in os.listdir(parent) if d.startswith(base + ".new-"))
+    olds = sorted(d for d in os.listdir(parent) if d.startswith(base + ".old-"))
+    if not os.path.exists(live):
+        if news:
+            # crashed between the two renames: the compacted dir is
+            # complete (it was fully written before the first rename)
+            os.rename(os.path.join(parent, news[-1]), live)
+            news = news[:-1]
+        elif olds:
+            # crashed after data→old but the new dir also vanished:
+            # restore the pre-compaction data
+            os.rename(os.path.join(parent, olds[-1]), live)
+            olds = olds[:-1]
+    for d in news + olds:  # superseded leftovers
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+
 def build_vector_index(
     df: DataFrame,
     index_dir: str,
@@ -54,21 +97,29 @@ def build_vector_index(
         F.col(vec_col).alias("embedding"),
         random_hyperplane_buckets(vec_col, planes, seed, dims=dims).alias("bucket"),
     )
-    rows.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(index_dir, DATA)
-    )
+    data = os.path.join(index_dir, DATA)
+    rows.write.mode("overwrite").partitionBy("bucket").parquet(data)
+    spark = df.sparkSession
+    # count the WRITTEN index (parquet footers — nearly free), not the
+    # input: df.count() would re-run the whole upstream pipeline a
+    # third time, and for a nondeterministic df could disagree with
+    # what actually landed on disk. An empty-corpus build leaves a data
+    # dir with no part files — that reads as 0, not an error.
+    try:
+        n_written = spark.read.parquet(data).count()
+    except Exception:  # bootstrap-empty index
+        n_written = 0
     meta = {
         "planes": planes,
         "seed": seed,
-        "n_vectors": df.count(),
+        "n_vectors": n_written,
         "n_buckets": 1 << planes,
         # persisted so every later bucket computation (update, serve)
         # can embed the plane coefficients as literals instead of
         # hashing planes*dims md5s per row
         "dims": dims,
     }
-    with open(os.path.join(index_dir, META), "w") as f:
-        json.dump(meta, f, indent=1)
+    _write_meta(index_dir, meta)
     return meta
 
 
@@ -90,12 +141,31 @@ def update_vector_index(
     CHANGED embedding could land in a different bucket, making
     multi-probe queries see two rows with different cosines and serve
     whichever survives dropDuplicates — nondeterministic results."""
+    _recover_compact(index_dir)
     meta = _meta(index_dir)
+    # within-batch duplicates first: identical (id, embedding) copies
+    # collapse deterministically; the SAME id with DIFFERENT embeddings
+    # inside one batch is a data error in every mode — appending both
+    # recreates exactly the nondeterministic-serving hazard the
+    # cross-batch guard below exists to prevent
+    df_new = df_new.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).dropDuplicates(["vec_id", "embedding"])
+    batch_dup = (
+        df_new.groupBy("vec_id").count().filter(F.col("count") > 1).limit(3)
+    )
+    clash_in = [r["vec_id"] for r in batch_dup.collect()]
+    if clash_in:
+        raise ValueError(
+            f"batch contains the same vec_id with different embeddings "
+            f"(e.g. {clash_in}) — resolve upstream; neither skip nor "
+            "error mode can order them deterministically"
+        )
     rows = df_new.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
+        "vec_id",
+        "embedding",
         random_hyperplane_buckets(
-            vec_col, meta["planes"], meta["seed"], dims=meta.get("dims")
+            "embedding", meta["planes"], meta["seed"], dims=meta.get("dims")
         ).alias("bucket"),
     )
     spark = df_new.sparkSession
@@ -103,10 +173,19 @@ def update_vector_index(
         existing_ids = spark.read.parquet(os.path.join(index_dir, DATA)).select(
             "vec_id"
         )
-    except Exception:
-        # an index built from an EMPTY frame has a data dir with no
-        # part files ('Unable to infer schema') — the first update of
-        # a bootstrap-empty index must append, not crash
+    except Exception as e:
+        # ONLY the bootstrap case is recoverable: an index built from an
+        # EMPTY frame has a data dir with no part files ('Unable to
+        # infer schema') or no dir yet (PATH_NOT_FOUND). Any other read
+        # failure (corrupt footer, permissions, transient FS) must NOT
+        # silently disable the duplicate guard.
+        msg = str(e)
+        if not (
+            "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+            or "PATH_NOT_FOUND" in msg
+        ):
+            raise
         existing_ids = rows.select("vec_id").limit(0)
     if on_existing == "skip":
         rows = rows.join(existing_ids.distinct(), "vec_id", "left_anti")
@@ -134,9 +213,17 @@ def update_vector_index(
             )
     finally:
         release(rows)
-    meta["n_vectors"] += n_added
-    with open(os.path.join(index_dir, META), "w") as f:
-        json.dump(meta, f, indent=1)
+    # recount from the written footers rather than += n_added: a crash
+    # after the append but before this write must not leave n_vectors
+    # permanently understated on the retry (the retry's skip anti-join
+    # sees the appended rows, so += would skip them)
+    try:
+        meta["n_vectors"] = spark.read.parquet(
+            os.path.join(index_dir, DATA)
+        ).count()
+    except Exception:  # still-empty bootstrap index (no part files)
+        meta["n_vectors"] += n_added
+    _write_meta(index_dir, meta)
     return meta
 
 
@@ -158,10 +245,14 @@ def ann_query_index(
     index — bit-identical ranking to ``lsh_topk`` at the same
     planes/probes, but scanning only the probed bucket partitions.
 
-    The probe bucket set is collected driver-side (|queries| × probes
-    ints — queries are small by the same contract that lets lsh_topk
-    broadcast them) and pushed as a partition predicate.
+    The queries frame is collected ONCE (|queries| × probes rows —
+    queries are small by the same contract that lets lsh_topk broadcast
+    them); both the probe frame and the partition predicate derive from
+    that one collect, so a nondeterministic queries frame can never
+    produce a bucket list that disagrees with the join-time probes
+    (silently missing neighbors).
     """
+    _recover_compact(index_dir)
     meta = _meta(index_dir)
     planes = meta["planes"]
     base = random_hyperplane_buckets(
@@ -174,12 +265,21 @@ def ann_query_index(
             for p in range(min(max(probes - 1, 0), planes))
         ],
     )
-    q = queries.select(
+    from chillastic_spark.operators.similarity import _id_type
+
+    qid_t = _id_type(queries, query_id_col)
+    q_rows = queries.select(
         F.col(query_id_col).alias("query_id"),
         CF.as_double_array(vec_col).alias("qvec"),
-        F.explode(probe_buckets).alias("bucket"),
+        probe_buckets.alias("bs"),
+    ).collect()
+    if not q_rows:
+        return _empty_topk(spark, qid_t=qid_t)
+    probe = [(r["query_id"], r["qvec"], int(b)) for r in q_rows for b in r["bs"]]
+    q = spark.createDataFrame(
+        probe, f"query_id {qid_t}, qvec array<double>, bucket int"
     )
-    wanted = sorted({r["bucket"] for r in q.select("bucket").distinct().collect()})
+    wanted = sorted({b for _, _, b in probe})
     idx = (
         spark.read.parquet(os.path.join(index_dir, DATA))
         .filter(F.col("bucket").isin(wanted))
@@ -204,10 +304,17 @@ def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
     bucket partition (same maintenance need as the document store's
     compact_index; run it in the same single-writer window). Rows never
     change buckets, so serving results are identical before and after —
-    only the file count drops."""
+    only the file count drops.
+
+    Crash-safe: the swap is leftover-keyed (write ``data.new-<tag>``,
+    rename data → ``data.old-<tag>``, rename new → data, remove old),
+    and every entry point rolls an interrupted swap forward via
+    ``_recover_compact`` — two bare renames with no recovery left a
+    crash window with NO data dir and nothing to heal it."""
     import shutil
     import uuid
 
+    _recover_compact(index_dir)
     data = os.path.join(index_dir, DATA)
     df = spark.read.parquet(data)
     # one shuffle partition per bucket value → exactly one file each
@@ -260,16 +367,16 @@ def build_ivf_index(
         C,
         vec_col="embedding",
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(index_dir, IVF_DATA)
-    )
+    data = os.path.join(index_dir, IVF_DATA)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(data)
     meta = {
         "n_cells": len(C),
         "centroids": [[float(x) for x in row] for row in C],
-        "n_vectors": df.count(),
+        # footer count of what was actually written, not a third pass
+        # over the input pipeline
+        "n_vectors": df.sparkSession.read.parquet(data).count(),
     }
-    with open(os.path.join(index_dir, IVF_META), "w") as f:
-        json.dump(meta, f)
+    _write_meta(index_dir, meta, name=IVF_META)
     return meta
 
 
@@ -296,7 +403,9 @@ def ann_query_ivf_index(
         CF.as_double_array(vec_col).alias("qvec"),
     ).collect()
     if not q_rows:
-        return _empty_topk(spark)
+        from chillastic_spark.operators.similarity import _id_type
+
+        return _empty_topk(spark, qid_t=_id_type(queries, query_id_col))
     Q = np.array([r["qvec"] for r in q_rows], dtype=np.float64)
     # zero-norm queries → zero vector (cos 0 per _unit_rows), not a
     # NaN row whose argsort picks arbitrary probe cells

@@ -231,3 +231,133 @@ def test_update_after_empty_build_bootstraps(spark, tmp_path):
     assert m["n_vectors"] == 10
     q = mk(0, 2).selectExpr("vec_id as query_id", "embedding")
     assert ann_query_index(spark, idx, q, k=3).count() > 0
+
+
+def test_compact_crash_recovery_rolls_forward(spark, tmp_path):
+    """Review finding: a crash between the two swap renames left NO
+    data dir with nothing to heal it. Simulate each crash window and
+    assert _recover_compact restores a servable index with identical
+    results."""
+    import shutil
+
+    from chillastic_spark.sources.vector_index import (
+        DATA,
+        _recover_compact,
+        compact_vector_index,
+    )
+
+    e = load(spark, SF, "embeddings").limit(200)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(e, idx, planes=PLANES)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ann_query_index(spark, idx, _queries(e), k=5).collect()
+    }
+    data = os.path.join(idx, DATA)
+
+    # window 1: compacted dir fully written, data renamed away, crash
+    # before new->data (the lethal window)
+    shutil.copytree(data, data + ".new-dead1")
+    os.rename(data, data + ".old-dead1")
+    assert not os.path.exists(data)
+    _recover_compact(idx)
+    assert os.path.exists(data)
+    assert not os.path.exists(data + ".new-dead1")
+    assert not os.path.exists(data + ".old-dead1")
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ann_query_index(spark, idx, _queries(e), k=5).collect()
+    }
+    assert got == want
+
+    # window 2: crash after new->data, old leftover remains
+    shutil.copytree(data, data + ".old-dead2")
+    # entry points heal implicitly (query calls _recover_compact)
+    got2 = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ann_query_index(spark, idx, _queries(e), k=5).collect()
+    }
+    assert got2 == want
+    assert not os.path.exists(data + ".old-dead2")
+
+    # and a full compaction still round-trips
+    compact_vector_index(spark, idx)
+    got3 = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ann_query_index(spark, idx, _queries(e), k=5).collect()
+    }
+    assert got3 == want
+
+
+def test_update_rejects_within_batch_conflicts_and_collapses_copies(
+    spark, tmp_path
+):
+    """Review finding: the duplicate guard only checked against the
+    EXISTING index. Identical (id, embedding) copies inside one batch
+    collapse to one row; the same id with different embeddings raises
+    in every mode."""
+    import pytest as _pytest
+
+    from chillastic_spark.sources.vector_index import _meta
+
+    e = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "vidx")
+    build_vector_index(e.limit(10), idx, planes=PLANES)
+
+    fresh = e.filter(F.col("vec_id") >= 100).limit(2)
+    doubled = fresh.unionByName(fresh)  # identical copies
+    meta = update_vector_index(doubled, idx, on_existing="skip")
+    assert meta["n_vectors"] == 12  # 10 + 2, not 10 + 4
+
+    conflict = fresh.unionByName(
+        fresh.withColumn(
+            "embedding", F.transform("embedding", lambda x: x + F.lit(1.0).cast("float"))
+        )
+    )
+    for mode in ("skip", "error"):
+        with _pytest.raises(ValueError, match="different embeddings"):
+            update_vector_index(conflict, idx, on_existing=mode)
+    assert _meta(idx)["n_vectors"] == 12  # nothing appended
+
+
+def test_string_ids_work_across_the_ann_surface(spark, tmp_path):
+    """Review finding: ivf_topk/pq_topk/brute_force_topk_fast and the
+    empty-queries edge hardcoded long ids. String ids must flow through
+    every path with the same ranking as the long-id twin."""
+    from chillastic_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_fast,
+        ivf_topk,
+        pq_topk,
+    )
+
+    e = load(spark, SF, "embeddings").limit(300)
+    es = e.select(
+        F.concat(F.lit("v"), F.format_string("%04d", "vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    qs = es.filter(F.col("vec_id") < "v0005").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    slow = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in brute_force_topk(es, qs, k=5).collect()
+    }
+    fast = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in brute_force_topk_fast(es, qs, k=5).collect()
+    }
+    assert fast == slow and len(slow) == 25
+
+    # IVF + PQ: string ids must not crash; per-query row counts hold
+    ivf = ivf_topk(es, qs, k=5, n_cells=4, nprobe=4)
+    assert ivf.groupBy("query_id").count().filter("count != 5").count() == 0
+    assert dict(ivf.dtypes)["query_id"] == "string"
+    pq = pq_topk(es, qs, k=5, m=16, n_centroids=8, refine=3)
+    assert pq.groupBy("query_id").count().filter("count != 5").count() == 0
+
+    # empty-queries edge keeps the caller's id type
+    empty = qs.limit(0)
+    assert dict(ivf_topk(es, empty, k=5).dtypes)["query_id"] == "string"
+    assert dict(brute_force_topk_fast(es, empty, k=5).dtypes)["query_id"] == "string"
