@@ -30,6 +30,18 @@ def asof_join(
     Right rows sort before left rows at equal timestamps unless
     ``strict`` (then after), so equality matches are in/excluded
     deterministically.
+
+    NULL keys never match (a NULL-key left row carries NULL values),
+    mirroring every SQL/ASOF equi-join — Window.partitionBy would
+    otherwise group all NULL keys into one partition and match them to
+    each other.
+
+    ``order_tiebreak`` (when the column exists on ``right``) picks
+    among duplicate right rows at the same (key, ts): ascending order,
+    the largest value wins — ahead of the value-struct hash, which
+    remains the final deterministic fallback. On left-only columns it
+    cannot affect results (side precedence fully orders left vs right);
+    a column on neither side raises.
     """
     # helper-column collision guard (same contract as
     # interval.bin_interval_join's __bin): silently overwriting and
@@ -45,15 +57,35 @@ def asof_join(
     # from the SAME matched row — carrying columns independently with
     # last(ignorenulls) would backfill a NULL field of the true match
     # from an older row (a composite row no real ASOF JOIN produces).
+    if order_tiebreak and (
+        order_tiebreak not in set(left.columns) | set(right.columns)
+    ):
+        raise ValueError(
+            f"order_tiebreak column {order_tiebreak!r} exists on neither side"
+        )
     value_schema = right.select(*value_cols).schema
     lt = left.withColumn("__side", F.lit(1)).withColumn(
         "__vals", F.lit(None).cast(value_schema)
     )
+    # carry the tiebreak from the RIGHT side when it lives there —
+    # selecting only key/ts/__vals used to drop it, making the
+    # parameter a silent no-op for its one real purpose (choosing
+    # among duplicate right rows)
+    rt_tiebreak = (
+        [F.col(order_tiebreak)]
+        if order_tiebreak and order_tiebreak in right.columns
+        else []
+    )
     rt = right.select(
         key,
         ts,
+        *rt_tiebreak,
         F.struct(*[F.col(c) for c in value_cols]).alias("__vals"),
     ).withColumn("__side", F.lit(0 if not strict else 2))
+    # NULL-key right rows can never be anyone's match; dropping them
+    # pins NULL != NULL semantics (NULL-key left rows then share a
+    # partition containing no right rows and carry NULL naturally)
+    rt = rt.filter(F.col(key).isNotNull())
     u = lt.unionByName(rt, allowMissingColumns=True)
 
     # side precedence must dominate any user tiebreak: a tiebreak

@@ -18,7 +18,7 @@ surface, composed from DataFrame primitives only.
 """
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _UNITS = frozenset({"minute", "hour", "day"})

@@ -89,9 +89,18 @@ def heavy_hitter_tokens(
     Returns (token, est, err_bound) with est descending (token
     tie-break): ``est ≤ true ≤ est + err_bound`` for every token in the
     corpus (including ones not returned).
+
+    Empty tokens are filtered BEFORE the sketch: ``split(trim(''))``
+    yields ``['']``, so a corpus with many empty/whitespace-only docs
+    would otherwise crown '' as a heavy hitter and burn a capacity
+    counter on a non-token (bpe.word_frequencies applies the same
+    filter). A custom ``words`` tokenizer must not emit tokens
+    containing the NUL byte — the internal decrement sentinel contains
+    one precisely because no whitespace- or NUL-free tokenizer can
+    collide with it.
     """
     w = words if words is not None else CF.words(text_col)
-    toks = df.select(w.alias("w"))
+    toks = df.select(F.array_remove(w, "").alias("w"))
     partial = toks.mapInPandas(_mg_partial(capacity), schema="token string, est long")
     merged = partial.groupBy("token").agg(F.sum("est").alias("est"))
     err = (

@@ -31,10 +31,23 @@ def salted_join(
     already fetched — duplicating or dropping join rows. Identical
     rows share a bucket under the content hash, which still scatters
     hot KEYS (the rows of a hot key differ in their other columns).
-    Correct for inner/left joins on equi-keys. Use when key-frequency
-    skew defeats AQE (e.g. a single null-ish key holding >1
-    partition's worth of rows).
+    Correct for inner/left joins on equi-keys — ENFORCED: under
+    right/full outer joins every unmatched small-side row would
+    surface once per salt replica (silently duplicated output). Use
+    when key-frequency skew defeats AQE (e.g. a single null-ish key
+    holding >1 partition's worth of rows).
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only (got {how!r}): "
+            "the exploded small side duplicates unmatched rows under "
+            "right/full outer semantics"
+        )
+    # same reserved-column guard as asof/interval: silently overwriting
+    # and then dropping a caller's __salt would lose user data
+    if "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError("salted_join reserves the column name '__salt'")
     salted_big = big.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),

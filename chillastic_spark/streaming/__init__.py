@@ -959,6 +959,10 @@ def heavy_hitters_stream(
     )
     toks = stream.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    ).filter(
+        # same empty-token filter as the batch twin: split('') -> ['']
+        # would crown '' a heavy hitter on an empty-doc-rich stream
+        F.col("token") != ""
     ).withColumn(
         "shard", F.pmod(F.crc32(F.encode(F.col("token"), "utf-8")), F.lit(shards)).cast("int")
     )

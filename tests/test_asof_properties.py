@@ -74,3 +74,39 @@ def test_duplicate_right_rows_carry_deterministic_winner(spark):
         for p in (1, 3, 7)
     }
     assert len(seen) == 1, seen
+
+
+def test_null_keys_never_match(spark):
+    """Review finding: Window.partitionBy groups NULL keys together, so
+    NULL-key left rows matched NULL-key right rows — diverging from
+    every SQL/ASOF equi-join. NULL keys must carry NULL values."""
+    from chillastic_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10), ("k", 10)], "key string, ts long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 111), ("k", 5, 7)], "key string, ts long, v long"
+    )
+    got = {r["key"]: r["v"] for r in asof_join(left, right, "key", "ts", ["v"]).collect()}
+    assert got == {None: None, "k": 7}
+
+
+def test_right_side_tiebreak_picks_among_duplicate_right_rows(spark):
+    """Review finding: rt dropped the tiebreak column, so order_tiebreak
+    could never do its one job. A right-side tiebreak now picks the
+    max-tiebreak row among duplicates at the same (key, ts), ahead of
+    the hash fallback; a column on neither side raises."""
+    import pytest as _pytest
+
+    from chillastic_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10)], "key string, ts long")
+    right = spark.createDataFrame(
+        [("k", 10, 1, 2), ("k", 10, 2, 1)], "key string, ts long, v long, seq long"
+    )
+    r = asof_join(left, right, "key", "ts", ["v"], order_tiebreak="seq").collect()
+    assert r[0]["v"] == 1  # the seq=2 row wins (ascending -> last)
+
+    with _pytest.raises(ValueError, match="neither side"):
+        asof_join(left, right, "key", "ts", ["v"], order_tiebreak="nope")

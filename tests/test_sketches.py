@@ -64,3 +64,37 @@ def test_mg_sentinel_cannot_collide_with_corpus_tokens(spark):
     )
     got = {r["token"]: r["est"] for r in heavy_hitter_tokens(df, k=10).collect()}
     assert got.get(evil) == 2  # counted as a token, not error mass
+
+
+def test_heavy_hitters_ignore_empty_documents(spark):
+    """Review finding: split(trim('')) yields [''], so a corpus rich in
+    empty/whitespace-only docs crowned '' the #1 heavy hitter and burned
+    a capacity counter on a non-token."""
+    from chillastic_spark.operators.sketches import heavy_hitter_tokens
+
+    rows = [(i, "") for i in range(50)] + [(50 + i, "  \t ") for i in range(50)]
+    rows += [(100 + i, "real tokens here") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["token"]: r["est"] for r in heavy_hitter_tokens(df, k=5).collect()}
+    assert "" not in got
+    assert got["real"] == 10
+
+
+def test_salted_join_guards_outer_modes_and_reserved_column(spark):
+    """Review finding: right/full outer salted joins silently duplicate
+    every unmatched small row once per salt replica, and an existing
+    __salt column was silently destroyed."""
+    import pytest as _pytest
+
+    from chillastic_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k long, x string")
+    small = spark.createDataFrame([(1, "y"), (2, "z")], "k long, y string")
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_join(big.withColumn("__salt", F.lit(1)), small, "k")
+    # the supported modes still work and dedupe nothing
+    assert salted_join(big, small, "k").count() == 1
+    assert salted_join(big, small, "k", how="left_anti").count() == 0
