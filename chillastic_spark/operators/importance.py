@@ -57,6 +57,10 @@ def dsir_weights(
         # NULL the weight of every doc sharing the bucket
         F.coalesce(target, F.lit(False)).alias("__tgt"),
         F.explode(CF.words(text_col)).alias("tok"),
+    ).filter(
+        # '' (from empty/whitespace-only text) is not a token and must
+        # not contribute a model count or a weight term
+        F.col("tok") != ""
     ).select(
         "doc_id",
         *extra,
@@ -85,13 +89,23 @@ def dsir_weights(
             LAM_DIGITS,
         ).alias("lam"),
     )
-    return (
+    scored = (
         toks.join(F.broadcast(lam), "bkt")
         .groupBy("doc_id", *extra)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.col("lam").cast("decimal(28,6)")).cast("double").alias("weight"),
         )
+    )
+    # id-preserving rejoin: a NULL-/empty-text doc gets an explicit
+    # (n_tokens=0, weight NULL) row — silently missing rows break any
+    # resampling step keyed on this table (hashed_bigram_nll convention)
+    ids = df.select(F.col(id_col).alias("doc_id"), *[F.col(c) for c in extra])
+    return ids.join(scored, ["doc_id", *extra], "left").select(
+        "doc_id",
+        *extra,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "weight",
     )
 
 
@@ -111,6 +125,8 @@ def dsir_weights_sql(
         f" - ln((raw_ct + 1) / (raw_tot + {buckets}))",
         LAM_DIGITS,
     )
+    ex_t = "".join(f", t.{c}" for c in extra)
+    ex_on = "".join(f" AND t.{c} = s.{c}" for c in extra)
     return f"""
 WITH toks AS (
   SELECT doc_id{ex_sel}, tgt,
@@ -118,6 +134,7 @@ WITH toks AS (
   FROM (SELECT doc_id{ex_sel}, ({target_sql}) AS tgt,
                unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
         FROM {table})
+  WHERE tok != ''
 ), counts AS (
   SELECT bkt, count(*) AS raw_ct, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_ct
   FROM toks GROUP BY bkt
@@ -125,11 +142,14 @@ WITH toks AS (
   SELECT sum(raw_ct) AS raw_tot, sum(tgt_ct) AS tgt_tot FROM counts
 ), lam AS (
   SELECT bkt, {lam_expr} AS lam FROM counts CROSS JOIN totals
+), scored AS (
+  SELECT doc_id{ex_grp}, count(*) AS n_tokens,
+         sum(lam::DECIMAL(28,6))::DOUBLE AS weight
+  FROM toks JOIN lam USING (bkt)
+  GROUP BY doc_id{ex_grp}
 )
-SELECT doc_id{ex_grp}, count(*) AS n_tokens,
-       sum(lam::DECIMAL(28,6))::DOUBLE AS weight
-FROM toks JOIN lam USING (bkt)
-GROUP BY doc_id{ex_grp}
+SELECT t.doc_id{ex_t}, coalesce(s.n_tokens, 0) AS n_tokens, s.weight
+FROM {table} t LEFT JOIN scored s ON t.doc_id = s.doc_id{ex_on}
 """
 
 

@@ -221,10 +221,19 @@ def linear_quality_scores(
     the scoring path is fully exercised without one. Either way the
     weight side is ≤ ``buckets`` rows and broadcasts.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(CF.words(text_col)).alias("tok")
-    ).select(
-        "doc_id", (CF.hash60(F.concat(F.col("tok"), F.lit("#qc"))) % buckets).alias("bkt")
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(CF.words(text_col)).alias("tok"),
+        )
+        # empty tokens carry no feature (split('') yields ['']); NULL
+        # text explodes to nothing — both land in the featureless
+        # rejoin path below instead of vanishing or hashing ''
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            (CF.hash60(F.concat(F.col("tok"), F.lit("#qc"))) % buckets).alias("bkt"),
+        )
     )
     if weights is None:
         toks = toks.withColumn("__w", CF.round_det(_pseudo_weight(F.col("bkt")), 6))
@@ -248,14 +257,24 @@ def linear_quality_scores(
             ).alias("margin"),
         )
     )
-    return per_doc.select(
+    scored = per_doc.select(
         "doc_id",
         "n_feats",
         "margin",
         CF.round_det(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6).alias(
             "prob"
         ),
-        (F.col("margin") >= 0).alias("keep"),
+    )
+    # id-preserving rejoin (hashed_bigram_nll's convention): a NULL- or
+    # empty-text doc must get an explicit reject row, not silently
+    # vanish from the keep/reject accounting
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        "margin",
+        "prob",
+        F.coalesce(F.col("margin") >= 0, F.lit(False)).alias("keep"),
     )
 
 
@@ -275,15 +294,15 @@ WITH toks AS (
   SELECT doc_id,
     floor((((({h} % {buckets}) * 2654435761) % 2000001) / 1000000.0 - 1.0)
       * 1000000.0 + 0.5) / 1000000.0 AS w
-  FROM toks
+  FROM toks WHERE tok != ''
 ), per_doc AS (
   SELECT doc_id, count(*) AS n_feats,
     floor(({bias} + CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE) / count(*))
       * 1000000.0 + 0.5) / 1000000.0 AS margin
   FROM feat GROUP BY doc_id
 )
-SELECT doc_id, n_feats, margin,
-  floor((1.0 / (1.0 + exp(-margin))) * 1000000.0 + 0.5) / 1000000.0 AS prob,
-  (margin >= 0) AS keep
-FROM per_doc
+SELECT t.{id_col} AS doc_id, coalesce(p.n_feats, 0) AS n_feats, p.margin,
+  floor((1.0 / (1.0 + exp(-p.margin))) * 1000000.0 + 0.5) / 1000000.0 AS prob,
+  coalesce(p.margin >= 0, false) AS keep
+FROM {table} t LEFT JOIN per_doc p ON t.{id_col} = p.doc_id
 """

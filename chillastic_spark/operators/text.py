@@ -26,14 +26,20 @@ STOPWORDS = {
 
 
 def _w(text: Column | str | None, w: Column | None) -> Column:
+    """Empty-filtered words array. ``split(trim(''))`` yields ``['']``,
+    which scored empty/whitespace-only documents as 1-token docs with
+    HIGHER quality than real prose — every feature here tokenises
+    through this filter. A caller-supplied ``w`` must already be
+    empty-filtered (with_text_features projects one)."""
     if w is not None:
         return w
     assert text is not None
-    return CF.words(text)
+    return F.array_remove(CF.words(text), "")
 
 
 def token_count(text: Column | str | None = None, w: Column | None = None) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count (empty tokens excluded: empty or
+    whitespace-only text counts 0, NULL text counts NULL)."""
     return F.size(_w(text, w))
 
 
@@ -55,9 +61,14 @@ def bpe_token_count(text: Column | str) -> Column:
 def stopword_hits(
     lang: str, text: Column | str | None = None, w: Column | None = None
 ) -> Column:
-    """Number of tokens that are stopwords of ``lang``."""
+    """Number of tokens that are stopwords of ``lang``. Matching is
+    case-insensitive: sentence-initial 'The' / ALL-CAPS spam must hit
+    the profile, or lang_id returns 'und' on title-case text and the
+    quality stopword penalty can never fire on shouting documents."""
     stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-    return F.size(F.filter(_w(text, w), lambda t: F.array_contains(stops, t)))
+    return F.size(
+        F.filter(_w(text, w), lambda t: F.array_contains(stops, F.lower(t)))
+    )
 
 
 def quality_score(text: Column | str, w: Column | None = None) -> Column:
@@ -77,9 +88,12 @@ def quality_score(text: Column | str, w: Column | None = None) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     mean_wl = F.length(F.regexp_replace(F.trim(c), r"\s+", "")) / n
     wl_score = F.least(F.greatest((mean_wl - 2) / 6.0, F.lit(0.0)), F.lit(1.0))
-    return (
+    score = (
         0.4 * distinct_ratio + 0.3 * length_score + 0.2 * stop_score + 0.1 * wl_score
     )
+    # tokenless text (empty/whitespace-only/NULL) is the floor, not a
+    # divide-by-zero artifact that outscored genuine prose
+    return F.when(n > 0, score).otherwise(F.lit(0.0))
 
 
 def lang_id(text: Column | str | None = None, w: Column | None = None) -> Column:
@@ -105,7 +119,7 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass enrichment: tokenise once, derive all features."""
     w = F.col("__w")
     return (
-        df.withColumn("__w", CF.words(text_col))
+        df.withColumn("__w", F.array_remove(CF.words(text_col), ""))
         .withColumn("n_tokens", token_count(w=w))
         .withColumn("quality", CF.round_det(quality_score(text_col, w=w), 4))
         .withColumn("pred_lang", lang_id(w=w))

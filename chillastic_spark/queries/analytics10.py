@@ -213,7 +213,7 @@ splits AS (
 SELECT s.split,
   {_H60.format(expr="d.doc_id::VARCHAR || '#shard'")} % {N_SHARDS} AS shard,
   count(*) AS n_docs,
-  sum(len({_W_DOC}))::BIGINT AS n_tokens
+  sum(len(list_filter({_W_DOC}, x -> x != '')))::BIGINT AS n_tokens
 FROM splits s JOIN documents d ON s.doc_id = d.doc_id
 GROUP BY 1, 2
 """

@@ -26,7 +26,7 @@ from chillastic_spark import functions as CF
 from chillastic_spark.operators import sketches as SK
 from chillastic_spark.operators import text as T
 from chillastic_spark.queries import Query
-from chillastic_spark.queries.documents import _W, QUALITY_EXPR_SQL
+from chillastic_spark.queries.documents import _W, _WF, QUALITY_EXPR_SQL
 from chillastic_spark.tables import load
 
 # ------------------------------------------------- sequence packing
@@ -100,7 +100,8 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
     """
     d = load(spark, sf_dir, "documents")
-    w = CF.words("text")
+    # empty-filtered: quality_score's w contract (operators.text._w)
+    w = F.array_remove(CF.words("text"), "")
     scored = d.select(
         "lang",
         "doc_id",
@@ -122,7 +123,7 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUALITY_GATE_SQL = f"""
 WITH s AS (
-  SELECT lang, doc_id, {QUALITY_EXPR_SQL} AS q, len({_W}) AS n_tok
+  SELECT lang, doc_id, {QUALITY_EXPR_SQL} AS q, len({_WF}) AS n_tok
   FROM documents),
 r AS (
   SELECT lang, q, n_tok,

@@ -30,22 +30,29 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Empty-filtered words for the TEXT-FEATURE twins only (operators.text
+# tokenises through the same filter; the dedup/gram SQL below keeps the
+# raw _W to match CF.words exactly).
+_WF = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')"
+
 _HITS = lambda lang: (  # noqa: E731
-    f"len(list_filter({_W}, x -> list_contains({_STOP[lang]}, x)))"
+    f"len(list_filter({_WF}, x -> list_contains({_STOP[lang]}, lower(x))))"
 )
 
 # Rounded quality score (round_det(quality_score(text), 4)) as a duckdb
 # expression — shared by text_features and the percentile-gate query.
-QUALITY_EXPR_SQL = f"""floor((
-      0.4 * (len(list_distinct({_W})) / CAST(len({_W}) AS DOUBLE))
-    + 0.3 * (least(CAST(len({_W}) AS DOUBLE), 200.0) / 200.0)
-    + 0.2 * (1.0 - greatest({_HITS('en')} / CAST(len({_W}) AS DOUBLE) - 0.5, 0.0) * 2)
-    + 0.1 * (least(greatest((length(regexp_replace(trim(text), '\\s+', '', 'g')) / CAST(len({_W}) AS DOUBLE) - 2) / 6.0, 0.0), 1.0))
-  ) * 10000.0 + 0.5) / 10000.0"""
+# Tokenless text (empty/whitespace-only/NULL) scores the 0.0 floor,
+# mirroring operators.text.quality_score's n > 0 guard.
+QUALITY_EXPR_SQL = f"""CASE WHEN coalesce(len({_WF}), 0) = 0 THEN 0.0 ELSE floor((
+      0.4 * (len(list_distinct({_WF})) / CAST(len({_WF}) AS DOUBLE))
+    + 0.3 * (least(CAST(len({_WF}) AS DOUBLE), 200.0) / 200.0)
+    + 0.2 * (1.0 - greatest({_HITS('en')} / CAST(len({_WF}) AS DOUBLE) - 0.5, 0.0) * 2)
+    + 0.1 * (least(greatest((length(regexp_replace(trim(text), '\\s+', '', 'g')) / CAST(len({_WF}) AS DOUBLE) - 2) / 6.0, 0.0), 1.0))
+  ) * 10000.0 + 0.5) / 10000.0 END"""
 
 TEXT_FEATURES_SQL = f"""
 SELECT doc_id,
-  len({_W}) AS n_tokens,
+  len({_WF}) AS n_tokens,
   {QUALITY_EXPR_SQL} AS quality,
   CASE WHEN {_HITS('en')} >= {_HITS('de')} AND {_HITS('en')} >= {_HITS('fr')} AND {_HITS('en')} > 0 THEN 'en'
        WHEN {_HITS('de')} >= {_HITS('fr')} AND {_HITS('de')} > 0 THEN 'de'

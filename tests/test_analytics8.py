@@ -320,3 +320,24 @@ def test_semantic_decontaminate_matches_numpy(spark):
         for r in semantic_decontaminate_flags(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_dsir_weights_preserve_null_and_empty_text_docs(spark):
+    """Review finding: NULL-text docs had NO weights row, so a
+    resampling step keyed on this table silently excluded them. They
+    now carry (n_tokens=0, weight NULL) explicitly."""
+    from chillastic_spark.operators.importance import dsir_weights
+
+    d = spark.createDataFrame(
+        [(1, "the cat sat", "en"), (2, None, "de"), (3, "  ", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dsir_weights(d, F.col("lang") == "en", extra_cols=["lang"]).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_tokens"] == 3 and rows[1]["weight"] is not None
+    for doc in (2, 3):
+        assert rows[doc]["n_tokens"] == 0 and rows[doc]["weight"] is None
+        assert rows[doc]["lang"] in ("de", "fr")

@@ -202,3 +202,22 @@ def test_dsir_null_target_counts_as_non_target(spark):
         for r in dsir_weights(docs, F.col("lang") == "en").collect()
     }
     assert got["d1"] is not None and got["d2"] is not None
+
+
+def test_linear_quality_preserves_null_and_empty_text_docs(spark):
+    """Review finding: NULL-text docs silently vanished from the
+    classifier output (no keep row at all); empty-text docs were scored
+    on the '' pseudo-token. Both now get explicit featureless reject
+    rows, and keep/reject accounting sums to the input count."""
+    df = spark.createDataFrame(
+        [(1, COMMON), (2, None), (3, ""), (4, "   ")],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in lm.linear_quality_scores(df).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for d in (2, 3, 4):
+        assert rows[d]["n_feats"] == 0
+        assert rows[d]["margin"] is None and rows[d]["prob"] is None
+        assert rows[d]["keep"] is False
+    assert rows[1]["n_feats"] == len(COMMON.split())
+    assert rows[1]["keep"] in (True, False)  # scored, not dropped

@@ -542,3 +542,52 @@ def test_write_bucketed_qualified_table_roundtrip(spark, tmp_path):
     write_bucketed(df, "tdb.bt1", "k", num_buckets=4)
     write_bucketed(df, "tdb.bt1", "k", num_buckets=4)  # exercises cleanup
     assert spark.table("tdb.bt1").count() == 20
+
+
+def test_text_features_empty_text_scores_floor_not_above_prose(spark):
+    """Review finding: split(trim('')) = [''] gave empty/whitespace-only
+    docs n_tokens=1 and quality ~0.60 — ABOVE genuine English prose —
+    so a quality >= 0.55 gate kept empty docs while dropping real text.
+    Empty docs now count 0 tokens and score the 0.0 floor."""
+    from chillastic_spark.operators.text import with_text_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \t "), (3, None), (4, "the cat sat on the mat")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_text_features(df).collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["quality"] == 0.0
+    assert rows[2]["n_tokens"] == 0 and rows[2]["quality"] == 0.0
+    assert rows[3]["n_tokens"] is None and rows[3]["quality"] == 0.0
+    assert rows[4]["quality"] > 0.0
+
+
+def test_lang_id_matches_title_case_and_all_caps_stopwords(spark):
+    """Review finding: stopword matching was case-sensitive, so a
+    title-case all-stopword string identified as 'und' and ALL-CAPS
+    spam never tripped the stopword-excess quality penalty."""
+    from chillastic_spark.operators.text import lang_id, quality_score
+
+    from chillastic_spark import functions as CF
+
+    df = spark.createDataFrame(
+        [
+            (1, "The Cat Sat On The Mat And It Is For A"),
+            (2, "BUY THE BEST OF THE BEST OF THE THE THE"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["lang"], r["q"])
+        for r in df.select(
+            "doc_id",
+            lang_id("text").alias("lang"),
+            CF.round_det(quality_score("text"), 4).alias("q"),
+        ).collect()
+    }
+    assert out[1][0] == "en"
+    assert out[2][0] == "en"
+    assert out[3][0] == "und"
+    # the >50%-stopword penalty fires on the ALL-CAPS stopword spam
+    assert out[2][1] < 0.5
