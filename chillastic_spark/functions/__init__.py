@@ -38,6 +38,18 @@ def round_det_sql(expr: str, digits: int) -> str:
     return f"floor(({expr}) * {p} + 0.5) / {p}"
 
 
+def cosine_sql(a: str, b: str) -> str:
+    """The DuckDB twin of :func:`cosine` — INCLUDING the zero-norm
+    guard: a bare ``dot/(|a|·|b|)`` yields NaN on a zero vector while
+    the Spark side returns 0.0, silently diverging rankings. One
+    definition so no oracle can carry the unguarded division."""
+    d = f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    return (
+        f"(CASE WHEN {d} = 0 THEN 0.0"
+        f" ELSE list_dot_product({a}, {b}) / {d} END)"
+    )
+
+
 # ---------------------------------------------------------------- hashing
 
 

@@ -426,10 +426,7 @@ def semantic_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS = (
-    "list_dot_product(a.v, b.v) / "
-    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-)
+_COS = CF.cosine_sql("a.v", "b.v")  # zero-safe, matches CF.cosine
 
 SEMANTIC_DEDUP_SQL = f"""
 WITH RECURSIVE e AS (

@@ -243,9 +243,8 @@ bm AS (
 q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
 cos_scored AS (
   SELECT vec_id,
-    floor((list_dot_product(embedding::DOUBLE[], qvec)
-           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-              * sqrt(list_dot_product(qvec, qvec)))) * 1000000.0 + 0.5) / 1000000.0 AS cos
+    floor(({CF.cosine_sql("embedding::DOUBLE[]", "qvec")})
+          * 1000000.0 + 0.5) / 1000000.0 AS cos
   FROM embeddings CROSS JOIN q WHERE vec_id != 0),
 vec AS (
   SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rv

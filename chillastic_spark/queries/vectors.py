@@ -4,15 +4,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chillastic_spark import functions as CF
 from chillastic_spark.operators import dedup as D
 from chillastic_spark.operators import similarity as S
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
 
-_COS = (
-    "list_dot_product(a.v, b.v) / "
-    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-)
+# zero-safe shared cosine (functions.cosine_sql): a bare division NaNs
+# on a zero-norm vector while the Spark side returns 0.0
+_COS = CF.cosine_sql("a.v", "b.v")
 
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,8 +96,7 @@ b AS (SELECT vec_id, v, {bucket} AS bkt FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, b.vec_id AS neighbor_id,
-         floor((list_dot_product(b.v, q.qv) /
-                (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))))
+         floor(({CF.cosine_sql("b.v", "q.qv")})
                * 1000000.0 + 0.5) / 1000000.0 AS cos
   FROM b JOIN q ON b.bkt = q.bkt AND b.vec_id != q.query_id)
 SELECT query_id, neighbor_id, cos FROM scored
@@ -162,8 +161,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, {bucket} AS bkt FROM e),
 scored AS (
   SELECT a.vec_id AS src, b2.vec_id AS dst,
-         floor((list_dot_product(a.v, b2.v) /
-                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))))
+         floor(({CF.cosine_sql("a.v", "b2.v")})
                * 1000000.0 + 0.5) / 1000000.0 AS cos
   FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id != b2.vec_id)
 SELECT src, dst, cos FROM scored
@@ -216,8 +214,7 @@ WITH e AS (
   FROM embeddings
 ), scored AS (
   SELECT a.vec_id,
-         floor((list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+         floor(({_COS})
                * 1000000.0 + 0.5) / 1000000.0 AS cos
   FROM e a JOIN e b ON NOT a.is_bench AND b.is_bench
 )
@@ -247,8 +244,7 @@ def _outliers_sql(pct: float = _OUT_PCT) -> str:
         f" + CASE WHEN rn = ceil({pos}) THEN cos_c * {frac} ELSE 0.0 END"
     )
     cos = (
-        "list_dot_product(e.v, cent.cv) / "
-        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))"
+        CF.cosine_sql("e.v", "cent.cv")
     )
     return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
