@@ -109,8 +109,6 @@ def search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TERMS_LIST = "(" + ", ".join(f"'{t}'" for t in TERMS) + ")"
-
 FACETS_SQL = f"""
 WITH m AS (
   SELECT doc_id, sum(tf) AS hits
@@ -266,8 +264,10 @@ def significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: ONE tokenise feeds both the foreground flag and the
     (doc, term) postings; fg/bg doc frequencies come from conditional
-    aggregates of the same groupBy — no second corpus scan; corpus
-    totals ride a 1-row broadcast."""
+    aggregates of the same groupBy, and the corpus totals come from
+    that SAME aggregate (fg_total = the query term's own bg_count —
+    docs containing it) plus an un-tokenised doc count — truly no
+    second tokenise pass; totals ride a 1-row broadcast."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -277,15 +277,22 @@ def significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("w", SIG_QUERY_TERM).alias("fg"),
         F.explode(F.array_distinct("w")).alias("term"),
     )
-    per_term = toks.groupBy("term").agg(
-        F.sum(F.when(F.col("fg"), 1).otherwise(0)).alias("fg_count"),
-        F.count(F.lit(1)).alias("bg_count"),
+    from chillastic_spark.persist import materialize
+
+    per_term = materialize(  # feeds the scores AND the fg total
+        toks.groupBy("term").agg(
+            F.sum(F.when(F.col("fg"), 1).otherwise(0)).alias("fg_count"),
+            F.count(F.lit(1)).alias("bg_count"),
+        )
     )
-    totals = d.select(
-        F.array_contains(CF.words("text"), SIG_QUERY_TERM).alias("fg")
-    ).agg(
-        F.sum(F.when(F.col("fg"), 1).otherwise(0)).cast("double").alias("fg_total"),
-        F.count(F.lit(1)).cast("double").alias("bg_total"),
+    totals = (
+        per_term.filter(F.col("term") == SIG_QUERY_TERM)
+        .agg(
+            F.coalesce(F.sum("bg_count"), F.lit(0))
+            .cast("double")
+            .alias("fg_total")
+        )
+        .crossJoin(d.agg(F.count(F.lit(1)).cast("double").alias("bg_total")))
     )
     scored = (
         per_term.filter(

@@ -26,7 +26,6 @@ from chillastic_spark.queries import Query
 from chillastic_spark.queries.documents import _W
 from chillastic_spark.queries.search import (
     _BM25_RANKED_CTE,
-    _POSTINGS_SQL,
     PHRASE,
     TERMS,
     _postings,

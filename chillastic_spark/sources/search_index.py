@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,16 +30,55 @@ from chillastic_spark import functions as CF
 
 DEFAULT_POSTING_FILES = 8
 
+_SI_LOCKS: dict[str, threading.Lock] = {}
+_SI_GUARD = threading.Lock()
+
+
+def _si_thread_lock(index_dir: str) -> threading.Lock:
+    with _SI_GUARD:
+        return _SI_LOCKS.setdefault(os.path.abspath(index_dir), threading.Lock())
+
+
+@contextmanager
+def _writer_lock(index_dir: str):
+    """In-process thread lock + cross-process flock (the sinks'/
+    maintenance convention) around every artifact mutation. Without it
+    a reader's _recover_swap races a LIVE update's renames: the reader
+    cannot distinguish a crashed swap from an in-flight one, installs
+    the tmp dirs itself, and the updater's own renames then strand the
+    only postings copy in a backup dir. Under the lock, a reader that
+    sees a journal simply waits for the updater to finish (journal
+    gone → no-op recovery)."""
+    from chillastic_spark.locks import FileLock
+
+    os.makedirs(index_dir, exist_ok=True)
+    with _si_thread_lock(index_dir), FileLock(
+        os.path.join(index_dir, ".swap.lock")
+    ):
+        yield
+
 
 def _recover_swap(index_dir: str) -> None:
-    """Roll FORWARD an interrupted update swap. update_inverted_index
-    replaces postings, term_stats, and stats.json in three steps; a
-    crash between them would otherwise leave postings that disagree
-    with term df / corpus stats — silently wrong BM25 scores with no
-    error. The journal (written before the first rename, removed after
-    the last write) records the tmp dirs and the already-computed
-    stats, so recovery completes whichever steps remain, idempotently.
-    Every index entry point calls this before touching the artifacts."""
+    """Roll FORWARD an interrupted update swap (lock-guarded). The
+    lockless fast path only skips when no journal exists; with one
+    present, the lock serializes against a possibly-live update and
+    the journal is re-checked inside."""
+    if not os.path.exists(os.path.join(index_dir, "swap-journal.json")):
+        return
+    with _writer_lock(index_dir):
+        _recover_swap_locked(index_dir)
+
+
+def _recover_swap_locked(index_dir: str) -> None:
+    """The recovery body — caller MUST hold _writer_lock.
+    update_inverted_index replaces postings, term_stats, and stats.json
+    in three steps; a crash between them would otherwise leave postings
+    that disagree with term df / corpus stats — silently wrong BM25
+    scores with no error. The journal (written before the first rename,
+    removed after the last write) records the tmp dirs and the
+    already-computed stats, so recovery completes whichever steps
+    remain, idempotently. Every index entry point runs this before
+    touching the artifacts."""
     import shutil
 
     jpath = os.path.join(index_dir, "swap-journal.json")
@@ -68,19 +109,12 @@ def _recover_swap(index_dir: str) -> None:
     os.remove(jpath)
 
 
-def build_inverted_index(
-    spark: SparkSession,
-    docs: DataFrame,
-    index_dir: str,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_files: int = DEFAULT_POSTING_FILES,
-) -> dict:
-    """Tokenise once, write postings/term_stats/corpus stats."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), CF.words(text_col).alias("w")
-    ).select("doc_id", F.size("w").alias("dl"), "w")
-    postings = (
+def _postings_of(toks: DataFrame) -> DataFrame:
+    """THE postings aggregation (term, doc_id, dl, tf, positions) from
+    a (doc_id, dl, w) frame — one definition shared by build, the
+    bootstrap schema, and the incremental batch, so a tokenisation or
+    positions change can never desynchronise rebuilds from updates."""
+    return (
         toks.select("doc_id", "dl", F.posexplode("w").alias("pos0", "term"))
         .groupBy("term", "doc_id", "dl")
         .agg(
@@ -90,42 +124,92 @@ def build_inverted_index(
             F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"),
         )
     )
-    (
-        postings.repartitionByRange(n_files, "term")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, "postings"))
-    )
-    # derive term_stats and corpus stats FROM the postings just
-    # written — the update path's recipe (one tokenize pass instead of
-    # three, and the same doc universe: a null-/empty-text doc that
-    # produces no postings is excluded from n_docs/avgdl here exactly
-    # as update's recompute excludes it, so incremental updates can't
-    # shift every BM25 score by re-deriving a different universe.
-    # (The old toks-side agg also summed dl=-1 for null texts —
-    # F.size(null) — poisoning avgdl.)
-    written = spark.read.schema(postings.schema).parquet(
-        os.path.join(index_dir, "postings")
-    )
-    term_stats = written.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    term_stats.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "term_stats")
-    )
-    row = (
-        written.select("doc_id", "dl")
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (
-                F.sum("dl").cast("double")
-                / F.greatest(F.count(F.lit(1)), F.lit(1))
-            ).alias("avgdl"),
-        )
-        .collect()[0]
-    )
-    stats = {"n_docs": row["n_docs"], "avgdl": row["avgdl"]}
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+
+
+def _input_stats_row(toks: DataFrame):
+    """(n_docs, sum_dl) over the INPUT docs — the same universe as the
+    scan-time bm25_rank (count(*) counts every doc, including null-text
+    docs whose dl is NULL and whose sum contribution is skipped), so
+    served BM25 stays bit-identical to scan-time BM25 even on corpora
+    with degenerate docs."""
+    return toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    ).collect()[0]
+
+
+def _make_stats(n_docs: int, sum_dl: float) -> dict:
+    return {
+        "n_docs": int(n_docs),
+        "sum_dl": float(sum_dl or 0.0),
+        "avgdl": float(sum_dl or 0.0) / max(int(n_docs), 1),
+    }
+
+
+def _read_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    # pre-sum_dl indexes: reconstruct the incremental accumulator
+    stats.setdefault("sum_dl", stats["avgdl"] * stats["n_docs"])
+    return stats
+
+
+def _write_stats(index_dir: str, stats: dict) -> None:
+    tmp = os.path.join(index_dir, "stats.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(stats, f)
+    os.replace(tmp, os.path.join(index_dir, "stats.json"))
+
+
+def _discard_stale_swap(index_dir: str) -> None:
+    """A full rebuild supersedes any crashed update: drop the stale
+    journal and its tmp dirs (rolling them FORWARD after the rebuild
+    would silently replace the fresh artifacts with the crashed
+    update's). Caller must hold _writer_lock."""
+    import shutil
+
+    jpath = os.path.join(index_dir, "swap-journal.json")
+    if os.path.exists(jpath):
+        with open(jpath) as f:
+            journal = json.load(f)
+        for key in ("post_tmp", "ts_tmp"):
+            shutil.rmtree(journal.get(key, ""), ignore_errors=True)
+        os.remove(jpath)
+
+
+def build_inverted_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = DEFAULT_POSTING_FILES,
+) -> dict:
+    """Tokenise once, write postings/term_stats/corpus stats (under the
+    writer lock; a stale crashed-update journal is discarded, not
+    rolled forward over the rebuild)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), CF.words(text_col).alias("w")
+    ).select("doc_id", F.size("w").alias("dl"), "w")
+    with _writer_lock(index_dir):
+        _discard_stale_swap(index_dir)
+        postings = _postings_of(toks)
+        (
+            postings.repartitionByRange(n_files, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
+        written = spark.read.schema(postings.schema).parquet(
+            os.path.join(index_dir, "postings")
+        )
+        term_stats = written.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        term_stats.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "term_stats")
+        )
+        row = _input_stats_row(toks)
+        stats = _make_stats(row["n_docs"], row["sum_dl"])
+        _write_stats(index_dir, stats)
     return stats
 
 
@@ -197,125 +281,104 @@ def update_inverted_index(
     indexed (anti-join) instead of raising — the idempotence an
     at-least-once streaming source needs on redelivery.
 
+    Identical (doc_id, text) copies WITHIN one batch collapse to one
+    row; the same doc_id with DIFFERENT text in one batch raises in
+    every mode — both copies would otherwise survive the batch-vs-index
+    guard and permanently corrupt tf/df/stats with no error.
+
     Cost is |old postings| + |batch| — one union + the same sorted
     rewrite as build; at scale the rewrite is the same amortised
-    OPTIMIZE-style pass compaction already does, and reads never see a
-    half-written index (tmp dir + atomic rename). Re-adding an existing
-    doc_id is rejected (the store's upsert handles mutation; an index
-    rebuild covers it)."""
+    OPTIMIZE-style pass compaction already does. The whole mutation
+    runs under the writer lock (thread + flock), so concurrent
+    updates, rebuilds, and reader-triggered recovery serialize instead
+    of racing the renames. Re-adding an existing doc_id is rejected
+    (the store's upsert handles mutation; an index rebuild covers it)."""
     import shutil
     import uuid
 
-    _recover_swap(index_dir)
-    post_dir = os.path.join(index_dir, "postings")
-    # toks is assigned BEFORE the read attempt: the empty-postings
-    # bootstrap branch derives its schema from it, so a later
-    # assignment would hit UnboundLocalError exactly when that branch
-    # runs (a postings dir with no part files).
-    toks = new_docs.select(
-        F.col(id_col).alias("doc_id"), CF.words(text_col).alias("w")
-    ).select("doc_id", F.size("w").alias("dl"), "w")
-    try:
-        old = spark.read.parquet(post_dir)
-    except Exception:
-        # an index built from an EMPTY corpus has a postings dir with
-        # no part files — bootstrap-then-stream must append, not crash
-        old = spark.createDataFrame(
-            [],
-            toks.select(
-                "doc_id", "dl", F.posexplode("w").alias("pos0", "term")
+    with _writer_lock(index_dir):
+        _recover_swap_locked(index_dir)
+        old_stats = _read_stats(index_dir)
+        post_dir = os.path.join(index_dir, "postings")
+        src = new_docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+        ).dropDuplicates(["doc_id", "__text"])
+        clash = (
+            src.groupBy("doc_id").count().filter(F.col("count") > 1).limit(3)
+        ).collect()
+        if clash:
+            raise ValueError(
+                f"batch contains the same doc_id with different text "
+                f"(e.g. {[r['doc_id'] for r in clash]}); resolve upstream"
             )
-            .groupBy("term", "doc_id", "dl")
-            .agg(
-                F.count(F.lit(1)).alias("tf"),
-                F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"),
+        toks = src.select(
+            "doc_id", CF.words("__text").alias("w")
+        ).select("doc_id", F.size("w").alias("dl"), "w")
+        try:
+            old = spark.read.parquet(post_dir)
+        except Exception:
+            # an index built from an EMPTY corpus has a postings dir
+            # with no part files — bootstrap-then-stream must append,
+            # not crash
+            old = spark.createDataFrame([], _postings_of(toks).schema)
+        if on_existing == "skip":
+            toks = toks.join(
+                old.select("doc_id").distinct(), "doc_id", "left_anti"
             )
-            .schema,
-        )
-    if on_existing == "skip":
-        toks = toks.join(old.select("doc_id").distinct(), "doc_id", "left_anti")
-        if not toks.limit(1).count():
-            row = (
-                old.select("doc_id", "dl")
-                .distinct()
-                .agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    (
-                F.sum("dl").cast("double")
-                / F.greatest(F.count(F.lit(1)), F.lit(1))
-            ).alias("avgdl"),
-                )
-                .collect()[0]
+        else:
+            dup = old.select("doc_id").distinct().join(
+                toks.select("doc_id").distinct(), "doc_id", "inner"
             )
-            return {"n_docs": row["n_docs"], "avgdl": row["avgdl"]}
-    else:
-        dup = old.select("doc_id").distinct().join(
-            toks.select("doc_id").distinct(), "doc_id", "inner"
+            if dup.limit(1).count():
+                raise ValueError("doc_id already indexed; rebuild to mutate")
+        # one evaluation of the (possibly filtered) batch serves the
+        # emptiness check AND the incremental stats accumulator
+        batch = _input_stats_row(toks)
+        if not batch["n_docs"]:
+            return old_stats
+        stats = _make_stats(
+            old_stats["n_docs"] + batch["n_docs"],
+            old_stats["sum_dl"] + (batch["sum_dl"] or 0.0),
         )
-        if dup.limit(1).count():
-            raise ValueError("doc_id already indexed; rebuild to mutate")
-    fresh = (
-        toks.select("doc_id", "dl", F.posexplode("w").alias("pos0", "term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"),
+        fresh = _postings_of(toks)
+        cols = ["term", "doc_id", "dl", "tf", "positions"]
+        merged = old.select(*cols).unionByName(fresh.select(*cols))
+        tmp = post_dir + ".tmp-" + uuid.uuid4().hex[:8]
+        (
+            merged.repartitionByRange(n_files, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(tmp)
         )
-    )
-    cols = ["term", "doc_id", "dl", "tf", "positions"]
-    merged = old.select(*cols).unionByName(fresh.select(*cols))
-    tmp = post_dir + ".tmp-" + uuid.uuid4().hex[:8]
-    (
-        merged.repartitionByRange(n_files, "term")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
 
-    # compute BOTH derived artifacts from the tmp postings BEFORE any
-    # swap, journal the plan, then perform the renames. A crash between
-    # the three replacement steps left postings disagreeing with term
-    # df / corpus stats (silently wrong BM25) — with the journal every
-    # entry point rolls the interrupted swap FORWARD (_recover_swap).
-    merged2 = spark.read.schema(merged.schema).parquet(tmp)
-    ts_dir = os.path.join(index_dir, "term_stats")
-    ts_tmp = ts_dir + ".tmp-" + uuid.uuid4().hex[:8]
-    merged2.groupBy("term").agg(F.count(F.lit(1)).alias("df")).coalesce(
-        1
-    ).write.mode("overwrite").parquet(ts_tmp)
-    row = (
-        merged2.select("doc_id", "dl")
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (
-                F.sum("dl").cast("double")
-                / F.greatest(F.count(F.lit(1)), F.lit(1))
-            ).alias("avgdl"),
-        )
-        .collect()[0]
-    )
-    stats = {"n_docs": row["n_docs"], "avgdl": row["avgdl"]}
+        # compute the term stats from the tmp postings BEFORE any swap,
+        # journal the plan, then perform the renames. A crash between
+        # the three replacement steps left postings disagreeing with
+        # term df / corpus stats (silently wrong BM25) — with the
+        # journal every entry point rolls the interrupted swap FORWARD.
+        merged2 = spark.read.schema(merged.schema).parquet(tmp)
+        ts_dir = os.path.join(index_dir, "term_stats")
+        ts_tmp = ts_dir + ".tmp-" + uuid.uuid4().hex[:8]
+        merged2.groupBy("term").agg(F.count(F.lit(1)).alias("df")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(ts_tmp)
 
-    jpath = os.path.join(index_dir, "swap-journal.json")
-    jtmp = jpath + ".tmp"
-    with open(jtmp, "w") as f:
-        json.dump({"post_tmp": tmp, "ts_tmp": ts_tmp, "stats": stats}, f)
-    os.replace(jtmp, jpath)
+        jpath = os.path.join(index_dir, "swap-journal.json")
+        jtmp = jpath + ".tmp"
+        with open(jtmp, "w") as f:
+            json.dump({"post_tmp": tmp, "ts_tmp": ts_tmp, "stats": stats}, f)
+        os.replace(jtmp, jpath)
 
-    bak = post_dir + ".old-" + uuid.uuid4().hex[:8]
-    os.rename(post_dir, bak)
-    os.rename(tmp, post_dir)
-    shutil.rmtree(bak)
-    ts_bak = ts_dir + ".old-" + uuid.uuid4().hex[:8]
-    os.rename(ts_dir, ts_bak)
-    os.rename(ts_tmp, ts_dir)
-    shutil.rmtree(ts_bak)
-    stats_tmp = os.path.join(index_dir, "stats.json.tmp")
-    with open(stats_tmp, "w") as f:
-        json.dump(stats, f)
-    os.replace(stats_tmp, os.path.join(index_dir, "stats.json"))
-    os.remove(jpath)
+        bak = post_dir + ".old-" + uuid.uuid4().hex[:8]
+        os.rename(post_dir, bak)
+        os.rename(tmp, post_dir)
+        shutil.rmtree(bak)
+        ts_bak = ts_dir + ".old-" + uuid.uuid4().hex[:8]
+        os.rename(ts_dir, ts_bak)
+        os.rename(ts_tmp, ts_dir)
+        shutil.rmtree(ts_bak)
+        _write_stats(index_dir, stats)
+        os.remove(jpath)
     return stats
 
 

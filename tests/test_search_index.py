@@ -268,3 +268,122 @@ def test_interrupted_update_swap_rolls_forward(spark, tmp_path):
     assert got == want
     assert not os.path.exists(os.path.join(idx, "swap-journal.json"))
     assert json.load(open(os.path.join(idx, "stats.json"))) == post_stats
+
+
+def test_served_bm25_matches_scan_time_with_degenerate_docs(spark, tmp_path):
+    """Review finding: index stats were derived from postings (which
+    exclude null-/empty-text docs) while scan-time BM25 counts every
+    doc — different N and avgdl broke the bit-identical claim on any
+    corpus with degenerate docs. Stats now come from the input
+    universe, so served == scan-time even here."""
+    from pyspark.sql import functions as F
+
+    from chillastic_spark.sources.search_index import (
+        bm25_search_index,
+        update_inverted_index,
+    )
+
+    base = load(spark, SF, "documents").limit(40)
+    weird = spark.createDataFrame(
+        [(900001, None), (900002, ""), (900003, "   ")],
+        "doc_id long, text string",
+    )
+    corpus = base.select("doc_id", "text").unionByName(weird)
+    idx = str(tmp_path / "idx")
+    stats = build_inverted_index(spark, corpus, idx)
+    assert stats["n_docs"] == 43  # every doc counted, degenerate or not
+
+    from chillastic_spark.sources.search_index import bm25_rank
+
+    want = [
+        (r["doc_id"], r["bm25"], r["n_terms_matched"])
+        for r in bm25_rank(corpus, ["doc_id"], "text", TERMS, k=10).collect()
+    ]
+    got = [
+        (r["doc_id"], r["bm25"], r["n_terms_matched"])
+        for r in bm25_search_index(spark, idx, TERMS, k=10).collect()
+    ]
+    assert got == want
+
+    # incremental add keeps the same universe accounting
+    more = spark.createDataFrame(
+        [(900004, "tail doc " + " ".join(TERMS)), (900005, None)],
+        "doc_id long, text string",
+    )
+    stats2 = update_inverted_index(spark, more, idx)
+    assert stats2["n_docs"] == 45
+    full = corpus.unionByName(more)
+    want2 = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_rank(full, ["doc_id"], "text", TERMS, k=10).collect()
+    ]
+    got2 = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_search_index(spark, idx, TERMS, k=10).collect()
+    ]
+    assert got2 == want2
+
+
+def test_update_rejects_within_batch_text_conflicts(spark, tmp_path):
+    """Review finding: duplicate doc_ids within ONE batch sailed past
+    the batch-vs-index guard and permanently corrupted tf/df/stats.
+    Identical copies collapse; conflicting text raises in every mode."""
+    import pytest
+
+    from chillastic_spark.sources.search_index import update_inverted_index
+
+    idx = str(tmp_path / "idx")
+    build_inverted_index(spark, load(spark, SF, "documents").limit(5), idx)
+    twice = spark.createDataFrame(
+        [(800001, "same text here"), (800001, "same text here")],
+        "doc_id long, text string",
+    )
+    stats = update_inverted_index(spark, twice, idx)
+    assert stats["n_docs"] == 6  # collapsed to one doc
+
+    conflict = spark.createDataFrame(
+        [(800002, "version one"), (800002, "version two")],
+        "doc_id long, text string",
+    )
+    for mode in ("skip", "error"):
+        with pytest.raises(ValueError, match="different text"):
+            update_inverted_index(spark, conflict, idx, on_existing=mode)
+
+
+def test_rebuild_discards_stale_crashed_update_journal(spark, tmp_path):
+    """Review finding: build neither recovered nor cleared a stale
+    swap-journal, so the next entry point 'rolled forward' a crashed
+    update OVER the fresh rebuild. A rebuild now discards the stale
+    journal and its tmp dirs."""
+    import json
+    import os
+
+    from chillastic_spark.sources.search_index import bm25_search_index
+
+    docs = load(spark, SF, "documents").limit(30)
+    idx = str(tmp_path / "idx")
+    build_inverted_index(spark, docs, idx)
+    want = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_search_index(spark, idx, TERMS, k=5).collect()
+    ]
+
+    # simulate a crashed update: journal + tmp dirs pointing at garbage
+    post_tmp = os.path.join(idx, "postings.tmp-dead")
+    ts_tmp = os.path.join(idx, "term_stats.tmp-dead")
+    os.makedirs(post_tmp)
+    os.makedirs(ts_tmp)
+    with open(os.path.join(idx, "swap-journal.json"), "w") as f:
+        json.dump(
+            {"post_tmp": post_tmp, "ts_tmp": ts_tmp,
+             "stats": {"n_docs": 0, "avgdl": 0.0, "sum_dl": 0.0}},
+            f,
+        )
+    build_inverted_index(spark, docs, idx)  # rebuild must win
+    assert not os.path.exists(os.path.join(idx, "swap-journal.json"))
+    assert not os.path.exists(post_tmp) and not os.path.exists(ts_tmp)
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_search_index(spark, idx, TERMS, k=5).collect()
+    ]
+    assert got == want
