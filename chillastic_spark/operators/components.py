@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from chillastic_spark.persist import materialize
+from chillastic_spark.persist import materialize, release
 
 
 def connected_components(
@@ -38,6 +38,7 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
+    prev_pinned = None
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -68,6 +69,12 @@ def connected_components(
         )
         jumped = materialize(jumped, iterative=True)
         changed = jumped.filter(F.col("comp") != F.col("_old")).limit(1).count()
+        # release the PREVIOUS round's pin now that this round is fully
+        # computed — unreleased, a k-round convergence holds k
+        # graph-sized checkpoints live until scope exit
+        if prev_pinned is not None:
+            release(prev_pinned)
+        prev_pinned = jumped
         labels = jumped.select("node", "comp")
         if changed == 0:
             return labels.select("node", F.col("comp").alias("component"))

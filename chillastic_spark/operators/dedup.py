@@ -53,11 +53,17 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     NULL text is ONE dedup group like any other (fingerprint coalesced
     to a sentinel): a plain equi-join would never match the NULL
     fingerprints (three-valued equality) and silently DELETE every
-    null-text row instead of keeping one."""
+    null-text row instead of keeping one.
+
+    NULL-id rows pass through UNTOUCHED: min() skips NULLs and the
+    semi-join can never match them, so they used to be silently
+    DELETED; without an identity there is no deterministic keeper to
+    pick, so not deduplicating them is the only honest behavior."""
     fp = F.coalesce(CF.fingerprint(text_col), F.lit("__null__"))
-    w = df.withColumn("__fp", fp)
-    keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return w.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+    keyed = df.filter(F.col(id_col).isNotNull()).withColumn("__fp", fp)
+    keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    deduped = keyed.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+    return deduped.unionByName(df.filter(F.col(id_col).isNull()))
 
 
 # ------------------------------------------------------------- winnowing
@@ -276,7 +282,9 @@ def ngram_jaccard_pairs(
     a, b = g.alias("a"), g.alias("b")
     cond = (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     for k in keys:
-        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        # null-safe: two docs whose partition key is NULL still share a
+        # partition (plain = would silently exempt them from dedup)
+        cond = cond & F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
     common = (
         a.join(b, cond)
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
@@ -316,9 +324,7 @@ def ngram_containment_pairs(
     Reference analog: the dedup surface (SURVEY.md §2 training-data
     extensions); containment is the standard companion measure.
     """
-    g = shingles(df, id_col, text_col, n).withColumn(
-        "gh", CF.hash60("gram")
-    ).drop("gram")
+    g = hashed_shingles(df, id_col, text_col, n)
     if max_doc_frac is not None:
         g = cap_hot_grams(g, df, max_doc_frac)
     g = materialize(g)  # feeds both join sides + the size agg
@@ -370,10 +376,7 @@ def _prefix_index(
     that doc's prefix."""
     from pyspark.sql.window import Window
 
-    g = shingles(df, id_col, text_col, n).withColumn(
-        "gh", CF.hash60("gram")
-    ).drop("gram")
-    g = materialize(g)
+    g = materialize(hashed_shingles(df, id_col, text_col, n))
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
     freq = g.groupBy("gh").agg(F.count("*").alias("dfct"))
     pos = F.row_number().over(
@@ -389,7 +392,11 @@ def _prefix_index(
         )
         .select("doc_id", "gh", "sz")
     )
-    return g, sizes, pre
+    # pinned: the Jaccard twin self-joins pre under two aliases and the
+    # containment twin probes it against g — unpinned, the whole
+    # freq-join + size-join + per-doc ranking subplan would execute
+    # once per consumer (differing aliases defeat exchange reuse)
+    return g, sizes, materialize(pre)
 
 
 def _verify_common(cand: DataFrame, g: DataFrame) -> DataFrame:
@@ -934,7 +941,9 @@ def embedding_dup_pairs(
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a.vid") < F.col("b.vid")
     if group_col:
-        cond = (F.col("a.grp") == F.col("b.grp")) & cond
+        # null-safe: NULL-label vectors still block together — a plain
+        # = silently exempted them from dedup entirely
+        cond = F.col("a.grp").eqNullSafe(F.col("b.grp")) & cond
     pairs = a.join(b, cond).select(
         F.col("a.vid").alias("id_a"),
         F.col("b.vid").alias("id_b"),
@@ -949,6 +958,15 @@ def minhash_bands(
     """(doc_id, *extra_cols, band, bkey) banding of a wide signature
     table — the LSH bucket currency shared by the pairwise,
     incremental, and streaming dedup shapes."""
+    # THE divisibility guard lives here, at the shared choke point:
+    # bands ∤ num_perm would silently drop trailing signature
+    # components (rows = num_perm // bands truncates), degrading LSH
+    # recall with no error — the streaming path reaches this function
+    # without passing through the pairwise wrappers.
+    if bands <= 0 or bands > num_perm or num_perm % bands != 0:
+        raise ValueError(
+            f"bands must divide num_perm (got num_perm={num_perm}, bands={bands})"
+        )
     rows = num_perm // bands
     band_keys = F.array(
         *[

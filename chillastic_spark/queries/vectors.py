@@ -63,7 +63,7 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_DUP_SQL = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, floor(({_COS}) * 10000.0 + 0.5) / 10000.0 AS cos
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM e a JOIN e b ON a.label IS NOT DISTINCT FROM b.label AND a.vec_id < b.vec_id
 WHERE floor(({_COS}) * 10000.0 + 0.5) / 10000.0 >= 0.3
 """
 

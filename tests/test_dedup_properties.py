@@ -292,3 +292,73 @@ def test_hamming_band_pairs_complete_and_exact_within_guarantee(spark):
             if d <= 3:
                 want[(i, j)] = d
     assert got == want and len(want) >= 8
+
+
+def test_exact_dedup_null_ids_pass_through(spark):
+    """Review finding: min() skips NULLs and the keeper semi-join never
+    matches a NULL id, so whole null-id groups were silently DELETED.
+    Without an identity there is no deterministic keeper — null-id rows
+    now pass through untouched."""
+    from chillastic_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (None, "same text"),
+         (None, "other text")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df).collect()
+    ids = sorted((r["doc_id"] is None, r["doc_id"] or 0) for r in out)
+    assert len(out) == 3  # keeper id=1, plus BOTH null-id rows kept
+    assert sum(1 for r in out if r["doc_id"] is None) == 2
+    assert {r["doc_id"] for r in out if r["doc_id"] is not None} == {1}
+
+
+def test_null_blocking_keys_still_pair(spark):
+    """Review finding: plain = on the blocking/partition key
+    null-rejected, silently exempting NULL-key docs from dedup."""
+    from chillastic_spark.operators.dedup import (
+        embedding_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta"
+    d = spark.createDataFrame(
+        [(1, text, None), (2, text, None), (3, text, "en")],
+        "doc_id long, text string, lang string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            d, threshold=0.9, partition_cols=["lang"]
+        ).collect()
+    }
+    assert (1, 2) in pairs          # NULL lang blocks together
+    assert (1, 3) not in pairs      # NULL never equals 'en'
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0], None), (2, [1.0, 0.0], None), (3, [1.0, 0.0], 7)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    ep = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(e, threshold=0.9).collect()
+    }
+    assert (1, 2) in ep and (1, 3) not in ep
+
+
+def test_minhash_bands_guards_divisibility_at_the_choke_point(spark):
+    """Review finding: the streaming path reaches minhash_bands without
+    the pairwise wrappers' guards, silently truncating the signature
+    (num_perm=16, bands=5 dropped mh15)."""
+    import pytest as _pytest
+
+    from chillastic_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures_wide,
+    )
+
+    d = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    sig = minhash_signatures_wide(d, "doc_id", "text", 2, 16)
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_bands(sig, 16, 5)
+    assert minhash_bands(sig, 16, 4).count() == 4
