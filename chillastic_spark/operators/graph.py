@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from chillastic_spark import functions as CF
-from chillastic_spark.persist import materialize
+from chillastic_spark.persist import materialize, release
 
 
 def pagerank(
@@ -54,7 +54,13 @@ def pagerank(
         iterative=True,
     )
     n_nodes = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # pinned: deg feeds the out-edge checkpoint AND the dangling
+    # anti-join — unpinned, the edges scan + distinct + groupBy ran
+    # twice during setup
+    deg = materialize(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")),
+        iterative=True,
+    )
     # out-edges with weights, checkpointed once — reused every round
     out = materialize(e.join(deg, "src"), iterative=True)
 
@@ -71,6 +77,7 @@ def pagerank(
     has_dangling = bool(dangling_nodes.limit(1).count())
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
+    prev_pinned = None
     for _ in range(iters):
         contrib = (
             out.join(ranks, out["src"] == ranks["node"])
@@ -104,6 +111,12 @@ def pagerank(
             ),
             iterative=True,
         )
+        # release the PREVIOUS round's checkpoint once this round is
+        # fully computed — k rounds must pin 2 rank tables, not k
+        # (same pattern as components.connected_components)
+        if prev_pinned is not None:
+            release(prev_pinned)
+        prev_pinned = ranks
     return ranks
 
 
@@ -180,6 +193,7 @@ def label_propagation(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    prev_pinned = None
     for _ in range(iters):
         votes = (
             und.join(
@@ -201,6 +215,9 @@ def label_propagation(
             .select("node", F.col("s.lb").alias("label"))
         )
         labels = materialize(labels, iterative=True)
+        if prev_pinned is not None:  # bound live pins to 2 rounds
+            release(prev_pinned)
+        prev_pinned = labels
     return labels
 
 

@@ -68,7 +68,15 @@ def ranked_topk(
 def last_of_topk(df: DataFrame, score: str, id_col: str, k: int) -> DataFrame:
     """The k-th row under (``score`` desc, ``id_col`` asc) as a 1-row
     DataFrame ``(cur_score, cur_id)`` — the keyset-pagination cursor,
-    without a global window. Empty input yields one all-NULL row."""
+    without a global window. Empty input yields one all-NULL row.
+
+    CONTRACT: the score column must be non-null on every row. A NULL
+    score in the k-th position yields cur_score = NULL, and the
+    standard keyset predicate (``s < cur OR (s = cur AND id > cur_id)``)
+    is NULL for every remaining row — pagination would silently stop
+    with rows left. All in-repo scores are aggregates over matches
+    (never NULL); filter or coalesce scores before paginating anything
+    nullable."""
     top = df.orderBy(F.desc(score), F.asc(id_col)).limit(k)
     # the order-k row is the struct-max of the desc-order key (same
     # null/NaN-consistent key as ranked_topk) over the top-k

@@ -73,6 +73,11 @@ class CurationReport:
     after_decontamination: int | None = None  # None = no benchmark given
     after_dsir_selection: int | None = None  # None = no dsir_target given
     after_mixture_sampling: int | None = None  # None = no mixture given
+    # sources whose positive requested weight quantized to a ZERO
+    # sampling gate (desired tokens floored to 0 against a huge pool) —
+    # every doc of such a source is dropped; surfaced here because the
+    # aggregate count alone makes losing a whole source invisible
+    mixture_zeroed_sources: "list[str] | None" = None
     # per-source KL vs drift_reference, measured on the RAW input batch
     # (None = no reference given)
     input_drift: "dict[str, float] | None" = None
@@ -192,21 +197,26 @@ def curate(
             # two-step projection (words array first) — see the
             # dup-bigram gate note: inlining split() into the gram
             # transform is O(words²) per doc
+            # idc=None: gram-set only (the benchmark side needs no id —
+            # fabricating one from a positional first column dragged an
+            # arbitrary, possibly huge, column through the explode)
+            ids = [F.col(idc).alias("__gid")] if idc is not None else []
+            keep = ["__gid"] if idc is not None else []
             return (
                 frame.select(
-                    F.col(idc).alias("__gid"),
+                    *ids,
                     F.split(F.trim(F.col(text_col)), r"\s+").alias("__gw"),
                 )
                 .select(
-                    "__gid",
+                    *keep,
                     F.explode(
                         CF.ngrams_of_words(F.col("__gw"), cfg.decontaminate_n)
                     ).alias("__g"),
                 )
-                .select("__gid", CF.hash60("__g").alias("__gh"))
+                .select(*keep, CF.hash60("__g").alias("__gh"))
             )
 
-        bench_grams = _grams(benchmark, benchmark.columns[0]).select("__gh").distinct()
+        bench_grams = _grams(benchmark, None).select("__gh").distinct()
         tainted = (
             _grams(gated, id_col)
             .join(F.broadcast(bench_grams), "__gh")
@@ -232,7 +242,11 @@ def curate(
         threshold=cfg.near_dup_threshold,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    near = exact.join(losers, id_col, "left_anti")
+    # pinned: the LSH band self-join + verify join is the pipeline's
+    # most expensive shuffle, and `near` feeds up to five downstream
+    # actions (count, per-source token collect, gate count, chunking,
+    # the caller) — unpinned it would re-execute per consumer
+    near = materialize(exact.join(losers, id_col, "left_anti"))
     after_near = near.count()
 
     # DSIR selection: keep the most target-like fraction of the
@@ -261,34 +275,43 @@ def curate(
     # as a deterministic per-doc gate — reproducible across runs,
     # retries, and cluster sizes
     after_mix = None
+    mixture_zeroed: "list[str] | None" = None
     if mixture is not None:
         from chillastic_spark import functions as CF
 
         w_tot = sum(mixture.values())
+        if w_tot <= 0:
+            # validate BEFORE the per-source token collect: a bad
+            # config must fail instantly, not after a corpus scan
+            raise ValueError(
+                "curate: mixture weights must sum to a positive value "
+                f"(got {mixture!r})"
+            )
         per_src = {
             r[source_col]: r["t"]
             for r in near.groupBy(source_col)
             .agg(F.sum(F.size(CF.words(text_col))).alias("t"))
             .collect()
         }
-        if w_tot <= 0:
-            raise ValueError(
-                "curate: mixture weights must sum to a positive value "
-                f"(got {mixture!r})"
-            )
         rate_expr = None
+        zeroed: list[str] = []
         for src, toks in per_src.items():
             desired = (cfg.mixture_budget * mixture.get(src, 0)) // w_tot
             rate = min(1.0, desired / toks) if toks else 0.0
             # round-half-up at 6 digits — the same quantization the
             # domain_mixture_manifest query reports as sample_rate
             gate = int(rate * 1_000_000 + 0.5)
+            if gate == 0 and mixture.get(src, 0) > 0 and toks:
+                # a positive requested weight solved to a zero gate:
+                # the WHOLE source drops — record it in the report
+                zeroed.append(src)
             cond = F.col(source_col) == src
             rate_expr = (
                 F.when(cond, F.lit(gate))
                 if rate_expr is None
                 else rate_expr.when(cond, F.lit(gate))
             )
+        mixture_zeroed = sorted(zeroed)
         if rate_expr is None:  # surviving pool is empty — nothing to gate
             after_mix = 0
         else:
@@ -315,6 +338,7 @@ def curate(
         after_decontamination=after_decon,
         after_dsir_selection=after_dsir,
         after_mixture_sampling=after_mix,
+        mixture_zeroed_sources=mixture_zeroed,
         input_drift=input_drift,
     )
 

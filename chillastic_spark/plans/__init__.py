@@ -231,15 +231,17 @@ def approx_plan_bounds(
 ) -> list[Bound]:
     """Single-pass alternative: approx quantiles at 60%/90% replace the
     whole iterative search (SURVEY §4.1 recommendation). Not golden-
-    exact; preferred at very large scale (one Greenwald-Khanna pass)."""
-    count = df.count()
-    if count == 0:
-        return [Bound(-1, -1, Subtask.DEFAULT_FLUSH_SIZE)]
+    exact; preferred at very large scale (ONE Greenwald-Khanna pass —
+    the empty-input guard reads the quantile result instead of paying
+    a second full count() scan)."""
     # NULL _size → 0, matching DataFrameSizeStats: approxQuantile
     # IGNORES nulls, and an index of all-unsized docs would return []
-    # and crash the unpack even though count > 0
+    # and crash the unpack even though rows exist
     df = df.withColumn(size_col, F.coalesce(F.col(size_col), F.lit(0)))
-    q60, q90, mx = df.approxQuantile(size_col, [0.6, 0.9, 1.0], rel_err)
+    q = df.approxQuantile(size_col, [0.6, 0.9, 1.0], rel_err)
+    if not q:  # empty input: approxQuantile saw no values
+        return [Bound(-1, -1, Subtask.DEFAULT_FLUSH_SIZE)]
+    q60, q90, mx = q
     upper = mx + 1
     b1, b2 = q60, min(q90, MB) if upper > MB else q90
     if b1 > b2:
