@@ -144,14 +144,21 @@ def upsert(
             with _index_lock(store.index_path(index)), FileLock(
                 store.index_path(index) + ".lock"
             ):
-                # heal any interrupted bucket swap from a crashed prior
-                # delivery BEFORE reading: a bucket whose live dir died
-                # mid-swap reads as empty, and merging against "empty"
-                # would permanently drop its pre-crash rows
+                # heal any interrupted swap from a crashed prior
+                # delivery BEFORE reading — BOTH levels: the index-level
+                # two-rename window (migration/_atomic_replace — a
+                # missing live dir with the only copy stranded in
+                # .old-; restoring it + the idempotent re-merge is
+                # exactly-once) and the bucket-level window (a bucket
+                # whose live dir died mid-swap reads as empty, and
+                # merging against "empty" would permanently drop its
+                # pre-crash rows)
                 from chillastic_spark.sources.maintenance import (
+                    _recover_interrupted_swap,
                     recover_bucket_swaps,
                 )
 
+                _recover_interrupted_swap(store.index_path(index))
                 recover_bucket_swaps(store.index_path(index))
                 nb = store.bucket_count(index)
                 if nb is None:
@@ -286,8 +293,12 @@ def purge(
     with _index_lock(store.index_path(index)), FileLock(
         store.index_path(index) + ".lock"
     ):
-        from chillastic_spark.sources.maintenance import recover_bucket_swaps
+        from chillastic_spark.sources.maintenance import (
+            _recover_interrupted_swap,
+            recover_bucket_swaps,
+        )
 
+        _recover_interrupted_swap(store.index_path(index))
         recover_bucket_swaps(store.index_path(index))
         nb = store.bucket_count(index)
         buckets = None
@@ -307,7 +318,9 @@ def purge(
             removed = match.count()
         else:
             kept = existing.join(victims, "_id", "left_anti")
-            removed = existing.count() - kept.count()
+            # one narrow semi-join count (the dual of the typed
+            # branch's match.count) instead of two full scans
+            removed = existing.join(victims, "_id", "semi").count()
         if removed == 0:
             return 0
         if nb is not None:
@@ -318,10 +331,18 @@ def purge(
 
 
 def _atomic_replace(store: DocumentStore, index: str, merged: DataFrame) -> None:
-    """Whole-dir swap for a FLAT index (purge on never-upserted data)."""
+    """Whole-dir swap for a FLAT index (purge on never-upserted data).
+    A Hive ``_type=`` layout is preserved (the same detection
+    compaction uses) — rewriting it flat would silently destroy the
+    partition pruning every per-type read depends on."""
+    from chillastic_spark.sources.maintenance import _is_type_partitioned
+
     target = store.index_path(index)
     tmp = target + ".tmp-" + uuid.uuid4().hex[:8]
-    merged.write.mode("overwrite").parquet(tmp)
+    writer = merged.write.mode("overwrite")
+    if os.path.isdir(target) and _is_type_partitioned(target):
+        writer = writer.partitionBy("_type")
+    writer.parquet(tmp)
     old = target + ".old-" + uuid.uuid4().hex[:8]
     if os.path.exists(target):
         os.rename(target, old)

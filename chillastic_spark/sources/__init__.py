@@ -31,6 +31,7 @@ from __future__ import annotations
 import fnmatch
 import json
 import os
+import re
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,13 +80,31 @@ def clean_index_settings(index: dict) -> None:
             settings["version"].pop("created", None)
 
 
+# top-level keys of a TYPELESS (ES 7+/8) mappings object — mapping
+# FIELDS, not type names. A typed config nests these one level down
+# under each type name, so the top-level key set is the discriminator.
+_TYPELESS_MAPPING_KEYS = frozenset(
+    {
+        "properties", "dynamic", "dynamic_templates", "_meta", "_source",
+        "_routing", "_field_names", "date_detection", "numeric_detection",
+        "dynamic_date_formats", "runtime",
+    }
+)
+
+
 def types_of_config(index_cfg: dict) -> list[dict]:
     """Mapping types of an index config, name injected
-    (subtasks.js:165 getTypesFromMappings)."""
-    return [
-        dict(t or {}, name=name)
-        for name, t in sorted((index_cfg.get("mappings") or {}).items())
-    ]
+    (subtasks.js:165 getTypesFromMappings).
+
+    A TYPELESS config (ES 7+/8: ``mappings = {"properties": ...}``)
+    yields ONE type with ``name=None`` — treating its field keys as
+    type names planned subtasks like ``type='properties'`` that scan
+    zero documents, so a transfer from a modern cluster 'succeeded'
+    having copied nothing."""
+    m = index_cfg.get("mappings") or {}
+    if m and all(k in _TYPELESS_MAPPING_KEYS for k in m):
+        return [dict(m, name=None)]
+    return [dict(t or {}, name=name) for name, t in sorted(m.items())]
 
 
 def open_store(path_or_url: str, create: bool = True):
@@ -149,20 +168,30 @@ class DocumentStore:
             if fnmatch.fnmatch(name, pattern)
         ]
 
+    def _catalog_lock(self, which: str):
+        """Cross-process + in-process lock for catalog read-modify-
+        write: two concurrent put_indices used to last-writer-win and
+        silently drop each other's entries (the data layer serializes
+        via per-index locks; the catalog needs the same)."""
+        from chillastic_spark.locks import FileLock
+
+        return FileLock(self._catalog_path(which) + ".lock")
+
     def put_indices(self, indices: list[dict]) -> None:
         """Create index configs, stripping non-portable settings
         (transfer.js:224-258)."""
         if not isinstance(indices, list):
             raise StoreError("indices must be a list")
-        cat = self._read_catalog("indices")
-        for index in indices:
-            index = json.loads(json.dumps(index))  # deep copy
-            name = index.pop("name", None)
-            if not isinstance(name, str):
-                raise StoreError("index config must carry a string name")
-            clean_index_settings(index)
-            cat[name] = index
-        self._write_catalog("indices", cat)
+        with self._catalog_lock("indices"):
+            cat = self._read_catalog("indices")
+            for index in indices:
+                index = json.loads(json.dumps(index))  # deep copy
+                name = index.pop("name", None)
+                if not isinstance(name, str):
+                    raise StoreError("index config must carry a string name")
+                clean_index_settings(index)
+                cat[name] = index
+            self._write_catalog("indices", cat)
 
     def reachable(self) -> bool:
         # a store is its data/ + catalog/ layout, not just any dir:
@@ -193,14 +222,15 @@ class DocumentStore:
     def put_templates(self, templates: list[dict]) -> None:
         if not isinstance(templates, list):
             raise StoreError("templates must be a list")
-        cat = self._read_catalog("templates")
-        for template in templates:
-            template = json.loads(json.dumps(template))
-            name = template.pop("name", None)
-            if not isinstance(name, str):
-                raise StoreError("template must carry a string name")
-            cat[name] = template
-        self._write_catalog("templates", cat)
+        with self._catalog_lock("templates"):
+            cat = self._read_catalog("templates")
+            for template in templates:
+                template = json.loads(json.dumps(template))
+                name = template.pop("name", None)
+                if not isinstance(name, str):
+                    raise StoreError("template must carry a string name")
+                cat[name] = template
+            self._write_catalog("templates", cat)
 
     # -------------------------------------------------------- types
     def types_of(self, index_cfg: dict) -> list[dict]:
@@ -220,8 +250,12 @@ class DocumentStore:
     def set_bucket_count(self, index: str, n: int) -> None:
         os.makedirs(self.index_path(index), exist_ok=True)
         p = os.path.join(self.index_path(index), BUCKET_MARKER)
-        with open(p, "w") as f:
+        # atomic (tmp + replace): a crash after open() truncates the
+        # marker, and an EMPTY marker bricks every later bucket_count()
+        # call on the index (int('') raises)
+        with open(p + ".tmp", "w") as f:
             f.write(str(n))
+        os.replace(p + ".tmp", p)
 
     def bucket_path(self, index: str, bucket: int) -> str:
         return os.path.join(self.index_path(index), f"{BUCKET_PREFIX}{bucket:04d}")
@@ -260,7 +294,13 @@ class DocumentStore:
         return self.index_path(index)
 
     # --------------------------------------------------------- data
-    _SCRATCH_TAGS = (".tmp-", ".old-", ".new-", ".merge-", ".append-", ".compact-")
+    # scratch dirs are always <name><tag><hex suffix>: anchor the
+    # match at the END so a legitimate index whose NAME contains a tag
+    # substring (e.g. 'snapshot.old-2024x') is not permanently hidden
+    # from listings/compaction
+    _SCRATCH_RE = re.compile(
+        r"(\.tmp-|\.old-|\.new-|\.merge-|\.append-|\.compact-)[0-9a-f]{1,32}$"
+    )
 
     def list_data_indices(self, pattern: str = "*") -> list[str]:
         data = os.path.join(self.root, "data")
@@ -270,7 +310,7 @@ class DocumentStore:
             d for d in os.listdir(data)
             if fnmatch.fnmatch(d, pattern)
             and os.path.isdir(os.path.join(data, d))
-            and not any(t in d for t in self._SCRATCH_TAGS)
+            and not self._SCRATCH_RE.search(d)
         )
 
     def read(
@@ -346,11 +386,33 @@ class DocumentStore:
             *( ["_size"] if "_size" in df.columns else [F.lit(None).cast("long").alias("_size")]),
         ]
         nb = self.bucket_count(index)
-        if nb is not None and mode == "append":
-            self._append_bucketed(df.select(*cols), index, nb)
-            return
-        if nb is not None and mode == "overwrite":
-            os.remove(os.path.join(self.index_path(index), BUCKET_MARKER))
+        if nb is not None:
+            # mutations of a LIVE bucketed index take the same per-index
+            # locks as upsert/purge/compaction: an unlocked append could
+            # land part files in a bucket dir mid-swap (rows riding into
+            # the .old- dir and deleted), and an unlocked overwrite
+            # races the merge's reads
+            from chillastic_spark.sinks import _index_lock
+
+            from chillastic_spark.locks import FileLock
+
+            with _index_lock(self.index_path(index)), FileLock(
+                self.index_path(index) + ".lock"
+            ):
+                if mode == "append":
+                    self._append_bucketed(df.select(*cols), index, nb)
+                    return
+                # overwrite: Spark deletes the whole dir — INCLUDING the
+                # bucket marker — before writing, so the index comes
+                # back flat with no pre-delete needed. (Removing the
+                # marker up front opened a window where a failed write
+                # left bucket dirs under a "flat" index, which reads as
+                # EMPTY and gets destroyed by the next upsert.)
+                writer = df.select(*cols).write.mode(mode)
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                writer.parquet(self.index_path(index))
+                return
         writer = df.select(*cols).write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)

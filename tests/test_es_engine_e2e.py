@@ -137,3 +137,37 @@ def test_planned_flush_size_drives_scroll_and_bulk(spark, tmp_path, clusters):
         for st in src.scrolls.values() if st.get("slice")
     }
     assert len(slice_specs) >= 2  # disjoint slices, one scroll each
+
+
+def test_typeless_es8_source_transfers_documents(spark, tmp_path):
+    """Review finding: a typeless ES 7+/8 config ({'mappings':
+    {'properties': ...}}) planned bogus type='properties' subtasks that
+    scanned ZERO documents — the transfer 'succeeded' having copied
+    nothing. End-to-end: an ES 8 source with a typeless mapping must
+    deliver every document."""
+    src, dst = FakeES(version="8.11.0"), FakeES(version="8.11.0")
+    src_url, dst_url = src.start(), dst.start()
+    try:
+        src.seed("modern", "_doc", {
+            f"m{i}": {"field": f"value {i}"} for i in range(12)
+        })
+        # REAL ES 8 shape: mapping FIELDS at the top level, no type names
+        src.seed_index_cfg("modern", {
+            "settings": {"index": {"number_of_shards": 1}},
+            "mappings": {"properties": {"field": {"type": "keyword"}},
+                         "dynamic": "true"},
+            "aliases": {},
+        })
+        eng = Engine(spark, str(tmp_path / "state"))
+        eng.add_task("modern", Task(
+            source=src_url, destination=dst_url,
+            transfer=TransferSpec(from_indices="modern"),
+        ))
+        status = eng.run_task("modern")
+        assert status["percentComplete"] == 100.0
+        assert status["completed"] == 12
+        ids = {k[2] for k in dst.docs if k[0] == "modern"}
+        assert ids == {f"m{i}" for i in range(12)}
+    finally:
+        src.stop()
+        dst.stop()

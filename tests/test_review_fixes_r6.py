@@ -110,3 +110,144 @@ def test_legacy_float_subtask_ids_canonicalized_on_load(tmp_path):
     assert set(loaded.data["progress"]) == {fresh_id}
     # and the duplicate-enqueue guard now recognizes the completed id
     assert loaded.enqueue(sub, save=False) is False
+
+
+# ------------------------------------------------ store/sink review pass
+
+
+def test_typeless_es7_mappings_yield_one_null_type():
+    """Review finding: a typeless ES 7+/8 config ({'mappings':
+    {'properties': ...}}) was treated as typed, planning bogus
+    type='properties' subtasks that scanned zero documents."""
+    from chillastic_spark.sources import types_of_config
+
+    typeless = {"mappings": {"properties": {"f": {"type": "keyword"}},
+                             "dynamic": "strict", "_meta": {"v": 1}}}
+    types = types_of_config(typeless)
+    assert len(types) == 1 and types[0]["name"] is None
+    assert types[0]["properties"] == {"f": {"type": "keyword"}}
+
+    typed = {"mappings": {"logs": {"properties": {}}, "metrics": {}}}
+    assert [t["name"] for t in types_of_config(typed)] == ["logs", "metrics"]
+    assert types_of_config({"mappings": {}}) == []
+
+
+def test_scratch_suffix_filter_is_anchored(tmp_path):
+    """Review finding: substring matching hid any legitimate index
+    whose NAME contains '.old-' etc. from every listing forever."""
+    import os
+
+    from chillastic_spark.sources import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "s"))
+    for d in ("normal", "snapshot.old-2024x", "idx.tmp-zone"):
+        os.makedirs(os.path.join(store.root, "data", d))
+    for d in ("idx.old-ab12cd34", "idx.merge-deadbeef"):  # real scratch
+        os.makedirs(os.path.join(store.root, "data", d))
+    assert store.list_data_indices("*") == [
+        "idx.tmp-zone", "normal", "snapshot.old-2024x"
+    ]
+
+
+def test_bucket_marker_write_is_atomic(tmp_path):
+    from chillastic_spark.sources import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "s"))
+    store.set_bucket_count("ix", 8)
+    assert store.bucket_count("ix") == 8
+    store.set_bucket_count("ix", 16)  # replace, no truncation window
+    assert store.bucket_count("ix") == 16
+
+
+def test_overwrite_failure_cannot_orphan_bucket_dirs(spark, tmp_path):
+    """Review finding: overwrite removed the bucket marker BEFORE the
+    write could fail; a failed write then left bucket dirs under a
+    'flat' index that read as empty and would be destroyed by the next
+    upsert. The marker is now only removed by the successful write
+    itself (Spark's overwrite deletes the whole dir)."""
+    import pytest as _pytest
+
+    from chillastic_spark.sinks import upsert
+    from chillastic_spark.sources import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "s"))
+    rows = [("ix", "t", f"d{i}", "{}", 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "_index string, _type string, _id string, _source string, _size long")
+    upsert(spark, store, df)  # bucketed layout
+    assert store.bucket_count("ix") is not None
+    n_before = store.read(spark, "ix").count()
+
+    # a FAILING overwrite (bad frame: missing mandatory columns)
+    bad = spark.createDataFrame([(1,)], "x long")
+    with _pytest.raises(Exception):
+        store.write_documents(bad, "ix", mode="overwrite")
+    # index still bucketed and fully readable — nothing orphaned
+    assert store.bucket_count("ix") is not None
+    assert store.read(spark, "ix").count() == n_before
+
+    # a SUCCESSFUL overwrite returns the index to the flat layout
+    flat = spark.createDataFrame(rows[:3], df.schema)
+    store.write_documents(flat, "ix", mode="overwrite")
+    assert store.bucket_count("ix") is None
+    assert store.read(spark, "ix").count() == 3
+
+
+def test_sink_heals_index_level_swap_crash(spark, tmp_path):
+    """Review finding: upsert only healed BUCKET-level swaps; a crash
+    between the index-level two renames (migration/_atomic_replace)
+    left NO live dir and the only copy stranded in .old- — the next
+    upsert read 'empty' and installed the batch as a fresh index,
+    permanently losing every pre-crash document."""
+    import os
+    import shutil
+
+    from chillastic_spark.sinks import upsert
+    from chillastic_spark.sources import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "s"))
+    schema = "_index string, _type string, _id string, _source string, _size long"
+    first = spark.createDataFrame(
+        [("ix", "t", f"d{i}", "{}", 10) for i in range(10)], schema
+    )
+    upsert(spark, store, first)
+
+    # simulate the lethal window: live dir renamed away, crash before
+    # the new dir landed
+    path = store.index_path("ix")
+    os.rename(path, path + ".old-deadc0de")
+    assert not os.path.exists(path)
+
+    second = spark.createDataFrame([("ix", "t", "d99", "{}", 10)], schema)
+    upsert(spark, store, second)
+    ids = {r["_id"] for r in store.read(spark, "ix").collect()}
+    assert ids == {f"d{i}" for i in range(10)} | {"d99"}  # nothing lost
+    assert not os.path.exists(path + ".old-deadc0de")
+    shutil.rmtree(str(tmp_path / "s"))
+
+
+def test_purge_preserves_type_partitioned_layout(spark, tmp_path):
+    """Review finding: purge on a flat _type-partitioned index rewrote
+    it WITHOUT partitionBy, silently destroying the pruned layout."""
+    import os
+
+    from chillastic_spark.sinks import purge
+    from chillastic_spark.sources import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "s"))
+    schema = "_index string, _type string, _id string, _source string, _size long"
+    df = spark.createDataFrame(
+        [("ix", t, f"{t}{i}", "{}", 5) for t in ("a", "b") for i in range(5)],
+        schema,
+    )
+    store.write_documents(df, "ix", partition_by=["_type"])
+    assert any(
+        d.startswith("_type=") for d in os.listdir(store.index_path("ix"))
+    )
+    removed = purge(spark, store, "ix", ["a1", "b2"])
+    assert removed == 2
+    # the Hive layout survived the rewrite
+    assert any(
+        d.startswith("_type=") for d in os.listdir(store.index_path("ix"))
+    )
+    assert store.read(spark, "ix").count() == 8
+    assert store.read(spark, "ix", type="a").count() == 4
