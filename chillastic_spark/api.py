@@ -291,7 +291,24 @@ def create_app(
     def add_task(task_id):
         def run():
             body = request.get_json(force=True, silent=True) or {}
-            state = engine.add_task(task_id, task_from_json(body))
+            task = task_from_json(body)
+            # a task-supplied index_comparator is exec()'d Python
+            # (engine._index_comparator → registry.compile_source) — the
+            # same RCE surface as code-string registration, so the same
+            # gate applies; without it an unauthenticated caller could
+            # run code at admission that POST /mutators correctly 403s
+            if task.transfer.index_comparator and not allow_code_registration:
+                return (
+                    jsonify(
+                        {
+                            "error": "index_comparator code is disabled on an "
+                            "unauthenticated API; set an api_key (or pass "
+                            "allow_code_registration=True) to enable it"
+                        }
+                    ),
+                    403,
+                )
+            state = engine.add_task(task_id, task)
             return jsonify(state.status())
 
         return handle(run)

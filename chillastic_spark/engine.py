@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import threading
 import traceback
 from typing import Callable, Optional
 
@@ -239,6 +240,12 @@ class TaskState:
             pct = 0.0 if (self.data["backlog"] or self.data["progress"]) else 100.0
         else:
             pct = round(completed / total * 100, 2)
+            if pct >= 100.0 and (self.data["backlog"] or self.data["progress"]):
+                # all COUNTED documents are done but zero-count subtasks
+                # (index/template) are still pending/in-flight — same
+                # "pending must not read as done" rule as the total==0
+                # branch
+                pct = 99.99
         return {
             "percentComplete": pct,
             "total": total,
@@ -320,6 +327,13 @@ class Engine:
         self.mutators = Mutators(os.path.join(state_root, "registry"))
         self.filters = Filters(os.path.join(state_root, "registry"))
         self._tasks: dict[str, Task] = {}
+        # serializes task-dict mutation + tasks.json rewrite: Flask
+        # serves threaded, and two concurrent admissions writing the
+        # same tmp path (or iterating _tasks mid-insert) corrupt the
+        # file / throw "dictionary changed size" — the registry's rule
+        # (registry/__init__.py _mutex), applied to the task store
+        self._mutex = threading.RLock()
+        self._cmp_cache: dict[str, Callable] = {}
         self._running = True  # _start/_stop switch (manager.js:111-118)
         self._load_tasks()
 
@@ -331,16 +345,51 @@ class Engine:
         if os.path.exists(self._tasks_path()):
             with open(self._tasks_path()) as f:
                 self._tasks = {k: _task_from_dict(v) for k, v in json.load(f).items()}
+        self._persisted = set(self._tasks)
 
-    def _save_tasks(self) -> None:
-        tmp = self._tasks_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({k: _task_to_dict(t) for k, t in self._tasks.items()}, f, indent=1)
-        os.replace(tmp, self._tasks_path())
+    def _save_tasks(self, removed: "frozenset[str] | set[str]" = frozenset()) -> None:
+        """Merge-write tasks.json under a cross-process file lock.
+
+        A blind whole-file rewrite from one API replica silently drops
+        tasks admitted by another (each process's in-memory dict only
+        knows its own admissions). Under the lock: read the disk copy,
+        fold unknown disk entries INTO memory, honor other replicas'
+        deletions (an id THIS engine previously persisted that is now
+        gone from disk was removed elsewhere — keeping it would
+        resurrect the deleted task), drop the explicit ``removed``
+        ids, write via a unique tmp name. Callers hold self._mutex."""
+        with FileLock(self._tasks_path() + ".lock"):
+            on_disk = None
+            if os.path.exists(self._tasks_path()):
+                try:
+                    with open(self._tasks_path()) as f:
+                        on_disk = json.load(f)
+                except json.JSONDecodeError:
+                    on_disk = None  # corrupt file: memory is authoritative
+            if on_disk is not None:
+                for k in list(self._tasks):
+                    if k in self._persisted and k not in on_disk and k not in removed:
+                        self._tasks.pop(k)  # deleted by another replica
+                        self._persisted.discard(k)
+                for k, v in on_disk.items():
+                    if k not in self._tasks and k not in removed:
+                        self._tasks[k] = _task_from_dict(v)
+            for k in removed:
+                self._tasks.pop(k, None)
+            import uuid as _uuid
+
+            tmp = f"{self._tasks_path()}.{_uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {k: _task_to_dict(t) for k, t in self._tasks.items()}, f, indent=1
+                )
+            os.replace(tmp, self._tasks_path())
+            self._persisted = set(self._tasks)
 
     def add_task(self, task_id: str, task: Task) -> TaskState:
         """Admission (tasks.js:72-82): id regex, duplicate check, store
-        reachability, mutator/filter existence — then plan the backlog.
+        reachability + scan-surface check, mutator/filter existence —
+        then plan the backlog.
         """
         validate_object_id(task_id, "task id")
         if task_id in self._tasks:
@@ -349,24 +398,73 @@ class Engine:
         for path in (task.source, task.destination):
             if not open_store(path, create=False).reachable():
                 raise TaskError(f"store not reachable: {path}")
+        # reachable() only proves the store EXISTS; planning needs the
+        # scan surface. A destination-only adapter (delta:) admitted as
+        # a source used to 500 with AttributeError deep in
+        # build_backlog instead of a 400 here.
+        src_store = open_store(task.source, create=False)
+        t = task.transfer
+        needed = []
+        if t.index_names or t.from_indices:
+            needed.append("get_indices")
+        if t.template_names:
+            needed.append("get_templates")
+        if t.from_indices:
+            needed += ["read", "read_sizes", "count", "types_of"]
+        missing = [m for m in needed if not hasattr(src_store, m)]
+        if missing:
+            raise TaskError(
+                f"store {task.source} cannot act as a source for this "
+                f"transfer (missing {missing}) — delta: stores are "
+                "destination-only"
+            )
         try:
             self.mutators.ensure_exist(task.mutators)
             self.filters.ensure_exist(task.transfer.filters)
             self._index_comparator(task)  # bad comparator fails admission
         except Exception as e:  # admission surfaces one error kind (tasks.js:72-82)
             raise TaskError(str(e)) from e
+        with self._mutex:
+            if task_id in self._tasks:  # re-check under the lock (TOCTOU)
+                raise TaskError(f"task {task_id} already exists")
+            # a task-<id>.json with no admitted owner (not in memory,
+            # not in the on-disk task table) is an orphan from a
+            # crashed planning attempt: a fresh admission must not
+            # inherit its completed-ids — the resume anti-join would
+            # silently skip work the new task never did
+            state_path = os.path.join(self.state_root, f"task-{task_id}.json")
+            if os.path.exists(state_path) and task_id not in self._disk_task_ids():
+                os.remove(state_path)
+            self._tasks[task_id] = task
         # plan BEFORE persisting: a transient build_backlog failure
         # (source 500 during index listing) must not leave a
         # half-admitted task that 'already exists' on retry yet was
         # never planned
-        self._tasks[task_id] = task
         try:
             state = self.build_backlog(task_id)
         except Exception:
-            self._tasks.pop(task_id, None)
+            with self._mutex:
+                self._tasks.pop(task_id, None)
+                # the failed planning attempt may have created/updated
+                # the state file; a later re-admission must start clean
+                try:
+                    if os.path.exists(state_path):
+                        os.remove(state_path)
+                except OSError:
+                    pass
             raise
-        self._save_tasks()
+        with self._mutex:
+            self._save_tasks()
         return state
+
+    def _disk_task_ids(self) -> set:
+        if not os.path.exists(self._tasks_path()):
+            return set()
+        try:
+            with open(self._tasks_path()) as f:
+                return set(json.load(f))
+        except json.JSONDecodeError:
+            return set()
 
     def get_task(self, task_id: str) -> Task:
         if task_id not in self._tasks:
@@ -383,10 +481,17 @@ class Engine:
         draining would otherwise race — the runner's next state.save()
         resurrects the deleted task-<id>.json as an orphan. Fails fast
         with TaskError when the task is mid-run."""
+        # unknown id is a client error (400), like every other task op
+        # — returning 200 {deleted} for a typo'd id also littered a
+        # permanent task-<id>.json.lock file per call
+        if task_id not in self._tasks and task_id not in self._disk_task_ids():
+            raise TaskError(f"unknown task {task_id}")
         state = TaskState(self.state_root, task_id).acquire_writer()
         try:
-            self._tasks.pop(task_id, None)
-            self._save_tasks()
+            with self._mutex:
+                # removed= survives the merge-save: a plain pop would be
+                # resurrected from another replica's disk entry
+                self._save_tasks(removed={task_id})
             if os.path.exists(state.path):
                 os.remove(state.path)
         finally:
@@ -428,10 +533,10 @@ class Engine:
                 "shared-mode run may still be draining — rebuild with "
                 "force=True only once the previous run is known dead"
             )
-        state.data["backlog"] = []
-        state.data["progress"] = {}  # stale in-progress from a dead run
-        state.data["total"] = sum(state.data["completed"].values())
-        state.save()  # persist the clear even if nothing gets enqueued
+        # plan FIRST, clear after: persisting the cleared backlog before
+        # the source listing/count calls meant a transient source
+        # failure wiped the existing backlog on disk and left the task
+        # reading as fully complete (total==completed, nothing queued)
         source = open_store(task.source)
 
         potential: list[Subtask] = []
@@ -449,7 +554,7 @@ class Engine:
             potential.extend(self._document_subtasks(task, source))
 
         completed = state.completed_ids()  # resume anti-join (subtasks.js:385-392)
-        seen = {s for s, _ in state.data["backlog"]}
+        counted: list[Subtask] = []
         for sub in potential:
             if sub.subtask_id() in completed:
                 continue
@@ -458,8 +563,16 @@ class Engine:
                     self.spark, sub.index, sub.type, sub.min_size, sub.max_size
                 )
                 sub = Subtask(**{**vars(sub), "count": count})
+            counted.append(sub)
+
+        # planning succeeded — now swap in the fresh backlog atomically
+        state.data["backlog"] = []
+        state.data["progress"] = {}  # stale in-progress from a dead run
+        state.data["total"] = sum(state.data["completed"].values())
+        seen: set = set()
+        for sub in counted:
             state.enqueue(sub, save=False, seen=seen)
-        state.save()
+        state.save()  # persist the rebuild even if nothing got enqueued
         return state
 
     def _index_comparator(self, task: Task):
@@ -469,11 +582,17 @@ class Engine:
         src = task.transfer.index_comparator
         if not src:
             return None
+        # memoized on the source string: admission compiles for
+        # validation and every backlog rebuild would otherwise re-parse
+        # + re-exec the same sandboxed module
+        if src in self._cmp_cache:
+            return self._cmp_cache[src]
         from chillastic_spark.registry import compile_source
 
         cmp = compile_source(src).get("compare")
         if not callable(cmp):
             raise TaskError("index_comparator must define compare(a, b)")
+        self._cmp_cache[src] = cmp
         return cmp
 
     def _document_subtasks(self, task: Task, source: DocumentStore) -> list[Subtask]:
@@ -569,8 +688,6 @@ class Engine:
         indices/types are the parallel case. On Delta (transactional
         MERGE) they could truly interleave.
         """
-        import threading
-
         task = self.get_task(task_id)
         state = TaskState(self.state_root, task_id)
         if not shared:
@@ -694,9 +811,15 @@ class Engine:
 
     def status(self) -> dict:
         """GET / (root.controller.js:9-20)."""
+        tasks = {}
+        for t in self.list_tasks():
+            try:
+                tasks[t] = self.get_task_status(t)
+            except TaskError:
+                pass  # removed between the listing and the status read
         return {
             "manager": "running" if self._running else "stopped",
-            "tasks": {t: self.get_task_status(t) for t in self.list_tasks()},
+            "tasks": tasks,
         }
 
 

@@ -221,6 +221,10 @@ class _Registry:
     def __init__(self, state_dir: Optional[str] = None):
         self._entries: dict[tuple[str, str], Any] = {}
         self._sources: dict[tuple[str, str], str] = {}
+        # "ns/id" -> error for persisted sources that failed to compile
+        # at load (see _load); surfaced so operators can find and
+        # remove them instead of the whole registry refusing to start
+        self.load_errors: dict[str, str] = {}
         self._state_dir = state_dir
         # serializes mutation+save: Flask serves threaded, and two
         # concurrent registrations writing the SAME fixed .tmp path
@@ -239,8 +243,18 @@ class _Registry:
             with open(self._path()) as f:
                 for k, src in json.load(f).items():
                     ns_, id_ = k.split("/", 1)
-                    self._entries[(ns_, id_)] = self.entry_cls(_as_namespace(src))
-                    self._sources[(ns_, id_)] = src
+                    try:
+                        self._entries[(ns_, id_)] = self.entry_cls(_as_namespace(src))
+                        self._sources[(ns_, id_)] = src
+                    except Exception as e:
+                        # a persisted source that no longer compiles (a
+                        # grown forbidden-name list after an upgrade, a
+                        # hand-edited file) must not wedge Engine
+                        # construction — keep the SOURCE so a later save
+                        # doesn't drop it and the removal API can still
+                        # delete it; the entry just isn't loadable
+                        self._sources[(ns_, id_)] = src
+                        self.load_errors[f"{ns_}/{id_}"] = str(e)
 
     def _save_unlocked(self) -> None:
         """Callers hold self._mutex (threading.Lock is not reentrant)."""
