@@ -53,6 +53,14 @@ class ActionRef:
             if ns and ns != DEFAULT_NAMESPACE:
                 validate_object_id(ns, "namespace")
             return ActionRef(id=id_, namespace=ns or DEFAULT_NAMESPACE)
+        # client-shaped failures must be ValueError (the API's 400
+        # mapping), not KeyError/AttributeError 500s
+        if not isinstance(spec, dict):
+            raise ValueError(
+                f"action ref must be a string or object (got {type(spec).__name__})"
+            )
+        if "id" not in spec:
+            raise ValueError("action ref object must carry an 'id'")
         ns = spec.get("namespace", DEFAULT_NAMESPACE)
         validate_object_id(spec["id"], "id")
         if ns != DEFAULT_NAMESPACE:

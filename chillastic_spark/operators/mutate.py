@@ -48,7 +48,10 @@ def mutate_objects(objs: Iterable[dict], mutators: Optional[list]) -> list[dict]
     return out
 
 
-QUARANTINE_INDEX = "_quarantine"
+# NOT "_quarantine": Elasticsearch rejects index names with a leading
+# underscore, so the error side-channel itself would hard-fail bulk
+# delivery on an ES destination — the exact failure it exists to absorb
+QUARANTINE_INDEX = "chillastic-quarantine"
 
 
 def apply_data_mutators(
@@ -63,9 +66,9 @@ def apply_data_mutators(
     ``quarantine=True`` is the per-record error side-channel (SURVEY S5,
     the badRecordsPath analog of transfer.js:306-352's bulk-error
     handling): a doc whose mutator raises is routed to the
-    ``_quarantine`` index carrying the error + original payload instead
-    of failing the whole slice. Default (False) propagates, matching
-    the reference's subtask-level error logging.
+    ``QUARANTINE_INDEX`` index carrying the error + original payload
+    instead of failing the whole slice. Default (False) propagates,
+    matching the reference's subtask-level error logging.
     """
     if not mutators:
         return df
@@ -77,6 +80,7 @@ def apply_data_mutators(
     # (--py-files). Plain tuples + inline drop logic avoid that.
     chain = [(m.predicate, m.mutate, m.arguments) for m in mutators]
     do_quarantine = quarantine
+    q_index = QUARANTINE_INDEX  # captured by value: closure stays self-contained
 
     def run(batches):
         import json as _json
@@ -129,7 +133,7 @@ def apply_data_mutators(
                         raise
                     rows.append(
                         {
-                            "_index": "_quarantine",
+                            "_index": q_index,
                             "_type": rec["_type"],
                             "_id": f"{rec['_index']}/{rec['_id']}",
                             "_source": _json.dumps(

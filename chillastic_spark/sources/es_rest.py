@@ -313,14 +313,18 @@ def scan_to_df(
 
 def doc_to_bulk(doc: dict) -> list[str]:
     """One document → its two NDJSON bulk lines, field-for-field the
-    reference's docToBulk (transfer.js:175-189)."""
-    meta = {"_index": doc["_index"], "_type": doc["_type"], "_id": doc["_id"]}
+    reference's docToBulk (transfer.js:175-189). A mutator may return a
+    rebuilt doc without ``_type`` (typeless ES 7+ targets) or without a
+    body — tolerate both like JSON.stringify drops undefined; only
+    ``_index`` and ``_id`` are hard requirements of the update op."""
+    meta = {"_index": doc["_index"], "_type": doc.get("_type"), "_id": doc["_id"]}
     if meta["_type"] is None:
         del meta["_type"]  # JSON.stringify drops undefined; ES rejects null
     return [
         json.dumps({"update": meta}, separators=(",", ":")),
         json.dumps(
-            {"doc": doc["_source"], "doc_as_upsert": True}, separators=(",", ":")
+            {"doc": doc.get("_source") or {}, "doc_as_upsert": True},
+            separators=(",", ":"),
         ),
     ]
 
@@ -443,11 +447,15 @@ def _deliver_rows(
     batches of ``flush_size`` docs. Returns docs delivered."""
     b = _BulkBatcher(wire, flush_size, max_retries, backoff_sec)
     for row in rows:
+        # the envelope schema allows NULL _source (a _source-disabled
+        # index scans to hits with no body) — upsert an empty doc, the
+        # _id existence still transfers
+        src = row["_source"]
         b.add({
             "_index": row["_index"],
             "_type": row["_type"],
             "_id": row["_id"],
-            "_source": json.loads(row["_source"]),
+            "_source": json.loads(src) if src is not None else {},
         })
     b.flush()
     return b.delivered
@@ -527,7 +535,8 @@ def pipe(
             "_index": h["_index"],
             "_type": h.get("_type"),
             "_id": str(h["_id"]),
-            "_source": h["_source"],
+            # a _source-disabled index scans to hits with no body
+            "_source": h.get("_source") or {},
             "_size": h.get("_size"),
         }
         if mutators:
@@ -641,6 +650,12 @@ class ESStore:
 
     # ------------------------------------------------------------- data
     def list_data_indices(self, pattern: str = "*") -> list[str]:
+        # push the pattern server-side when it only uses ES wildcards:
+        # GET /* on a big cluster ships every index's full mappings just
+        # to produce a name list. fnmatch metacharacters ES doesn't
+        # speak ('?', '[...]') keep the fetch-all + client-filter path.
+        if not any(ch in pattern for ch in "?["):
+            return sorted(c["name"] for c in self.get_indices(pattern))
         return sorted(
             fnmatch.filter((c["name"] for c in self.get_indices("*")), pattern)
         )
@@ -828,9 +843,12 @@ def bulk_delete(
                 r = next(iter(item.values()), None) or {}
                 if _item_rejected(r.get("error")):
                     retry_lines.append(line)
-                elif r.get("result") == "deleted":
+                # ES >= 5 reports 'result': deleted/not_found; ES 1.x-4.x
+                # reports 'found': true/false with no 'result' key — both
+                # shapes are successes, not item failures
+                elif r.get("result") == "deleted" or r.get("found") is True:
                     deleted += 1
-                elif r.get("result") != "not_found":
+                elif r.get("result") != "not_found" and r.get("found") is not False:
                     bad.append(r)
             if bad:
                 raise RuntimeError(f"bulk delete item failures: {bad[:3]}")

@@ -19,13 +19,37 @@ TABLES = [
 ]
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Probe the parquet footer for a TIMESTAMP(NANOS) ts column —
+    driver-side, one footer, no Spark job."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    )
+    if not files:
+        return False
+    try:
+        return str(pq.read_schema(files[0]).field("ts").type) == "timestamp[ns]"
+    except Exception:
+        return False  # unreadable/odd schema: let the Spark read report it
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and floor-convert to micros
-        # — exactly DuckDB's TIMESTAMP_NS → TIMESTAMP truncation.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # events.ts HAS shipped as parquet TIMESTAMP(NANOS), which
+        # Spark's vectorized reader rejects; read nanos as long and
+        # floor-convert to micros — exactly DuckDB's TIMESTAMP_NS →
+        # TIMESTAMP truncation. The legacy flag is SESSION-GLOBAL and
+        # makes every later nanos parquet silently read as bigint, so
+        # only set it when this file's footer actually carries nanos
+        # (micros-era data never mutates the session).
+        path = os.path.join(sf_dir, "events.parquet")
+        if _events_ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
         if dict(df.dtypes).get("ts") == "bigint":

@@ -339,10 +339,18 @@ class FakeES:
                             continue
                         key = (meta["_index"], meta.get("_type"), str(meta["_id"]))
                         found = self.docs.pop(key, None) is not None
-                        items.append({"delete": {
-                            "status": 200 if found else 404,
-                            "result": "deleted" if found else "not_found",
-                        }})
+                        if self.major < 5:
+                            # ES 1.x-4.x delete items carry found:
+                            # true/false and NO 'result' key
+                            items.append({"delete": {
+                                "status": 200 if found else 404,
+                                "found": found,
+                            }})
+                        else:
+                            items.append({"delete": {
+                                "status": 200 if found else 404,
+                                "result": "deleted" if found else "not_found",
+                            }})
                         i += 1
                         continue
                     meta = action["update"]

@@ -234,3 +234,55 @@ def test_bad_persisted_registry_entry_does_not_wedge_load(tmp_path):
     m2.remove("broken")
     m3 = Mutators(reg_dir)
     assert not m3.load_errors
+
+
+# --------------------------------------------- parse-time ref validation
+
+
+def test_action_ref_object_without_id_is_a_400(spark, tmp_path, store_factory):
+    """A dict mutator ref missing 'id' must be a ValueError (→ API 400),
+    not a KeyError 500 — consistent with the string-spec path."""
+    from chillastic_spark.model import ActionRef
+
+    with pytest.raises(ValueError, match="must carry an 'id'"):
+        ActionRef.parse({"namespace": "ns"})
+    with pytest.raises(ValueError, match="string or object"):
+        ActionRef.parse(42)
+
+    src = store_factory("src", {"myindex1": docs_f1(2)})
+    dst = store_factory("dst")
+    eng = Engine(spark, str(tmp_path / "state"))
+    app = create_app(eng)
+    app.config["TESTING"] = True
+    r = app.test_client().post(
+        "/tasks/t1",
+        json={
+            "source": src.root,
+            "destination": dst.root,
+            "transfer": {"documents": {"fromIndices": "myindex*"}},
+            "mutators": [{"namespace": "ns"}],
+        },
+    )
+    assert r.status_code == 400
+
+
+# --------------------------------------------- session-conf hygiene
+
+
+def test_micros_events_load_does_not_set_global_nanos_flag(spark):
+    """tables.load('events') must only set the session-global
+    nanosAsLong legacy flag when the footer actually carries
+    TIMESTAMP(NANOS) — for micros-era data the session stays untouched
+    (the flag silently turns every later nanos parquet read into
+    bigint)."""
+    import os
+
+    from chillastic_spark.tables import _events_ts_is_nanos, load
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    df = load(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    is_nanos = _events_ts_is_nanos(os.path.join(sf_dir, "events.parquet"))
+    assert (spark.conf.get(key, None) == "true") == is_nanos

@@ -354,3 +354,70 @@ def test_bulk_upsert_partial_rejection_resends_only_rejected_item():
         assert len(metas) == 1 and metas[0]["update"]["_id"] == "d1"
     finally:
         es.stop()
+
+
+def test_bulk_delete_pre5_found_shape():
+    """ES 1.x-4.x delete items report found: true/false with no
+    'result' key — both are successes, not item failures (a 2.x purge
+    used to classify every successful delete as a hard failure)."""
+    es = FakeES(version="2.4.6")
+    url = es.start()
+    try:
+        es.seed("ix", "t1", {f"d{i}": {"v": i} for i in range(3)})
+        n = es_rest.bulk_delete(url, "ix", [("t1", "d0"), ("t1", "d1")])
+        assert n == 2
+        assert len(es.contents("ix")) == 1
+        # idempotent re-run: found=false items count 0, no raise
+        assert es_rest.bulk_delete(url, "ix", [("t1", "d0")]) == 0
+    finally:
+        es.stop()
+
+
+def test_doc_to_bulk_tolerates_missing_type_and_source():
+    """A mutator may return a rebuilt doc without _type (typeless ES 7+
+    target) or without a body — JSON.stringify drops undefined in the
+    reference's docToBulk, so neither may crash the transfer."""
+    from chillastic_spark.sources.es_rest import doc_to_bulk
+
+    action, body = doc_to_bulk({"_index": "ix", "_id": "d1"})
+    assert "_type" not in json.loads(action)["update"]
+    assert json.loads(body) == {"doc": {}, "doc_as_upsert": True}
+
+
+def test_deliver_rows_null_source_upserts_empty_doc():
+    """The envelope schema allows NULL _source (a _source-disabled
+    index scans to hits with no body): delivery must upsert an empty
+    doc, not TypeError in the executor."""
+    from chillastic_spark.sources.es_rest import _deliver_rows
+
+    es = FakeES()
+    url = es.start()
+    try:
+        n = _deliver_rows(
+            [
+                {"_index": "ix", "_type": "t1", "_id": "d0", "_source": None},
+                {"_index": "ix", "_type": "t1", "_id": "d1",
+                 "_source": json.dumps({"v": 1})},
+            ],
+            es_rest.as_wire(url),
+        )
+        assert n == 2
+        assert len(es.contents("ix")) == 2
+    finally:
+        es.stop()
+
+
+def test_list_data_indices_pushes_es_safe_patterns_server_side():
+    es = FakeES()
+    url = es.start()
+    try:
+        es.seed("alpha1", "t1", {"d0": {}})
+        es.seed("alpha2", "t1", {"d0": {}})
+        es.seed("beta1", "t1", {"d0": {}})
+        store = ESStore(url)
+        assert store.list_data_indices("alpha*") == ["alpha1", "alpha2"]
+        # fnmatch metacharacters ES doesn't speak still work
+        assert store.list_data_indices("alpha?") == ["alpha1", "alpha2"]
+        assert store.list_data_indices("[ab]*1") == ["alpha1", "beta1"]
+    finally:
+        es.stop()

@@ -4,7 +4,7 @@ import json
 from pyspark.sql import functions as F
 
 from chillastic_spark.operators.chunking import chunk_documents
-from chillastic_spark.operators.mutate import apply_data_mutators
+from chillastic_spark.operators.mutate import QUARANTINE_INDEX, apply_data_mutators
 from chillastic_spark.sources import ENVELOPE_SCHEMA
 
 
@@ -33,7 +33,7 @@ def test_quarantine_routes_bad_docs(spark):
         by_index.setdefault(r["_index"], []).append(r)
     assert len(by_index["i1"]) == 3  # good docs mutated
     assert {json.loads(r["_source"])["v"] for r in by_index["i1"]} == {0, 10, 30}
-    q = by_index["_quarantine"]
+    q = by_index[QUARANTINE_INDEX]
     assert len(q) == 1
     payload = json.loads(q[0]["_source"])
     assert "bad doc" in payload["error"]
@@ -110,7 +110,36 @@ def test_quarantine_absorbs_malformed_source_json(spark):
     for r in out:
         by_index.setdefault(r["_index"], []).append(r)
     assert len(by_index["i1"]) == 1
-    q = by_index["_quarantine"]
+    q = by_index[QUARANTINE_INDEX]
     assert len(q) == 1
     payload = json.loads(q[0]["_source"])
     assert payload["original_source"].startswith('{"v": 1, TRUNCATED')
+
+
+def test_quarantined_rows_deliver_to_an_es_destination(spark):
+    """The quarantine index name must be valid on an ES destination
+    (names with a leading underscore are rejected) — the side-channel
+    must never be the thing that kills the bulk delivery."""
+    from chillastic_spark.sources.es_rest import bulk_upsert
+    from es_fixture import FakeES
+
+    def boom(d, a):
+        if d["_source"]["v"] == 1:
+            raise ValueError("poison")
+        return d
+
+    out = apply_data_mutators(
+        _docs(spark, 3), [Mut(lambda d, a: True, boom)], quarantine=True
+    )
+    assert not QUARANTINE_INDEX.startswith(("_", "-", "+"))
+    assert QUARANTINE_INDEX == QUARANTINE_INDEX.lower()
+    es = FakeES()
+    url = es.start()
+    try:
+        delivered = bulk_upsert(out, url)
+        assert delivered == 3
+        assert len(es.contents("i1")) == 2
+        quarantined = es.contents(QUARANTINE_INDEX)
+        assert len(quarantined) == 1
+    finally:
+        es.stop()
