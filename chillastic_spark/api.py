@@ -383,6 +383,13 @@ def create_app(
         def list_objs():
             return jsonify(registry.list())
 
+        @app.get(f"/{name}/_errors", endpoint=f"errors_{name}")
+        def load_errors():
+            # persisted sources that failed to load at startup (corrupt
+            # file, malformed key, no-longer-compiling code) — the
+            # operator-facing surface for finding and DELETEing them
+            return jsonify(registry.load_errors)
+
     registry_routes("mutators", engine.mutators)
     registry_routes("filters", engine.filters)
     return app

@@ -71,18 +71,58 @@ def seeded_hash60(col: Column | str, seed: int) -> Column:
 
 
 def fingerprint(col: Column | str) -> Column:
-    """Document fingerprint: md5 of whitespace-normalised lowercase text."""
+    """Document fingerprint: md5 of whitespace-normalised lowercase text.
+
+    Collapse-THEN-trim: every whitespace run becomes one space first, so
+    the final trim (space-only in both engines) removes edge whitespace
+    of any kind. Trim-then-collapse would keep a trailing newline as a
+    trailing space — two documents identical up to a terminal newline
+    (the most common near-identical pair in scraped corpora) would get
+    different fingerprints. DuckDB twin: :func:`fingerprint_sql`.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def fingerprint_sql(expr: str = "text") -> str:
+    """DuckDB twin of :func:`fingerprint` — same collapse-then-trim."""
+    return f"md5(trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g')))"
 
 
 # ---------------------------------------------------------------- text
 
+# The whitespace set trimmed from text edges before tokenisation —
+# exactly Java regex \s ([ \t\n\x0B\f\r]), so the trim agrees with the
+# \s+ SPLIT that follows. Spark's bare trim() removes only ASCII space
+# 0x20, so a trailing '\n' or '\t' would survive into split() and
+# yield a phantom '' edge token — and nearly every scraped document is
+# newline-terminated. A char-set trim (btrim / DuckDB trim(x, chars))
+# is one cheap char scan per edge and is engine-identical, unlike a
+# '\s'-regex trim (RE2's \s excludes \x0B where Java's includes it).
+WS_CHARS = " \t\n\x0b\f\r"
+# escape-free DuckDB spelling of the same set
+WS_CHARS_SQL = "(' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))"
+
 
 def words(col: Column | str) -> Column:
-    """Whitespace tokenisation (trimmed)."""
+    """Whitespace tokenisation, ALL edge whitespace stripped.
+
+    Convention: '' and whitespace-only text still tokenise to ['']
+    (split's unavoidable shape — one empty token); operators that count
+    or hash tokens must filter ``tok != ''`` for the empty-doc case.
+    Interior '' tokens cannot occur (\\s+ consumes whole runs).
+    DuckDB twin: :func:`words_sql`.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.btrim(c, F.lit(WS_CHARS)), r"\s+")
+
+
+def words_sql(expr: str = "text") -> str:
+    """DuckDB twin of :func:`words` — verified token-identical on edge
+    whitespace, empty, and whitespace-only text."""
+    return (
+        f"regexp_split_to_array(trim({expr}, {WS_CHARS_SQL}), '\\s+')"
+    )
 
 
 def ngrams_of_words(w: Column, n: int) -> Column:

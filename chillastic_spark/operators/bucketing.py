@@ -28,13 +28,16 @@ def write_bucketed(
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    # managed-table location: a qualified name 'db.t' lives under
-    # <warehouse>/db.db/t — joining the raw dotted name would clean
-    # the wrong path and leave the stale dir this guard exists for
+    # managed-table location: <database location>/<table>. Resolve the
+    # database through the catalog — an unqualified name belongs to the
+    # CURRENT database (not necessarily 'default'), and a database's
+    # directory can live anywhere; guessing '<warehouse>/<table>' would
+    # clean the wrong path and leave the stale dir this guard exists
+    # for exactly when a non-default database is in use.
     parts = table.lower().split(".")
-    rel = os.path.join(f"{parts[-2]}.db", parts[-1]) if len(parts) > 1 else parts[-1]
-    location = os.path.join(warehouse.removeprefix("file:"), rel)
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+    db_loc = spark.catalog.getDatabase(db).locationUri
+    location = os.path.join(db_loc.removeprefix("file:"), parts[-1])
     if os.path.isdir(location):
         shutil.rmtree(location)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)

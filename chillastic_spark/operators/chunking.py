@@ -13,13 +13,28 @@ from pyspark.sql import functions as F
 from chillastic_spark import functions as CF
 
 
+def _check_window(size: int, stride: int) -> None:
+    """stride must be in [1, size]: stride > size would SKIP tokens
+    (breaking the every-token-covered contract) and emit a final
+    window starting past the array end — empty chunk_text with a
+    NEGATIVE n_chunk_tokens corrupting downstream token accounting."""
+    if not (1 <= stride <= size):
+        raise ValueError(
+            f"chunking requires 1 <= stride <= size, got size={size} "
+            f"stride={stride}"
+        )
+
+
 def chunk_expr(w: Column, size: int, stride: int) -> Column:
     """Array of space-joined token windows [i·stride, i·stride+size) —
     every token appears in ≥1 chunk; last window may be short.
 
     n_chunks = 1 + ceil(max(n_tokens - size, 0) / stride), expressed as
-    floor((n - size + stride - 1) / stride) + 1 clamped at ≥ 1.
+    floor((n - size + stride - 1) / stride) + 1 clamped at ≥ 1. With
+    stride <= size (enforced) the last window start is always < n, so
+    no window is empty and n - i·stride >= 1 for every emitted i.
     """
+    _check_window(size, stride)
     n = F.size(w)
     n_chunks = F.greatest(
         F.floor((n - size + stride - 1) / stride).cast("int") + 1, F.lit(1)
@@ -82,6 +97,7 @@ def chunk_text_udtf(size: int = 50, stride: int = 40):
     from pyspark.sql.functions import udtf
 
     win, step = int(size), int(stride)
+    _check_window(win, step)
 
     class _ChunkText:
         def eval(self, text: str):
@@ -89,12 +105,14 @@ def chunk_text_udtf(size: int = 50, stride: int = 40):
                 return
             import re as _re
 
-            # regex split, NOT str.split(): functions.words() (and the
-            # SQL oracles) split '' to [''] — one empty token — so the
-            # documented-equivalent expression/UDTF pair must agree on
-            # empty/whitespace-only docs (str.split would yield 0
-            # tokens where chunk_documents reports 1)
-            toks = _re.split(r"\s+", text.strip())
+            # Tokenisation must agree with functions.words() exactly:
+            # regex split, NOT str.split() — words() splits '' to ['']
+            # (one empty token), so the expression/UDTF pair must agree
+            # on empty/whitespace-only docs. The explicit char class is
+            # Java's \s ([ \t\n\x0B\f\r]); Python's \s and str.strip()
+            # are Unicode-aware and would diverge on e.g. \xa0.
+            _ws = " \t\n\x0b\f\r"
+            toks = _re.split(f"[{_ws}]+", text.strip(_ws))
             n = max(len(toks), 1)
             n_chunks = max((n - win + step - 1) // step + 1, 1)
             for i in range(n_chunks):

@@ -132,7 +132,7 @@ WITH toks AS (
   SELECT doc_id{ex_sel}, tgt,
          ('0x' || substr(md5(tok), 1, 15))::BIGINT % {buckets} AS bkt
   FROM (SELECT doc_id{ex_sel}, ({target_sql}) AS tgt,
-               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+               unnest(regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')) AS tok
         FROM {table})
   WHERE tok != ''
 ), counts AS (
@@ -166,10 +166,16 @@ def unigram_counts(
     buckets: int = DEFAULT_BUCKETS,
 ) -> DataFrame:
     """(group, bkt, ct): hashed-unigram bucket counts per group — the
-    sufficient statistic both KL sides are built from."""
-    toks = df.select(
-        group_col, F.explode(CF.words(text_col)).alias("tok")
-    ).select(group_col, (CF.hash60("tok") % buckets).alias("bkt"))
+    sufficient statistic both KL sides are built from. '' is not a
+    token and must not contribute a model count (the dsir_weights
+    convention): an empty/whitespace-only doc tokenises to [''] and
+    would otherwise inject counts into the hash('') bucket, skewing
+    drift scores by how many empty docs a source ships."""
+    toks = (
+        df.select(group_col, F.explode(CF.words(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(group_col, (CF.hash60("tok") % buckets).alias("bkt"))
+    )
     return toks.groupBy(group_col, "bkt").agg(F.count(F.lit(1)).alias("ct"))
 
 

@@ -150,7 +150,7 @@ def curate(
         # per gram — O(words²) per doc (functions.ngrams_of_words's own
         # documented caveat)
         gated = (
-            gated.withColumn("__w", F.split(F.trim(F.col(text_col)), r"\s+"))
+            gated.withColumn("__w", CF.words(F.col(text_col)))
             .withColumn(
                 "__dup_bi",
                 F.when(
@@ -205,7 +205,7 @@ def curate(
             return (
                 frame.select(
                     *ids,
-                    F.split(F.trim(F.col(text_col)), r"\s+").alias("__gw"),
+                    CF.words(F.col(text_col)).alias("__gw"),
                 )
                 .select(
                     *keep,

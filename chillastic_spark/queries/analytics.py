@@ -11,7 +11,7 @@ from chillastic_spark import functions as CF
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
 
-_W = r"regexp_split_to_array(trim(text), '\s+')"
+_W = r"regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')"
 
 
 # ------------------------------------------------------------------ TF-IDF
@@ -26,7 +26,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     stats = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = d.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+        "doc_id", F.explode(CF.words("text")).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # df from tf, not terms.distinct(): tf already holds one row per

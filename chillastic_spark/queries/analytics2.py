@@ -9,7 +9,7 @@ from chillastic_spark import functions as CF
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
 
-_W = r"regexp_split_to_array(trim(text), '\s+')"
+_W = r"regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')"
 
 
 def _dec(col: str, prec: int, scale: int):
@@ -128,7 +128,7 @@ def source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, term) granularity."""
     d = load(spark, sf_dir, "documents")
     vocab = d.select(
-        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+        "source", F.explode(CF.words("text")).alias("term")
     ).distinct()
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     a, b = vocab.alias("a"), vocab.alias("b")
@@ -153,7 +153,7 @@ def source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SOURCE_SIMILARITY_SQL = """
 WITH vocab AS (
-  SELECT DISTINCT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  SELECT DISTINCT source, unnest(regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')) AS term
   FROM documents
 ), sz AS (
   SELECT source, count(*) AS sz FROM vocab GROUP BY source

@@ -25,7 +25,7 @@ from chillastic_spark.queries.documents import TEXT_FEATURES_SQL
 from chillastic_spark.tables import load
 
 _H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
-_W = r"regexp_split_to_array(trim(text), '\s+')"
+_W = r"regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')"
 
 
 # ------------------------------------------------- stratified sampling

@@ -409,7 +409,7 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shares the gram CTE shape with DEDUP_NGRAM_SQL (queries/documents.py);
 # the scoring line is the only difference: common / min(|A|, |B|).
-_W = r"regexp_split_to_array(trim(text), '\s+')"
+_W = r"regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')"
 _GRAMS = (
     f"list_distinct(list_transform(range(1, greatest(len({_W}) - 2, 0) + 1), "
     f"i -> array_to_string(list_slice({_W}, i, i + 2), ' ')))"

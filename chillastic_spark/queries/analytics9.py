@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chillastic_spark import functions as CF
+
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
 
@@ -86,7 +88,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.select(
         "doc_id",
         "t",
-        F.split(F.trim("t"), r"\s+").alias("w"),
+        CF.words("t").alias("w"),
         F.split("t", "\n").alias("lines"),
     )
     d = d.select(
@@ -135,7 +137,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("pass_gopher", gate)
 
 
-_GW = "regexp_split_to_array(trim(t), '\\s+')"
+_GW = "regexp_split_to_array(trim(t, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')"
 
 GOPHER_SQL = f"""
 WITH base AS (

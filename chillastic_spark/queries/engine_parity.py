@@ -493,13 +493,13 @@ def snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SNAPSHOT_RECONCILE_SQL = """
 WITH src AS (
   SELECT doc_id, source,
-         md5(regexp_replace(trim(lower(
+         md5(trim(regexp_replace(lower(
            CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END
-         )), '\\s+', ' ', 'g')) AS fp
+         ), '\\s+', ' ', 'g'))) AS fp
   FROM documents WHERE doc_id % 4 != 0),
 dst AS (
   SELECT doc_id, source,
-         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
   FROM documents WHERE doc_id % 3 != 0),
 j AS (
   SELECT coalesce(s.source, d.source) AS source,

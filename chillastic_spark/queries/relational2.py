@@ -309,7 +309,7 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency, top 20 — the canonical explode+count with
     deterministic tie-break."""
     d = load(spark, sf_dir, "documents")
-    w = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    w = d.select(F.explode(CF.words("text")).alias("term"))
     return (
         w.groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -320,7 +320,7 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_TERMS_SQL = """
 SELECT term, count(*) AS freq FROM (
-  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents)
+  SELECT unnest(regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')) AS term FROM documents)
 GROUP BY term ORDER BY freq DESC, term LIMIT 20
 """
 

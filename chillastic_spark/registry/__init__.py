@@ -222,9 +222,14 @@ class _Registry:
         self._entries: dict[tuple[str, str], Any] = {}
         self._sources: dict[tuple[str, str], str] = {}
         # "ns/id" -> error for persisted sources that failed to compile
-        # at load (see _load); surfaced so operators can find and
-        # remove them instead of the whole registry refusing to start
+        # at load (see _load); surfaced via GET /{name}/_errors so
+        # operators can find and remove them instead of the whole
+        # registry refusing to start. remove()/remove_namespace() clear
+        # matching entries.
         self.load_errors: dict[str, str] = {}
+        # sources under malformed keys (no 'ns/' prefix) — carried
+        # through saves verbatim so hand-edit damage never loses code
+        self._orphan_sources: dict[str, str] = {}
         self._state_dir = state_dir
         # serializes mutation+save: Flask serves threaded, and two
         # concurrent registrations writing the SAME fixed .tmp path
@@ -239,28 +244,53 @@ class _Registry:
         return os.path.join(self._state_dir, f"{self.name}.json")
 
     def _load(self) -> None:
-        if self._state_dir and os.path.exists(self._path()):
+        if not (self._state_dir and os.path.exists(self._path())):
+            return
+        try:
             with open(self._path()) as f:
-                for k, src in json.load(f).items():
-                    ns_, id_ = k.split("/", 1)
-                    try:
-                        self._entries[(ns_, id_)] = self.entry_cls(_as_namespace(src))
-                        self._sources[(ns_, id_)] = src
-                    except Exception as e:
-                        # a persisted source that no longer compiles (a
-                        # grown forbidden-name list after an upgrade, a
-                        # hand-edited file) must not wedge Engine
-                        # construction — keep the SOURCE so a later save
-                        # doesn't drop it and the removal API can still
-                        # delete it; the entry just isn't loadable
-                        self._sources[(ns_, id_)] = src
-                        self.load_errors[f"{ns_}/{id_}"] = str(e)
+                data = json.load(f)
+            if not isinstance(data, dict):
+                raise ValueError(f"expected a JSON object, got {type(data).__name__}")
+        except Exception as e:
+            # corrupt/truncated JSON must not wedge Engine construction
+            # — but silently starting empty would let the next save
+            # OVERWRITE the damaged file and lose every source. Park the
+            # bytes aside, surface the error, start empty.
+            quarantined = f"{self._path()}.corrupt-{uuid.uuid4().hex[:8]}"
+            try:
+                os.replace(self._path(), quarantined)
+            except OSError:
+                quarantined = "(could not quarantine file)"
+            self.load_errors["__file__"] = f"{e} — original moved to {quarantined}"
+            return
+        for k, src in data.items():
+            try:
+                ns_, id_ = k.split("/", 1)
+            except ValueError:
+                # hand-edit damage: a key with no namespace. Preserve the
+                # source verbatim (re-emitted by _save) and surface it.
+                self._orphan_sources[k] = src
+                self.load_errors[k] = "malformed key (expected 'namespace/id')"
+                continue
+            try:
+                self._entries[(ns_, id_)] = self.entry_cls(_as_namespace(src))
+                self._sources[(ns_, id_)] = src
+            except Exception as e:
+                # a persisted source that no longer compiles (a
+                # grown forbidden-name list after an upgrade, a
+                # hand-edited file) must not wedge Engine
+                # construction — keep the SOURCE so a later save
+                # doesn't drop it and the removal API can still
+                # delete it; the entry just isn't loadable
+                self._sources[(ns_, id_)] = src
+                self.load_errors[f"{ns_}/{id_}"] = str(e)
 
     def _save_unlocked(self) -> None:
         """Callers hold self._mutex (threading.Lock is not reentrant)."""
         if self._state_dir:
             data = {
-                f"{ns}/{id_}": s for (ns, id_), s in self._sources.items()
+                **self._orphan_sources,
+                **{f"{ns}/{id_}": s for (ns, id_), s in self._sources.items()},
             }
             tmp = f"{self._path()}.{uuid.uuid4().hex[:8]}.tmp"
             with open(tmp, "w") as f:
@@ -301,14 +331,24 @@ class _Registry:
     def remove(self, id: str, namespace: str = DEFAULT_NAMESPACE) -> None:
         with self._mutex:
             self._entries.pop((namespace, id), None)
-            if self._sources.pop((namespace, id), None) is not None:
+            self.load_errors.pop(f"{namespace}/{id}", None)
+            removed_orphan = self._orphan_sources.pop(id, None) is not None
+            if removed_orphan:
+                self.load_errors.pop(id, None)
+            if self._sources.pop((namespace, id), None) is not None or removed_orphan:
                 self._save_unlocked()
 
     def remove_namespace(self, namespace: str) -> None:
         with self._mutex:
-            for key in [k for k in self._entries if k[0] == namespace]:
-                self._entries.pop(key)
+            # include quarantined load-failures: they may have a source
+            # but no compiled entry
+            keys = {k for k in self._entries if k[0] == namespace} | {
+                k for k in self._sources if k[0] == namespace
+            }
+            for key in keys:
+                self._entries.pop(key, None)
                 self._sources.pop(key, None)
+                self.load_errors.pop(f"{key[0]}/{key[1]}", None)
             self._save_unlocked()
 
     def list(self, namespace: Optional[str] = None) -> list[str]:

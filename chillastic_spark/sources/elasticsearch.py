@@ -104,7 +104,14 @@ def es_options(
         opts["es.net.http.header.Authorization"] = auth_token
     if path_prefix:
         opts["es.nodes.path.prefix"] = path_prefix
-    if min_size >= 0 and max_size >= 0:
+    # Same falsy-defaulting quirk as scan_request (subtask.js:59-60):
+    # a falsy maxSize (0/None) means "no upper bound" and DISABLES the
+    # range body entirely — pushing {"lt": 0} instead would silently
+    # scan zero documents for a config the reference treats as
+    # unbounded.
+    final_min = min_size or 0
+    final_max = max_size or -1
+    if final_min >= 0 and final_max >= 0:
         # subtask range predicate pushed into the ES query DSL — the
         # SAME body scan_request builds, serialized compactly the way
         # JSON.stringify does, so the wire bytes match the reference's

@@ -40,9 +40,18 @@ def read_jsonl(
 
     Returns ``(good, quarantine)``: rows that parsed cleanly (schema
     columns only) and raw corrupt lines (``_corrupt_record`` string
-    column). Spark requires the corrupt-record column to be part of the
-    schema for PERMISSIVE capture, and a cache-or-materialize before
-    filtering on it — handled here.
+    column).
+
+    Scale contract: NOTHING corpus-sized is ever cached. ``good``
+    reads straight from the source (a query that projects real fields
+    alongside the corrupt predicate is allowed by SPARK-21610); the
+    quarantine side caches only the corrupt ROWS — Spark disallows a
+    scan whose referenced columns are *only* the corrupt column, and
+    the cache barrier below both satisfies that rule and bounds the
+    materialised data by corrupt volume, not corpus volume. Using it
+    costs a second source scan — the right trade at 100 TB, where the
+    old whole-input cache() filled executor disks to serve a column
+    most callers never read.
     """
     base = _as_schema(schema)
     if CORRUPT_COL in base.fieldNames():
@@ -57,11 +66,19 @@ def read_jsonl(
         .option("multiLine", "true" if multiline else "false")
         .json(path)
     )
-    # Spark disallows filtering on the corrupt column straight off the
-    # reader (SPARK-21610); a localCheckpoint-free cache is enough.
-    df = df.cache()
+    return _split_corrupt(df, base)
+
+
+def _split_corrupt(
+    df: DataFrame, base: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) off a PERMISSIVE reader — see read_jsonl for
+    the SPARK-21610 / bounded-cache reasoning."""
     good = df.filter(F.col(CORRUPT_COL).isNull()).select(*base.fieldNames())
-    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    # cache point carries the full schema so the underlying scan stays
+    # legal; only corrupt rows are materialised (lazily, first use)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).cache()
+    quarantine = bad.select(CORRUPT_COL)
     return good, quarantine
 
 
@@ -105,7 +122,4 @@ def read_csv(
         .option("delimiter", delimiter)
         .csv(path)
     )
-    df = df.cache()
-    good = df.filter(F.col(CORRUPT_COL).isNull()).select(*base.fieldNames())
-    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-    return good, quarantine
+    return _split_corrupt(df, base)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from chillastic_spark import functions as CF
 from chillastic_spark.operators.mutate import apply_data_mutators
 from chillastic_spark.persist import batch_scope, persist_mode, release
 from chillastic_spark.sinks import upsert
@@ -193,7 +194,6 @@ def deduplicated_ingest(
     ``dropDuplicatesWithinWatermark`` so state stays bounded by event
     time instead of growing with distinct keys.
     """
-    from chillastic_spark import functions as CF
 
     stream = (
         spark.readStream.schema(ENVELOPE_SCHEMA)
@@ -497,7 +497,7 @@ def percolate_stream(
     # count==qsize agg) keyed state on every (doc, term) ever seen and
     # grew without bound on a continuous stream, for a dedup only ever
     # needed inside one row.
-    doc_terms = F.array_distinct(F.split(F.trim("text"), r"\s+"))
+    doc_terms = F.array_distinct(CF.words("text"))
     # a zero-term query NEVER matches (the batch percolate contract:
     # its postings join produces no group) — without the filter the
     # vacuous subset test would alert on every document
@@ -647,7 +647,6 @@ def _lm_score_batch(
     frozen hashed-bigram LM count tables — the scoring shared by
     lm_filter_stream and curation_stream (ONE definition so the
     composed pipeline can never fork from the standalone filter)."""
-    from chillastic_spark import functions as CF
     from chillastic_spark.operators import lm
 
     g = lm._bigram_stream(batch_df, "doc_id", "text", b)
@@ -958,7 +957,7 @@ def heavy_hitters_stream(
         .parquet(docs_stream_dir)
     )
     toks = stream.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+        F.explode(CF.words(F.col(text_col))).alias("token")
     ).filter(
         # same empty-token filter as the batch twin: split('') -> ['']
         # would crown '' a heavy hitter on an empty-doc-rich stream

@@ -47,12 +47,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # only set it when this file's footer actually carries nanos
         # (micros-era data never mutates the session).
         path = os.path.join(sf_dir, "events.parquet")
-        if _events_ts_is_nanos(path):
+        is_nanos = _events_ts_is_nanos(path)
+        if is_nanos:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        # div 1000 ONLY when the footer proved nanos: a bigint ts can
+        # also mean the file genuinely stores int64 (e.g. epoch-micros
+        # staged by a producer) — guessing nanos there would shrink
+        # every timestamp 1000x with no error
+        if is_nanos and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

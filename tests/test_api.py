@@ -273,7 +273,10 @@ def test_malformed_task_bodies_are_400s(client):
     c, _src, _dst = client
     r = c.post("/tasks/bad1", json={"mutators": [{}]})
     assert r.status_code == 400, r.data
-    assert "malformed" in r.get_json()["error"]
+    # the error must say WHAT was wrong (either the generic task-body
+    # wrapper or the specific parse-time ActionRef message)
+    err = r.get_json()["error"]
+    assert "malformed" in err or "action ref" in err, err
     r = c.post("/tasks/bad2", json={"transfer": {"indices": None}})
     assert r.status_code == 400, r.data
 
