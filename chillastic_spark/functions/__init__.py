@@ -81,19 +81,19 @@ def fingerprint(col: Column | str) -> Column:
     different fingerprints. DuckDB twin: :func:`fingerprint_sql`.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"[ \t\n\x0b\f\r]+", " ")))
 
 
 def fingerprint_sql(expr: str = "text") -> str:
     """DuckDB twin of :func:`fingerprint` — same collapse-then-trim."""
-    return f"md5(trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g')))"
+    return f"md5(trim(regexp_replace(lower({expr}), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))"
 
 
 # ---------------------------------------------------------------- text
 
 # The whitespace set trimmed from text edges before tokenisation —
 # exactly Java regex \s ([ \t\n\x0B\f\r]), so the trim agrees with the
-# \s+ SPLIT that follows. Spark's bare trim() removes only ASCII space
+# [ \t\n\x0b\f\r]+ SPLIT that follows. Spark's bare trim() removes only ASCII space
 # 0x20, so a trailing '\n' or '\t' would survive into split() and
 # yield a phantom '' edge token — and nearly every scraped document is
 # newline-terminated. A char-set trim (btrim / DuckDB trim(x, chars))
@@ -110,18 +110,18 @@ def words(col: Column | str) -> Column:
     Convention: '' and whitespace-only text still tokenise to ['']
     (split's unavoidable shape — one empty token); operators that count
     or hash tokens must filter ``tok != ''`` for the empty-doc case.
-    Interior '' tokens cannot occur (\\s+ consumes whole runs).
+    Interior '' tokens cannot occur ([ \\t\\n\\x0b\\f\\r]+ consumes whole runs).
     DuckDB twin: :func:`words_sql`.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.btrim(c, F.lit(WS_CHARS)), r"\s+")
+    return F.split(F.btrim(c, F.lit(WS_CHARS)), r"[ \t\n\x0b\f\r]+")
 
 
 def words_sql(expr: str = "text") -> str:
     """DuckDB twin of :func:`words` — verified token-identical on edge
     whitespace, empty, and whitespace-only text."""
     return (
-        f"regexp_split_to_array(trim({expr}, {WS_CHARS_SQL}), '\\s+')"
+        f"regexp_split_to_array(trim({expr}, {WS_CHARS_SQL}), '[ \\t\\n\\x0b\\f\\r]+')"
     )
 
 
@@ -148,6 +148,53 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     """
     w = words(col)
     return ngrams_of_words(w, n)
+
+
+# ----------------------------------------- interpolated percentile cell
+
+# THE one definition of the percentile_cont interpolation used by every
+# exact-percentile query/operator (value_percentiles, winsorized stats,
+# centroid_outliers, quality gates). Built from explicit rank arithmetic
+# instead of the engine's percentile_cont so the identical IEEE
+# expression runs in both engines: pos = 1 + p·(n−1);
+# result = v⌊pos⌋·(1−frac) + v⌈pos⌉·frac. Callers provide rank/count
+# columns from their own window (rn ordered ascending by the value with
+# an id tie-break, n = partition count), SUM the cell per group (≤2
+# non-zero summands — float addition order cannot diverge), and apply
+# their own rounding. A caller-local copy of this arithmetic WILL drift
+# when the interpolation is ever fixed — never restate it.
+
+
+def pct_cell(value: Column, rn: Column, n: Column, p: float) -> Column:
+    """One interpolated-percentile summand; sum per group = percentile."""
+    pos = F.lit(1.0) + F.lit(p) * (n - F.lit(1))
+    lo, hi, frac = F.floor(pos), F.ceil(pos), pos - F.floor(pos)
+    return F.when(rn == lo, value * (F.lit(1.0) - frac)).otherwise(
+        F.lit(0.0)
+    ) + F.when(rn == hi, value * frac).otherwise(F.lit(0.0))
+
+
+def pct_keep(rn: Column, n: Column, p: float) -> Column:
+    """Predicate selecting the ≤2 rows :func:`pct_cell` can score —
+    OR these per requested percentile to pre-filter before the agg."""
+    pos = F.lit(1.0) + F.lit(p) * (n - F.lit(1))
+    return (rn == F.floor(pos)) | (rn == F.ceil(pos))
+
+
+def pct_cell_sql(value: str, p: float) -> str:
+    """DuckDB twin of :func:`pct_cell` over columns ``rn`` and ``n``."""
+    pos = f"(1.0 + {p} * (n - 1))"
+    frac = f"({pos} - floor({pos}))"
+    return (
+        f"(CASE WHEN rn = floor({pos}) THEN {value} * (1.0 - {frac}) ELSE 0.0 END"
+        f" + CASE WHEN rn = ceil({pos}) THEN {value} * {frac} ELSE 0.0 END)"
+    )
+
+
+def pct_keep_sql(p: float) -> str:
+    """DuckDB twin of :func:`pct_keep` over columns ``rn`` and ``n``."""
+    pos = f"(1.0 + {p} * (n - 1))"
+    return f"(rn = floor({pos}) OR rn = ceil({pos}))"
 
 
 # ------------------------------------------------------------- vectors

@@ -132,7 +132,7 @@ WITH toks AS (
   SELECT doc_id{ex_sel}, tgt,
          ('0x' || substr(md5(tok), 1, 15))::BIGINT % {buckets} AS bkt
   FROM (SELECT doc_id{ex_sel}, ({target_sql}) AS tgt,
-               unnest(regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')) AS tok
+               unnest({CF.words_sql('text')}) AS tok
         FROM {table})
   WHERE tok != ''
 ), counts AS (

@@ -160,7 +160,7 @@ def bigram_nll_sql(
 ) -> str:
     """DuckDB twin of hashed_bigram_nll — identical hash, smoothing,
     rounding, and DECIMAL summation."""
-    w = f"regexp_split_to_array(trim({text_col}, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')"
+    w = f"regexp_split_to_array(trim({text_col}, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '[ \\t\\n\\x0b\\f\\r]+')"
     h = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
     prev_h = h.format(e="p.prev")
     big_h = h.format(e="p.prev || ' ' || p.cur")
@@ -285,7 +285,7 @@ def linear_quality_sql(
     buckets: int = QC_BUCKETS,
     bias: float = 0.0,
 ) -> str:
-    w = f"regexp_split_to_array(trim({text_col}, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')"
+    w = f"regexp_split_to_array(trim({text_col}, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '[ \\t\\n\\x0b\\f\\r]+')"
     h = "('0x' || substr(md5(tok || '#qc'), 1, 15))::BIGINT"
     return f"""
 WITH toks AS (

@@ -788,13 +788,9 @@ def centroid_outliers(
     r = scored.withColumn("rn", F.row_number().over(wr)).withColumn(
         "n", F.count("*").over(wn)
     )
-    pos = F.lit(1.0) + F.lit(pct) * (F.col("n") - F.lit(1))
-    lo, hi, frac = F.floor(pos), F.ceil(pos), pos - F.floor(pos)
-    cell = F.when(F.col("rn") == lo, F.col("cos_c") * (F.lit(1.0) - frac)).otherwise(
-        F.lit(0.0)
-    ) + F.when(F.col("rn") == hi, F.col("cos_c") * frac).otherwise(F.lit(0.0))
+    cell = CF.pct_cell(F.col("cos_c"), F.col("rn"), F.col("n"), pct)
     cut = (
-        r.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        r.filter(CF.pct_keep(F.col("rn"), F.col("n"), pct))
         .groupBy(group_col)
         .agg(CF.round_det(F.sum(cell), 6).alias("cutoff"))
     )

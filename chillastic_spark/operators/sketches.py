@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from chillastic_spark import functions as CF
 
 # Sentinel token carrying a partition's total decrement (error mass).
-# It contains a SPACE: tokens come from splitting on \s+, so no corpus
+# It contains a SPACE: tokens come from splitting on [ \t\n\x0b\f\r]+, so no corpus
 # token can ever contain whitespace — the previous \x00-prefixed
 # sentinel was NOT collision-proof (NUL is not whitespace and survives
 # the split, so a binary-contaminated corpus could fold a real token's

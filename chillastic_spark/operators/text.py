@@ -46,8 +46,11 @@ def token_count(text: Column | str | None = None, w: Column | None = None) -> Co
 # GPT-2-style pre-tokenizer pattern, restricted to constructs with
 # identical leftmost-first semantics in Java regex (Spark) and RE2
 # (DuckDB) — verified token-for-token in tests. Contractions split off,
-# words/digits/punctuation runs carry their leading space.
-BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# words/digits/punctuation runs carry their leading space. Whitespace
+# is spelled as the explicit Java-\s char set: RE2's \s excludes \x0B,
+# so a bare \s here would let the oracle count a vertical tab as
+# punctuation where Spark skips it.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0b\f\r]+"
 
 
 def bpe_token_count(text: Column | str) -> Column:
@@ -86,7 +89,8 @@ def quality_score(text: Column | str, w: Column | None = None) -> Column:
     stop_ratio = stopword_hits("en", w=w) / n
     stop_score = F.lit(1.0) - F.greatest(stop_ratio - F.lit(0.5), F.lit(0.0)) * 2
     c = F.col(text) if isinstance(text, str) else text
-    mean_wl = F.length(F.regexp_replace(F.trim(c), r"\s+", "")) / n
+    # no trim: the global replace already deletes EVERY whitespace char
+    mean_wl = F.length(F.regexp_replace(c, r"[ \t\n\x0b\f\r]+", "")) / n
     wl_score = F.least(F.greatest((mean_wl - 2) / 6.0, F.lit(0.0)), F.lit(1.0))
     score = (
         0.4 * distinct_ratio + 0.3 * length_score + 0.2 * stop_score + 0.1 * wl_score

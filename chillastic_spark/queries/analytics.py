@@ -11,7 +11,7 @@ from chillastic_spark import functions as CF
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
 
-_W = r"regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')"
+_W = CF.words_sql("text")
 
 
 # ------------------------------------------------------------------ TF-IDF

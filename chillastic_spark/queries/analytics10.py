@@ -37,7 +37,7 @@ from chillastic_spark.queries.documents import _GRAMS
 from chillastic_spark.tables import load
 
 _H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
-_W_DOC = r"regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')"
+_W_DOC = CF.words_sql("text")
 
 # SQL twin of the pair → component pipeline (shared with the
 # dedup_clusters oracle): 3-gram Jaccard ≥ 0.5 pairs, then the
@@ -163,7 +163,7 @@ OVERLAP_SQL = f"""
 WITH s AS (
   SELECT DISTINCT
     md5(array_to_string(list_slice({_W_DOC}, 1, 8), ' ')) AS pfp,
-    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+    {CF.fingerprint_sql('text')} AS fp,
     source
   FROM documents)
 SELECT a.source AS source_a, b.source AS source_b,

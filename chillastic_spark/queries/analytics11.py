@@ -319,7 +319,7 @@ def _drift_sql(term_tpl: str, out_name: str) -> str:
     return f"""
 WITH toks AS (
   SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT % {b} AS bkt
-  FROM (SELECT source, unnest(regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')) AS tok
+  FROM (SELECT source, unnest({CF.words_sql('text')}) AS tok
         FROM documents)
   WHERE tok != ''
 ), sb AS (
@@ -418,7 +418,7 @@ def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DIVERSITY_SQL = f"""
 WITH w AS (
-  SELECT source, regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+') AS w FROM documents
+  SELECT source, {CF.words_sql('text')} AS w FROM documents
 ), t AS (
   SELECT source, count(*) AS n_tokens, count(DISTINCT tok) AS distinct_tokens
   FROM (SELECT source, unnest(w) AS tok FROM w) GROUP BY source
@@ -488,7 +488,7 @@ def source_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OOV_SQL = f"""
 WITH toks AS (
   SELECT source, tok, count(*) AS ct
-  FROM (SELECT source, unnest(regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')) AS tok
+  FROM (SELECT source, unnest({CF.words_sql('text')}) AS tok
         FROM documents)
   WHERE tok != ''
   GROUP BY 1, 2
@@ -571,7 +571,7 @@ def top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PMI_SQL = f"""
 WITH w AS (
-  SELECT regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+') AS w FROM documents
+  SELECT {CF.words_sql('text')} AS w FROM documents
 ), bi AS (
   SELECT w1, w2, count(*) AS n_ab
   FROM (SELECT unnest(list_slice(w, 1, len(w) - 1)) AS w1,

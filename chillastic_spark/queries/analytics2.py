@@ -9,7 +9,7 @@ from chillastic_spark import functions as CF
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
 
-_W = r"regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')"
+_W = CF.words_sql("text")
 
 
 def _dec(col: str, prec: int, scale: int):
@@ -151,9 +151,9 @@ def source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SOURCE_SIMILARITY_SQL = """
+SOURCE_SIMILARITY_SQL = f"""
 WITH vocab AS (
-  SELECT DISTINCT source, unnest(regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')) AS term
+  SELECT DISTINCT source, unnest({_W}) AS term
   FROM documents
 ), sz AS (
   SELECT source, count(*) AS sz FROM vocab GROUP BY source

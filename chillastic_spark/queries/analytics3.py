@@ -25,7 +25,7 @@ from chillastic_spark.queries.documents import TEXT_FEATURES_SQL
 from chillastic_spark.tables import load
 
 _H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
-_W = r"regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')"
+_W = CF.words_sql("text")
 
 
 # ------------------------------------------------- stratified sampling
@@ -174,7 +174,8 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_PAT_SQL = (
-    "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+    "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+|"
+    " ?[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]+"
 )
 
 BPE_TOKEN_SQL = f"""

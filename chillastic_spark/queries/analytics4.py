@@ -407,13 +407,9 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs_prefix(d, n=3, threshold=0.9)
 
 
-# Shares the gram CTE shape with DEDUP_NGRAM_SQL (queries/documents.py);
+# Shares the gram expression with DEDUP_NGRAM_SQL (queries/documents.py);
 # the scoring line is the only difference: common / min(|A|, |B|).
-_W = r"regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')"
-_GRAMS = (
-    f"list_distinct(list_transform(range(1, greatest(len({_W}) - 2, 0) + 1), "
-    f"i -> array_to_string(list_slice({_W}, i, i + 2), ' ')))"
-)
+from chillastic_spark.queries.documents import _GRAMS  # noqa: E402
 
 DEDUP_CONTAINMENT_SQL = f"""
 WITH g AS (

@@ -52,24 +52,14 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = F.lit(False)
     cells = []
     for name, p in _PCTS.items():
-        pos = F.lit(1.0) + F.lit(p) * (F.col("n") - F.lit(1))
-        lo, hi, frac = F.floor(pos), F.ceil(pos), pos - F.floor(pos)
-        keep = keep | (F.col("rn") == lo) | (F.col("rn") == hi)
-        cell = F.when(F.col("rn") == lo, F.col("value") * (F.lit(1.0) - frac)).otherwise(
-            F.lit(0.0)
-        ) + F.when(F.col("rn") == hi, F.col("value") * frac).otherwise(F.lit(0.0))
+        keep = keep | CF.pct_keep(F.col("rn"), F.col("n"), p)
+        cell = CF.pct_cell(F.col("value"), F.col("rn"), F.col("n"), p)
         cells.append(CF.round_det(F.sum(cell), 6).alias(name))
     return r.filter(keep).groupBy("event_type").agg(*cells)
 
 
 def _pct_cell_sql(p: float) -> str:
-    pos = f"(1.0 + {p} * (n - 1))"
-    frac = f"({pos} - floor({pos}))"
-    cell = (
-        f"CASE WHEN rn = floor({pos}) THEN value * (1.0 - {frac}) ELSE 0.0 END"
-        f" + CASE WHEN rn = ceil({pos}) THEN value * {frac} ELSE 0.0 END"
-    )
-    return CF.round_det_sql(f"sum({cell})", 6)
+    return CF.round_det_sql(f"sum({CF.pct_cell_sql('value', p)})", 6)
 
 
 VALUE_PERCENTILES_SQL = f"""
@@ -83,9 +73,7 @@ SELECT event_type,
        {_pct_cell_sql(0.9)} AS p90,
        {_pct_cell_sql(0.99)} AS p99
 FROM r
-WHERE rn = floor(1.0 + 0.5 * (n - 1)) OR rn = ceil(1.0 + 0.5 * (n - 1))
-   OR rn = floor(1.0 + 0.9 * (n - 1)) OR rn = ceil(1.0 + 0.9 * (n - 1))
-   OR rn = floor(1.0 + 0.99 * (n - 1)) OR rn = ceil(1.0 + 0.99 * (n - 1))
+WHERE {" OR ".join(CF.pct_keep_sql(p) for p in _PCTS.values())}
 GROUP BY event_type
 """
 

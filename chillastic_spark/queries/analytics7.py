@@ -35,14 +35,10 @@ def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wr))
         .withColumn("n", F.count(F.lit(1)).over(wn))
     )
-    cells = []
-    for name, p in (("lo", _P_LO), ("hi", _P_HI)):
-        pos = F.lit(1.0) + F.lit(p) * (F.col("n") - F.lit(1))
-        lo_r, hi_r, frac = F.floor(pos), F.ceil(pos), pos - F.floor(pos)
-        cell = F.when(F.col("rn") == lo_r, F.col("value") * (F.lit(1.0) - frac)).otherwise(
-            F.lit(0.0)
-        ) + F.when(F.col("rn") == hi_r, F.col("value") * frac).otherwise(F.lit(0.0))
-        cells.append(F.sum(cell).alias(name))
+    cells = [
+        F.sum(CF.pct_cell(F.col("value"), F.col("rn"), F.col("n"), p)).alias(name)
+        for name, p in (("lo", _P_LO), ("hi", _P_HI))
+    ]
     thresholds = r.groupBy("event_type").agg(*cells)
 
     clipped = (
@@ -74,10 +70,8 @@ WITH r AS (
   FROM events),
 t AS (
   SELECT event_type,
-    sum(CASE WHEN rn = floor(1.0 + {_P_LO} * (n - 1)) THEN value * (1.0 - (1.0 + {_P_LO} * (n - 1) - floor(1.0 + {_P_LO} * (n - 1)))) ELSE 0.0 END
-      + CASE WHEN rn = ceil(1.0 + {_P_LO} * (n - 1)) THEN value * (1.0 + {_P_LO} * (n - 1) - floor(1.0 + {_P_LO} * (n - 1))) ELSE 0.0 END) AS lo,
-    sum(CASE WHEN rn = floor(1.0 + {_P_HI} * (n - 1)) THEN value * (1.0 - (1.0 + {_P_HI} * (n - 1) - floor(1.0 + {_P_HI} * (n - 1)))) ELSE 0.0 END
-      + CASE WHEN rn = ceil(1.0 + {_P_HI} * (n - 1)) THEN value * (1.0 + {_P_HI} * (n - 1) - floor(1.0 + {_P_HI} * (n - 1))) ELSE 0.0 END) AS hi
+    sum({CF.pct_cell_sql("value", _P_LO)}) AS lo,
+    sum({CF.pct_cell_sql("value", _P_HI)}) AS hi
   FROM r GROUP BY event_type)
 SELECT e.event_type, count(*) AS n,
        sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
@@ -143,10 +137,13 @@ def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect): interesting terms are a 10-row broadcast, the
     candidate score sums ≤10 rounded-DECIMAL summands (order-free),
     ties break on doc_id."""
+    from chillastic_spark.persist import materialize
     from chillastic_spark.queries.documents import _W  # noqa: F401  (SQL twin)
 
     d = load(spark, sf_dir, "documents")
-    posts = (
+    # three consumers (dfreq, source-doc terms, candidate scoring):
+    # materialize so the tokenize+explode+agg pipeline runs once
+    posts = materialize(
         d.select("doc_id", F.explode(CF.words("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -207,7 +207,7 @@ def domain_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_SQL = f"""
 WITH per_src AS (
   SELECT source, count(*) AS n_docs,
-         sum(len(regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')))::BIGINT AS actual_tokens,
+         sum(len({CF.words_sql('text')}))::BIGINT AS actual_tokens,
          (coalesce(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 4) + 1 AS mix_weight
   FROM documents GROUP BY source
 ), tot AS (SELECT sum(mix_weight) AS w_tot FROM per_src),
@@ -267,7 +267,7 @@ MIXTURE_SAMPLE_SQL = f"""
 WITH plan AS ({MIXTURE_SQL}),
 kept AS (
   SELECT d.source, count(*) AS kept_docs,
-         sum(len(regexp_split_to_array(trim(d.text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')))::BIGINT AS kept_tokens
+         sum(len({CF.words_sql('d.text')}))::BIGINT AS kept_tokens
   FROM documents d JOIN plan p ON d.source = p.source
   WHERE {_H60_MIX.format(expr="d.doc_id::VARCHAR || '#mix'")} % 1000000
         < floor(p.sample_rate * 1000000.0 + 0.5)::BIGINT
@@ -467,7 +467,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_MERGE_SQL = f"""
 WITH w AS (
-  SELECT unnest(regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')) AS word FROM documents
+  SELECT unnest({CF.words_sql('text')}) AS word FROM documents
 ), p AS (
   SELECT unnest(CASE WHEN length(word) >= 2
                 THEN list_transform(range(1, length(word)), i -> word[i:i+1])

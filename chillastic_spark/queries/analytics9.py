@@ -137,7 +137,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("pass_gopher", gate)
 
 
-_GW = "regexp_split_to_array(trim(t, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')"
+_GW = CF.words_sql("t")
 
 GOPHER_SQL = f"""
 WITH base AS (
@@ -226,7 +226,7 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = F.split("t", "\n")
     kept = F.filter(
         F.transform(lines, F.trim),
-        lambda l: (F.size(F.split(l, r"\s+")) >= 5)
+        lambda l: (F.size(F.split(l, r"[ \t\n\x0b\f\r]+")) >= 5)
         & (
             l.endswith(".") | l.endswith("!") | l.endswith("?")
         )
@@ -259,7 +259,7 @@ WITH base AS (
 split AS (
   SELECT doc_id, t, string_split(t, chr(10)) AS lines,
     list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
-      l -> len(regexp_split_to_array(l, '\\s+')) >= 5
+      l -> len(regexp_split_to_array(l, '[ \\t\\n\\x0b\\f\\r]+')) >= 5
         AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?')
         AND NOT contains(lower(l), 'javascript')) AS kept
   FROM base)

@@ -16,7 +16,7 @@ from chillastic_spark.operators import text as T
 from chillastic_spark.queries import Query
 from chillastic_spark.tables import load
 
-_W = r"regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')"
+_W = CF.words_sql("text")
 _STOP = {k: "[" + ", ".join(f"'{s}'" for s in v) + "]" for k, v in T.STOPWORDS.items()}
 
 
@@ -33,7 +33,7 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Empty-filtered words for the TEXT-FEATURE twins only (operators.text
 # tokenises through the same filter; the dedup/gram SQL below keeps the
 # raw _W to match CF.words exactly).
-_WF = r"list_filter(regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+'), x -> x != '')"
+_WF = f"list_filter({CF.words_sql('text')}, x -> x != '')"
 
 _HITS = lambda lang: (  # noqa: E731
     f"len(list_filter({_WF}, x -> list_contains({_STOP[lang]}, lower(x))))"
@@ -47,7 +47,7 @@ QUALITY_EXPR_SQL = f"""CASE WHEN coalesce(len({_WF}), 0) = 0 THEN 0.0 ELSE floor
       0.4 * (len(list_distinct({_WF})) / CAST(len({_WF}) AS DOUBLE))
     + 0.3 * (least(CAST(len({_WF}) AS DOUBLE), 200.0) / 200.0)
     + 0.2 * (1.0 - greatest({_HITS('en')} / CAST(len({_WF}) AS DOUBLE) - 0.5, 0.0) * 2)
-    + 0.1 * (least(greatest((length(regexp_replace(trim(text), '\\s+', '', 'g')) / CAST(len({_WF}) AS DOUBLE) - 2) / 6.0, 0.0), 1.0))
+    + 0.1 * (least(greatest((length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', '', 'g')) / CAST(len({_WF}) AS DOUBLE) - 2) / 6.0, 0.0), 1.0))
   ) * 10000.0 + 0.5) / 10000.0 END"""
 
 TEXT_FEATURES_SQL = f"""
@@ -58,7 +58,7 @@ SELECT doc_id,
        WHEN {_HITS('de')} >= {_HITS('fr')} AND {_HITS('de')} > 0 THEN 'de'
        WHEN {_HITS('fr')} > 0 THEN 'fr'
        ELSE 'und' END AS pred_lang,
-  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  {CF.fingerprint_sql('text')} AS fingerprint
 FROM documents
 """
 
@@ -319,7 +319,7 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").withColumn(
         "canon",
         F.substring(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 48
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+", " ")), 1, 48
         ),
     )
     p = M.with_binary_payload(d, text_col="canon")

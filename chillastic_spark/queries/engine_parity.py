@@ -369,10 +369,19 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_JSON_SQL = """
+WITH k AS (
+  -- json_valid guard: DuckDB json_extract_string RAISES on malformed
+  -- JSON where Spark get_json_object returns NULL — the dirty-JSON
+  -- tolerance the Spark side is deliberately built for must not crash
+  -- its own oracle
+  SELECT event_type,
+    TRY_CAST(CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS INT) AS k
+  FROM events)
 SELECT event_type,
-  floor((sum(TRY_CAST(json_extract_string(props, '$.k') AS INT))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_k,
-  max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-FROM events GROUP BY event_type ORDER BY event_type
+  floor((sum(k)::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+  max(k) AS max_k
+FROM k GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -441,8 +450,11 @@ SELECT o_orderkey,
   datediff('day', o_orderdate::DATE, DATE '2002-01-01') AS days_before_2002,
   TRY_CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS INT) AS priority_rank,
   regexp_replace(o_orderpriority, '^\\d+-', '') AS priority_name,
-  format('{:,}', ((o_totalprice::DECIMAL(18,2) * 100)::BIGINT // 100)) || '.' ||
-    lpad(((o_totalprice::DECIMAL(18,2) * 100)::BIGINT % 100)::VARCHAR, 2, '0') AS price_fmt,
+  -- sign split via abs(): // floors negatives and % keeps the sign, so
+  -- a negative amount would format as '-13.-3' instead of '-12.34'
+  (CASE WHEN o_totalprice < 0 THEN '-' ELSE '' END) ||
+  format('{:,}', (abs(o_totalprice::DECIMAL(18,2)) * 100)::BIGINT // 100) || '.' ||
+    lpad(((abs(o_totalprice::DECIMAL(18,2)) * 100)::BIGINT % 100)::VARCHAR, 2, '0') AS price_fmt,
   lower(o_orderstatus) AS status_lower,
   substring(o_orderpriority, 1, 1) AS priority_digit
 FROM orders WHERE o_orderkey <= 500
@@ -495,11 +507,11 @@ WITH src AS (
   SELECT doc_id, source,
          md5(trim(regexp_replace(lower(
            CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END
-         ), '\\s+', ' ', 'g'))) AS fp
+         ), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fp
   FROM documents WHERE doc_id % 4 != 0),
 dst AS (
   SELECT doc_id, source,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fp
   FROM documents WHERE doc_id % 3 != 0),
 j AS (
   SELECT coalesce(s.source, d.source) AS source,

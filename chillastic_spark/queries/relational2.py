@@ -318,9 +318,9 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOP_TERMS_SQL = """
+TOP_TERMS_SQL = f"""
 SELECT term, count(*) AS freq FROM (
-  SELECT unnest(regexp_split_to_array(trim(text, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+')) AS term FROM documents)
+  SELECT unnest({CF.words_sql('text')}) AS term FROM documents)
 GROUP BY term ORDER BY freq DESC, term LIMIT 20
 """
 

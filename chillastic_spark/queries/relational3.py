@@ -59,10 +59,14 @@ Q2_SQL = """
 SELECT p_partkey, p_brand, p_retailprice::DECIMAL(12,2)::DOUBLE AS min_price
 FROM part
 WHERE p_retailprice::DECIMAL(12,2) = (
-  SELECT min(p2.p_retailprice::DECIMAL(12,2)) FROM part p2 WHERE p2.p_brand = part.p_brand
+  SELECT min(p2.p_retailprice::DECIMAL(12,2)) FROM part p2
+  WHERE p2.p_brand IS NOT DISTINCT FROM part.p_brand
 )
 ORDER BY p_brand, p_partkey
 """
+# IS NOT DISTINCT FROM: the Spark window partitions NULL brands into ONE
+# group and emits their min-priced rows; a plain `=` correlation would
+# silently exclude every NULL-brand part from the oracle.
 
 
 # ------------------------------------------------------------- q8 flavour

@@ -179,10 +179,12 @@ RRF_DEPTH = 50  # per-modality candidate depth
 
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 text
-    ranking (its top-20) and a vector-cosine ranking (top-``RRF_DEPTH``;
-    query = embedding of vec_id 0), the standard two-tower search
-    fusion: rrf(d) = Σ_modality 1/(k + rank_d). doc_id and vec_id
-    share the id domain (TESTDATA.md).
+    ranking and a vector-cosine ranking, BOTH to ``RRF_DEPTH``
+    candidates (query = embedding of vec_id 0), the standard two-tower
+    search fusion: rrf(d) = Σ_modality 1/(k + rank_d). doc_id and
+    vec_id share the id domain (TESTDATA.md). The text arm ranks the
+    UNLIMITED ``bm25_scored`` frame — ranking the top-20 surface would
+    silently cap the declared candidate depth at 20.
 
     Determinism: each modality ranks by its ROUNDED score with id
     tie-break; the fused score adds exactly two IEEE doubles in a fixed
@@ -192,9 +194,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-free and broadcast-able."""
     from chillastic_spark.operators.topk import ranked_topk
 
-    bm = ranked_topk(bm25_topk(spark, sf_dir), "bm25", "doc_id", RRF_DEPTH, "rt").select(
-        "doc_id", "rt"
-    )
+    bm = ranked_topk(
+        bm25_scored(spark, sf_dir), "bm25", "doc_id", RRF_DEPTH, "rt"
+    ).select("doc_id", "rt")
 
     e = load(spark, sf_dir, "embeddings")
     qv = F.broadcast(
@@ -234,12 +236,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HYBRID_RRF_SQL = f"""
 WITH {_BM25_RANKED_CTE},
-bm_full AS (
-  SELECT doc_id, bm25 FROM bm25_ranked
-  ORDER BY bm25 DESC, doc_id ASC LIMIT {TOP_K}),
 bm AS (
   SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rt
-  FROM bm_full QUALIFY rt <= {RRF_DEPTH}),
+  FROM bm25_ranked QUALIFY rt <= {RRF_DEPTH}),
 q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
 cos_scored AS (
   SELECT vec_id,

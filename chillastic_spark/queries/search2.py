@@ -169,8 +169,11 @@ def search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-k + struct-max — NOT a global row_number
     window, so no corpus-sized ranking serializes through one task."""
     from chillastic_spark.operators.topk import last_of_topk
+    from chillastic_spark.persist import materialize
 
-    full = bm25_scored(spark, sf_dir)
+    # two consumers (cursor derivation + page-2 scan): materialize so
+    # the tokenize/explode/join BM25 pipeline runs once, not twice
+    full = materialize(bm25_scored(spark, sf_dir))
     cursor = F.broadcast(last_of_topk(full, "bm25", "doc_id", PAGE_SIZE))
     page2 = (
         full.crossJoin(cursor)

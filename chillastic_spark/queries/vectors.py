@@ -237,12 +237,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _outliers_sql(pct: float = _OUT_PCT) -> str:
-    pos = f"(1.0 + {pct} * (n - 1))"
-    frac = f"({pos} - floor({pos}))"
-    cell = (
-        f"CASE WHEN rn = floor({pos}) THEN cos_c * (1.0 - {frac}) ELSE 0.0 END"
-        f" + CASE WHEN rn = ceil({pos}) THEN cos_c * {frac} ELSE 0.0 END"
-    )
+    cell = CF.pct_cell_sql("cos_c", pct)
     cos = (
         CF.cosine_sql("e.v", "cent.cv")
     )
@@ -268,7 +263,7 @@ r AS (
   FROM scored),
 cut AS (
   SELECT label, floor((sum({cell})) * 1000000.0 + 0.5) / 1000000.0 AS cutoff
-  FROM r WHERE rn = floor({pos}) OR rn = ceil({pos})
+  FROM r WHERE {CF.pct_keep_sql(pct)}
   GROUP BY label)
 SELECT vec_id, label, cos_c, cutoff
 FROM scored JOIN cut USING (label)
