@@ -502,16 +502,16 @@ def snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SNAPSHOT_RECONCILE_SQL = """
+SNAPSHOT_RECONCILE_SQL = f"""
 WITH src AS (
   SELECT doc_id, source,
-         md5(trim(regexp_replace(lower(
-           CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END
-         ), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fp
+         {CF.fingerprint_sql(
+             "CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END"
+         )} AS fp
   FROM documents WHERE doc_id % 4 != 0),
 dst AS (
   SELECT doc_id, source,
-         md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fp
+         {CF.fingerprint_sql("text")} AS fp
   FROM documents WHERE doc_id % 3 != 0),
 j AS (
   SELECT coalesce(s.source, d.source) AS source,
