@@ -84,8 +84,14 @@ def asof_join(
     ).withColumn("__side", F.lit(0 if not strict else 2))
     # NULL-key right rows can never be anyone's match; dropping them
     # pins NULL != NULL semantics (NULL-key left rows then share a
-    # partition containing no right rows and carry NULL naturally)
-    rt = rt.filter(F.col(key).isNotNull())
+    # partition containing no right rows and carry NULL naturally).
+    # NULL-ts right rows can never satisfy ts <= left.ts either — but
+    # NULLS-FIRST ordering would sort them before EVERY left row and
+    # last() would carry their values as matches at -infinity, so they
+    # must be dropped too (DuckDB's ASOF JOIN predicate never matches
+    # a NULL timestamp). NULL-ts LEFT rows sort first in their key
+    # partition, see no preceding right row, and carry NULL naturally.
+    rt = rt.filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
     u = lt.unionByName(rt, allowMissingColumns=True)
 
     # side precedence must dominate any user tiebreak: a tiebreak

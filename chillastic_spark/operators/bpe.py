@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from chillastic_spark import functions as CF
-from chillastic_spark.persist import materialize
+from chillastic_spark.persist import materialize, release
 
 EOW = "</w>"
 
@@ -158,9 +158,15 @@ def train_bpe(
         col = F.col("syms")
         for a, b in batch:
             col = _merge_pair(col, a, b)
+        prev = vocab
         vocab = materialize(
             vocab.select("wc", col.alias("syms")), iterative=True
         )
+        # release the PREVIOUS round's checkpoint once this round is
+        # materialized — a 32k-vocab training (thousands of rounds)
+        # must pin 2 vocab tables, not one per round (same pattern as
+        # graph.pagerank / components.connected_components)
+        release(prev)
     if stats is not None:
         stats["rounds"] = rounds
     return merges

@@ -55,14 +55,32 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     fingerprints (three-valued equality) and silently DELETE every
     null-text row instead of keeping one.
 
-    NULL-id rows pass through UNTOUCHED: min() skips NULLs and the
-    semi-join can never match them, so they used to be silently
-    DELETED; without an identity there is no deterministic keeper to
-    pick, so not deduplicating them is the only honest behavior."""
+    NULL-id rows pass through UNTOUCHED: without an identity there is
+    no deterministic keeper to pick, so not deduplicating them is the
+    only honest behavior.
+
+    One fp-PARTITIONED row_number (single full-row shuffle on the
+    fingerprint — never a global window) rather than groupBy(min id) +
+    semi-join: the join formulation kept EVERY row bearing the keeper
+    id, so byte-identical rows re-emitted under the same id (the
+    primary dirty-crawl input for exact dedup) survived; it also cost
+    a second shuffle. Rows tying on (fingerprint, id) but differing
+    elsewhere keep an arbitrary-but-single representative."""
+    from pyspark.sql.window import Window
+
+    if "__fp" in df.columns:
+        raise ValueError(
+            "exact_dedup: input already has a __fp column (reserved); "
+            "rename it — silently overwriting would lose caller data"
+        )
     fp = F.coalesce(CF.fingerprint(text_col), F.lit("__null__"))
     keyed = df.filter(F.col(id_col).isNotNull()).withColumn("__fp", fp)
-    keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    deduped = keyed.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    deduped = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
     return deduped.unionByName(df.filter(F.col(id_col).isNull()))
 
 
@@ -125,6 +143,9 @@ def winnow_pairs(
     """Near-dup candidate pairs by shared winnowing fingerprints — the
     same inverted-index equi-join shape as every other dedup operator
     (never all-pairs), but over the ~1/window-sized fingerprint sets."""
+    # measured (r6, sf0.1): WITH pin 1.32s vs 2.00s without — the
+    # identical-twin self-join does NOT get a ReusedExchange here, so
+    # the pin saves a full recompute of the fingerprint expansion
     fps = materialize(winnow_fingerprints(df, id_col, text_col, k, window))
     a, b = fps.alias("a"), fps.alias("b")
     return (
@@ -868,6 +889,9 @@ def hamming_band_pairs(
             f"{chunks - 1}; raise chunks instead)"
         )
     width = bits // chunks
+    # measured (r6, sf0.1 via image_phash_pairs): WITH pin 7.1s vs
+    # 13.7s without — the upstream hash computation (mapInPandas for
+    # pHash) would run once per join side
     sh = materialize(sh)
     chunked = sh.select(
         F.col(id_col).alias("doc_id"),

@@ -48,6 +48,12 @@ def salted_join(
     # and then dropping a caller's __salt would lose user data
     if "__salt" in big.columns or "__salt" in small.columns:
         raise ValueError("salted_join reserves the column name '__salt'")
+    # validate up front like the minhash band/hamming chunk params: a
+    # non-positive bucket count otherwise fails mid-job under ANSI
+    # (pmod REMAINDER_BY_ZERO) or — ANSI off — pmod yields NULL and the
+    # equi-join silently matches nothing
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     salted_big = big.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),

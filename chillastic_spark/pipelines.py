@@ -226,9 +226,18 @@ def curate(
         gated = gated.join(tainted, id_col, "left_anti")
         after_decon = gated.count()
 
-    # exact dedup on the full-content fingerprint (already computed)
-    keep = gated.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    exact = materialize(gated.join(keep, ["fingerprint", id_col], "left_semi"))
+    # exact dedup on the full-content fingerprint (already computed) —
+    # fp-partitioned row_number, one shuffle, like operators.exact_dedup:
+    # the old keeper-id semi-join kept EVERY row bearing the keeper id,
+    # so a batch re-emitting byte-identical rows under one id kept both
+    from pyspark.sql.window import Window as _Window
+
+    _wfp = _Window.partitionBy("fingerprint").orderBy(id_col)
+    exact = materialize(
+        gated.withColumn("__rn", F.row_number().over(_wfp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     after_exact = exact.count()
 
     # near dedup: MinHash-LSH candidate pairs → drop the larger id
