@@ -445,6 +445,18 @@ class Engine:
         except Exception:
             with self._mutex:
                 self._tasks.pop(task_id, None)
+                # persist the removal, not just the in-memory pop: a
+                # CONCURRENT admission's _save_tasks may have written
+                # this still-planning task to tasks.json, and the next
+                # merge-fold (or a restart) would resurrect the
+                # never-planned task — its id then reports 'already
+                # exists' forever with no backlog behind it
+                if task_id in self._persisted or task_id in self._disk_task_ids():
+                    try:
+                        self._save_tasks(removed={task_id})
+                    except OSError:
+                        pass  # cleanup is best-effort; admission re-raises
+                self._persisted.discard(task_id)
                 # the failed planning attempt may have created/updated
                 # the state file; a later re-admission must start clean
                 try:

@@ -243,8 +243,18 @@ class DeltaStore:
         import uuid
 
         _require_delta(spark)
+        # purging before the first delivery (or replaying against a
+        # fresh table) must return 0 like the parquet/ES twins, not
+        # raise TABLE_OR_VIEW_NOT_FOUND
+        self.ensure_table(spark)
         if isinstance(ids, list):
-            id_df = spark.createDataFrame([(str(i),) for i in ids], "_id string")
+            # a Python None means a NULL-keyed victim (null-safe MERGE
+            # key), not the literal string 'None' — str(None) would
+            # delete an unrelated doc with _id='None'
+            id_df = spark.createDataFrame(
+                [(str(i) if i is not None else None,) for i in ids],
+                "_id string",
+            )
         else:
             id_df = ids.select(F.col("_id").cast("string"))
         victims = add_bucket_column(

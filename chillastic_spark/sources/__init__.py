@@ -88,6 +88,14 @@ _TYPELESS_MAPPING_KEYS = frozenset(
         "properties", "dynamic", "dynamic_templates", "_meta", "_source",
         "_routing", "_field_names", "date_detection", "numeric_detection",
         "dynamic_date_formats", "runtime",
+        # mapper-size plugin: {"_size": {"enabled": true}} at top level —
+        # the very metadata this engine's size planning relies on; a
+        # typed config would nest it under the type name. Missing it
+        # misclassified the config as typed and planned type='_size'
+        # subtasks that match zero documents.
+        "_size",
+        # ES 8 flattened-object control and mapping-level disable
+        "subobjects", "enabled",
     }
 )
 
@@ -248,6 +256,11 @@ class DocumentStore:
             return int(f.read().strip())
 
     def set_bucket_count(self, index: str, n: int) -> None:
+        # same bound as upsert's auto-migration guard: stream_path's
+        # glob matches exactly four digits, so bucket-10000+ dirs would
+        # be written but silently never streamed
+        if not 0 < n <= 9999:
+            raise StoreError(f"n_buckets must be in [1, 9999] (got {n})")
         os.makedirs(self.index_path(index), exist_ok=True)
         p = os.path.join(self.index_path(index), BUCKET_MARKER)
         # atomic (tmp + replace): a crash after open() truncates the
@@ -380,43 +393,47 @@ class DocumentStore:
         buckets (so the layout invariant survives raw writes);
         overwriting one drops the bucket marker and returns the index
         to the flat layout the caller asked for.
+
+        EVERY path (flat included) takes the same per-index locks as
+        upsert/purge/compaction and heals interrupted swaps first: an
+        unlocked flat write raced the merge's flat->bucketed migration
+        (rows landing in a dir about to be renamed away and rmtree'd),
+        and an un-healed bucketed append re-created a live bucket dir
+        whose only complete copy sat in .old- — the next heal would
+        then delete that .old- permanently.
         """
         cols = [
             "_index", "_type", "_id", "_source",
             *( ["_size"] if "_size" in df.columns else [F.lit(None).cast("long").alias("_size")]),
         ]
-        nb = self.bucket_count(index)
-        if nb is not None:
-            # mutations of a LIVE bucketed index take the same per-index
-            # locks as upsert/purge/compaction: an unlocked append could
-            # land part files in a bucket dir mid-swap (rows riding into
-            # the .old- dir and deleted), and an unlocked overwrite
-            # races the merge's reads
-            from chillastic_spark.sinks import _index_lock
+        from chillastic_spark.locks import FileLock
+        from chillastic_spark.sinks import _index_lock
+        from chillastic_spark.sources.maintenance import (
+            _recover_interrupted_swap,
+            recover_bucket_swaps,
+        )
 
-            from chillastic_spark.locks import FileLock
-
-            with _index_lock(self.index_path(index)), FileLock(
-                self.index_path(index) + ".lock"
-            ):
-                if mode == "append":
-                    self._append_bucketed(df.select(*cols), index, nb)
-                    return
-                # overwrite: Spark deletes the whole dir — INCLUDING the
-                # bucket marker — before writing, so the index comes
-                # back flat with no pre-delete needed. (Removing the
-                # marker up front opened a window where a failed write
-                # left bucket dirs under a "flat" index, which reads as
-                # EMPTY and gets destroyed by the next upsert.)
-                writer = df.select(*cols).write.mode(mode)
-                if partition_by:
-                    writer = writer.partitionBy(*partition_by)
-                writer.parquet(self.index_path(index))
+        with _index_lock(self.index_path(index)), FileLock(
+            self.index_path(index) + ".lock"
+        ):
+            _recover_interrupted_swap(self.index_path(index))
+            recover_bucket_swaps(self.index_path(index))
+            # the layout can flip flat->bucketed while waiting on the
+            # lock (upsert migration) — read the marker INSIDE it
+            nb = self.bucket_count(index)
+            if nb is not None and mode == "append":
+                self._append_bucketed(df.select(*cols), index, nb)
                 return
-        writer = df.select(*cols).write.mode(mode)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(self.index_path(index))
+            # overwrite of a bucketed index: Spark deletes the whole
+            # dir — INCLUDING the bucket marker — before writing, so
+            # the index comes back flat with no pre-delete needed.
+            # (Removing the marker up front opened a window where a
+            # failed write left bucket dirs under a "flat" index, which
+            # reads as EMPTY and gets destroyed by the next upsert.)
+            writer = df.select(*cols).write.mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(self.index_path(index))
 
     def _append_bucketed(self, df: DataFrame, index: str, n_buckets: int) -> None:
         """Append rows into their hash buckets: one partitioned write

@@ -596,6 +596,17 @@ class ESStore:
     def get_indices(self, pattern: str) -> list[dict]:
         if not isinstance(pattern, str) or not pattern:
             raise StoreError("pattern must be a non-empty string")
+        # ES speaks only '*' wildcards: fnmatch metacharacters ('?',
+        # '[...]') passed straight through match nothing on a real
+        # cluster, and planning would 'succeed' having copied zero
+        # documents. Fetch-all + client-side fnmatch keeps parity with
+        # the DocumentStore twin (same fallback as list_data_indices).
+        if any(ch in pattern for ch in "?["):
+            return [
+                cfg
+                for cfg in self.get_indices("*")
+                if fnmatch.fnmatch(cfg["name"], pattern)
+            ]
         try:
             resp = self.wire.get(f"/{pattern}")
         except urllib.error.HTTPError as e:
@@ -744,13 +755,20 @@ class ESStore:
         by the chunk size regardless of how many billions of ids the
         DataFrame holds (parity with sinks/__init__.py purge)."""
         def id_chunks():
+            # NULL ids are skipped, never coerced: str(None) would emit
+            # the literal string 'None' into the ids query and DELETE an
+            # unrelated document whose _id is literally "None". An ES
+            # doc cannot have a NULL _id, so a NULL victim can match
+            # nothing — the parquet twin no-ops them the same way.
             if isinstance(ids, list):
-                vals = sorted({str(i) for i in ids})
+                vals = sorted({str(i) for i in ids if i is not None})
                 for s in range(0, len(vals), self.purge_chunk):
                     yield vals[s : s + self.purge_chunk]
             else:
                 buf: list[str] = []
                 for r in ids.select("_id").distinct().toLocalIterator():
+                    if r["_id"] is None:
+                        continue
                     buf.append(str(r["_id"]))
                     if len(buf) >= self.purge_chunk:
                         yield sorted(buf)

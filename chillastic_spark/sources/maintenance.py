@@ -29,11 +29,21 @@ _ENVELOPE_COLS = [f.name for f in ENVELOPE_SCHEMA.fields]
 
 def file_stats(index_path: str, small_file_bytes: int = 32 * 1024 * 1024) -> dict:
     """File-level shape of one index dir: the signal that decides
-    whether compaction is worth a rewrite."""
+    whether compaction is worth a rewrite.
+
+    Scratch/crash leftovers (``bucket-NNNN.old-``/``.compact-`` dirs a
+    recovery deliberately parks) are PRUNED from the walk: they are not
+    live data, and counting them double-reports n_files/small_files and
+    flips needs_compaction on an index whose live buckets are already
+    compact."""
+    from chillastic_spark.sources import DocumentStore
+
+    scratch = DocumentStore._SCRATCH_RE
     n_files = 0
     total = 0
     small = 0
-    for dirpath, _dirs, files in os.walk(index_path):
+    for dirpath, dirs, files in os.walk(index_path):
+        dirs[:] = [d for d in dirs if not scratch.search(d)]
         for f in files:
             if not f.endswith(".parquet"):
                 continue

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +38,33 @@ from chillastic_spark.operators.similarity import (
 
 META = "meta.json"
 DATA = "data"
+COMPACT_JOURNAL = "compact-journal.json"
+
+_VI_LOCKS: dict[str, threading.Lock] = {}
+_VI_GUARD = threading.Lock()
+
+
+def _vi_thread_lock(index_dir: str) -> threading.Lock:
+    with _VI_GUARD:
+        return _VI_LOCKS.setdefault(os.path.abspath(index_dir), threading.Lock())
+
+
+@contextmanager
+def _writer_lock(index_dir: str):
+    """In-process thread lock + cross-process flock around every
+    artifact mutation (the search_index._writer_lock convention).
+    Without it a reader's recovery races a LIVE compaction's renames:
+    the reader cannot distinguish a crashed swap from an in-flight one,
+    starts deleting the .new- dir the compactor is about to install,
+    and the compactor's final cleanup then removes the only complete
+    copy — a permanently truncated index with no error."""
+    from chillastic_spark.locks import FileLock
+
+    os.makedirs(index_dir, exist_ok=True)
+    with _vi_thread_lock(index_dir), FileLock(
+        os.path.join(index_dir, ".swap.lock")
+    ):
+        yield
 
 
 def _write_meta(index_dir: str, meta: dict, name: str = META) -> None:
@@ -51,34 +80,49 @@ def _write_meta(index_dir: str, meta: dict, name: str = META) -> None:
 
 
 def _recover_compact(index_dir: str, data_name: str = DATA) -> None:
-    """Roll an interrupted compaction swap FORWARD (leftover-keyed, the
-    same recovery contract as the doc store's bucket swap): compaction
-    writes ``data.new-<tag>``, renames data → ``data.old-<tag>``, then
-    new → data, then removes old. A crash in any window leaves tagged
-    leftovers from which the live dir is reconstructible; every entry
-    point calls this before touching the artifacts."""
+    """Roll an interrupted compaction swap forward — JOURNAL-keyed
+    (the search_index convention): the journal is written after the
+    compacted ``data.new-<tag>`` is complete and removed after the
+    swap finishes, so its absence means nothing is mid-flight and the
+    fast path here stays LOCKLESS. With a journal present, the writer
+    lock serializes against a possibly-live compactor (journal gone by
+    the time we hold the lock → no-op)."""
+    if not os.path.exists(os.path.join(index_dir, COMPACT_JOURNAL)):
+        return
+    with _writer_lock(index_dir):
+        _recover_compact_locked(index_dir, data_name)
+
+
+def _recover_compact_locked(index_dir: str, data_name: str = DATA) -> None:
+    """The recovery body — caller MUST hold _writer_lock. Heals every
+    crash window of compact_vector_index's swap (journal → rename
+    data→old → rename new→data → rmtree old → journal removed):
+    live missing → install new (complete by construction) or restore
+    old; live present → the swap either hadn't started or finished —
+    discard superseded tagged dirs either way."""
     import shutil
 
-    parent = os.path.dirname(os.path.join(index_dir, data_name)) or "."
-    if not os.path.isdir(parent):
-        return
+    journal = os.path.join(index_dir, COMPACT_JOURNAL)
+    if not os.path.exists(journal):
+        return  # a live compactor finished while we waited on the lock
     base = data_name
     live = os.path.join(index_dir, data_name)
-    news = sorted(d for d in os.listdir(parent) if d.startswith(base + ".new-"))
-    olds = sorted(d for d in os.listdir(parent) if d.startswith(base + ".old-"))
+    news = sorted(d for d in os.listdir(index_dir) if d.startswith(base + ".new-"))
+    olds = sorted(d for d in os.listdir(index_dir) if d.startswith(base + ".old-"))
     if not os.path.exists(live):
         if news:
             # crashed between the two renames: the compacted dir is
-            # complete (it was fully written before the first rename)
-            os.rename(os.path.join(parent, news[-1]), live)
+            # complete (the journal is only written after its write)
+            os.rename(os.path.join(index_dir, news[-1]), live)
             news = news[:-1]
         elif olds:
             # crashed after data→old but the new dir also vanished:
             # restore the pre-compaction data
-            os.rename(os.path.join(parent, olds[-1]), live)
+            os.rename(os.path.join(index_dir, olds[-1]), live)
             olds = olds[:-1]
     for d in news + olds:  # superseded leftovers
-        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    os.remove(journal)
 
 
 def build_vector_index(
@@ -141,90 +185,95 @@ def update_vector_index(
     CHANGED embedding could land in a different bucket, making
     multi-probe queries see two rows with different cosines and serve
     whichever survives dropDuplicates — nondeterministic results."""
-    _recover_compact(index_dir)
-    meta = _meta(index_dir)
-    # within-batch duplicates first: identical (id, embedding) copies
-    # collapse deterministically; the SAME id with DIFFERENT embeddings
-    # inside one batch is a data error in every mode — appending both
-    # recreates exactly the nondeterministic-serving hazard the
-    # cross-batch guard below exists to prevent
-    df_new = df_new.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).dropDuplicates(["vec_id", "embedding"])
-    batch_dup = (
-        df_new.groupBy("vec_id").count().filter(F.col("count") > 1).limit(3)
-    )
-    clash_in = [r["vec_id"] for r in batch_dup.collect()]
-    if clash_in:
-        raise ValueError(
-            f"batch contains the same vec_id with different embeddings "
-            f"(e.g. {clash_in}) — resolve upstream; neither skip nor "
-            "error mode can order them deterministically"
+    # the whole update runs in the single-writer window (same
+    # convention as the doc store and search_index): an unlocked
+    # append races a live compaction's swap — freshly appended part
+    # files ride into the data.old- dir and are rmtree'd
+    with _writer_lock(index_dir):
+        _recover_compact_locked(index_dir)
+        meta = _meta(index_dir)
+        # within-batch duplicates first: identical (id, embedding) copies
+        # collapse deterministically; the SAME id with DIFFERENT embeddings
+        # inside one batch is a data error in every mode — appending both
+        # recreates exactly the nondeterministic-serving hazard the
+        # cross-batch guard below exists to prevent
+        df_new = df_new.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ).dropDuplicates(["vec_id", "embedding"])
+        batch_dup = (
+            df_new.groupBy("vec_id").count().filter(F.col("count") > 1).limit(3)
         )
-    rows = df_new.select(
-        "vec_id",
-        "embedding",
-        random_hyperplane_buckets(
-            "embedding", meta["planes"], meta["seed"], dims=meta.get("dims")
-        ).alias("bucket"),
-    )
-    spark = df_new.sparkSession
-    try:
-        existing_ids = spark.read.parquet(os.path.join(index_dir, DATA)).select(
-            "vec_id"
-        )
-    except Exception as e:
-        # ONLY the bootstrap case is recoverable: an index built from an
-        # EMPTY frame has a data dir with no part files ('Unable to
-        # infer schema') or no dir yet (PATH_NOT_FOUND). Any other read
-        # failure (corrupt footer, permissions, transient FS) must NOT
-        # silently disable the duplicate guard.
-        msg = str(e)
-        if not (
-            "UNABLE_TO_INFER_SCHEMA" in msg
-            or "Unable to infer schema" in msg
-            or "PATH_NOT_FOUND" in msg
-        ):
-            raise
-        existing_ids = rows.select("vec_id").limit(0)
-    if on_existing == "skip":
-        rows = rows.join(existing_ids.distinct(), "vec_id", "left_anti")
-    else:
-        dup = rows.select("vec_id").join(existing_ids, "vec_id", "semi")
-        clash = [r["vec_id"] for r in dup.limit(3).collect()]
-        if clash:
+        clash_in = [r["vec_id"] for r in batch_dup.collect()]
+        if clash_in:
             raise ValueError(
-                f"vector ids already indexed (e.g. {clash}); use "
-                "on_existing='skip' for at-least-once redelivery, or "
-                "rebuild the index to change embeddings"
+                f"batch contains the same vec_id with different embeddings "
+                f"(e.g. {clash_in}) — resolve upstream; neither skip nor "
+                "error mode can order them deterministically"
             )
-    # pin before writing: the skip-mode anti-join READS the same data
-    # dir the append writes — cutting lineage here avoids a
-    # self-read-while-write plan. Forced 'local': the pinned frame is
-    # batch-sized and a lost-block failure just retries the batch.
-    from chillastic_spark.persist import materialize, release
+        rows = df_new.select(
+            "vec_id",
+            "embedding",
+            random_hyperplane_buckets(
+                "embedding", meta["planes"], meta["seed"], dims=meta.get("dims")
+            ).alias("bucket"),
+        )
+        spark = df_new.sparkSession
+        try:
+            existing_ids = spark.read.parquet(os.path.join(index_dir, DATA)).select(
+                "vec_id"
+            )
+        except Exception as e:
+            # ONLY the bootstrap case is recoverable: an index built from an
+            # EMPTY frame has a data dir with no part files ('Unable to
+            # infer schema') or no dir yet (PATH_NOT_FOUND). Any other read
+            # failure (corrupt footer, permissions, transient FS) must NOT
+            # silently disable the duplicate guard.
+            msg = str(e)
+            if not (
+                "UNABLE_TO_INFER_SCHEMA" in msg
+                or "Unable to infer schema" in msg
+                or "PATH_NOT_FOUND" in msg
+            ):
+                raise
+            existing_ids = rows.select("vec_id").limit(0)
+        if on_existing == "skip":
+            rows = rows.join(existing_ids.distinct(), "vec_id", "left_anti")
+        else:
+            dup = rows.select("vec_id").join(existing_ids, "vec_id", "semi")
+            clash = [r["vec_id"] for r in dup.limit(3).collect()]
+            if clash:
+                raise ValueError(
+                    f"vector ids already indexed (e.g. {clash}); use "
+                    "on_existing='skip' for at-least-once redelivery, or "
+                    "rebuild the index to change embeddings"
+                )
+        # pin before writing: the skip-mode anti-join READS the same data
+        # dir the append writes — cutting lineage here avoids a
+        # self-read-while-write plan. Forced 'local': the pinned frame is
+        # batch-sized and a lost-block failure just retries the batch.
+        from chillastic_spark.persist import materialize, release
 
-    rows = materialize(rows, mode="local")
-    try:
-        n_added = rows.count()
-        if n_added:
-            rows.write.mode("append").partitionBy("bucket").parquet(
+        rows = materialize(rows, mode="local")
+        try:
+            n_added = rows.count()
+            if n_added:
+                rows.write.mode("append").partitionBy("bucket").parquet(
+                    os.path.join(index_dir, DATA)
+                )
+        finally:
+            release(rows)
+        # recount from the written footers rather than += n_added: a crash
+        # after the append but before this write must not leave n_vectors
+        # permanently understated on the retry (the retry's skip anti-join
+        # sees the appended rows, so += would skip them)
+        try:
+            meta["n_vectors"] = spark.read.parquet(
                 os.path.join(index_dir, DATA)
-            )
-    finally:
-        release(rows)
-    # recount from the written footers rather than += n_added: a crash
-    # after the append but before this write must not leave n_vectors
-    # permanently understated on the retry (the retry's skip anti-join
-    # sees the appended rows, so += would skip them)
-    try:
-        meta["n_vectors"] = spark.read.parquet(
-            os.path.join(index_dir, DATA)
-        ).count()
-    except Exception:  # still-empty bootstrap index (no part files)
-        meta["n_vectors"] += n_added
-    _write_meta(index_dir, meta)
-    return meta
+            ).count()
+        except Exception:  # still-empty bootstrap index (no part files)
+            meta["n_vectors"] += n_added
+        _write_meta(index_dir, meta)
+        return meta
 
 
 def _meta(index_dir: str) -> dict:
@@ -280,8 +329,23 @@ def ann_query_index(
         probe, f"query_id {qid_t}, qvec array<double>, bucket int"
     )
     wanted = sorted({b for _, _, b in probe})
+    try:
+        data_df = spark.read.parquet(os.path.join(index_dir, DATA))
+    except Exception as e:
+        # bootstrap-empty index: a partitionBy write of an empty corpus
+        # leaves a data dir with NO part files (nothing to infer a
+        # schema from). Serving before the first non-empty batch must
+        # return empty results, not crash the stream.
+        msg = str(e)
+        if not (
+            "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+            or "PATH_NOT_FOUND" in msg
+        ):
+            raise
+        return _empty_topk(spark, qid_t=qid_t)
     idx = (
-        spark.read.parquet(os.path.join(index_dir, DATA))
+        data_df
         .filter(F.col("bucket").isin(wanted))
         .select(
             F.col("vec_id").alias("neighbor_id"),
@@ -306,29 +370,36 @@ def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
     change buckets, so serving results are identical before and after —
     only the file count drops.
 
-    Crash-safe: the swap is leftover-keyed (write ``data.new-<tag>``,
-    rename data → ``data.old-<tag>``, rename new → data, remove old),
-    and every entry point rolls an interrupted swap forward via
-    ``_recover_compact`` — two bare renames with no recovery left a
-    crash window with NO data dir and nothing to heal it."""
+    Crash-safe AND concurrency-safe: the compacted dir is written
+    first, then a journal is committed, then the three-step swap runs
+    (rename data → ``data.old-<tag>``, rename new → data, remove old,
+    remove journal) — all under ``_writer_lock``, so a concurrent
+    reader/updater's recovery can never mistake this in-flight swap for
+    a crashed one and delete the only complete copy. Recovery is
+    journal-keyed (``_recover_compact``): any crash window rolls
+    forward from the tagged leftovers."""
     import shutil
     import uuid
 
-    _recover_compact(index_dir)
-    data = os.path.join(index_dir, DATA)
-    df = spark.read.parquet(data)
-    # one shuffle partition per bucket value → exactly one file each
-    compacted = df.repartition(F.col("bucket"))
-    tag = uuid.uuid4().hex[:8]
-    new = f"{data}.new-{tag}"
-    compacted.write.partitionBy("bucket").parquet(new)
-    old = f"{data}.old-{tag}"
-    os.rename(data, old)
-    os.rename(new, data)
-    shutil.rmtree(old)
-    n_files = sum(
-        1 for _, _, fs in os.walk(data) for f in fs if f.endswith(".parquet")
-    )
+    with _writer_lock(index_dir):
+        _recover_compact_locked(index_dir)
+        data = os.path.join(index_dir, DATA)
+        df = spark.read.parquet(data)
+        # one shuffle partition per bucket value → exactly one file each
+        compacted = df.repartition(F.col("bucket"))
+        tag = uuid.uuid4().hex[:8]
+        new = f"{data}.new-{tag}"
+        compacted.write.partitionBy("bucket").parquet(new)
+        journal = os.path.join(index_dir, COMPACT_JOURNAL)
+        _write_meta(index_dir, {"tag": tag}, name=COMPACT_JOURNAL)
+        old = f"{data}.old-{tag}"
+        os.rename(data, old)
+        os.rename(new, data)
+        shutil.rmtree(old)
+        os.remove(journal)
+        n_files = sum(
+            1 for _, _, fs in os.walk(data) for f in fs if f.endswith(".parquet")
+        )
     return {"n_files": n_files}
 
 
@@ -402,7 +473,9 @@ def ann_query_ivf_index(
         F.col(query_id_col).alias("query_id"),
         CF.as_double_array(vec_col).alias("qvec"),
     ).collect()
-    if not q_rows:
+    # bootstrap-empty index (no centroids to probe) or no queries:
+    # empty results, not a numpy matmul ValueError mid-stream
+    if not q_rows or C.size == 0:
         from chillastic_spark.operators.similarity import _id_type
 
         return _empty_topk(spark, qid_t=_id_type(queries, query_id_col))

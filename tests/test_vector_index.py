@@ -234,17 +234,26 @@ def test_update_after_empty_build_bootstraps(spark, tmp_path):
 
 
 def test_compact_crash_recovery_rolls_forward(spark, tmp_path):
-    """Review finding: a crash between the two swap renames left NO
-    data dir with nothing to heal it. Simulate each crash window and
-    assert _recover_compact restores a servable index with identical
-    results."""
+    """Review findings (r5 + r6): a crash between the two swap renames
+    left NO data dir with nothing to heal it, and a lockless recovery
+    raced a live compactor. The swap is now JOURNAL-keyed: the journal
+    is committed after the compacted dir is complete and removed after
+    the swap, so every simulated crash window below carries one —
+    and recovery without a journal is deliberately a no-op (that state
+    means a compactor is live or the index is virgin)."""
+    import json as _json
     import shutil
 
     from chillastic_spark.sources.vector_index import (
+        COMPACT_JOURNAL,
         DATA,
         _recover_compact,
         compact_vector_index,
     )
+
+    def _journal(tag):
+        with open(os.path.join(idx, COMPACT_JOURNAL), "w") as f:
+            _json.dump({"tag": tag}, f)
 
     e = load(spark, SF, "embeddings").limit(200)
     idx = str(tmp_path / "vidx")
@@ -255,9 +264,10 @@ def test_compact_crash_recovery_rolls_forward(spark, tmp_path):
     }
     data = os.path.join(idx, DATA)
 
-    # window 1: compacted dir fully written, data renamed away, crash
-    # before new->data (the lethal window)
+    # window 1: compacted dir fully written, journal committed, data
+    # renamed away, crash before new->data (the lethal window)
     shutil.copytree(data, data + ".new-dead1")
+    _journal("dead1")
     os.rename(data, data + ".old-dead1")
     assert not os.path.exists(data)
     _recover_compact(idx)
@@ -270,8 +280,10 @@ def test_compact_crash_recovery_rolls_forward(spark, tmp_path):
     }
     assert got == want
 
-    # window 2: crash after new->data, old leftover remains
+    # window 2: crash after new->data (journal still present), old
+    # leftover remains
     shutil.copytree(data, data + ".old-dead2")
+    _journal("dead2")
     # entry points heal implicitly (query calls _recover_compact)
     got2 = {
         (r["query_id"], r["neighbor_id"], r["cos"])
