@@ -34,7 +34,12 @@ def asof_join(
     NULL keys never match (a NULL-key left row carries NULL values),
     mirroring every SQL/ASOF equi-join — Window.partitionBy would
     otherwise group all NULL keys into one partition and match them to
-    each other.
+    each other. NULL timestamps never match EITHER SIDE (three-valued
+    logic: NULL <= x is unknown): a NULL-ts right row is dropped, a
+    NULL-ts left row carries NULL values. Note DuckDB's sort-based
+    ASOF JOIN diverges on the left case only — it sorts NULL ts last
+    and matches it to the key's LATEST right row (NULL as +infinity);
+    tests/test_asof_nulls.py pins both behaviors explicitly.
 
     ``order_tiebreak`` (when the column exists on ``right``) picks
     among duplicate right rows at the same (key, ts): ascending order,
