@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from chillastic_spark.operators import dedup as D
 from chillastic_spark.operators import text as T
 from chillastic_spark.operators.chunking import chunk_documents
-from chillastic_spark.persist import materialize
+from chillastic_spark.persist import materialize, persist_mode, release
 
 
 @dataclass
@@ -81,9 +81,16 @@ class CurationReport:
     # per-source KL vs drift_reference, measured on the RAW input batch
     # (None = no reference given)
     input_drift: "dict[str, float] | None" = None
+    # the (pinned) MinHash-LSH candidate pair list the near-dedup stage
+    # computed — pass it to assemble(pairs=...) so split assignment uses
+    # the SAME candidate set instead of paying a second signature pass
+    # (a hand-recomputed set with different knobs lets two surviving
+    # near-dups straddle splits — the leakage assemble guards against)
+    near_dup_pairs: "DataFrame | None" = None
 
     def as_dict(self) -> dict:
-        return vars(self)
+        # counts only — the pair DataFrame is a handle, not a metric
+        return {k: v for k, v in vars(self).items() if k != "near_dup_pairs"}
 
 
 def curate(
@@ -116,10 +123,14 @@ def curate(
         # both count tables feed multiple consumers inside unigram_kl
         # (totals, novel-bucket anti-join, domain join) — materialize
         # so each explode+md5 token pass runs once
-        ref = materialize(
-            IMP.unigram_counts(drift_reference, source_col, text_col=text_col)
-            .groupBy("bkt")
-            .agg(F.sum("ct").alias("cct"))
+        from chillastic_spark.streaming import _freeze_drift_ref
+
+        # THE one frozen-reference definition (shared with drift_stream
+        # and curation_stream — a local restatement would fork batch
+        # drift math from the stream's)
+        ref = _freeze_drift_ref(
+            drift_reference, IMP.DEFAULT_BUCKETS,
+            group_col=source_col, text_col=text_col,
         )
         sb = materialize(
             IMP.unigram_counts(df, source_col, text_col=text_col)
@@ -128,6 +139,10 @@ def curate(
             r[source_col]: r["kl"]
             for r in IMP.unigram_kl(sb, ref, group_col=source_col).collect()
         }
+        # the collect above is the last consumer of both count tables
+        if persist_mode() in ("local", "reliable"):
+            release(ref)
+            release(sb)
 
     if cfg.scrub:
         from chillastic_spark.operators.scrub import scrub_text
@@ -232,31 +247,49 @@ def curate(
     # so a batch re-emitting byte-identical rows under one id kept both
     from pyspark.sql.window import Window as _Window
 
+    # null-id rows are undeliverable and untrackable (no dedup keeper,
+    # no chunk identity): dropped, as the old keeper-id semi-join
+    # always did — and they must never WIN the keeper window (NULLs
+    # sort FIRST under the ascending orderBy, which would silently
+    # drop the real-id duplicate and carry a NULL id into chunking)
     _wfp = _Window.partitionBy("fingerprint").orderBy(id_col)
     exact = materialize(
-        gated.withColumn("__rn", F.row_number().over(_wfp))
+        gated.filter(F.col(id_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(_wfp))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
     after_exact = exact.count()
 
-    # near dedup: MinHash-LSH candidate pairs → drop the larger id
-    pairs = D.minhash_lsh_pairs(
-        exact,
-        id_col=id_col,
-        text_col=text_col,
-        n=cfg.shingle_n,
-        num_perm=cfg.minhash_perms,
-        bands=cfg.minhash_bands,
-        threshold=cfg.near_dup_threshold,
+    # near dedup: MinHash-LSH candidate pairs → drop the larger id.
+    # Pinned because (a) the band self-join + verify join is the
+    # pipeline's most expensive shuffle, (b) the pair list outlives
+    # this function (returned on the report for assemble), and (c) it
+    # must survive the release of `exact` below.
+    pairs = materialize(
+        D.minhash_lsh_pairs(
+            exact,
+            id_col=id_col,
+            text_col=text_col,
+            n=cfg.shingle_n,
+            num_perm=cfg.minhash_perms,
+            bands=cfg.minhash_bands,
+            threshold=cfg.near_dup_threshold,
+        )
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    # pinned: the LSH band self-join + verify join is the pipeline's
-    # most expensive shuffle, and `near` feeds up to five downstream
-    # actions (count, per-source token collect, gate count, chunking,
-    # the caller) — unpinned it would re-execute per consumer
+    # pinned: `near` feeds up to five downstream actions (count,
+    # per-source token collect, gate count, chunking, the caller) —
+    # unpinned it would re-execute per consumer
     near = materialize(exact.join(losers, id_col, "left_anti"))
     after_near = near.count()
+    # gated and exact have no consumers past this point: one curate()
+    # call must not hold 4-5 corpus-sized pins simultaneously (eager
+    # modes only — under lazy 'disk' pinning downstream partitions may
+    # still recompute through them, same guard as curation_stream)
+    if persist_mode() in ("local", "reliable"):
+        release(gated)
+        release(exact)
 
     # DSIR selection: keep the most target-like fraction of the
     # deduped pool (importance.dsir_weights, length-normalized score;
@@ -276,8 +309,11 @@ def curate(
             .limit(k)
             .select(F.col("doc_id").alias(id_col))
         )
+        prev_near = near
         near = materialize(near.join(keep_ids, id_col, "left_semi"))
         after_dsir = near.count()
+        if persist_mode() in ("local", "reliable"):
+            release(prev_near)  # superseded by the DSIR-selected pin
 
     # mixture sampling: per-source hash-gate rates solved for the token
     # budget (same math as the domain_mixture_manifest query), applied
@@ -349,6 +385,7 @@ def curate(
         after_mixture_sampling=after_mix,
         mixture_zeroed_sources=mixture_zeroed,
         input_drift=input_drift,
+        near_dup_pairs=pairs,
     )
 
 

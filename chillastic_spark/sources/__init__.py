@@ -270,6 +270,19 @@ class DocumentStore:
             f.write(str(n))
         os.replace(p + ".tmp", p)
 
+    @staticmethod
+    def stream_scratch_filter(df: DataFrame) -> DataFrame:
+        """Drop rows streamed out of scratch/crash-leftover dirs (the
+        ``stream_path`` wide-glob companion): a ``bucket-0007.old-ab``
+        parked by recovery or an in-flight ``.compact-`` dir would be
+        double reads / half-written files."""
+        pat = r"(\.tmp-|\.old-|\.new-|\.merge-|\.append-|\.compact-)[0-9a-f]{1,32}/"
+        return (
+            df.withColumn("__file", F.input_file_name())
+            .filter(~F.col("__file").rlike(pat))
+            .drop("__file")
+        )
+
     def bucket_path(self, index: str, bucket: int) -> str:
         return os.path.join(self.index_path(index), f"{BUCKET_PREFIX}{bucket:04d}")
 
@@ -294,17 +307,33 @@ class DocumentStore:
         return [p for p in cand if os.path.isdir(p)]
 
     def stream_path(self, index: str) -> str:
-        """Path/glob for readStream over one index, either layout.
+        """Path/glob for readStream over one index — LAYOUT-CHANGE
+        SAFE: ``{index}/*`` matches both flat part files and bucket
+        directories, so a stream started on a flat index keeps seeing
+        rows after an upsert migrates it to the bucketed layout (a
+        layout-specific path would go silently blind: a file stream
+        never lists files under unmatched subdirectories — verified
+        empirically). Callers MUST also apply
+        :func:`stream_scratch_filter`: the wide glob matches crash
+        leftovers (``bucket-0007.old-ab12``, in-flight ``.compact-``
+        dirs) whose files must not be streamed. The migration rewrite
+        double-delivers rows (old flat file + new bucket file) — the
+        content-dedup / idempotent MERGE sinks downstream absorb that
+        by design.
 
-        The glob matches STRICT bucket-NNNN names only — a crash
-        leftover like ``bucket-0007.old-ab12`` or an in-flight
-        ``.compact-`` dir must not be streamed (double reads /
-        half-written files)."""
-        if self.bucket_count(index) is not None:
-            return os.path.join(
-                self.index_path(index), BUCKET_PREFIX + "[0-9][0-9][0-9][0-9]"
-            )
-        return self.index_path(index)
+        Exception: a Hive-partitioned flat index (``_type=`` dirs)
+        keeps the plain directory path — the partition COLUMN comes
+        from the path and a glob would read it as NULL. Such an index
+        loses the migration safety (documented trade; migrating a
+        type-partitioned index under a live stream is not supported).
+        """
+        root = self.index_path(index)
+        if os.path.isdir(root) and any(
+            "=" in d and os.path.isdir(os.path.join(root, d))
+            for d in os.listdir(root)
+        ):
+            return root
+        return os.path.join(root, "*")
 
     # --------------------------------------------------------- data
     # scratch dirs are always <name><tag><hex suffix>: anchor the

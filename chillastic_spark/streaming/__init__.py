@@ -84,7 +84,7 @@ def continuous_reindex(
     ``available_now=True`` drains what exists and stops (the batch-with-
     resume mode); False runs continuously picking up new files.
     """
-    stream = (
+    stream = source.stream_scratch_filter(
         spark.readStream.schema(ENVELOPE_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(source.stream_path(index))
@@ -195,14 +195,23 @@ def deduplicated_ingest(
     time instead of growing with distinct keys.
     """
 
-    stream = (
+    stream = source.stream_scratch_filter(
         spark.readStream.schema(ENVELOPE_SCHEMA)
         .option("maxFilesPerTrigger", 2)
         .parquet(source.stream_path(index))
     )
-    deduped = stream.withColumn(
-        "__fp", CF.fingerprint(F.col("_source"))
-    ).dropDuplicates(["__fp"]).drop("__fp")
+    # NULL-_source envelopes (a real wire shape: metadata-only docs)
+    # are DISTINCT documents keyed by _id, not one content group:
+    # fingerprint(NULL) is NULL and dropDuplicates groups NULL keys, so
+    # a bare fingerprint key would keep ONE such doc ever (state
+    # persists across the stream's lifetime) and silently drop the
+    # rest. Same convention as operators.exact_dedup's coalesce.
+    fp = F.coalesce(
+        CF.fingerprint(F.col("_source")),
+        F.concat(F.lit("__null#"), F.col("_id")),
+        F.lit("__null__"),
+    )
+    deduped = stream.withColumn("__fp", fp).dropDuplicates(["__fp"]).drop("__fp")
 
     def process(batch_df, batch_id: int) -> None:
         upsert(spark, dest, batch_df)
@@ -458,7 +467,23 @@ def continuous_index_update(
     )
 
     def fold(batch_df, _batch_id):
-        batch = batch_df.dropDuplicates(["doc_id"])
+        # collapse only EXACT copies: dropDuplicates(["doc_id"]) alone
+        # would pick an arbitrary version when one trigger carries the
+        # same id with DIFFERENT text, structurally bypassing
+        # update_inverted_index's 'resolve upstream' error — a
+        # nondeterministically chosen version would be permanently
+        # indexed with no error
+        batch = batch_df.dropDuplicates(["doc_id", "text"])
+        clash = (
+            batch.groupBy("doc_id").count().filter(F.col("count") > 1).limit(3)
+        )
+        clash_ids = [r["doc_id"] for r in clash.collect()]
+        if clash_ids:
+            raise ValueError(
+                f"micro-batch carries the same doc_id with different "
+                f"text (e.g. {clash_ids}) — resolve upstream; indexing "
+                "an arbitrary version would be nondeterministic"
+            )
         if batch.isEmpty():
             return
         update_inverted_index(spark, batch, index_dir, on_existing="skip")
@@ -625,15 +650,21 @@ def _freeze_lm_refs(corpus: DataFrame, b: int) -> "tuple[DataFrame, DataFrame]":
     return ctx, big
 
 
-def _freeze_drift_ref(corpus: DataFrame, b: int) -> DataFrame:
+def _freeze_drift_ref(
+    corpus: DataFrame,
+    b: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
     """Frozen corpus unigram reference for drift scoring — ONE
-    definition shared by drift_stream and curation_stream (same
-    rationale as :func:`_freeze_lm_refs`). Bounded at ≤ b rows."""
+    definition shared by drift_stream, curation_stream, AND the batch
+    pipeline's input-drift check (same rationale as
+    :func:`_freeze_lm_refs`). Bounded at ≤ b rows."""
     from chillastic_spark.operators import importance as IMP
     from chillastic_spark.operators.dedup import materialize
 
     return materialize(
-        IMP.unigram_counts(corpus, "source", buckets=b)
+        IMP.unigram_counts(corpus, group_col, text_col=text_col, buckets=b)
         .groupBy("bkt")
         .agg(F.sum("ct").alias("cct"))
     )
@@ -1050,7 +1081,8 @@ def curation_stream(
     out_root: str,
     checkpoint_dir: str,
     nll_keep_max: float = 10.5,
-    buckets: "int | None" = None,
+    lm_buckets: "int | None" = None,
+    drift_buckets: "int | None" = None,
     n: int = 3,
     num_perm: int = 16,
     bands: int = 4,
@@ -1096,8 +1128,12 @@ def curation_stream(
     from chillastic_spark.operators.assembly import assemble_incremental
 
     out_root = out_root.rstrip("/")
-    b_lm = buckets or lm.LM_BUCKETS
-    b_drift = buckets or IMP.DEFAULT_BUCKETS
+    # SEPARATE bucket domains: the LM defaults to 65536 and drift to
+    # 4096 — one shared knob silently forked whichever stage it
+    # overrode from its standalone twin (16x more bigram collisions
+    # change nll keep sets; a changed drift domain changes kl/psi)
+    b_lm = lm_buckets or lm.LM_BUCKETS
+    b_drift = drift_buckets or IMP.DEFAULT_BUCKETS
 
     # frozen references, materialized once before the stream starts —
     # the LM and drift references come from the SAME builders as the

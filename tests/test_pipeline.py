@@ -586,7 +586,8 @@ def test_curation_stream_end_to_end(spark, tmp_path):
     def run():
         q = curation_stream(
             spark, str(stream_dir), corpus, manifest, out_root, ckpt,
-            nll_keep_max=NLL_MAX, buckets=4096, num_perm=PERMS,
+            nll_keep_max=NLL_MAX, lm_buckets=4096, drift_buckets=4096,
+            num_perm=PERMS,
             threshold=THRESH, max_files_per_trigger=1,
         )
         q.awaitTermination(240)
@@ -917,7 +918,8 @@ def test_curation_stream_mid_batch_crash_exactly_once(spark, tmp_path, monkeypat
     def run(out_root, ckpt):
         q = curation_stream(
             spark, str(stream_dir), corpus, manifest, out_root, ckpt,
-            nll_keep_max=7.0, buckets=4096, num_perm=32, threshold=0.6,
+            nll_keep_max=7.0, lm_buckets=4096, drift_buckets=4096,
+            num_perm=32, threshold=0.6,
             max_files_per_trigger=1,
         )
         q.awaitTermination(240)

@@ -151,7 +151,7 @@ def test_curation_stream_releases_per_batch_cache(spark, tmp_path, monkeypatch, 
     q = curation_stream(
         spark, str(stream_dir), corpus, manifest,
         str(tmp_path / "cur"), str(tmp_path / "ckpt"),
-        buckets=512, max_files_per_trigger=1,
+        lm_buckets=512, drift_buckets=512, max_files_per_trigger=1,
     )
     assert q.awaitTermination(240), "curation stream did not finish in 240s"
     n_after = spark.sparkContext._jsc.getPersistentRDDs().size()
