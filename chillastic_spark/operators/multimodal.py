@@ -44,6 +44,16 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
+def _out_schema(df: DataFrame, id_col: str, base: T.StructType) -> T.StructType:
+    """The output schema with doc_id carrying the CALLER's id type —
+    hardcoding LongType crashes string-id callers at the Arrow cast
+    (the similarity._id_type lesson; the output column is still named
+    doc_id regardless of id_col)."""
+    return T.StructType(
+        [T.StructField("doc_id", df.schema[id_col].dataType)] + list(base.fields)[1:]
+    )
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adapter for the testdata: treat utf-8 bytes of a text column as
     the opaque media payload."""
@@ -308,7 +318,9 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
                 rows, columns=["doc_id", "n_bytes", "width", "height", "format"]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, MEDIA_META_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        run, _out_schema(df, id_col, MEDIA_META_SCHEMA)
+    )
 
 
 FRAME_SCHEMA = T.StructType(
@@ -459,7 +471,7 @@ def sample_frames(
                 rows, columns=["doc_id", "frame_idx", "frame", "frame_bytes"]
             )
 
-    return src.mapInPandas(run, FRAME_SCHEMA)
+    return src.mapInPandas(run, _out_schema(df, id_col, FRAME_SCHEMA))
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -554,7 +566,9 @@ def resize_images(
                 )
             yield _pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height"])
 
-    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        run, _out_schema(df, id_col, RESIZED_SCHEMA)
+    )
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -646,12 +660,19 @@ def audio_features(
                 n = pcm.shape[0]
                 if n >= frame_len:
                     n_frames = 1 + (n - frame_len) // hop
-                    idx = (
-                        _np.arange(frame_len)[None, :]
-                        + hop * _np.arange(n_frames)[:, None]
-                    )
-                    frames = pcm[idx]
-                    rms = _np.sqrt((frames * frames).mean(axis=1))
+                    # zero-copy strided framing: fancy-indexing pcm[idx]
+                    # MATERIALIZED the full overlapping frame matrix
+                    # (~2.5x the sample count in float64, plus the same
+                    # again for the index matrix — ~1.7 GB transient for
+                    # a 30-min WAV). The strided view over the squared
+                    # signal reduces per window without copying; the
+                    # per-element math is identical, so values are
+                    # bit-for-bit the old ones.
+                    pcm2 = pcm * pcm
+                    w = _np.lib.stride_tricks.sliding_window_view(
+                        pcm2, frame_len
+                    )[:: hop][:n_frames]
+                    rms = _np.sqrt(w.mean(axis=1))
                 else:
                     n_frames, rms = 0, _np.array([0.0])
                 zc = float((_np.signbit(pcm[1:]) != _np.signbit(pcm[:-1])).mean()) if n > 1 else 0.0
@@ -672,7 +693,9 @@ def audio_features(
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        run, _out_schema(df, id_col, AUDIO_FEATURES_SCHEMA)
+    )
 
 
 # ----------------------------------------------------- perceptual hash
@@ -782,7 +805,9 @@ def phash_images(
                 {"doc_id": ids, "phash": h.astype(_np.int64)}  # wrap to signed
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, PHASH_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        run, _out_schema(df, id_col, PHASH_SCHEMA)
+    )
 
 
 def phash_pairs(

@@ -87,6 +87,14 @@ def apply_data_mutators(
 
         import pandas as _pd
 
+        def _s(v, f):
+            if v is None or isinstance(v, str):
+                return v
+            raise TypeError(
+                f"mutator set {f} to {type(v).__name__}"
+                f" (must be str or None): {v!r}"
+            )
+
         def _drop(d):
             return d is None or d == {} or d == [] or d == ""
 
@@ -119,14 +127,36 @@ def apply_data_mutators(
                     # and kill the slice
                     out_row = None
                     if not _drop(doc):
+                        # type-check the envelope INSIDE the guard: a
+                        # mutator setting _index=20240101 (int) or
+                        # _size='big' otherwise surfaces at the Arrow
+                        # cast of the WHOLE batch (outside the
+                        # per-record try) and kills the slice —
+                        # exactly what quarantine exists to absorb
+                        size = doc.get("_size")
+                        # pandas hands a nullable int64 column over as
+                        # float64: a NULL is nan and a real 10 is 10.0 —
+                        # both legitimate. Reject only genuinely
+                        # non-integral values (a mutator's _size='big'
+                        # or 12.5), which would otherwise poison the
+                        # whole batch's Arrow cast.
+                        if isinstance(size, float):
+                            size = None if size != size else (
+                                int(size) if size.is_integer() else size
+                            )
+                        if size is not None and not isinstance(size, int):
+                            raise TypeError(
+                                f"mutator set _size to {type(size).__name__}"
+                                f" (must be an integer or None): {size!r}"
+                            )
                         out_row = {
-                            "_index": doc.get("_index"),
-                            "_type": doc.get("_type"),
-                            "_id": doc.get("_id"),
+                            "_index": _s(doc.get("_index"), "_index"),
+                            "_type": _s(doc.get("_type"), "_type"),
+                            "_id": _s(doc.get("_id"), "_id"),
                             "_source": _json.dumps(
                                 doc.get("_source", {}), sort_keys=True
                             ),
-                            "_size": doc.get("_size"),
+                            "_size": size,
                         }
                 except Exception as e:  # noqa: BLE001 — user-code boundary
                     if not do_quarantine:

@@ -123,8 +123,16 @@ def brute_force_topk_fast(
 
     qid_t = _id_type(queries, query_id_col)
     nid_t = _id_type(vectors, id_col)
+    # dirty query rows (NULL id / NULL vector) score nothing instead of
+    # aborting the whole query: sorted() raises on a None key and
+    # np.array on a ragged list — one bad row must not kill the job
     q_rows = sorted(
-        queries.select(query_id_col, vec_col).collect(), key=lambda r: r[0]
+        (
+            r
+            for r in queries.select(query_id_col, vec_col).collect()
+            if r[0] is not None and r[1] is not None
+        ),
+        key=lambda r: r[0],
     )
     if not q_rows:
         return _empty_topk(vectors.sparkSession, qid_t=qid_t, nid_t=nid_t)
@@ -138,6 +146,11 @@ def brute_force_topk_fast(
         import pandas as pd_
 
         for pdf in batches:
+            if pdf.empty:
+                continue
+            # NULL vectors make np.array ragged (ValueError kills the
+            # task) — vectorless rows score nothing
+            pdf = pdf[pdf["_vec"].notna()]
             if pdf.empty:
                 continue
             ids = pdf["_nid"].to_numpy()
@@ -235,6 +248,31 @@ def random_hyperplane_buckets(
     return bucket.cast("int")
 
 
+def probe_buckets_expr(base: F.Column, probes: int, planes: int) -> F.Column:
+    """Multi-probe bucket array: the base bucket plus its ``probes-1``
+    single-bit flips — THE one probe policy, shared by the scan-time
+    ``lsh_topk`` and the served ``sources.vector_index`` so a policy
+    change can never diverge the index from the operator."""
+    return F.array(
+        base,
+        *[
+            base.bitwiseXOR(F.lit(1 << p))
+            for p in range(min(max(probes - 1, 0), planes))
+        ],
+    )
+
+
+def _dim_mean(val: F.Column, digits: int = 6) -> F.Column:
+    """THE per-dimension centroid mean: DECIMAL-sum / count, rounded —
+    not the engine avg (double partial sums merge in shuffle-fetch
+    order, so a mean one ulp from a rounding boundary flips across
+    runs). One definition for ``centroids`` and ``centroid_arrays``."""
+    return CF.round_det(
+        F.sum(val.cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)),
+        digits,
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -256,23 +294,19 @@ def lsh_topk(
     """
     first_q = queries.select(CF.as_double_array(vec_col)).first()
     dims = len(first_q[0]) if first_q and first_q[0] is not None else None
-    v = vectors.select(
+    # vectorless rows score nothing: a NULL embedding projects to NULL
+    # on every plane (bucket 0 by the when/otherwise) and cosines to
+    # NULL — it would soak up k junk candidate slots per bucket-0 query
+    v = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         CF.as_double_array(vec_col).alias("vec"),
         random_hyperplane_buckets(vec_col, planes, dims=dims).alias("bucket"),
     )
     base_bucket = random_hyperplane_buckets(vec_col, planes, dims=dims)
-    probe_buckets = F.array(
-        base_bucket,
-        *[
-            base_bucket.bitwiseXOR(F.lit(1 << p))
-            for p in range(min(max(probes - 1, 0), planes))
-        ],
-    )
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         CF.as_double_array(vec_col).alias("qvec"),
-        F.explode(probe_buckets).alias("bucket"),
+        F.explode(probe_buckets_expr(base_bucket, probes, planes)).alias("bucket"),
     )
     scored = (
         v.join(F.broadcast(q), ["bucket"])
@@ -325,7 +359,10 @@ def knn_graph(
     """
     first_v = vectors.select(CF.as_double_array(vec_col)).first()
     dims = len(first_v[0]) if first_v and first_v[0] is not None else None
-    b = vectors.select(
+    # NULL-embedding rows would all land in bucket 0 and hand out k
+    # NULL-cos edges each, silently distorting every graph metric built
+    # on these edges — vectorless rows are not graph nodes
+    b = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         CF.as_double_array(vec_col).alias("v"),
         random_hyperplane_buckets(vec_col, planes, dims=dims).alias("bkt"),
@@ -363,7 +400,10 @@ def ivf_coarse_centroids(
     import numpy as np
 
     rows = (
-        vectors.select(F.col(id_col).alias("_id"), CF.as_double_array(vec_col).alias("_v"))
+        # NULL vectors cannot train a quantizer and make np.array
+        # ragged (ValueError) — excluded from the sample
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), CF.as_double_array(vec_col).alias("_v"))
         .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
         .limit(sample)
         .collect()
@@ -406,6 +446,12 @@ def ivf_assign_cells(
         import numpy as np_
 
         for pdf in batches:
+            if pdf.empty:
+                continue
+            # NULL vectors make np.array ragged (ValueError kills the
+            # task and, via build_ivf_index, the whole index build) —
+            # a vectorless row cannot be assigned a cell: dropped
+            pdf = pdf[pdf["_dvec"].notna()]
             if pdf.empty:
                 continue
             V = np_.array(list(pdf["_dvec"]), dtype=np_.float64)
@@ -458,9 +504,16 @@ def ivf_topk(
     ).select("neighbor_id", CF.as_double_array(vec_col).alias("vec"), "cell")
 
     qid_t = _id_type(queries, query_id_col)
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"), CF.as_double_array(vec_col).alias("qvec")
-    ).collect()
+    # dirty query rows (NULL id / NULL vector) score nothing instead of
+    # crashing the numpy batch (ragged np.array raises ValueError)
+    q_rows = [
+        r
+        for r in queries.select(
+            F.col(query_id_col).alias("query_id"),
+            CF.as_double_array(vec_col).alias("qvec"),
+        ).collect()
+        if r["query_id"] is not None and r["qvec"] is not None
+    ]
     if not q_rows:
         return _empty_topk(
             vectors.sparkSession, qid_t=qid_t, nid_t=_id_type(vectors, id_col)
@@ -496,17 +549,7 @@ def centroids(
     return (
         df.select(F.col(group_col).alias("grp"), F.posexplode(CF.as_double_array(vec_col)))
         .groupBy("grp", "pos")
-        # DECIMAL-sum, not engine avg: double partial sums merge in
-        # shuffle-fetch order, so a mean one ulp from a rounding
-        # boundary flips buckets across runs — decimal addition is
-        # exact and order-independent (the repo determinism contract)
-        .agg(
-            CF.round_det(
-                F.sum(F.col("col").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("centroid")
-        )
+        .agg(_dim_mean(F.col("col")).alias("centroid"))
         .select(F.col("grp").alias(group_col), (F.col("pos") + 1).alias("dim"), "centroid")
     )
 
@@ -535,7 +578,10 @@ def pq_train_codebooks(
     import numpy as np
 
     rows = (
-        vectors.select(F.col(id_col).alias("_id"), CF.as_double_array(vec_col).alias("_v"))
+        # NULL vectors cannot train a quantizer and make np.array
+        # ragged (ValueError) — excluded from the sample
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), CF.as_double_array(vec_col).alias("_v"))
         .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
         .limit(sample)
         .collect()
@@ -590,6 +636,11 @@ def pq_encode(
         import numpy as np_
 
         for pdf in batches:
+            if pdf.empty:
+                continue
+            # NULL vectors make np.array ragged (ValueError kills the
+            # task) — a vectorless row cannot be encoded: dropped
+            pdf = pdf[pdf["_dvec"].notna()]
             if pdf.empty:
                 continue
             V = np_.array(list(pdf["_dvec"]), dtype=np_.float64)
@@ -658,9 +709,16 @@ def pq_topk(
     )
 
     qid_t = _id_type(queries, query_id_col)
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"), CF.as_double_array(vec_col).alias("qvec")
-    ).collect()
+    # dirty query rows (NULL id / NULL vector) score nothing instead of
+    # crashing the numpy batch (ragged np.array raises ValueError)
+    q_rows = [
+        r
+        for r in queries.select(
+            F.col(query_id_col).alias("query_id"),
+            CF.as_double_array(vec_col).alias("qvec"),
+        ).collect()
+        if r["query_id"] is not None and r["qvec"] is not None
+    ]
     if not q_rows:
         return _empty_topk(
             vectors.sparkSession,
@@ -731,14 +789,8 @@ def centroid_arrays(
     long = df.select(
         group_col, F.posexplode(CF.as_double_array(vec_col)).alias("dim", "val")
     )
-    # DECIMAL-sum / count, not engine avg — see centroids(): double
-    # partial-sum merge order is nondeterministic across runs
     cent = long.groupBy(group_col, "dim").agg(
-        CF.round_det(
-            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1)),
-            digits,
-        ).alias("c")
+        _dim_mean(F.col("val"), digits).alias("c")
     )
     packed = cent.groupBy(group_col).agg(
         F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_s")
@@ -764,11 +816,19 @@ def centroid_outliers(
     (≤2 non-zero summands per group → engine-exact), computed under one
     per-group window shuffle. Returns (id, group, cos_c, cutoff) for
     outliers only.
+
+    NULL-embedding rows are excluded UP FRONT: a NULL cosine sorts
+    first in the rank window (taking rn=1), its pct_cell term is NULL
+    and F.sum silently drops it — biasing the cutoff low for the whole
+    group — and the row itself could never be flagged (NULL < cutoff
+    is not true). Vectorless rows are an upstream data-quality issue,
+    not embedding-space outliers.
     """
     from pyspark.sql.window import Window
 
     from chillastic_spark.operators.dedup import materialize
 
+    df = df.filter(F.col(vec_col).isNotNull())
     cent = centroid_arrays(df, group_col, vec_col)
     # the scored table feeds BOTH the percentile window and the final
     # filter — materialize it so the centroid join + cosine pass over

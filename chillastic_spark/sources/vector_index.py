@@ -307,13 +307,12 @@ def ann_query_index(
     base = random_hyperplane_buckets(
         vec_col, planes, meta["seed"], dims=meta.get("dims")
     )
-    probe_buckets = F.array(
-        base,
-        *[
-            base.bitwiseXOR(F.lit(1 << p))
-            for p in range(min(max(probes - 1, 0), planes))
-        ],
-    )
+    # THE shared probe policy (operators.similarity.probe_buckets_expr)
+    # — a policy change must hit the scan-time operator and the served
+    # index together or results silently diverge
+    from chillastic_spark.operators.similarity import probe_buckets_expr
+
+    probe_buckets = probe_buckets_expr(base, probes, planes)
     from chillastic_spark.operators.similarity import _id_type
 
     qid_t = _id_type(queries, query_id_col)
