@@ -34,7 +34,7 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"
 )
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 RATIO_MAX = 15.0  # 10x data + shuffle/agg overhead headroom
 
 

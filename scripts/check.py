@@ -55,8 +55,12 @@ def main() -> int:
     spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        # scaling dirs (scripts/make_sf1.py) can be multi-file parquet
+        # DIRECTORIES named <table>.parquet — DuckDB needs the glob
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

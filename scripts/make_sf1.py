@@ -65,25 +65,50 @@ def main() -> None:
         for i in range(COPIES):
             c = base
             for col, step in offs.items():
-                if col in c.columns:
-                    c = c.withColumn(col, F.col(col) + F.lit(i * step))
+                # a silently-skipped offset column duplicates keys
+                # across all 10 copies — joins fan out 10x and every
+                # scaling ratio is measured on structurally wrong data
+                if col not in c.columns:
+                    raise SystemExit(
+                        f"make_sf1: expected key column {col!r} missing "
+                        f"from {t} — offsets cannot be applied"
+                    )
+                c = c.withColumn(col, F.col(col) + F.lit(i * step))
             if t == "documents" and i > 0:
                 # disjoint token space per copy (see module docstring)
                 c = c.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"$1_c{i}")
                 )
             if t == "embeddings" and i > 0:
-                # cast the perturbed element BACK to float: x + <double>
-                # widens to array<double>, silently doubling the table's
-                # bytes vs sf0.1 and breaking the 10x-data claim
+                # DECORRELATE copies with a copy-specific ORTHOGONAL
+                # map (circular dim shift by i + per-dim sign flips):
+                # within-copy inner products are preserved EXACTLY (the
+                # planted near-dup structure replicates 10x), while
+                # cross-copy cosines drop to noise. The old 0.01 dither
+                # left cross-copy cosine ~0.998 (measured), handing
+                # every vector C(10,2)=45 near-identical cross-copy
+                # pairs — a ~55x pair blowup instead of 10x replicated
+                # structure.
+                # Cast BACK to float: arithmetic on <double> widens to
+                # array<double>, silently doubling the table's bytes vs
+                # sf0.1 and breaking the 10x-data claim.
+                emb = F.col("embedding")
                 c = c.withColumn(
                     "embedding",
                     F.transform(
-                        "embedding",
+                        emb,
                         lambda x, j: (
-                            x
-                            + 0.01
-                            * F.sin(F.col("vec_id") * 31 + j * 7 + F.lit(i * 13))
+                            F.element_at(
+                                emb,
+                                F.pmod(j + F.lit(i * 29), F.size(emb)) + 1,
+                            )
+                            # murmur-hashed per-(dim, copy) sign: a
+                            # j-linear parity flip left adjacent copies
+                            # at cos ~0.37 (structured, not random)
+                            * F.when(
+                                F.pmod(F.hash(j, F.lit(i)), 2) == 0,
+                                F.lit(1.0),
+                            ).otherwise(F.lit(-1.0))
                         ).cast("float"),
                     ),
                 )
@@ -107,7 +132,8 @@ def main() -> None:
             shutil.move(files[0], target)
             shutil.rmtree(f"{DST}/{t}_dir")
         else:
-            # multi-file: keep the directory, spark/duckdb both read it
+            # multi-file: keep the directory — Spark reads it natively;
+            # scripts/check.py globs '<dir>.parquet/*.parquet' for DuckDB
             os.rename(f"{DST}/{t}_dir", target)
         n = spark.read.parquet(f"{DST}/{t}.parquet").count()
         print(f"{t}: {n} rows")

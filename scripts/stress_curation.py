@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Scale stress: run the full curation pipeline on a synthetic 100k-doc
-corpus (~8M tokens) with planted exact (2%) and near (5%) duplicates.
+corpus (~8M tokens) with planted exact (2%) and near (4%) duplicates
+(ids = 1 mod 100 hit the exact-dup branch first: 1/20 - 1/100 = 4%).
 
 Corpus is generated DISTRIBUTED (JVM-side hash text, no driver loop) —
 the generator itself is the pattern for testing at any scale. Round-1
@@ -122,7 +123,7 @@ def main() -> None:
             # (exact dup) and %20==1 (near dup), so pin seed ≡ 2 (mod
             # 20) — never an overridden id
             "__seed",
-            (F.col("doc_id") % (n_docs // 20)) * 20 + 2,
+            (F.col("doc_id") % max(n_docs // 20, 1)) * 20 + 2,
         )
         .withColumn(
             "text",

@@ -66,6 +66,14 @@ def sketch_distinct_users(sdf, sf_dir, con):
 def sketch_value_quantiles(sdf, sf_dir, con):
     """GK accuracy=10000: each returned quantile's value-rank interval
     [#<v, #<=v] must overlap the target rank ± n/10000 (+1 slack)."""
+    # completeness: a dropped event_type group would otherwise pass
+    # (the loop only checks groups that ARE present)
+    want = {
+        r[0] for r in con.sql("SELECT DISTINCT event_type FROM events").fetchall()
+    }
+    got = set(sdf["event_type"])
+    if got != want:
+        return _fail(f"event_type groups {sorted(got)} != {sorted(want)}")
     worst = 0.0
     for _, r in sdf.iterrows():
         et = r["event_type"].replace("'", "''")
@@ -253,6 +261,12 @@ def audio_features_meta(sdf, sf_dir, con):
     payload bytes tiled to 8000, int16 PCM, 400/160 framing, RMS + ZCR
     — all in independent numpy, compared per-doc to 1e-9."""
     docs = _docs(con).set_index("doc_id")["text"]
+    # completeness: a doc silently dropped from the output would pass
+    # the per-row loop below
+    if set(sdf["doc_id"].astype(int)) != set(docs.index.astype(int)):
+        return _fail(
+            f"{len(sdf)} output docs != {len(docs)} corpus docs"
+        )
     for _, r in sdf.iterrows():
         payload = str(docs[int(r["doc_id"])]).encode("utf-8")
         pcm = (
@@ -297,18 +311,29 @@ def _ann_truth(con, k=10):
     V = np.array(e["embedding"].tolist(), dtype=np.float64)
     ids = e["vec_id"].to_numpy()
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    # id-keyed, not positional: row qi of the sorted frame is only the
+    # query-qi vector while vec_ids happen to be 0-based contiguous —
+    # a regenerated corpus with gapped/1-based ids would silently score
+    # ground truth against the WRONG vectors. Query set = the same
+    # vec_id < 5 predicate the registered queries use.
+    row_of = {int(i): r for r, i in enumerate(ids)}
     truth, cos = {}, {}
-    for qi in range(5):
-        c = _round_det(Vn @ Vn[qi])
+    for qid in sorted(int(i) for i in ids if int(i) < 5):
+        c = _round_det(Vn @ Vn[row_of[qid]])
         order = np.lexsort((ids, -c))
-        top = [int(ids[j]) for j in order if int(ids[j]) != qi][:k]
-        truth[qi] = top
-        cos[qi] = {int(i): float(v) for i, v in zip(ids, c)}
+        top = [int(ids[j]) for j in order if int(ids[j]) != qid][:k]
+        truth[qid] = top
+        cos[qid] = {int(i): float(v) for i, v in zip(ids, c)}
     return truth, cos
 
 
 def _ann_twin(sdf, con, floor, what):
     truth, cos = _ann_truth(con)
+    # completeness FIRST: a probe bug that empties whole query groups
+    # must fail loudly, not quietly average recall over the survivors
+    got_q = {int(q) for q in sdf["query_id"].unique()}
+    if got_q != set(truth):
+        return _fail(f"query groups {sorted(got_q)} != expected {sorted(truth)}")
     hits = tot = 0
     for qi, grp in sdf.groupby("query_id"):
         if len(grp) != 10:

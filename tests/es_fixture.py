@@ -226,12 +226,18 @@ class FakeES:
             with_source = (body or {}).get("_source", True) is not False
             with self._lock:  # snapshot: concurrent _bulk mutates docs
                 doc_items = sorted(self.docs.items())
+            import copy as _copy
+
+            # DEEP-copy sources into the scroll snapshot: real ES
+            # scrolls are point-in-time — aliasing the live doc dicts
+            # would let a concurrent bulk update mutate not-yet-served
+            # pages, validating engine behavior real ES would reject
             hits = [
                 {
                     "_index": ix,
                     "_type": t,
                     "_id": _id,
-                    **({"_source": src} if with_source else {}),
+                    **({"_source": _copy.deepcopy(src)} if with_source else {}),
                     "_size": src.get("__size"),
                 }
                 for (ix, t, _id), src in doc_items
