@@ -85,6 +85,27 @@ class TaskState:
         os.replace(tmp, self.path)
         self._seen_on_disk = True
 
+    def reset_orphan(self) -> None:
+        """Discard an unowned checkpoint (file + the in-memory copy
+        __init__ may have loaded from it). Caller MUST hold the writer
+        flock — holding it proves no live planner owns the file, so the
+        state is an orphan from a crashed planning attempt; a fresh
+        admission must not inherit its completed-ids (the resume
+        anti-join would silently skip work the new task never did)."""
+        if not self._writer_held:
+            raise TaskError("reset_orphan requires the writer lock")
+        if os.path.exists(self.path):
+            os.remove(self.path)
+        self.data = {
+            "task": None,
+            "backlog": [],
+            "completed": {},
+            "progress": {},
+            "errors": [],
+            "total": 0,
+        }
+        self._seen_on_disk = False
+
     def reload(self) -> None:
         if os.path.exists(self.path):
             with open(self.path) as f:
@@ -320,9 +341,17 @@ class Engine:
     ``Engine(spark, state_root)`` with task CRUD, registries, execution.
     """
 
-    def __init__(self, spark: SparkSession, state_root: str):
+    def __init__(
+        self, spark: SparkSession, state_root: str, plan_concurrency: int = 10
+    ):
         self.spark = spark
         self.state_root = state_root
+        # bounded planning parallelism (the reference planned its counts
+        # at concurrency 10, app/services/subtasks.js:394): build_backlog
+        # probes stats/histograms/counts per (index,type) slice, and at
+        # thousands of slices a sequential loop serializes thousands of
+        # tiny Spark jobs (or wire round-trips) on the driver
+        self.plan_concurrency = max(1, int(plan_concurrency))
         os.makedirs(state_root, exist_ok=True)
         self.mutators = Mutators(os.path.join(state_root, "registry"))
         self.filters = Filters(os.path.join(state_root, "registry"))
@@ -427,21 +456,35 @@ class Engine:
         with self._mutex:
             if task_id in self._tasks:  # re-check under the lock (TOCTOU)
                 raise TaskError(f"task {task_id} already exists")
-            # a task-<id>.json with no admitted owner (not in memory,
-            # not in the on-disk task table) is an orphan from a
-            # crashed planning attempt: a fresh admission must not
-            # inherit its completed-ids — the resume anti-join would
-            # silently skip work the new task never did
-            state_path = os.path.join(self.state_root, f"task-{task_id}.json")
-            if os.path.exists(state_path) and task_id not in self._disk_task_ids():
-                os.remove(state_path)
+            # cross-replica duplicate check: the in-memory dict only
+            # knows THIS process's admissions + the last merge-fold; a
+            # sibling replica may have admitted and persisted this id
+            # since — the disk table is the cross-process truth
+            if task_id in self._disk_task_ids():
+                raise TaskError(f"task {task_id} already exists")
+            # reserve the state writer flock for the WHOLE admission
+            # (probe non-blocking): a sibling replica mid-planning the
+            # same id holds this lock, so we fail fast instead of both
+            # planning — and instead of deleting its in-flight
+            # task-<id>.json as an "orphan" while it is still writing
+            state = TaskState(self.state_root, task_id)
+            try:
+                state.acquire_writer()
+            except TaskError:
+                raise TaskError(
+                    f"task {task_id} already exists (admission in flight "
+                    "in another process)"
+                ) from None
+            # holding the flock proves any existing state file is a
+            # true orphan from a crashed planning attempt — discard it
+            state.reset_orphan()
             self._tasks[task_id] = task
         # plan BEFORE persisting: a transient build_backlog failure
         # (source 500 during index listing) must not leave a
         # half-admitted task that 'already exists' on retry yet was
         # never planned
         try:
-            state = self.build_backlog(task_id)
+            state = self._build_backlog_locked(task, state)
         except Exception:
             with self._mutex:
                 self._tasks.pop(task_id, None)
@@ -460,13 +503,21 @@ class Engine:
                 # the failed planning attempt may have created/updated
                 # the state file; a later re-admission must start clean
                 try:
-                    if os.path.exists(state_path):
-                        os.remove(state_path)
+                    if os.path.exists(state.path):
+                        os.remove(state.path)
                 except OSError:
                     pass
+            state.release_writer()
             raise
-        with self._mutex:
-            self._save_tasks()
+        # persist BEFORE releasing the reservation: the moment the flock
+        # is free a sibling's admission probe can run, and it must find
+        # the id already in tasks.json — releasing first opens a window
+        # where the sibling would reset_orphan the freshly planned state
+        try:
+            with self._mutex:
+                self._save_tasks()
+        finally:
+            state.release_writer()
         return state
 
     def _disk_task_ids(self) -> set:
@@ -566,16 +617,20 @@ class Engine:
             potential.extend(self._document_subtasks(task, source))
 
         completed = state.completed_ids()  # resume anti-join (subtasks.js:385-392)
-        counted: list[Subtask] = []
-        for sub in potential:
-            if sub.subtask_id() in completed:
-                continue
-            if sub.kind == "documents":
-                count = source.count(
-                    self.spark, sub.index, sub.type, sub.min_size, sub.max_size
-                )
-                sub = Subtask(**{**vars(sub), "count": count})
-            counted.append(sub)
+        pending = [s for s in potential if s.subtask_id() not in completed]
+
+        def _count(sub: Subtask) -> Subtask:
+            if sub.kind != "documents":
+                return sub
+            count = source.count(
+                self.spark, sub.index, sub.type, sub.min_size, sub.max_size
+            )
+            return Subtask(**{**vars(sub), "count": count})
+
+        # bounded-parallel count probes (subtasks.js:394 ran these at
+        # concurrency 10): map preserves FIFO order, an exception in any
+        # probe propagates and fails the build like the sequential loop
+        counted = list(self._plan_pool_map(_count, pending))
 
         # planning succeeded — now swap in the fresh backlog atomically
         state.data["backlog"] = []
@@ -586,6 +641,18 @@ class Engine:
             state.enqueue(sub, save=False, seen=seen)
         state.save()  # persist the rebuild even if nothing got enqueued
         return state
+
+    def _plan_pool_map(self, fn, items: list) -> list:
+        """Order-preserving bounded-parallel map for planning probes.
+        Sequential for 0/1 items or concurrency 1 (no pool overhead,
+        and tests can pin exact sequential behavior that way)."""
+        if len(items) <= 1 or self.plan_concurrency <= 1:
+            return [fn(x) for x in items]
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(self.plan_concurrency, len(items))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(fn, items))
 
     def _index_comparator(self, task: Task):
         """Compile the task's optional index-name comparator (O1,
@@ -628,45 +695,52 @@ class Engine:
             import functools
 
             cfgs.sort(key=functools.cmp_to_key(lambda a, b: cmp(a["name"], b["name"])))
+        slices: list[tuple[dict, dict, int]] = []
         for cfg in cfgs:
             shards = int(
                 ((cfg.get("settings") or {}).get("index") or {}).get("number_of_shards", 1)
             )
-            types = keep(loaded.get("type"), source.types_of(cfg))
-            for type_cfg in types:
-                if flush_override:
-                    bounds = [Bound(-1, -1, flush_override)]
-                else:
-                    # sizes-only planning read: the wire store scrolls
-                    # metadata-only (_source: false) so planning never
-                    # ships document bodies; parquet prunes to the one
-                    # column natively. Planning probes stats +
-                    # histograms (several actions); a wire source would
-                    # re-scroll the cluster per action, so pin the
-                    # one-column sample for the duration of the search
-                    stats_df = source.read_sizes(
-                        self.spark, cfg["name"], type_cfg["name"]
+            for type_cfg in keep(loaded.get("type"), source.types_of(cfg)):
+                slices.append((cfg, type_cfg, shards))
+
+        def _plan_slice(item: tuple[dict, dict, int]) -> list[Bound]:
+            cfg, type_cfg, shards = item
+            if flush_override:
+                return [Bound(-1, -1, flush_override)]
+            # sizes-only planning read: the wire store scrolls
+            # metadata-only (_source: false) so planning never
+            # ships document bodies; parquet prunes to the one
+            # column natively. Planning probes stats +
+            # histograms (several actions); a wire source would
+            # re-scroll the cluster per action, so pin the
+            # one-column sample for the duration of the search
+            stats_df = source.read_sizes(self.spark, cfg["name"], type_cfg["name"])
+            if hasattr(source, "deliver"):
+                stats_df = stats_df.persist()
+            try:
+                return plan_bounds(DataFrameSizeStats(stats_df, shards=shards))
+            finally:
+                if hasattr(source, "deliver"):
+                    stats_df.unpersist()
+
+        # bounded-parallel per-slice bounds search (subtasks.js:394):
+        # slices are planned independently and results assembled in the
+        # ORIGINAL slice order, so the FIFO backlog is byte-identical to
+        # the sequential build regardless of probe completion order
+        for (cfg, type_cfg, _), bounds in zip(
+            slices, self._plan_pool_map(_plan_slice, slices)
+        ):
+            for b in bounds:
+                out.append(
+                    Subtask(
+                        kind="documents",
+                        index=cfg["name"],
+                        type=type_cfg["name"],
+                        min_size=b.min_size,
+                        max_size=b.max_size,
+                        flush_size=b.flush_size,
                     )
-                    if hasattr(source, "deliver"):
-                        stats_df = stats_df.persist()
-                    try:
-                        bounds = plan_bounds(
-                            DataFrameSizeStats(stats_df, shards=shards)
-                        )
-                    finally:
-                        if hasattr(source, "deliver"):
-                            stats_df.unpersist()
-                for b in bounds:
-                    out.append(
-                        Subtask(
-                            kind="documents",
-                            index=cfg["name"],
-                            type=type_cfg["name"],
-                            min_size=b.min_size,
-                            max_size=b.max_size,
-                            flush_size=b.flush_size,
-                        )
-                    )
+                )
         return out
 
     # -------------------------------------------------------- execution

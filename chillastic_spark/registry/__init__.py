@@ -310,6 +310,17 @@ class _Registry:
         entry = self.entry_cls(_as_namespace(obj))
         with self._mutex:
             self._entries[(namespace, id)] = entry
+            # a (re)registration that compiles supersedes any stale
+            # load failure for the same key: without this pop, GET
+            # /_errors keeps reporting the old compile error until
+            # restart even though the entry now loads and serves
+            self.load_errors.pop(f"{namespace}/{id}", None)
+            # bare-id orphans (malformed persisted keys) are addressed
+            # by id regardless of namespace — same convention as
+            # remove(): a proper registration supersedes the orphan, or
+            # _save would re-emit the unloadable copy forever
+            if self._orphan_sources.pop(id, None) is not None:
+                self.load_errors.pop(id, None)
             if isinstance(obj, str):
                 self._sources[(namespace, id)] = obj
             else:

@@ -97,31 +97,37 @@ def _recover_compact_locked(index_dir: str, data_name: str = DATA) -> None:
     """The recovery body — caller MUST hold _writer_lock. Heals every
     crash window of compact_vector_index's swap (journal → rename
     data→old → rename new→data → rmtree old → journal removed):
-    live missing → install new (complete by construction) or restore
-    old; live present → the swap either hadn't started or finished —
-    discard superseded tagged dirs either way."""
+    live missing → install the JOURNALED new (complete by construction)
+    or restore the journaled old; live present → the swap either hadn't
+    started or finished — discard the journaled tagged dirs either way.
+
+    Tag-keyed on purpose: an ORPHAN ``data.new-<other>`` from a crash
+    before a journal write is NOT a valid swap source — installing the
+    lexicographically-last tagged dir could resurrect a stale
+    compaction output and silently lose every vector appended since.
+    Orphans (tagged dirs with no matching journal) are cleaned at
+    ``compact_vector_index`` start, never installed."""
     import shutil
 
     journal = os.path.join(index_dir, COMPACT_JOURNAL)
     if not os.path.exists(journal):
         return  # a live compactor finished while we waited on the lock
-    base = data_name
+    with open(journal) as f:
+        tag = json.load(f).get("tag")  # atomic write → complete JSON
     live = os.path.join(index_dir, data_name)
-    news = sorted(d for d in os.listdir(index_dir) if d.startswith(base + ".new-"))
-    olds = sorted(d for d in os.listdir(index_dir) if d.startswith(base + ".old-"))
+    new = os.path.join(index_dir, f"{data_name}.new-{tag}")
+    old = os.path.join(index_dir, f"{data_name}.old-{tag}")
     if not os.path.exists(live):
-        if news:
-            # crashed between the two renames: the compacted dir is
-            # complete (the journal is only written after its write)
-            os.rename(os.path.join(index_dir, news[-1]), live)
-            news = news[:-1]
-        elif olds:
+        if os.path.exists(new):
+            # crashed between the two renames: the journaled compacted
+            # dir is complete (the journal is written only after it)
+            os.rename(new, live)
+        elif os.path.exists(old):
             # crashed after data→old but the new dir also vanished:
             # restore the pre-compaction data
-            os.rename(os.path.join(index_dir, olds[-1]), live)
-            olds = olds[:-1]
-    for d in news + olds:  # superseded leftovers
-        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+            os.rename(old, live)
+    for d in (new, old):  # superseded journaled leftovers only
+        shutil.rmtree(d, ignore_errors=True)
     os.remove(journal)
 
 
@@ -382,6 +388,13 @@ def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
 
     with _writer_lock(index_dir):
         _recover_compact_locked(index_dir)
+        # after recovery no journal exists, so any tagged dir still on
+        # disk is an ORPHAN from a crash before its journal write —
+        # clean it here (under the writer lock) so a later journaled
+        # crash can never mistake it for the live swap's source
+        for d in os.listdir(index_dir):
+            if d.startswith(DATA + ".new-") or d.startswith(DATA + ".old-"):
+                shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
         data = os.path.join(index_dir, DATA)
         df = spark.read.parquet(data)
         # one shuffle partition per bucket value → exactly one file each
