@@ -56,15 +56,23 @@ def dsir_weights(
         # an un-coalesced NULL would poison the bucket's tgt_ct sum and
         # NULL the weight of every doc sharing the bucket
         F.coalesce(target, F.lit(False)).alias("__tgt"),
-        F.explode(CF.words(text_col)).alias("tok"),
-    ).filter(
         # '' (from empty/whitespace-only text) is not a token and must
-        # not contribute a model count or a weight term
-        F.col("tok") != ""
+        # not contribute a model count or a weight term — purged INSIDE
+        # the array, while explode_OUTER keeps one marker row
+        # (tok NULL) for token-less docs. That marker is what makes the
+        # final per-doc aggregate id-preserving WITHOUT a full-corpus
+        # LeftOuter rejoin of the input (the r6 shape — a
+        # SortMergeJoin over every doc id that existed only to
+        # resurrect the handful of NULL-/empty-text rows).
+        F.explode_outer(
+            F.filter(CF.words(text_col), lambda t: t != F.lit(""))
+        ).alias("tok"),
     ).select(
         "doc_id",
         *extra,
         "__tgt",
+        # NULL tok (the marker) hashes to NULL: never a model count,
+        # never a lam match, counts 0 toward n_tokens
         (CF.hash60("tok") % buckets).alias("bkt"),
     )
     # the hashed token stream feeds BOTH the LM counts and the scoring
@@ -73,7 +81,7 @@ def dsir_weights(
     # operators/dedup.materialize picks the cluster-appropriate mode)
     toks = materialize(toks)
 
-    counts = toks.groupBy("bkt").agg(
+    counts = toks.filter(F.col("bkt").isNotNull()).groupBy("bkt").agg(
         F.count(F.lit(1)).alias("raw_ct"),
         F.sum(F.col("__tgt").cast("long")).alias("tgt_ct"),
     )
@@ -89,23 +97,22 @@ def dsir_weights(
             LAM_DIGITS,
         ).alias("lam"),
     )
-    scored = (
-        toks.join(F.broadcast(lam), "bkt")
+    # LEFT broadcast join so the NULL-bkt marker rows ride through: a
+    # NULL-/empty-text doc keeps an explicit (n_tokens=0, weight NULL)
+    # row — silently missing rows break any resampling step keyed on
+    # this table (hashed_bigram_nll convention). Every REAL token's
+    # bucket is in lam by construction (lam is built from these same
+    # rows), so left-vs-inner changes nothing for token rows, and the
+    # join stays the same map-side BroadcastHashJoin — no full-corpus
+    # SortMergeJoin anywhere in the plan.
+    return (
+        toks.join(F.broadcast(lam), "bkt", "left")
         .groupBy("doc_id", *extra)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("bkt").alias("n_tokens"),
             F.sum(F.col("lam").cast("decimal(28,6)")).cast("double").alias("weight"),
         )
-    )
-    # id-preserving rejoin: a NULL-/empty-text doc gets an explicit
-    # (n_tokens=0, weight NULL) row — silently missing rows break any
-    # resampling step keyed on this table (hashed_bigram_nll convention)
-    ids = df.select(F.col(id_col).alias("doc_id"), *[F.col(c) for c in extra])
-    return ids.join(scored, ["doc_id", *extra], "left").select(
-        "doc_id",
-        *extra,
-        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-        "weight",
+        .select("doc_id", *extra, "n_tokens", "weight")
     )
 
 

@@ -74,10 +74,19 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# decoded-size ceiling (filter bytes included): a crafted header
+# claiming giant dims turns zlib inflate into a memory bomb — anything
+# above this is not a plausible in-pipeline thumbnail/frame payload
+_PNG_MAX_RAW = 1 << 28  # 256 MB
+
+
 def _png_decode(payload: bytes):
     """payload -> (width, height, channels, unfiltered pixel bytes,
     row-major, channel-interleaved). Raises ValueError on anything
-    that is not a supported PNG."""
+    that is not a supported PNG — INCLUDING truncated headers, corrupt
+    CRCs on critical chunks, zlib damage, and decompression bombs
+    (struct.error / zlib.error never escape: callers route ValueError
+    to the quarantine side-channel and anything else kills the slice)."""
     import struct
     import zlib
 
@@ -88,8 +97,20 @@ def _png_decode(payload: bytes):
     while pos + 8 <= len(payload):
         ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
         data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln or pos + 12 + ln > len(payload):
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        if typ in (b"IHDR", b"IDAT", b"IEND"):
+            # CRC-verify the critical chunks (ancillary ones are
+            # skipped unread, so their CRCs can't mis-decode anything)
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + ln : pos + 12 + ln]
+            )
+            if crc != (zlib.crc32(typ + data) & 0xFFFFFFFF):
+                raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
         pos += 12 + ln  # length + type + data + crc
         if typ == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("truncated PNG IHDR")
             w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -101,15 +122,26 @@ def _png_decode(payload: bytes):
                 nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
             except KeyError:
                 raise ValueError(f"unsupported PNG color type {ctype}")
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension PNG")
+            if h * (w * nch + 1) > _PNG_MAX_RAW:
+                raise ValueError(f"implausibly large PNG ({w}x{h}x{nch})")
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(idat)
     stride = w * nch
-    if len(raw) != h * (stride + 1):
+    want = h * (stride + 1)
+    # bounded inflate: decompress at most want+1 bytes so a zlib bomb
+    # surfaces as a length mismatch instead of an allocation blowup
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(idat, want + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) != want or d.decompress(b"", 1):
         raise ValueError("PNG data length mismatch")
     out = bytearray()
     prev = bytearray(stride)

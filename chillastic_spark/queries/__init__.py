@@ -38,30 +38,30 @@ PANEL_FIRST = [
     # order), so evidence freshness compounds instead of decaying.
     # Computed mechanically from CORRECTNESS_r01..r{N-1}.
     #
-    # r6 panel: every query now has ≥1 driver row (r5 closed that), so
-    # this round refreshes the STALEST evidence — 8 queries last
-    # sampled in r2 and 42 last sampled in r3, over code that has
-    # changed in every round since.
-    # last driver evidence: r2
-    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
-    "top_customers", "q4_late_orders", "q18_large_orders",
-    "rollup_nation_status", "event_funnel",
+    # r7 panel (computed from CORRECTNESS_r01..r06): the 50 stalest —
+    # 8 queries last driver-sampled in r3 and 42 last sampled in r4,
+    # over code that has changed in every round since.
     # last driver evidence: r3
-    "nation_order_stats", "above_avg_balance", "q10_returned_items",
-    "q14_promo_share", "distinct_counts", "top_terms",
-    "q11_important_parts", "events_json_extract", "q2_min_cost_parts",
-    "q9_product_profit", "q21_sole_returned_supplier", "scan_projection",
-    "asof_view_before_purchase", "scalar_functions", "size_histogram",
-    "backlog_totals", "resume_anti_join", "latest_event_per_user",
-    "mutate_pipeline", "sessionize", "text_features", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
-    "dedup_simhash", "chunk_windows", "similarity_topk",
-    "embedding_centroids", "embedding_dup_pairs", "tfidf_top_terms",
-    "q19_discounted_revenue", "dedup_edit_distance",
-    "decontaminate_flags", "quality_topk_per_lang", "events_gapfill",
-    "revenue_grouping_sets", "dedup_ngram_containment",
-    "value_percentiles", "sequence_packing", "time_weighted_avg",
-    "keyword_search_and",
+    "bm25_topk", "hybrid_search_rrf", "phrase_search", "percolate",
+    "search_rank_eval", "search_after_page", "search_rescore",
+    "multi_match_best_fields",
+    # last driver evidence: r4
+    "q7_nation_trade", "q8_market_share", "q12_priority_shipping",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_part_supplier_counts", "q17_small_quantity_revenue",
+    "q20_bulk_suppliers", "q22_dormant_customers", "size_stats",
+    "distinct_slices", "backlog_union", "reroute_by_month",
+    "events_hourly", "session_window_stats", "dedup_substring_spans",
+    "dedup_winnow_pairs", "simhash_pairs", "knn_graph_edges",
+    "ann_lsh_topk", "repetition_scores", "bpe_token_stats",
+    "embedding_int8_checksum", "more_like_this", "pii_scrub_report",
+    "dsir_importance_weights", "domain_mixture_manifest",
+    "mixture_sample_counts", "dedup_keep_best", "dedup_incremental",
+    "semantic_dedup_manifest", "gopher_quality_flags", "c4_line_filter",
+    "table_profile", "leakage_safe_splits", "splits_incremental",
+    "source_overlap_matrix", "shard_manifest", "perplexity_filter",
+    "quality_classifier_scores", "busy_window_counts",
+    "video_frame_stats",
 ]
 
 

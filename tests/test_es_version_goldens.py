@@ -94,7 +94,12 @@ def drive(es: FakeES, url: str) -> None:
         )
     lines = []
     for d in (
-        {"_index": "ix", "_type": "t1", "_id": "a", "_source": {"v": 1}},
+        # ES 8 removed mapping types: a real 8.x cluster 400s any bulk
+        # action carrying _type (the fixture now enforces this), and a
+        # real 8.x SOURCE never serves one — so the typed doc only
+        # exists on pre-8 wires, exactly like a real deployment
+        {"_index": "ix", "_type": "t1" if es.major < 8 else None,
+         "_id": "a", "_source": {"v": 1}},
         {"_index": "ix2", "_type": None, "_id": "b", "_source": {"v": 2}},
     ):
         lines.extend(es_rest.doc_to_bulk(d))
@@ -157,3 +162,9 @@ def test_goldens_pin_the_version_gates():
         assert any(
             '{"update":{"_index":"ix2","_id":"b"}}' in r["body"] for r in bulks
         ), major
+        # mapping-type removal (ES 8): pre-8 wires carry the typed
+        # update AND the type-recovered delete actions; the 8.x wire
+        # must be entirely typeless (a real 8.x cluster 400s otherwise,
+        # and 8.x search hits — where purge recovers types — have none)
+        has_type = any('"_type"' in r["body"] for r in bulks)
+        assert has_type == (major < 8), major
