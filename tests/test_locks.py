@@ -148,6 +148,110 @@ def test_two_processes_cooperatively_drain_one_backlog(tmp_path):
     assert final.status()["percentComplete"] == 100.0
 
 
+def _stress_worker(state_root, out_q, victim_q=None, victim_after=None):
+    """run_task(shared=True)'s per-subtask protocol: pop -> progress ->
+    work -> complete. A victim worker reports its in-flight subtask id
+    after ``victim_after`` completions and then hangs, waiting for
+    SIGKILL mid-subtask (progress written, completion never reached)."""
+    import time
+
+    st = TaskState(state_root, "stress")
+    from chillastic_spark.model import Progress
+
+    mine = []
+    while True:
+        sub = st.pop()
+        if sub is None:
+            break
+        st.update_progress(sub, Progress(tick=0, transferred=0, total=sub.count))
+        if victim_q is not None and len(mine) >= victim_after:
+            victim_q.put(sub.subtask_id())
+            time.sleep(300)  # killed here — mid-subtask, flock-free window
+        time.sleep(0.001)
+        mine.append(sub.subtask_id())
+        st.complete(sub)
+    out_q.put(mine)
+
+
+def test_shared_backlog_survives_sigkill_mid_subtask(tmp_path):
+    """r6 verdict #7: 4 worker processes, 200 subtasks, one worker
+    SIGKILLed mid-subtask. The survivors drain the rest exactly-once;
+    the killed subtask is NOT silently re-delivered (worker.js:108-111
+    semantics, documented on Engine.run_task: errors/corpses reappear
+    only on the next build_backlog); the rebuild re-enqueues exactly
+    the corpse's subtask and a final drain completes it."""
+    from chillastic_spark.model import Subtask
+
+    root = str(tmp_path / "state")
+    st = TaskState(root, "stress")
+    with st:  # exclusive while planning, like build_backlog
+        for i in range(200):
+            st.enqueue(
+                Subtask(kind="index", names=f"ix{i:03d}", count=1), save=False
+            )
+        st.save()
+
+    ctx = mp.get_context("fork")
+    out_q, victim_q = ctx.Queue(), ctx.Queue()
+    victim = ctx.Process(
+        target=_stress_worker, args=(root, out_q, victim_q, 5)
+    )
+    victim.start()
+    in_flight = victim_q.get(timeout=60)  # progress written, not completed
+    victim.kill()  # SIGKILL — the kernel drops its flock fd
+    victim.join(timeout=30)
+
+    survivors = [
+        ctx.Process(target=_stress_worker, args=(root, out_q)) for _ in range(3)
+    ]
+    for p in survivors:
+        p.start()
+    drained = [out_q.get(timeout=120) for _ in survivors]
+    for p in survivors:
+        p.join(timeout=30)
+
+    # exactly-once across every worker that reported (victim's completes
+    # are in state but its list died with it — reconstruct from state)
+    seen: set = set()
+    for ids in drained:
+        assert not (set(ids) & seen), "a subtask was delivered twice"
+        seen |= set(ids)
+    final = TaskState(root, "stress")
+    assert final.data["backlog"] == []
+    # every subtask except the corpse's in-flight one is completed once
+    assert len(final.data["completed"]) == 199
+    assert in_flight not in final.data["completed"]
+    # the corpse's partial state is visible, not silently re-queued
+    assert set(final.data["progress"]) == {in_flight}
+    assert final.status()["percentComplete"] < 100.0
+
+    # the documented recovery: a (force) rebuild clears dead progress
+    # and re-enqueues ONLY work without a completion record — exactly
+    # the build_backlog recipe (engine.py _build_backlog_locked)
+    with TaskState(root, "stress") as reb:
+        reb.data["progress"] = {}
+        reb.data["total"] = sum(reb.data["completed"].values())
+        seen_ids: set = set()
+        for i in range(200):
+            reb.enqueue(
+                Subtask(kind="index", names=f"ix{i:03d}", count=1),
+                save=False, seen=seen_ids,
+            )
+        reb.save()
+    after = TaskState(root, "stress")
+    assert [s for s, _ in after.data["backlog"]] == [in_flight]
+
+    q2 = ctx.Queue()
+    finisher = ctx.Process(target=_stress_worker, args=(root, q2))
+    finisher.start()
+    assert q2.get(timeout=60) == [in_flight]
+    finisher.join(timeout=30)
+    done = TaskState(root, "stress")
+    assert len(done.data["completed"]) == 200
+    assert done.data["backlog"] == [] and done.data["progress"] == {}
+    assert done.status()["percentComplete"] == 100.0
+
+
 def test_writer_lock_released_on_exception(tmp_path):
     root = str(tmp_path / "state")
     with pytest.raises(RuntimeError):
