@@ -190,9 +190,13 @@ def test_batch16_plan_shapes(spark):
     assert plan.count("documents.parquet") == 1
     assert plan.count("Exchange") <= 2
     # DSIR: the bucket log-ratio table must come back as a BROADCAST
-    # join onto the token stream (never a shuffle join on tokens)
+    # join onto the token stream (never a shuffle join on tokens), and
+    # since r7 the id-preserving output needs NO full-corpus rejoin —
+    # the explode_outer marker rows make the per-doc aggregate
+    # id-complete, so a SortMergeJoin anywhere is a regression
     plan = _plan(spark, "dsir_importance_weights")
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     # mixture manifest: the corpus is scanned ONCE (at the per-source
     # aggregate's materialization); the final plan runs off the
