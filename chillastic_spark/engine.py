@@ -475,10 +475,21 @@ class Engine:
                     f"task {task_id} already exists (admission in flight "
                     "in another process)"
                 ) from None
-            # holding the flock proves any existing state file is a
-            # true orphan from a crashed planning attempt — discard it
-            state.reset_orphan()
-            self._tasks[task_id] = task
+            try:
+                # re-check the disk table now that the flock is HELD: a
+                # sibling that finished its whole admission between our
+                # pre-flock probe and this acquire persisted the id
+                # before releasing — without the re-check we would
+                # reset_orphan its freshly planned state file
+                if task_id in self._disk_task_ids():
+                    raise TaskError(f"task {task_id} already exists")
+                # holding the flock proves any existing state file is a
+                # true orphan from a crashed planning attempt — discard
+                state.reset_orphan()
+                self._tasks[task_id] = task
+            except BaseException:
+                state.release_writer()
+                raise
         # plan BEFORE persisting: a transient build_backlog failure
         # (source 500 during index listing) must not leave a
         # half-admitted task that 'already exists' on retry yet was
@@ -486,28 +497,33 @@ class Engine:
         try:
             state = self._build_backlog_locked(task, state)
         except Exception:
-            with self._mutex:
-                self._tasks.pop(task_id, None)
-                # persist the removal, not just the in-memory pop: a
-                # CONCURRENT admission's _save_tasks may have written
-                # this still-planning task to tasks.json, and the next
-                # merge-fold (or a restart) would resurrect the
-                # never-planned task — its id then reports 'already
-                # exists' forever with no backlog behind it
-                if task_id in self._persisted or task_id in self._disk_task_ids():
+            try:
+                with self._mutex:
+                    self._tasks.pop(task_id, None)
+                    # persist the removal, not just the in-memory pop: a
+                    # CONCURRENT admission's _save_tasks may have written
+                    # this still-planning task to tasks.json, and the next
+                    # merge-fold (or a restart) would resurrect the
+                    # never-planned task — its id then reports 'already
+                    # exists' forever with no backlog behind it
+                    if task_id in self._persisted or task_id in self._disk_task_ids():
+                        try:
+                            self._save_tasks(removed={task_id})
+                        except OSError:
+                            pass  # cleanup is best-effort; admission re-raises
+                    self._persisted.discard(task_id)
+                    # the failed planning attempt may have created/updated
+                    # the state file; a later re-admission must start clean
                     try:
-                        self._save_tasks(removed={task_id})
+                        if os.path.exists(state.path):
+                            os.remove(state.path)
                     except OSError:
-                        pass  # cleanup is best-effort; admission re-raises
-                self._persisted.discard(task_id)
-                # the failed planning attempt may have created/updated
-                # the state file; a later re-admission must start clean
-                try:
-                    if os.path.exists(state.path):
-                        os.remove(state.path)
-                except OSError:
-                    pass
-            state.release_writer()
+                        pass
+            finally:
+                # ALWAYS drop the reservation — a cleanup failure that
+                # leaked the flock would make this id 'admission in
+                # flight' for the whole process lifetime
+                state.release_writer()
             raise
         # persist BEFORE releasing the reservation: the moment the flock
         # is free a sibling's admission probe can run, and it must find
@@ -645,14 +661,24 @@ class Engine:
     def _plan_pool_map(self, fn, items: list) -> list:
         """Order-preserving bounded-parallel map for planning probes.
         Sequential for 0/1 items or concurrency 1 (no pool overhead,
-        and tests can pin exact sequential behavior that way)."""
+        and tests can pin exact sequential behavior that way).
+
+        Fail-FAST like the sequential loop: the first probe error
+        cancels every not-yet-started future, so a source dying during
+        a thousand-slice build surfaces after at most ``workers``
+        in-flight probes finish — not after every queued probe has run
+        to its wire timeout while the admission flock is held."""
         if len(items) <= 1 or self.plan_concurrency <= 1:
             return [fn(x) for x in items]
         from concurrent.futures import ThreadPoolExecutor
 
         workers = min(self.plan_concurrency, len(items))
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            return list(pool.map(fn, items))
+        pool = ThreadPoolExecutor(max_workers=workers)
+        try:
+            futures = [pool.submit(fn, x) for x in items]
+            return [f.result() for f in futures]
+        finally:
+            pool.shutdown(wait=True, cancel_futures=True)
 
     def _index_comparator(self, task: Task):
         """Compile the task's optional index-name comparator (O1,

@@ -44,6 +44,11 @@ def dsir_weights(
     ``target`` is a boolean Column over ``df``'s rows marking the
     target-domain subset (e.g. ``F.col("lang") == "en"``). Positive
     weights mean "looks like the target".
+
+    Output contract: ONE row per distinct (doc_id, *extra_cols) group —
+    NULL extras are preserved as their own groups (the aggregate is
+    built from the token stream itself, so no join key can drop them);
+    token-less docs carry (n_tokens=0, weight NULL).
     """
     from chillastic_spark.persist import materialize
 
@@ -123,7 +128,14 @@ def dsir_weights_sql(
     table: str = "documents",
 ) -> str:
     """DuckDB oracle twin of :func:`dsir_weights` — identical hashing,
-    smoothing, rounding, and DECIMAL summation."""
+    smoothing, rounding, and DECIMAL summation, and the identical
+    MARKER-ROW shape: token-less docs keep one NULL-bucket row through
+    the aggregate instead of being resurrected by a table rejoin. The
+    rejoin the r6 twin used was not NULL-safe on extra_cols (a
+    NULL-lang doc's real weight vanished to (0, NULL) in SQL but not in
+    Spark) — building both sides from the same token stream makes the
+    twin engine-exact for NULL extras and collapses duplicate
+    (doc_id, extras) rows identically on both engines."""
     extra = list(extra_cols or [])
     ex_sel = "".join(f", {c}" for c in extra)
     ex_grp = "".join(f", {c}" for c in extra)
@@ -132,31 +144,27 @@ def dsir_weights_sql(
         f" - ln((raw_ct + 1) / (raw_tot + {buckets}))",
         LAM_DIGITS,
     )
-    ex_t = "".join(f", t.{c}" for c in extra)
-    ex_on = "".join(f" AND t.{c} = s.{c}" for c in extra)
     return f"""
 WITH toks AS (
   SELECT doc_id{ex_sel}, tgt,
-         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {buckets} AS bkt
+         CASE WHEN tok = '' THEN NULL
+              ELSE ('0x' || substr(md5(tok), 1, 15))::BIGINT % {buckets}
+         END AS bkt
   FROM (SELECT doc_id{ex_sel}, ({target_sql}) AS tgt,
-               unnest({CF.words_sql('text')}) AS tok
+               unnest(coalesce({CF.words_sql('text')}, [''])) AS tok
         FROM {table})
-  WHERE tok != ''
 ), counts AS (
   SELECT bkt, count(*) AS raw_ct, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_ct
-  FROM toks GROUP BY bkt
+  FROM toks WHERE bkt IS NOT NULL GROUP BY bkt
 ), totals AS (
   SELECT sum(raw_ct) AS raw_tot, sum(tgt_ct) AS tgt_tot FROM counts
 ), lam AS (
   SELECT bkt, {lam_expr} AS lam FROM counts CROSS JOIN totals
-), scored AS (
-  SELECT doc_id{ex_grp}, count(*) AS n_tokens,
-         sum(lam::DECIMAL(28,6))::DOUBLE AS weight
-  FROM toks JOIN lam USING (bkt)
-  GROUP BY doc_id{ex_grp}
 )
-SELECT t.doc_id{ex_t}, coalesce(s.n_tokens, 0) AS n_tokens, s.weight
-FROM {table} t LEFT JOIN scored s ON t.doc_id = s.doc_id{ex_on}
+SELECT doc_id{ex_grp}, count(bkt) AS n_tokens,
+       sum(lam::DECIMAL(28,6))::DOUBLE AS weight
+FROM toks LEFT JOIN lam USING (bkt)
+GROUP BY doc_id{ex_grp}
 """
 
 

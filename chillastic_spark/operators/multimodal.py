@@ -75,9 +75,13 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 # decoded-size ceiling (filter bytes included): a crafted header
-# claiming giant dims turns zlib inflate into a memory bomb — anything
-# above this is not a plausible in-pipeline thumbnail/frame payload
-_PNG_MAX_RAW = 1 << 28  # 256 MB
+# claiming giant dims turns zlib inflate into a memory bomb, and —
+# because the per-scanline unfilter is a pure-Python byte loop — even a
+# memory-safe claim converts to a CPU stall (minutes per doc at
+# 8k x 8k). 16 MB raw covers every plausible in-pipeline
+# thumbnail/frame (2048x2048 RGBA, 4096x4096 gray) while bounding the
+# unfilter loop to seconds; anything larger quarantines.
+_PNG_MAX_RAW = 1 << 24  # 16 MB
 
 
 def _png_decode(payload: bytes):

@@ -58,6 +58,66 @@ def test_pii_report_counts_match_plants(spark):
 # ----------------------------------------------------------------- DSIR
 
 
+def test_dsir_weights_engine_exact_on_null_extras_and_dup_ids(spark):
+    """r7 review finding: the old oracle's table rejoin was not
+    NULL-safe on extra_cols — a NULL-lang doc's real weight vanished to
+    (0, NULL) in SQL but not in Spark, and the sf corpora (no NULL
+    lang) couldn't catch it. Both sides now build from the same token
+    stream; pin value-exactness on the adversarial frame: NULL lang
+    with real text, NULL text, whitespace text, and a duplicate
+    (doc_id, lang) pair whose tokens must pool into one group."""
+    import duckdb
+    import pandas as pd
+
+    from chillastic_spark.operators.importance import (
+        dsir_weights,
+        dsir_weights_sql,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "der hund lief durch den wald", "de"),
+        (3, "the dog sat on the log", None),  # NULL extra, real text
+        (4, None, "en"),                       # NULL text
+        (5, "   ", None),                      # ws-only text, NULL extra
+        (6, "split doc first half", "en"),     # duplicate (doc_id, lang):
+        (6, "split doc second half", "en"),    # tokens pool into one group
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["doc_id"], r["lang"]): (r["n_tokens"], r["weight"])
+        for r in dsir_weights(
+            d, F.col("lang") == "en", buckets=64, extra_cols=["lang"]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]),
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.sql(
+            dsir_weights_sql("lang = 'en'", buckets=64, extra_cols=["lang"])
+        ).fetchall()
+    }
+    assert set(got) == set(want) == {
+        (1, "en"), (2, "de"), (3, None), (4, "en"), (5, None), (6, "en"),
+    }
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        if want[k][1] is None:
+            assert got[k][1] is None, k
+        else:
+            assert abs(got[k][1] - want[k][1]) < 1e-12, (k, got[k], want[k])
+    # the NULL-lang doc with real text keeps its real weight (the old
+    # rejoin zeroed it), token-less docs read (0, NULL), and the
+    # duplicate id pooled BOTH rows' tokens into one group
+    assert got[(3, None)][0] == 6 and got[(3, None)][1] is not None
+    assert got[(4, "en")] == (0, None) and got[(5, None)] == (0, None)
+    assert got[(6, "en")][0] == 8
+
+
 def test_dsir_separates_target_domain(spark):
     """English docs must score strictly higher on average (per token)
     than every other language under an English-target DSIR weighting —

@@ -216,6 +216,80 @@ def test_backlog_planning_runs_probes_at_bounded_concurrency(
     assert sum(dst.count(spark, f"idx{i:02d}") for i in range(12)) == 48
 
 
+def test_add_task_recheck_under_flock_spares_finished_sibling(
+    spark, tmp_path, store_factory, monkeypatch
+):
+    """r7 review finding: the disk-table duplicate check ran only
+    BEFORE the flock probe, so a sibling that completed its whole
+    admission inside the probe->acquire window was silently
+    reset_orphan'd and overwritten. Deterministic interleave: the
+    sibling's full admission is injected exactly in that window."""
+    src = store_factory("src", {"myindex1": docs_f1(5)})
+    dst = store_factory("dst")
+    root = str(tmp_path / "state")
+    eng_a = Engine(spark, root)
+    eng_b = Engine(spark, root)
+    fired = []
+    orig = TaskState.acquire_writer
+
+    def inject_sibling(self, blocking=False):
+        if self.task_id == "t1" and not fired:
+            fired.append(1)
+            eng_a.add_task("t1", _task(src, dst, from_indices="myindex1"))
+        return orig(self, blocking)
+
+    monkeypatch.setattr(TaskState, "acquire_writer", inject_sibling)
+    with pytest.raises(TaskError, match="already exists"):
+        eng_b.add_task("t1", _task(src, dst, from_indices="myindex1"))
+    # A's planned state survived B's rejected admission and still runs
+    with open(os.path.join(root, "task-t1.json")) as f:
+        assert json.load(f)["backlog"]
+    monkeypatch.undo()
+    assert eng_a.run_task("t1")["percentComplete"] == 100.0
+
+
+def test_planning_pool_fails_fast_and_cleans_up(
+    spark, tmp_path, store_factory, monkeypatch
+):
+    """r7 review finding: pool.map ran EVERY queued probe to completion
+    after the first failure (hours at thousands of slices x wire
+    timeouts) before surfacing the error. Now the first probe error
+    cancels the queue: only in-flight probes finish, admission fails
+    with the original error, and the id re-admits cleanly."""
+    import threading
+    import time
+
+    from chillastic_spark.sources import DocumentStore
+
+    corpora = {f"idx{i:02d}": docs_f1(2) for i in range(40)}
+    src = store_factory("src", corpora)
+    dst = store_factory("dst")
+    started = []
+    gauge = threading.Lock()
+    real_count = DocumentStore.count
+
+    def flaky_count(self, spark_, index, *a, **kw):
+        with gauge:
+            started.append(index)
+        if index == "idx00":
+            time.sleep(0.05)
+            raise RuntimeError("transient source failure")
+        time.sleep(0.3)
+        return real_count(self, spark_, index, *a, **kw)
+
+    monkeypatch.setattr(DocumentStore, "count", flaky_count)
+    eng = Engine(spark, str(tmp_path / "state"), plan_concurrency=4)
+    with pytest.raises(RuntimeError, match="transient source failure"):
+        eng.add_task("t1", _task(src, dst, from_indices="idx*"))
+    # the queue was cancelled: far fewer than 40 probes ever started
+    assert len(started) <= 12, started
+    # failed admission left no residue; the id re-admits and runs
+    assert not os.path.exists(os.path.join(eng.state_root, "task-t1.json"))
+    monkeypatch.undo()
+    state = eng.add_task("t1", _task(src, dst, from_indices="idx*"))
+    assert state.data["backlog"]
+
+
 # ----------------------------------------------- registry stale load error
 
 
