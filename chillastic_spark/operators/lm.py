@@ -57,7 +57,11 @@ def _bigram_stream(
     pairs = F.when(F.size(w) >= 2, pairs).otherwise(
         F.array().cast("array<struct<prev:string,bigram:string>>")
     )
-    return base.select("doc_id", F.explode(pairs).alias("p")).select(
+    # explode_OUTER: a doc with < 2 tokens (or NULL text) keeps one
+    # marker row with NULL buckets — the dsir_weights convention that
+    # lets the per-doc aggregate be id-complete without a full-corpus
+    # rejoin. Markers never match a count table and never feed one.
+    return base.select("doc_id", F.explode_outer(pairs).alias("p")).select(
         "doc_id",
         (CF.hash60(F.col("p.prev")) % buckets).alias("pb"),
         (CF.hash60(F.col("p.bigram")) % buckets).alias("bb"),
@@ -74,13 +78,19 @@ def score_bigrams_against(
     """(doc_id, n_bigrams, nll) from a bigram-bucket stream scored
     against the two LM count tables — THE one definition of the
     nll-term rounding and DECIMAL summation, shared by
-    ``hashed_bigram_nll`` (self-trained: inner joins, every bucket
-    exists) and the streaming frozen-model path (``frozen=True``:
-    left joins + count 0 for buckets unseen in the frozen corpus).
-    A rounding or smoothing change here changes both scorers at once;
-    duplicated, the streaming filter silently forks from the batch
-    operator the composed pipeline is pinned against."""
-    how = "left" if frozen else "inner"
+    ``hashed_bigram_nll`` (self-trained: every real bucket exists in
+    the model) and the streaming frozen-model path (``frozen=True``:
+    buckets unseen in the frozen corpus count 0). A rounding or
+    smoothing change here changes both scorers at once; duplicated,
+    the streaming filter silently forks from the batch operator the
+    composed pipeline is pinned against.
+
+    Joins are LEFT so the marker rows (_bigram_stream's NULL-bucket
+    rows for docs with < 2 tokens) ride through to the aggregate: they
+    contribute no term and count 0 bigrams, making the output
+    id-complete with NO corpus-sized rejoin. For real grams left ==
+    inner (self-trained models contain every observed bucket), and the
+    joins stay map-side broadcasts."""
     big_ct = (
         F.coalesce(F.col("big_ct"), F.lit(0)) if frozen else F.col("big_ct")
     )
@@ -88,23 +98,32 @@ def score_bigrams_against(
         F.coalesce(F.col("ctx_ct"), F.lit(0)) if frozen else F.col("ctx_ct")
     )
     return (
-        grams.join(F.broadcast(ctx), "pb", how)
-        .join(F.broadcast(big), "bb", how)
+        grams.join(F.broadcast(ctx), "pb", "left")
+        .join(F.broadcast(big), "bb", "left")
         .withColumn(
             "nll_term",
-            CF.round_det(
-                -F.log((big_ct + 1) / (ctx_ct + F.lit(buckets))),
-                NLL_DIGITS,
+            # the when() guard matters only in frozen mode, where the
+            # coalesced 0-counts would otherwise give a MARKER row a
+            # real smoothed term; unfrozen, a NULL bucket yields a NULL
+            # term arithmetically
+            F.when(
+                F.col("bb").isNotNull(),
+                CF.round_det(
+                    -F.log((big_ct + 1) / (ctx_ct + F.lit(buckets))),
+                    NLL_DIGITS,
+                ),
             ),
         )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count("bb").alias("n_bigrams"),
             F.sum(F.col("nll_term").cast("decimal(28,6)")).alias("__s"),
         )
         .select(
             "doc_id",
             "n_bigrams",
+            # marker-only docs: NULL __s / 0 → NULL (Spark's Divide
+            # null-propagates before the zero check)
             CF.round_det(
                 F.col("__s").cast("double") / F.col("n_bigrams"), 4
             ).alias("nll"),
@@ -141,15 +160,14 @@ def hashed_bigram_nll(
     from chillastic_spark.persist import materialize
 
     grams = materialize(_bigram_stream(df, id_col, text_col, buckets))
-    ctx = grams.groupBy("pb").agg(F.count(F.lit(1)).alias("ctx_ct"))
-    big = grams.groupBy("bb").agg(F.count(F.lit(1)).alias("big_ct"))
-    scored = score_bigrams_against(grams, ctx, big, buckets)
-    ids = df.select(F.col(id_col).alias("doc_id"))
-    return ids.join(scored, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        "nll",
-    )
+    # markers (NULL buckets) never feed the model counts
+    real = grams.filter(F.col("bb").isNotNull())
+    ctx = real.groupBy("pb").agg(F.count(F.lit(1)).alias("ctx_ct"))
+    big = real.groupBy("bb").agg(F.count(F.lit(1)).alias("big_ct"))
+    # id-complete via the marker rows — no full-corpus rejoin (the r7
+    # dsir_weights reshape): output is one row per distinct doc_id,
+    # short/NULL-text docs read (n_bigrams=0, nll NULL)
+    return score_bigrams_against(grams, ctx, big, buckets)
 
 
 def bigram_nll_sql(
@@ -159,7 +177,9 @@ def bigram_nll_sql(
     buckets: int = LM_BUCKETS,
 ) -> str:
     """DuckDB twin of hashed_bigram_nll — identical hash, smoothing,
-    rounding, and DECIMAL summation."""
+    rounding, DECIMAL summation, and the identical MARKER-ROW shape
+    (docs with < 2 tokens keep one NULL-bucket row through the
+    aggregate; no table rejoin — the dsir_weights_sql convention)."""
     w = f"regexp_split_to_array(trim({text_col}, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '[ \\t\\n\\x0b\\f\\r]+')"
     h = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
     prev_h = h.format(e="p.prev")
@@ -167,30 +187,33 @@ def bigram_nll_sql(
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id,
-    unnest(list_transform(range(1, greatest(len({w}) - 1, 0) + 1),
-      i -> struct_pack(prev := {w}[i], cur := {w}[i + 1]))) AS p
+    unnest(CASE WHEN len({w}) >= 2
+      THEN list_transform(range(1, greatest(len({w}) - 1, 0) + 1),
+        i -> struct_pack(prev := {w}[i], cur := {w}[i + 1]))
+      ELSE [struct_pack(prev := NULL, cur := NULL)] END) AS p
   FROM {table}
 ), grams AS (
-  SELECT doc_id, {prev_h} % {buckets} AS pb, {big_h} % {buckets} AS bb
+  SELECT doc_id,
+    CASE WHEN p.prev IS NULL THEN NULL ELSE {prev_h} % {buckets} END AS pb,
+    CASE WHEN p.prev IS NULL THEN NULL
+         ELSE {big_h} % {buckets} END AS bb
   FROM toks
 ), ctx AS (
-  SELECT pb, count(*) AS ctx_ct FROM grams GROUP BY pb
+  SELECT pb, count(*) AS ctx_ct FROM grams WHERE pb IS NOT NULL GROUP BY pb
 ), big AS (
-  SELECT bb, count(*) AS big_ct FROM grams GROUP BY bb
+  SELECT bb, count(*) AS big_ct FROM grams WHERE bb IS NOT NULL GROUP BY bb
 ), terms AS (
-  SELECT doc_id,
+  SELECT doc_id, grams.bb,
     floor((-ln((big_ct + 1) / CAST(ctx_ct + {buckets} AS DOUBLE)))
       * 1000000.0 + 0.5) / 1000000.0 AS nll_term
-  FROM grams JOIN ctx ON grams.pb = ctx.pb JOIN big ON grams.bb = big.bb
-), scored AS (
-  SELECT doc_id, count(*) AS n_bigrams,
-    floor((CAST(sum(CAST(nll_term AS DECIMAL(28,6))) AS DOUBLE) / count(*))
-      * 10000.0 + 0.5) / 10000.0 AS nll
-  FROM terms GROUP BY doc_id
+  FROM grams LEFT JOIN ctx ON grams.pb = ctx.pb
+             LEFT JOIN big ON grams.bb = big.bb
 )
-SELECT d.{id_col} AS doc_id,
-  coalesce(s.n_bigrams, 0) AS n_bigrams, s.nll
-FROM {table} d LEFT JOIN scored s ON d.{id_col} = s.doc_id
+SELECT doc_id, count(bb) AS n_bigrams,
+  CASE WHEN count(bb) = 0 THEN NULL
+    ELSE floor((CAST(sum(CAST(nll_term AS DECIMAL(28,6))) AS DOUBLE)
+      / count(bb)) * 10000.0 + 0.5) / 10000.0 END AS nll
+FROM terms GROUP BY doc_id
 """
 
 
@@ -221,59 +244,59 @@ def linear_quality_scores(
     the scoring path is fully exercised without one. Either way the
     weight side is ≤ ``buckets`` rows and broadcasts.
     """
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(CF.words(text_col)).alias("tok"),
-        )
-        # empty tokens carry no feature (split('') yields ['']); NULL
-        # text explodes to nothing — both land in the featureless
-        # rejoin path below instead of vanishing or hashing ''
-        .filter(F.col("tok") != "")
-        .select(
-            "doc_id",
-            (CF.hash60(F.concat(F.col("tok"), F.lit("#qc"))) % buckets).alias("bkt"),
-        )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        # empty tokens carry no feature (split('') yields [''] — purged
+        # INSIDE the array); explode_OUTER keeps one NULL marker row
+        # for token-less docs so the per-doc aggregate is id-complete
+        # with NO corpus-sized rejoin (the dsir_weights convention)
+        F.explode_outer(
+            F.filter(CF.words(text_col), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    ).select(
+        "doc_id",
+        (CF.hash60(F.concat(F.col("tok"), F.lit("#qc"))) % buckets).alias("bkt"),
     )
     if weights is None:
+        # _pseudo_weight(NULL) is NULL arithmetically — markers carry
+        # no feature weight
         toks = toks.withColumn("__w", CF.round_det(_pseudo_weight(F.col("bkt")), 6))
     else:
         toks = toks.join(
             F.broadcast(weights.select(F.col("bucket").alias("bkt"), F.col("w"))),
             "bkt",
             "left",
-        ).withColumn("__w", F.coalesce(F.col("w"), F.lit(0.0)))
+        ).withColumn(
+            # guard the coalesce with the marker check: an unguarded
+            # coalesce(w, 0.0) would give a MARKER row a real 0-weight
+            # feature and count it
+            "__w",
+            F.when(F.col("bkt").isNotNull(), F.coalesce(F.col("w"), F.lit(0.0))),
+        )
     per_doc = (
         toks.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
+            F.count("bkt").alias("n_feats"),
             F.sum(F.col("__w").cast("decimal(28,6)")).alias("__s"),
         )
         .select(
             "doc_id",
             "n_feats",
+            # marker-only docs: NULL __s / 0 → NULL margin
             CF.round_det(
                 F.lit(bias) + F.col("__s").cast("double") / F.col("n_feats"), 6
             ).alias("margin"),
         )
     )
-    scored = per_doc.select(
+    return per_doc.select(
         "doc_id",
         "n_feats",
         "margin",
         CF.round_det(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6).alias(
             "prob"
         ),
-    )
-    # id-preserving rejoin (hashed_bigram_nll's convention): a NULL- or
-    # empty-text doc must get an explicit reject row, not silently
-    # vanish from the keep/reject accounting
-    ids = df.select(F.col(id_col).alias("doc_id"))
-    return ids.join(scored, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
-        "margin",
-        "prob",
+        # NULL- or empty-text docs read as explicit rejects, never
+        # silently vanishing from the keep/reject accounting
         F.coalesce(F.col("margin") >= 0, F.lit(False)).alias("keep"),
     )
 
@@ -285,24 +308,31 @@ def linear_quality_sql(
     buckets: int = QC_BUCKETS,
     bias: float = 0.0,
 ) -> str:
+    """DuckDB twin — identical hash, pseudo-weights, rounding, DECIMAL
+    summation, and the identical MARKER-ROW shape (token-less docs keep
+    one NULL row through the aggregate; no table rejoin — the
+    dsir_weights_sql convention)."""
     w = f"regexp_split_to_array(trim({text_col}, (' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '[ \\t\\n\\x0b\\f\\r]+')"
     h = "('0x' || substr(md5(tok || '#qc'), 1, 15))::BIGINT"
     return f"""
 WITH toks AS (
-  SELECT {id_col} AS doc_id, unnest({w}) AS tok FROM {table}
+  SELECT {id_col} AS doc_id, unnest(coalesce({w}, [''])) AS tok FROM {table}
 ), feat AS (
   SELECT doc_id,
-    floor((((({h} % {buckets}) * 2654435761) % 2000001) / 1000000.0 - 1.0)
-      * 1000000.0 + 0.5) / 1000000.0 AS w
-  FROM toks WHERE tok != ''
+    CASE WHEN tok = '' THEN NULL
+      ELSE floor((((({h} % {buckets}) * 2654435761) % 2000001)
+        / 1000000.0 - 1.0) * 1000000.0 + 0.5) / 1000000.0
+    END AS w
+  FROM toks
 ), per_doc AS (
-  SELECT doc_id, count(*) AS n_feats,
-    floor(({bias} + CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE) / count(*))
-      * 1000000.0 + 0.5) / 1000000.0 AS margin
+  SELECT doc_id, count(w) AS n_feats,
+    CASE WHEN count(w) = 0 THEN NULL
+      ELSE floor(({bias} + CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE)
+        / count(w)) * 1000000.0 + 0.5) / 1000000.0 END AS margin
   FROM feat GROUP BY doc_id
 )
-SELECT t.{id_col} AS doc_id, coalesce(p.n_feats, 0) AS n_feats, p.margin,
-  floor((1.0 / (1.0 + exp(-p.margin))) * 1000000.0 + 0.5) / 1000000.0 AS prob,
-  coalesce(p.margin >= 0, false) AS keep
-FROM {table} t LEFT JOIN per_doc p ON t.{id_col} = p.doc_id
+SELECT doc_id, n_feats, margin,
+  floor((1.0 / (1.0 + exp(-margin))) * 1000000.0 + 0.5) / 1000000.0 AS prob,
+  coalesce(margin >= 0, false) AS keep
+FROM per_doc
 """

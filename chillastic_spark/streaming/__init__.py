@@ -682,12 +682,13 @@ def _lm_score_batch(
 
     g = lm._bigram_stream(batch_df, "doc_id", "text", b)
     # the one scoring definition (lm.score_bigrams_against): frozen
-    # model — left joins, unseen buckets count 0
+    # model — unseen buckets count 0. The bigram stream's marker rows
+    # make the aggregate id-complete (short/NULL-text docs read
+    # (0, NULL, keep=false)), so no per-micro-batch rejoin is needed
     scored = lm.score_bigrams_against(g, ctx, big, b, frozen=True)
-    ids = batch_df.select("doc_id")
-    return ids.join(scored, "doc_id", "left").select(
+    return scored.select(
         "doc_id",
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "n_bigrams",
         "nll",
         (F.col("nll").isNotNull() & (F.col("nll") <= nll_keep_max)).alias(
             "keep"

@@ -221,3 +221,72 @@ def test_linear_quality_preserves_null_and_empty_text_docs(spark):
         assert rows[d]["keep"] is False
     assert rows[1]["n_feats"] == len(COMMON.split())
     assert rows[1]["keep"] in (True, False)  # scored, not dropped
+
+
+def test_lm_oracles_engine_exact_on_adversarial_frame(spark):
+    """r7 reshape: both lm scorers now aggregate marker rows instead of
+    rejoining the table (the dsir_weights convention). Pin cross-engine
+    value-exactness on the frame the sf corpora can't produce: 1-token
+    docs, NULL text, whitespace text, and duplicate ids whose tokens
+    must pool into one group on BOTH engines."""
+    import duckdb
+    import pandas as pd
+
+    from chillastic_spark.operators.lm import (
+        bigram_nll_sql,
+        hashed_bigram_nll,
+        linear_quality_scores,
+        linear_quality_sql,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "single"),           # 1 token: bigram-less but featured
+        (3, None),               # NULL text
+        (4, "   "),              # ws-only text
+        (5, "first half here"),  # duplicate id: tokens pool
+        (5, "second half there"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    got_nll = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in hashed_bigram_nll(d, buckets=64).collect()
+    }
+    want_nll = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(bigram_nll_sql(buckets=64)).fetchall()
+    }
+    assert set(got_nll) == set(want_nll) == {1, 2, 3, 4, 5}
+    for k in want_nll:
+        assert got_nll[k][0] == want_nll[k][0], (k, got_nll[k], want_nll[k])
+        if want_nll[k][1] is None:
+            assert got_nll[k][1] is None, k
+        else:
+            assert abs(got_nll[k][1] - want_nll[k][1]) < 1e-12, k
+    assert got_nll[2] == (0, None) and got_nll[3] == (0, None)
+    assert got_nll[5][0] == 4  # both duplicate rows' bigrams pooled
+
+    got_q = {
+        r["doc_id"]: (r["n_feats"], r["margin"], r["prob"], r["keep"])
+        for r in linear_quality_scores(d, buckets=64).collect()
+    }
+    want_q = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.sql(linear_quality_sql(buckets=64)).fetchall()
+    }
+    assert set(got_q) == set(want_q) == {1, 2, 3, 4, 5}
+    for k in want_q:
+        assert got_q[k][0] == want_q[k][0], (k, got_q[k], want_q[k])
+        for i in (1, 2):
+            if want_q[k][i] is None:
+                assert got_q[k][i] is None, k
+            else:
+                assert abs(got_q[k][i] - want_q[k][i]) < 1e-12, k
+        assert got_q[k][3] == want_q[k][3], k
+    assert got_q[3][:2] == (0, None) and got_q[3][3] is False
+    assert got_q[4][:2] == (0, None) and got_q[4][3] is False
+    assert got_q[2][0] == 1          # the 1-token doc IS featured
+    assert got_q[5][0] == 6          # duplicate rows' features pooled

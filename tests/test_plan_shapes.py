@@ -198,6 +198,13 @@ def test_batch16_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # the two model-based filters share the marker-row convention:
+    # their per-doc aggregates are id-complete, so a SortMergeJoin
+    # (the old full-corpus id rejoin) anywhere is a regression
+    for q in ("perplexity_filter", "quality_classifier_scores"):
+        plan = _plan(spark, q)
+        assert "SortMergeJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
     # mixture manifest: the corpus is scanned ONCE (at the per-source
     # aggregate's materialization); the final plan runs off the
     # checkpointed |sources|-row table, never re-reading documents
