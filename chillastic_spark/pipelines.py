@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 from chillastic_spark.operators import dedup as D
 from chillastic_spark.operators import text as T
 from chillastic_spark.operators.chunking import chunk_documents
-from chillastic_spark.persist import materialize, persist_mode, release
+from chillastic_spark.persist import (
+    batch_scope,
+    materialize,
+    persist_mode,
+    release,
+)
 
 
 @dataclass
@@ -73,10 +78,12 @@ class CurationReport:
     after_decontamination: int | None = None  # None = no benchmark given
     after_dsir_selection: int | None = None  # None = no dsir_target given
     after_mixture_sampling: int | None = None  # None = no mixture given
-    # sources whose positive requested weight quantized to a ZERO
-    # sampling gate (desired tokens floored to 0 against a huge pool) —
-    # every doc of such a source is dropped; surfaced here because the
-    # aggregate count alone makes losing a whole source invisible
+    # sources with live docs whose sampling gate solved to ZERO — a
+    # positive weight that quantized away, a source missing from the
+    # mixture dict entirely (key mismatch), or NULL-source rows
+    # (reported as '<null>'). Every doc of such a source is dropped;
+    # surfaced here because the aggregate count alone makes losing a
+    # whole source invisible
     mixture_zeroed_sources: "list[str] | None" = None
     # per-source KL vs drift_reference, measured on the RAW input batch
     # (None = no reference given)
@@ -155,6 +162,7 @@ def curate(
     )
     if cfg.keep_langs:
         gated = gated.filter(F.col("pred_lang").isin(cfg.keep_langs))
+    pre_top = None
     if cfg.max_dup_bigram_frac < 1.0 or cfg.max_top_tok_frac < 1.0:
         # Gopher-style repetition gate, all narrow array math except the
         # top-token pass (one map-side-combining agg)
@@ -180,15 +188,20 @@ def curate(
         )
         w = F.col("__w")
         if cfg.max_top_tok_frac < 1.0:
+            # pin BEFORE the top-token self-join: the aggregate branch
+            # and the probe branch otherwise EACH re-run the
+            # scrub/tokenize/feature subtree inside one job (the two
+            # sides project differently, so no exchange reuse applies)
+            pre_top = materialize(gated)
             top = (
-                gated.select(id_col, F.explode(w).alias("__t"))
+                pre_top.select(id_col, F.explode(w).alias("__t"))
                 .groupBy(id_col, "__t")
                 .agg(F.count(F.lit(1)).alias("__c"))
                 .groupBy(id_col)
                 .agg(F.max("__c").alias("__max_tok"))
             )
             gated = (
-                gated.join(top, id_col)
+                pre_top.join(top, id_col)
                 .filter(
                     F.col("__max_tok") / F.size(w).cast("double")
                     <= cfg.max_top_tok_frac
@@ -201,6 +214,8 @@ def curate(
     # near-dup stage — unpinned, the scrub/tokenize/score subtree
     # recomputes for EVERY consumer (4-5 full corpus passes)
     gated = materialize(gated)
+    if pre_top is not None and persist_mode() in ("local", "reliable"):
+        release(pre_top)  # superseded by the (eager) main pin above
     after_quality = gated.count()
     after_decon = None
     if benchmark is not None:
@@ -266,17 +281,26 @@ def curate(
     # pipeline's most expensive shuffle, (b) the pair list outlives
     # this function (returned on the report for assemble), and (c) it
     # must survive the release of `exact` below.
-    pairs = materialize(
-        D.minhash_lsh_pairs(
-            exact,
-            id_col=id_col,
-            text_col=text_col,
-            n=cfg.shingle_n,
-            num_perm=cfg.minhash_perms,
-            bands=cfg.minhash_bands,
-            threshold=cfg.near_dup_threshold,
+    # batch_scope around the operator call: minhash_lsh_pairs pins its
+    # corpus-wide signature table INTERNALLY (a handle this caller
+    # never sees); scoped, that pin releases here instead of leaking
+    # for the session lifetime — persist.batch_scope's documented
+    # purpose. The `pairs` pin itself is lifted OUT of the scope (it
+    # outlives this function on the report) after the eager checkpoint
+    # has captured its data.
+    with batch_scope() as _op_pins:
+        pairs = materialize(
+            D.minhash_lsh_pairs(
+                exact,
+                id_col=id_col,
+                text_col=text_col,
+                n=cfg.shingle_n,
+                num_perm=cfg.minhash_perms,
+                bands=cfg.minhash_bands,
+                threshold=cfg.near_dup_threshold,
+            )
         )
-    )
+        _op_pins[:] = [f for f in _op_pins if f is not pairs]
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     # pinned: `near` feeds up to five downstream actions (count,
     # per-source token collect, gate count, chunking, the caller) —
@@ -346,11 +370,22 @@ def curate(
             # round-half-up at 6 digits — the same quantization the
             # domain_mixture_manifest query reports as sample_rate
             gate = int(rate * 1_000_000 + 0.5)
-            if gate == 0 and mixture.get(src, 0) > 0 and toks:
-                # a positive requested weight solved to a zero gate:
-                # the WHOLE source drops — record it in the report
-                zeroed.append(src)
-            cond = F.col(source_col) == src
+            if gate == 0 and toks:
+                # the WHOLE source drops — record it WHATEVER the cause:
+                # a positive weight that quantized to zero, a source
+                # absent from the mixture dict (a 'Web' vs 'web' key
+                # mismatch silently zeroing a live source is exactly the
+                # invisibility this report field exists to prevent), or
+                # NULL-source rows (reported as '<null>')
+                zeroed.append("<null>" if src is None else src)
+            # NULL sources need an isNull gate: `== None` is
+            # three-valued NULL, which would fall through to the
+            # otherwise(0) and drop the rows without any report trace
+            cond = (
+                F.col(source_col).isNull()
+                if src is None
+                else F.col(source_col) == src
+            )
             rate_expr = (
                 F.when(cond, F.lit(gate))
                 if rate_expr is None
@@ -420,33 +455,46 @@ def assemble(
 
     Returns (manifest, summary): per-doc
     (id, source, rep_id, split, shard, n_tokens) and the per-
-    (split, shard) doc/token totals a shipping run publishes.
+    (split, shard) doc/token totals a shipping run publishes. The
+    manifest comes back PINNED (one visible handle the caller may
+    ``persist.release`` once consumed) — the alternative was leaking
+    the operator-internal pins rep_of/connected_components create per
+    call (the streaming callers scope them; the batch path never did).
     """
     from chillastic_spark.operators.assembly import rep_of, shard_of, split_of
 
-    if pairs is None:
-        # expose ALL the LSH knobs curate has: a fallback computed with
-        # different num_perm/bands than the dedup stage would produce a
-        # DIFFERENT candidate set, and two surviving near-dups could
-        # straddle splits — the exact leakage this function prevents
-        pairs = D.minhash_lsh_pairs(
-            df, id_col=id_col, text_col=text_col,
-            n=shingle_n, num_perm=minhash_perms, bands=minhash_bands,
-            threshold=near_dup_threshold,
+    with batch_scope() as _op_pins:
+        if pairs is None:
+            # expose ALL the LSH knobs curate has: a fallback computed
+            # with different num_perm/bands than the dedup stage would
+            # produce a DIFFERENT candidate set, and two surviving
+            # near-dups could straddle splits — the exact leakage this
+            # function prevents
+            pairs = D.minhash_lsh_pairs(
+                df, id_col=id_col, text_col=text_col,
+                n=shingle_n, num_perm=minhash_perms, bands=minhash_bands,
+                threshold=near_dup_threshold,
+            )
+        m = rep_of(
+            df.select(
+                id_col, source_col, T.token_count(text_col).alias("n_tokens")
+            ),
+            pairs,
+            id_col=id_col,
         )
-    m = rep_of(
-        df.select(id_col, source_col, T.token_count(text_col).alias("n_tokens")),
-        pairs,
-        id_col=id_col,
-    )
-    manifest = m.select(
-        id_col,
-        source_col,
-        "rep_id",
-        split_of(F.col("rep_id"), train_pct, val_pct).alias("split"),
-        shard_of(F.col(id_col), n_shards).alias("shard"),
-        "n_tokens",
-    )
+        manifest = materialize(
+            m.select(
+                id_col,
+                source_col,
+                "rep_id",
+                split_of(F.col("rep_id"), train_pct, val_pct).alias("split"),
+                shard_of(F.col(id_col), n_shards).alias("shard"),
+                "n_tokens",
+            )
+        )
+        # the manifest pin outlives the scope (it is the return value);
+        # everything else pinned during this call releases at exit
+        _op_pins[:] = [f for f in _op_pins if f is not manifest]
     summary = manifest.groupBy("split", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),

@@ -47,13 +47,17 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     # files is not enough — tables.load sets the session-wide
     # nanosAsLong legacy flag for the batch path, after which a nanos
     # parquet would silently read as long and every timestamp would be
-    # interpreted 1000x off. Probe the footers of whatever files exist
-    # at start (best-effort for files that appear later).
+    # interpreted 1000x off. Probe the footers of EVERY file present
+    # at start (a footer read is a few KB of I/O; a capped probe would
+    # let a mistyped 5th file misparse silently, which is exactly the
+    # failure this check exists to make loud). Files that appear after
+    # start are inherently unverifiable from here — the staging
+    # contract covers them.
     import glob as _glob
 
     import pyarrow.parquet as _pq
 
-    for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)[:4]:
+    for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
         t = _pq.read_schema(f).field("ts").type
         if str(t) != "int64":
             raise ValueError(
@@ -155,10 +159,13 @@ def windowed_distinct_users(
     query_name: str = "windowed_distinct",
 ) -> StreamingQuery:
     """Streaming HLL: approximate distinct users per (window,
-    event_type). The sketch is mergeable, so state per group is a fixed
-    ~1.5 KB regardless of cardinality — COUNT(DISTINCT) over an
-    unbounded stream without unbounded state (exact streaming distinct
-    would keep every user id in the state store)."""
+    event_type). The sketch is mergeable, so state per group is FIXED
+    regardless of cardinality — COUNT(DISTINCT) over an unbounded
+    stream without unbounded state (exact streaming distinct would keep
+    every user id in the state store). Size the state store for ~16 KB
+    per group: rsd=0.01 forces HLL++ precision p≈14 (~2^14 registers),
+    not the ~1.5 KB of the textbook p=11 sketch — relax rsd to ~0.03 if
+    per-group state dominates."""
     events = read_events_stream(spark, events_path)
     agg = (
         events.withWatermark("ts", watermark)
@@ -467,26 +474,15 @@ def continuous_index_update(
     )
 
     def fold(batch_df, _batch_id):
-        # collapse only EXACT copies: dropDuplicates(["doc_id"]) alone
-        # would pick an arbitrary version when one trigger carries the
-        # same id with DIFFERENT text, structurally bypassing
-        # update_inverted_index's 'resolve upstream' error — a
-        # nondeterministically chosen version would be permanently
-        # indexed with no error
-        batch = batch_df.dropDuplicates(["doc_id", "text"])
-        clash = (
-            batch.groupBy("doc_id").count().filter(F.col("count") > 1).limit(3)
-        )
-        clash_ids = [r["doc_id"] for r in clash.collect()]
-        if clash_ids:
-            raise ValueError(
-                f"micro-batch carries the same doc_id with different "
-                f"text (e.g. {clash_ids}) — resolve upstream; indexing "
-                "an arbitrary version would be nondeterministic"
-            )
-        if batch.isEmpty():
+        # empty triggers skip the writer lock entirely; every batch
+        # contract — exact-copy collapse, the same-id-different-text
+        # 'resolve upstream' error, redelivery idempotence — is
+        # enforced INSIDE update_inverted_index (one definition; a
+        # duplicated pre-check here ran the clash aggregation twice
+        # per batch and could silently drift from the real rule)
+        if batch_df.isEmpty():
             return
-        update_inverted_index(spark, batch, index_dir, on_existing="skip")
+        update_inverted_index(spark, batch_df, index_dir, on_existing="skip")
 
     return (
         stream.writeStream.foreachBatch(fold)

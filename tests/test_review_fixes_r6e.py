@@ -109,20 +109,22 @@ def test_failed_planning_does_not_resurrect_from_disk(tmp_path, spark):
     bad = Task(
         source=src, destination=dst, transfer=TransferSpec(from_indices="*")
     )
-    real_build = eng.build_backlog
+    real_build = eng._build_backlog_locked
 
-    def failing_build(task_id):
+    def failing_build(task, state, force=False):
         # the concurrent replica persists the task table (including the
         # still-planning task) DURING planning...
         with eng._mutex:
             eng._save_tasks()
-        # ...and then planning fails (source 500 analog)
+        # ...and then planning fails (source 500 analog). (r7: admission
+        # plans via _build_backlog_locked under the reservation flock,
+        # so that is the seam to fail.)
         raise RuntimeError("source listing 500")
 
-    eng.build_backlog = failing_build
+    eng._build_backlog_locked = failing_build
     with pytest.raises((TaskError, RuntimeError)):
         eng.add_task("trace1", bad)
-    eng.build_backlog = real_build
+    eng._build_backlog_locked = real_build
     # the id must not linger anywhere — memory, task table, or disk
     assert "trace1" not in eng.list_tasks()
     tasks_path = os.path.join(state, "tasks.json")
