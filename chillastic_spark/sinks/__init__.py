@@ -136,6 +136,17 @@ def upsert(
                 "upsert: rows with NULL _index cannot be delivered — "
                 "every envelope row needs a destination index"
             )
+        # NULL _id is equally undeliverable, and worse than a failed
+        # merge: xxhash64(NULL) yields a NULL bucket, which crashes the
+        # touched-bucket sort on a bucketed index and lands rows in a
+        # __HIVE_DEFAULT_PARTITION__ dir on migration — where the
+        # bucket-id parse aborts MID-rename-loop (rows already moved
+        # duplicate on retry). Validate up front like _index.
+        if df.filter(F.col("_id").isNull()).limit(1).count():
+            raise ValueError(
+                "upsert: rows with NULL _id cannot be delivered — the "
+                "merge key and the bucket hash both need a document id"
+            )
         for index in indices:
             batch = df.filter(F.col("_index") == index)
             delivered += batch.count()  # rows delivered = batch size
@@ -162,22 +173,39 @@ def upsert(
                 recover_bucket_swaps(store.index_path(index))
                 nb = store.bucket_count(index)
                 if nb is None:
-                    # one-time migration: flat (or empty) → bucketed
-                    n = n_buckets or _auto_buckets(store.index_path(index))
-                    if not 0 < n <= 9999:
-                        # bucket dirs are bucket-NNNN and the stream
-                        # glob matches exactly 4 digits — a 5-digit
-                        # bucket id would be written but silently
-                        # excluded from readStream
-                        raise ValueError(
-                            f"n_buckets must be in [1, 9999] (got {n})"
-                        )
+                    from chillastic_spark.sources.maintenance import (
+                        _is_type_partitioned,
+                    )
+
                     existing = store.read(spark, index)
                     merged = _normalise(
                         existing.join(batch, _key_cond(existing, batch), "left_anti")
                         .unionByName(batch)
                     )
-                    _replace_index_bucketed(store, index, merged, n)
+                    if os.path.isdir(
+                        store.index_path(index)
+                    ) and _is_type_partitioned(store.index_path(index)):
+                        # an index laid out with Hive _type= partitions
+                        # (write_documents(partition_by=['_type']) — the
+                        # layout its docstring recommends at scale) must
+                        # KEEP that layout: silently rewriting it
+                        # bucketed would destroy the per-type partition
+                        # pruning and blind any stream reading the typed
+                        # subdirs — the same guarantee _atomic_replace
+                        # makes for compaction
+                        _replace_index_type_partitioned(store, index, merged)
+                    else:
+                        # one-time migration: flat (or empty) → bucketed
+                        n = n_buckets or _auto_buckets(store.index_path(index))
+                        if not 0 < n <= 9999:
+                            # bucket dirs are bucket-NNNN and the stream
+                            # glob matches exactly 4 digits — a 5-digit
+                            # bucket id would be written but silently
+                            # excluded from readStream
+                            raise ValueError(
+                                f"n_buckets must be in [1, 9999] (got {n})"
+                            )
+                        _replace_index_bucketed(store, index, merged, n)
                 else:
                     touched = sorted(
                         r["b"]
@@ -247,25 +275,57 @@ def _replace_index_bucketed(
     target = store.index_path(index)
     tmp = _write_bucket_tmp(store, index, merged, n_buckets)
     new = target + ".new-" + uuid.uuid4().hex[:8]
-    os.makedirs(new)
-    for d in os.listdir(tmp):
-        if d.startswith("__bucket="):
-            b = int(d.split("=", 1)[1])
-            os.rename(
-                os.path.join(tmp, d),
-                os.path.join(new, f"{os.path.basename(store.bucket_path(index, b))}"),
-            )
-    shutil.rmtree(tmp, ignore_errors=True)
-    # marker rides the swap: the new dir is born bucketed, so no crash
-    # window exists where bucket dirs are visible under a "flat" index
-    with open(os.path.join(new, BUCKET_MARKER), "w") as f:
-        f.write(str(n_buckets))
+    try:
+        os.makedirs(new)
+        for d in os.listdir(tmp):
+            if d.startswith("__bucket="):
+                b = int(d.split("=", 1)[1])
+                os.rename(
+                    os.path.join(tmp, d),
+                    os.path.join(
+                        new, f"{os.path.basename(store.bucket_path(index, b))}"
+                    ),
+                )
+        # marker rides the swap: the new dir is born bucketed, so no
+        # crash window exists where bucket dirs are visible under a
+        # "flat" index
+        with open(os.path.join(new, BUCKET_MARKER), "w") as f:
+            f.write(str(n_buckets))
+    except BaseException:
+        # an exception mid-loop (ENOSPC, a corrupt partition dir name)
+        # must not strand the half-built .new- dir forever — no
+        # recovery path touches pre-swap scratch, and scratch-filtered
+        # listings make the leaked bytes invisible
+        shutil.rmtree(new, ignore_errors=True)
+        raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     old = target + ".old-" + uuid.uuid4().hex[:8]
     if os.path.exists(target):
         os.rename(target, old)
     os.rename(new, target)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def _replace_index_type_partitioned(
+    store: DocumentStore, index: str, merged: DataFrame
+) -> None:
+    """Merge-rewrite an index ALREADY laid out with Hive ``_type=``
+    partitions, preserving that layout (same tail-swap shape as the
+    bucketed replace, so _recover_interrupted_swap owns the crash
+    windows)."""
+    target = store.index_path(index)
+    new = target + ".new-" + uuid.uuid4().hex[:8]
+    try:
+        merged.write.partitionBy("_type").parquet(new)
+    except BaseException:
+        shutil.rmtree(new, ignore_errors=True)
+        raise
+    old = target + ".old-" + uuid.uuid4().hex[:8]
+    os.rename(target, old)
+    os.rename(new, target)
+    shutil.rmtree(old)
 
 
 def purge(
@@ -289,7 +349,10 @@ def purge(
         id_df = spark.createDataFrame([(i,) for i in ids], "_id string")
     else:
         id_df = ids.select(F.col("_id").cast("string"))
-    victims = id_df.distinct()
+    # NULL victim ids match nothing in the anti-join (the es_purge
+    # convention) — and a NULL bucket hash would crash the touched-
+    # bucket sort below, so drop them before planning
+    victims = id_df.filter(F.col("_id").isNotNull()).distinct()
     with _index_lock(store.index_path(index)), FileLock(
         store.index_path(index) + ".lock"
     ):

@@ -177,6 +177,26 @@ def _discard_stale_swap(index_dir: str) -> None:
         os.remove(jpath)
 
 
+def _clean_batch(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Input hygiene shared by build and update: identical (doc_id,
+    text) copies collapse to one row; the same doc_id with DIFFERENT
+    text raises — both copies would otherwise survive and permanently
+    corrupt tf (doubled), positions (interleaved), and df (no longer
+    the distinct-doc count bm25_rank assumes) with no error."""
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).dropDuplicates(["doc_id", "__text"])
+    clash = (
+        src.groupBy("doc_id").count().filter(F.col("count") > 1).limit(3)
+    ).collect()
+    if clash:
+        raise ValueError(
+            f"batch contains the same doc_id with different text "
+            f"(e.g. {[r['doc_id'] for r in clash]}); resolve upstream"
+        )
+    return src
+
+
 def build_inverted_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -187,30 +207,78 @@ def build_inverted_index(
 ) -> dict:
     """Tokenise once, write postings/term_stats/corpus stats (under the
     writer lock; a stale crashed-update journal is discarded, not
-    rolled forward over the rebuild)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), CF.words(text_col).alias("w")
-    ).select("doc_id", F.size("w").alias("dl"), "w")
+    rolled forward over the rebuild).
+
+    Crash-atomic like the update path: artifacts land in tmp dirs, the
+    swap is journaled, and the renames roll forward from any crash
+    window (_recover_swap). The old in-place overwrites could crash
+    between the three writes and leave fresh postings beside the
+    PREVIOUS build's term_stats/stats — torn silently, because without
+    a journal no entry point can even detect it. Input hygiene matches
+    update_inverted_index (_clean_batch)."""
+    import uuid
+
+    from chillastic_spark.persist import batch_scope
+    from chillastic_spark.persist import materialize as _pin
+
     with _writer_lock(index_dir):
         _discard_stale_swap(index_dir)
-        postings = _postings_of(toks)
-        (
-            postings.repartitionByRange(n_files, "term")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite")
-            .parquet(os.path.join(index_dir, "postings"))
-        )
-        written = spark.read.schema(postings.schema).parquet(
-            os.path.join(index_dir, "postings")
-        )
-        term_stats = written.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        term_stats.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(index_dir, "term_stats")
-        )
-        row = _input_stats_row(toks)
-        stats = _make_stats(row["n_docs"], row["sum_dl"])
-        _write_stats(index_dir, stats)
+        src = _clean_batch(docs, id_col, text_col)
+        toks = src.select(
+            "doc_id", CF.words("__text").alias("w")
+        ).select("doc_id", F.size("w").alias("dl"), "w")
+        post_dir = os.path.join(index_dir, "postings")
+        ts_dir = os.path.join(index_dir, "term_stats")
+        with batch_scope():
+            # ONE tokenise pass: pinned, toks feeds the postings write
+            # AND the corpus-stats aggregate — unpinned, the whole
+            # corpus re-tokenises a second time just to compute two
+            # numbers (n_docs, sum_dl)
+            toks = _pin(toks)
+            postings = _postings_of(toks)
+            tmp = post_dir + ".tmp-" + uuid.uuid4().hex[:8]
+            (
+                postings.repartitionByRange(n_files, "term")
+                .sortWithinPartitions("term", "doc_id")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            written = spark.read.schema(postings.schema).parquet(tmp)
+            ts_tmp = ts_dir + ".tmp-" + uuid.uuid4().hex[:8]
+            written.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df")
+            ).coalesce(1).write.mode("overwrite").parquet(ts_tmp)
+            row = _input_stats_row(toks)
+            stats = _make_stats(row["n_docs"], row["sum_dl"])
+        _swap_in(index_dir, tmp, ts_tmp, stats)
     return stats
+
+
+def _swap_in(index_dir: str, post_tmp: str, ts_tmp: str, stats: dict) -> None:
+    """Journal → rename postings → rename term_stats → stats.json →
+    journal removed. ONE definition of the swap protocol shared by
+    build and update, matching _recover_swap_locked's roll-forward
+    exactly. Caller must hold _writer_lock. Handles the first-build
+    case (no live dirs yet) the same way recovery does."""
+    import shutil
+    import uuid
+
+    jpath = os.path.join(index_dir, "swap-journal.json")
+    jtmp = jpath + ".tmp"
+    with open(jtmp, "w") as f:
+        json.dump({"post_tmp": post_tmp, "ts_tmp": ts_tmp, "stats": stats}, f)
+    os.replace(jtmp, jpath)
+    for live_name, tmp in (("postings", post_tmp), ("term_stats", ts_tmp)):
+        live = os.path.join(index_dir, live_name)
+        if os.path.exists(live):
+            bak = live + ".old-" + uuid.uuid4().hex[:8]
+            os.rename(live, bak)
+            os.rename(tmp, live)
+            shutil.rmtree(bak)
+        else:
+            os.rename(tmp, live)
+    _write_stats(index_dir, stats)
+    os.remove(jpath)
 
 
 def bm25_search_index(
@@ -293,33 +361,36 @@ def update_inverted_index(
     updates, rebuilds, and reader-triggered recovery serialize instead
     of racing the renames. Re-adding an existing doc_id is rejected
     (the store's upsert handles mutation; an index rebuild covers it)."""
-    import shutil
     import uuid
 
     with _writer_lock(index_dir):
         _recover_swap_locked(index_dir)
         old_stats = _read_stats(index_dir)
         post_dir = os.path.join(index_dir, "postings")
-        src = new_docs.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
-        ).dropDuplicates(["doc_id", "__text"])
-        clash = (
-            src.groupBy("doc_id").count().filter(F.col("count") > 1).limit(3)
-        ).collect()
-        if clash:
-            raise ValueError(
-                f"batch contains the same doc_id with different text "
-                f"(e.g. {[r['doc_id'] for r in clash]}); resolve upstream"
-            )
+        src = _clean_batch(new_docs, id_col, text_col)
         toks = src.select(
             "doc_id", CF.words("__text").alias("w")
         ).select("doc_id", F.size("w").alias("dl"), "w")
-        try:
+        # explicit part-file probe, NOT a bare try/except around the
+        # read: an index built from an EMPTY corpus has a postings dir
+        # with no part files (bootstrap-then-stream must append, not
+        # crash), but a TRANSIENT read failure on a populated index
+        # swallowed by except-Exception would silently substitute an
+        # empty frame — the swap below would then install batch-only
+        # postings and rmtree the old ones, destroying the whole index
+        if not os.path.isdir(post_dir):
+            raise RuntimeError(
+                f"{post_dir} missing — the index is torn (stats.json "
+                "exists without postings); rebuild it"
+            )
+        has_parts = any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(post_dir)
+            for f in fs
+        )
+        if has_parts:
             old = spark.read.parquet(post_dir)
-        except Exception:
-            # an index built from an EMPTY corpus has a postings dir
-            # with no part files — bootstrap-then-stream must append,
-            # not crash
+        else:
             old = spark.createDataFrame([], _postings_of(toks).schema)
         if on_existing == "skip":
             toks = toks.join(
@@ -352,33 +423,18 @@ def update_inverted_index(
         )
 
         # compute the term stats from the tmp postings BEFORE any swap,
-        # journal the plan, then perform the renames. A crash between
-        # the three replacement steps left postings disagreeing with
-        # term df / corpus stats (silently wrong BM25) — with the
-        # journal every entry point rolls the interrupted swap FORWARD.
+        # journal the plan, then perform the renames (_swap_in — the
+        # one swap definition shared with build). A crash between the
+        # three replacement steps left postings disagreeing with term
+        # df / corpus stats (silently wrong BM25) — with the journal
+        # every entry point rolls the interrupted swap FORWARD.
         merged2 = spark.read.schema(merged.schema).parquet(tmp)
         ts_dir = os.path.join(index_dir, "term_stats")
         ts_tmp = ts_dir + ".tmp-" + uuid.uuid4().hex[:8]
         merged2.groupBy("term").agg(F.count(F.lit(1)).alias("df")).coalesce(
             1
         ).write.mode("overwrite").parquet(ts_tmp)
-
-        jpath = os.path.join(index_dir, "swap-journal.json")
-        jtmp = jpath + ".tmp"
-        with open(jtmp, "w") as f:
-            json.dump({"post_tmp": tmp, "ts_tmp": ts_tmp, "stats": stats}, f)
-        os.replace(jtmp, jpath)
-
-        bak = post_dir + ".old-" + uuid.uuid4().hex[:8]
-        os.rename(post_dir, bak)
-        os.rename(tmp, post_dir)
-        shutil.rmtree(bak)
-        ts_bak = ts_dir + ".old-" + uuid.uuid4().hex[:8]
-        os.rename(ts_dir, ts_bak)
-        os.rename(ts_tmp, ts_dir)
-        shutil.rmtree(ts_bak)
-        _write_stats(index_dir, stats)
-        os.remove(jpath)
+        _swap_in(index_dir, tmp, ts_tmp, stats)
     return stats
 
 

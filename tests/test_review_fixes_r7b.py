@@ -165,3 +165,143 @@ def test_curate_and_assemble_leave_no_orphan_pins(spark):
     assert len(live_pins(at_most=n_after_assemble + 3)) <= n_after_assemble + 3
     for f in (report.near_dup_pairs, manifest, report2.near_dup_pairs, manifest2):
         release(f)
+
+
+# -------------------------------------------------- storage-layer sweep
+
+
+def _envelopes(spark, rows):
+    from chillastic_spark.sources import ENVELOPE_SCHEMA
+
+    return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+
+def test_upsert_rejects_null_id_rows(spark, tmp_path):
+    """NULL _id crashed the touched-bucket sort (TypeError on NULL) or
+    corrupted the migration rename loop mid-way; it must fail admission
+    up front like NULL _index, leaving the index untouched."""
+    import json as _json
+
+    from chillastic_spark.sinks import upsert
+    from chillastic_spark.sources import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "s"))
+    good = _envelopes(
+        spark, [("ix", "t", f"d{i}", _json.dumps({"v": i}), 10) for i in range(6)]
+    )
+    assert upsert(spark, store, good) == 6
+    bad = _envelopes(
+        spark,
+        [("ix", "t", None, _json.dumps({"v": 99}), 10),
+         ("ix", "t", "d0", _json.dumps({"v": 100}), 10)],
+    )
+    with pytest.raises(ValueError, match="NULL _id"):
+        upsert(spark, store, bad)
+    # nothing from the failed batch landed
+    got = {r["_id"]: r for r in store.read(spark, "ix").collect()}
+    assert set(got) == {f"d{i}" for i in range(6)}
+    import json as _j
+    assert _j.loads(got["d0"]["_source"]) == {"v": 0}
+
+
+def test_purge_ignores_null_victim_ids(spark, tmp_path):
+    """A NULL id in the victims frame must match nothing (the es_purge
+    convention) — the old path crashed sorting a NULL bucket hash."""
+    import json as _json
+
+    from chillastic_spark.sinks import purge, upsert
+    from chillastic_spark.sources import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "s"))
+    upsert(spark, store, _envelopes(
+        spark, [("ix", "t", f"d{i}", _json.dumps({"v": i}), 10) for i in range(6)]
+    ))
+    victims = spark.createDataFrame([("d1",), (None,), ("d4",)], "_id string")
+    assert purge(spark, store, "ix", victims) == 2
+    left = {r["_id"] for r in store.read(spark, "ix").collect()}
+    assert left == {"d0", "d2", "d3", "d5"}
+
+
+def test_upsert_preserves_type_partitioned_layout(spark, tmp_path):
+    """First merge into a Hive _type= partitioned index must keep that
+    layout (the per-type partition pruning its docstring recommends at
+    scale) — the old migration silently rewrote it bucketed."""
+    import json as _json
+
+    from chillastic_spark.sinks import upsert
+    from chillastic_spark.sources import BUCKET_MARKER, DocumentStore
+
+    store = DocumentStore(str(tmp_path / "s"))
+    base = _envelopes(
+        spark,
+        [("ix", ["ta", "tb"][i % 2], f"d{i}", _json.dumps({"v": i}), 10)
+         for i in range(8)],
+    )
+    store.write_documents(base, "ix", partition_by=["_type"])
+    path = store.index_path("ix")
+    assert any(d.startswith("_type=") for d in os.listdir(path))
+
+    batch = _envelopes(
+        spark,
+        [("ix", "ta", "d0", _json.dumps({"v": 100}), 10),   # mutate
+         ("ix", "tb", "d99", _json.dumps({"v": 99}), 10)],  # insert
+    )
+    assert upsert(spark, store, batch) == 2
+    # layout preserved: still _type= dirs, never a bucket marker
+    assert any(d.startswith("_type=") for d in os.listdir(path))
+    assert not os.path.exists(os.path.join(path, BUCKET_MARKER))
+    got = {r["_id"]: _json.loads(r["_source"]) for r in store.read(spark, "ix").collect()}
+    assert got["d0"] == {"v": 100} and got["d99"] == {"v": 99}
+    assert len(got) == 9
+    # idempotent re-merge still works on the preserved layout
+    assert upsert(spark, store, batch) == 2
+    assert store.count(spark, "ix") == 9
+
+
+def test_update_inverted_index_raises_on_torn_index(spark, tmp_path):
+    """A populated index whose postings dir is GONE (torn artifacts)
+    must raise, not silently treat the index as empty — the old bare
+    except swallowed ANY read failure and the swap then destroyed
+    every existing posting."""
+    import shutil
+
+    from chillastic_spark.sources.search_index import (
+        build_inverted_index,
+        update_inverted_index,
+    )
+    from chillastic_spark.tables import load
+
+    d = load(spark, SF, "documents").limit(30)
+    idx = str(tmp_path / "inv")
+    build_inverted_index(spark, d.filter(F.col("doc_id") < 20), idx)
+    shutil.rmtree(os.path.join(idx, "postings"))
+    with pytest.raises(RuntimeError, match="torn"):
+        update_inverted_index(
+            spark, d.filter(F.col("doc_id") >= 20), idx, on_existing="skip"
+        )
+
+
+def test_build_inverted_index_rejects_conflicting_duplicate_ids(spark, tmp_path):
+    """build now enforces the same input hygiene as update: exact
+    copies collapse, same-id-different-text raises (doubled tf and a
+    df that no longer equals the distinct-doc count otherwise)."""
+    from chillastic_spark.sources.search_index import (
+        bm25_search_index,
+        build_inverted_index,
+    )
+
+    rows = [(1, "alpha beta gamma"), (2, "beta gamma delta"),
+            (2, "beta gamma delta"),  # exact copy: collapses
+            (3, "gamma delta alpha")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "inv")
+    stats = build_inverted_index(spark, d, idx)
+    assert stats["n_docs"] == 3  # the exact copy collapsed
+    hits = bm25_search_index(spark, idx, ["beta"]).collect()
+    assert {r["doc_id"] for r in hits} == {1, 2}
+
+    clash = spark.createDataFrame(
+        [(7, "one two"), (7, "three four")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="resolve upstream"):
+        build_inverted_index(spark, clash, str(tmp_path / "inv2"))
