@@ -15,6 +15,17 @@ the per-query scan cost is proportional to the matched postings, not
 the corpus — the point of an inverted index. Scoring mirrors
 queries/search.py:bm25_topk exactly (same rounding), so the served
 result is bit-identical to the scan-time query.
+
+Concurrency contract: mutations (build/update/compact) are SINGLE-
+WRITER maintenance operations serialized by the writer flock; the
+query functions deliberately return LAZY DataFrames (keeping the
+In-filter pushdown visible and composable) and take NO lock, so a
+query whose action races a concurrent update's directory swap can fail
+with a file-not-found (the swap renames the postings dir) or score
+with the pre-update corpus constants. Run index mutations in a
+maintenance window, or have the serving layer retry the query once on
+failure — the swap itself is journaled and never leaves torn
+artifacts, so a retry always sees a consistent index.
 """
 from __future__ import annotations
 
