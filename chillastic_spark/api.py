@@ -285,7 +285,16 @@ def create_app(
     # ------------------------------------------------------------- tasks
     @app.get("/tasks")
     def all_tasks():
-        return jsonify({t: engine.get_task_status(t) for t in engine.list_tasks()})
+        out = {}
+        for t in engine.list_tasks():
+            try:
+                out[t] = engine.get_task_status(t)
+            except TaskError:
+                # removed between the listing and the status read — a
+                # routine concurrent DELETE, not a 500 (the same skip
+                # guard engine.status() applies)
+                pass
+        return jsonify(out)
 
     @app.post("/tasks/<task_id>")
     def add_task(task_id):

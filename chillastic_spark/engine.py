@@ -139,8 +139,15 @@ class TaskState:
             raise TaskError(
                 f"task {self.task_id} state is being written by another process"
             ) from e
-        # another process may have advanced the state while we waited
-        self.reload()
+        # another process may have advanced the state while we waited —
+        # and may have REMOVED it: reload() then raises, and the flock
+        # must not leak with it (a leaked fd wedges this task id in this
+        # process forever — every later acquisition contends with it)
+        try:
+            self.reload()
+        except BaseException:
+            self._lock.release()
+            raise
         self._writer_held = True
         return self
 
@@ -198,11 +205,22 @@ class TaskState:
             self.save()
         return True
 
-    def pop(self) -> Optional[Subtask]:
+    def pop(self, with_progress: bool = False) -> Optional[Subtask]:
+        """FIFO pop. ``with_progress=True`` writes the initial progress
+        entry IN THE SAME atomic round: popped-but-untracked is a
+        window where the subtask exists in NO persisted structure
+        (backlog, progress, completed), so a concurrent build_backlog's
+        in-flight guard passes and re-enqueues it — the slice then
+        transfers twice. One round closes the window."""
+
         def _pop():
             if not self.data["backlog"]:
                 return None
             sid, count = self.data["backlog"].pop(0)
+            if with_progress:
+                self.data["progress"][sid] = vars(
+                    Progress(tick=0, transferred=0, total=count).validate()
+                )
             self.save()
             return Subtask.from_id(sid, count)
 
@@ -261,11 +279,17 @@ class TaskState:
             pct = 0.0 if (self.data["backlog"] or self.data["progress"]) else 100.0
         else:
             pct = round(completed / total * 100, 2)
-            if pct >= 100.0 and (self.data["backlog"] or self.data["progress"]):
-                # all COUNTED documents are done but zero-count subtasks
-                # (index/template) are still pending/in-flight — same
-                # "pending must not read as done" rule as the total==0
-                # branch
+            if pct >= 100.0 and (
+                completed < total
+                or self.data["backlog"]
+                or self.data["progress"]
+            ):
+                # unfinished work must never READ as done: zero-count
+                # subtasks (index/template) still pending/in-flight, or
+                # a FAILED counted subtask whose tiny remainder rounds
+                # 99.9999 up to 100.0 (fail() removes it from both
+                # backlog and progress, so only completed < total
+                # still betrays it)
                 pct = 99.99
         return {
             "percentComplete": pct,
@@ -424,14 +448,18 @@ class Engine:
         if task_id in self._tasks:
             raise TaskError(f"task {task_id} already exists")
         task.validate()
-        for path in (task.source, task.destination):
-            if not open_store(path, create=False).reachable():
+        # one store handle per side, reused for the reachability probe
+        # AND the capability check (a third open happens at planning,
+        # where the store may be constructed with create=True)
+        src_store = open_store(task.source, create=False)
+        dst_store = open_store(task.destination, create=False)
+        for path, store in ((task.source, src_store), (task.destination, dst_store)):
+            if not store.reachable():
                 raise TaskError(f"store not reachable: {path}")
         # reachable() only proves the store EXISTS; planning needs the
         # scan surface. A destination-only adapter (delta:) admitted as
         # a source used to 500 with AttributeError deep in
         # build_backlog instead of a 400 here.
-        src_store = open_store(task.source, create=False)
         t = task.transfer
         needed = []
         if t.index_names or t.from_indices:
@@ -545,12 +573,37 @@ class Engine:
         except json.JSONDecodeError:
             return set()
 
+    def _fold_disk_tasks(self) -> None:
+        """Fold tasks admitted by OTHER replicas into this process's
+        dict (the read-side half of _save_tasks' merge-fold): without
+        it, GET /tasks/<id> and shared-mode _run on replica B return
+        'unknown task' for anything admitted on replica A after B's
+        startup load — breaking the documented multi-replica drain."""
+        if not os.path.exists(self._tasks_path()):
+            return
+        try:
+            with open(self._tasks_path()) as f:
+                on_disk = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return
+        with self._mutex:
+            for k, v in on_disk.items():
+                if k not in self._tasks:
+                    try:
+                        self._tasks[k] = _task_from_dict(v)
+                    except Exception:  # noqa: BLE001 — a malformed disk
+                        continue       # entry must not break listings
+                    self._persisted.add(k)
+
     def get_task(self, task_id: str) -> Task:
+        if task_id not in self._tasks:
+            self._fold_disk_tasks()  # admitted on another replica?
         if task_id not in self._tasks:
             raise TaskError(f"unknown task {task_id}")
         return self._tasks[task_id]
 
     def list_tasks(self) -> list[str]:
+        self._fold_disk_tasks()
         return sorted(self._tasks)
 
     def remove_task(self, task_id: str) -> None:
@@ -573,6 +626,16 @@ class Engine:
                 self._save_tasks(removed={task_id})
             if os.path.exists(state.path):
                 os.remove(state.path)
+            # drop the lock file too: every admit-then-remove otherwise
+            # litters one permanent .lock in state_root — unbounded
+            # growth over a long-lived deployment. Safe while the flock
+            # is held: FileLock.acquire revalidates the inode after
+            # acquisition, so a waiter on the unlinked inode retries on
+            # the fresh path instead of holding a ghost lock.
+            try:
+                os.remove(state.path + ".lock")
+            except OSError:
+                pass
         finally:
             state.release_writer()
         self.mutators.remove_namespace(task_id)
@@ -827,13 +890,14 @@ class Engine:
                     return False
                 if max_subtasks is not None and done[0] >= max_subtasks:
                     return False
-                sub = state.pop()
+                # pop + initial progress in ONE atomic round — a
+                # separate update_progress left a window where the
+                # subtask was in no persisted structure and a
+                # concurrent rebuild re-enqueued it (duplicate slice)
+                sub = state.pop(with_progress=True)
                 if sub is None:
                     return False
                 done[0] += 1
-                state.update_progress(
-                    sub, Progress(tick=0, transferred=0, total=sub.count)
-                )
             try:
                 if sub.kind == "documents":
                     transferred = transfer.transfer_data(sub)
@@ -909,7 +973,14 @@ class Engine:
             for task_id in ids:
                 before = TaskState(self.state_root, task_id).data["backlog"]
                 if before:
-                    self.run_task(task_id, max_subtasks=1)
+                    try:
+                        self.run_task(task_id, max_subtasks=1)
+                    except TaskError:
+                        # contended (another process's writer flock) or
+                        # removed mid-rotation: SKIP this task this
+                        # cycle instead of aborting the whole rotation —
+                        # the other backlogs still deserve their turn
+                        continue
                     progressed = True
         return self.status()
 

@@ -57,17 +57,39 @@ class FileLock:
                 self._depth += 1  # re-entrant within the holder thread
                 return self
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        fd = os.open(self.path, os.O_CREAT | os.O_RDWR, 0o644)
-        try:
-            # blocks (or EWOULDBLOCKs) against the current holder even
-            # when that holder is another thread of this process —
-            # distinct fds are distinct open file descriptions
-            fcntl.flock(fd, fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB))
-        except OSError as e:
+        while True:
+            fd = os.open(self.path, os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                # blocks (or EWOULDBLOCKs) against the current holder
+                # even when that holder is another thread of this
+                # process — distinct fds are distinct open file
+                # descriptions
+                fcntl.flock(
+                    fd, fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB)
+                )
+            except OSError as e:
+                os.close(fd)
+                if e.errno in (errno.EAGAIN, errno.EACCES):
+                    raise LockHeld(
+                        f"{self.path} is locked by another process"
+                    ) from e
+                raise
+            # revalidate the inode: a holder may UNLINK the lock file on
+            # teardown (remove_task cleans task-<id>.json.lock). Without
+            # this check a waiter that opened the pre-unlink inode
+            # acquires a GHOST lock that no new opener contends with —
+            # two processes would both believe they hold the lock.
+            try:
+                st_path = os.stat(self.path)
+                st_fd = os.fstat(fd)
+                if (st_path.st_ino, st_path.st_dev) == (
+                    st_fd.st_ino, st_fd.st_dev,
+                ):
+                    break
+            except FileNotFoundError:
+                pass  # unlinked under us: retry on the fresh path
+            fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
-            if e.errno in (errno.EAGAIN, errno.EACCES):
-                raise LockHeld(f"{self.path} is locked by another process") from e
-            raise
         with self._guard:
             self._fd = fd
             self._depth = 1

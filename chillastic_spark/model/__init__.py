@@ -106,6 +106,17 @@ class Task:
             raise ValueError(
                 "task.transfer must name indices, templates, or fromIndices"
             )
+        # admission-time type check: a string "500" (or 0, or -1) rode
+        # through planning into every subtask's flush_size and only
+        # failed SUBTASK-BY-SUBTASK at run time, deep in the transfer
+        fs = t.flush_size
+        if fs is not None and (
+            isinstance(fs, bool) or not isinstance(fs, int) or fs <= 0
+        ):
+            raise ValueError(
+                f"task.transfer.flushSize must be a positive integer "
+                f"(got {fs!r})"
+            )
         return self
 
 
