@@ -376,7 +376,14 @@ def update_inverted_index(
 
     with _writer_lock(index_dir):
         _recover_swap_locked(index_dir)
-        old_stats = _read_stats(index_dir)
+        try:
+            old_stats = _read_stats(index_dir)
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"{index_dir} has no stats.json — run build_inverted_index "
+                "first (an empty corpus is fine); updates fold into an "
+                "EXISTING index"
+            ) from None
         post_dir = os.path.join(index_dir, "postings")
         src = _clean_batch(new_docs, id_col, text_col)
         toks = src.select(

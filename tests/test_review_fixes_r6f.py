@@ -81,15 +81,23 @@ def test_deduplicated_ingest_keeps_distinct_null_source_docs(spark, tmp_path):
 
 
 def test_index_update_stream_rejects_conflicting_versions(spark, tmp_path):
+    from chillastic_spark.sources.search_index import build_inverted_index
     from chillastic_spark.streaming import continuous_index_update
 
     docs_dir = str(tmp_path / "docs")
     spark.createDataFrame(
         [(1, "version one"), (1, "version two")], "doc_id long, text string"
     ).coalesce(1).write.parquet(docs_dir)
-    q = continuous_index_update(
-        spark, docs_dir, str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    # the stream folds into an EXISTING index (r7: the clash contract
+    # lives solely in update_inverted_index, which reads the index
+    # stats before validating the batch) — bootstrap an empty one
+    idx = str(tmp_path / "idx")
+    build_inverted_index(
+        spark,
+        spark.createDataFrame([], "doc_id long, text string"),
+        idx,
     )
+    q = continuous_index_update(spark, docs_dir, idx, str(tmp_path / "ckpt"))
     with pytest.raises(Exception, match="different text|resolve upstream"):
         q.awaitTermination(120)
         raise RuntimeError(q.exception() or "stream succeeded unexpectedly")
