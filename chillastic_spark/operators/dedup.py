@@ -68,11 +68,14 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     elsewhere keep an arbitrary-but-single representative."""
     from pyspark.sql.window import Window
 
-    if "__fp" in df.columns:
-        raise ValueError(
-            "exact_dedup: input already has a __fp column (reserved); "
-            "rename it — silently overwriting would lose caller data"
-        )
+    for reserved in ("__fp", "__rn"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"exact_dedup: input already has a {reserved} column "
+                "(reserved); rename it — silently overwriting would lose "
+                "caller data (and the NULL-id passthrough union would "
+                "fail with an obscure column mismatch)"
+            )
     fp = F.coalesce(CF.fingerprint(text_col), F.lit("__null__"))
     keyed = df.filter(F.col(id_col).isNotNull()).withColumn("__fp", fp)
     w = Window.partitionBy("__fp").orderBy(id_col)
@@ -192,15 +195,20 @@ def substring_dup_stats(
         ).alias("win"),
     )
     g = materialize(wins.select("doc_id", CF.hash60("win").alias("wh")))
-    dup = g.groupBy("wh").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
-    totals = g.groupBy("doc_id").agg(F.count("*").alias("total_windows"))
-    dups = (
-        g.join(dup.select("wh"), "wh", "semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("dup_windows"))
-    )
+    cnt = g.groupBy("wh").agg(F.count("*").alias("cnt"))
+    # ONE per-doc aggregation over the count-annotated window table:
+    # the old shape ran totals and dups as separate doc_id shuffles and
+    # inner-joined them — an extra corpus-scale shuffle and a join for
+    # the same numbers (the join's implicit dup_windows>0 semantics are
+    # kept explicit here)
     return (
-        totals.join(dups, "doc_id")
+        g.join(cnt, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_windows"),
+            F.sum((F.col("cnt") > 1).cast("long")).alias("dup_windows"),
+        )
+        .filter(F.col("dup_windows") > 0)
         .withColumn(
             "dup_frac",
             CF.round_det(F.col("dup_windows") / F.col("total_windows"), 4),
@@ -295,6 +303,30 @@ def ngram_jaccard_pairs(
     ).drop("gram")
     if max_doc_frac is not None:
         g = cap_hot_grams(g, df, max_doc_frac)
+    return _pair_scores(
+        g,
+        "jaccard",
+        lambda c, a, b: c / (a + b - c),
+        threshold,
+        keys=keys,
+    )
+
+
+def _pair_scores(
+    g: DataFrame,
+    score_name: str,
+    score_of,
+    threshold: float,
+    keys: "list[str] | None" = None,
+) -> DataFrame:
+    """THE inverted-index pair scorer shared by the Jaccard and
+    containment operators: one materialized gram table feeding both
+    join sides + the size agg, the gram-hash equi-join (id_a < id_b,
+    null-safe on any partition keys), and the ROUNDED-score filter.
+    One definition, so a rounding or join-condition fix can never
+    apply to one measure and silently diverge in the other.
+    ``score_of(common, sz_a, sz_b) -> Column`` supplies the formula."""
+    keys = list(keys or [])
     # the shingle table feeds three consumers (both join sides + sizes);
     # materialise it once instead of re-tokenising per consumer — at
     # cluster scale this is a persist/checkpoint of the inverted index
@@ -317,11 +349,13 @@ def ngram_jaccard_pairs(
         common.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
-            "jaccard",
-            CF.round_det(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4),
+            score_name,
+            CF.round_det(
+                score_of(F.col("common"), F.col("sz_a"), F.col("sz_b")), 4
+            ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col(score_name) >= threshold)
+        .select("id_a", "id_b", score_name)
     )
 
 
@@ -348,25 +382,8 @@ def ngram_containment_pairs(
     g = hashed_shingles(df, id_col, text_col, n)
     if max_doc_frac is not None:
         g = cap_hot_grams(g, df, max_doc_frac)
-    g = materialize(g)  # feeds both join sides + the size agg
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = g.alias("a"), g.alias("b")
-    common = (
-        a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "containment",
-            CF.round_det(F.col("common") / F.least(F.col("sz_a"), F.col("sz_b")), 4),
-        )
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
+    return _pair_scores(
+        g, "containment", lambda c, a, b: c / F.least(a, b), threshold
     )
 
 
@@ -690,13 +707,12 @@ def minhash_pairs_from_signatures(
     ALREADY-materialized wide signature table — the streaming shapes
     compute batch signatures once and feed them both here (in-batch
     pairs) and into ``minhash_flag_against`` (vs the accumulated
-    corpus), instead of re-hashing the batch per consumer."""
-    if bands <= 0 or bands > num_perm or num_perm % bands != 0:
-        # same guard as minhash_lsh_pairs: bands>num_perm would give
-        # empty band keys → one global bucket → O(n²) cross-pairing
-        raise ValueError(
-            f"bands must divide num_perm (got num_perm={num_perm}, bands={bands})"
-        )
+    corpus), instead of re-hashing the batch per consumer.
+
+    No local divisibility guard: minhash_bands on the next line IS the
+    shared choke point and raises the identical error before any work
+    happens (the pairwise wrappers keep their own copies only because
+    they fail fast BEFORE the expensive signature job)."""
     banded = minhash_bands(sig, num_perm, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -840,14 +856,25 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     bit_j(doc) = 1 iff Σ_tokens (±1 by bit j of hash60(token)) > 0.
     Computed as 60 conditional-sum aggregate expressions over the
     exploded token table — one shuffle, map-side partial sums.
-    Returns (doc_id, simhash: long).
+    Returns (doc_id, simhash: long) — id-complete: token-less docs
+    (empty/whitespace/NULL text) keep a marker row and read simhash 0.
+    Hashing the '' phantom token instead (the pre-r7 behavior) violated
+    the words() contract and gave every empty doc the SAME non-zero
+    fingerprint — a quadratic identical-hash bucket in the pair join.
     """
     toks = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(CF.words(text_col)).alias("tok")
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(
+            F.filter(CF.words(text_col), lambda t: t != F.lit(""))
+        ).alias("tok"),
     ).withColumn("h", CF.hash60("tok"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            # the NULL-h marker row contributes 0 to every bit sum, so
+            # a token-less doc resolves to simhash 0 (no bit exceeds 0)
+            F.when(F.col("h").isNull(), 0)
+            .when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
         ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
@@ -937,9 +964,20 @@ def hamming_band_pairs(
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, chunks: int = 4) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming — the shared
-    ``hamming_band_pairs`` pipeline over 60-bit text SimHashes."""
+    ``hamming_band_pairs`` pipeline over 60-bit text SimHashes.
+
+    Token-less docs are excluded from PAIR GENERATION (the same
+    degenerate-doc guard every other dedup family applies): they all
+    share simhash 0, so in a scraped corpus with n blank docs the band
+    join would otherwise emit the O(n²) identical-hash blowup this
+    module exists to avoid. exact_dedup already catches empty-text
+    duplicates by fingerprint."""
+    real = df.filter(
+        F.size(F.filter(CF.words(text_col), lambda t: t != F.lit(""))) >= 1
+    )
     return hamming_band_pairs(
-        simhash(df, id_col, text_col), "simhash", SIMHASH_BITS, chunks, max_hamming
+        simhash(real, id_col, text_col), "simhash", SIMHASH_BITS, chunks,
+        max_hamming,
     )
 
 

@@ -29,12 +29,16 @@ def brute_force_topk(
     so results are bit-stable across engines. Returns
     (query_id, neighbor_id, cos) with k rows per query.
     """
+    # vectorless rows score nothing (NULL cos would otherwise pad the
+    # top-k with junk rows whenever a query has < k real candidates —
+    # and diverge from brute_force_topk_fast, which drops them); same
+    # for NULL-qvec queries
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), CF.as_double_array(vec_col).alias("vec")
-    )
+    ).filter(F.col("vec").isNotNull())
     q = queries.select(
         F.col(query_id_col).alias("query_id"), CF.as_double_array(vec_col).alias("qvec")
-    )
+    ).filter(F.col("qvec").isNotNull())
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
@@ -149,8 +153,14 @@ def brute_force_topk_fast(
             if pdf.empty:
                 continue
             # NULL vectors make np.array ragged (ValueError kills the
-            # task) — vectorless rows score nothing
-            pdf = pdf[pdf["_vec"].notna()]
+            # task) — vectorless rows score nothing. NULL ids too: a
+            # long-id batch turns NULL into float64 NaN, which passes
+            # 'ids != qid', enters the batch top-k, and the
+            # float→long Arrow cast then kills the task (string-id
+            # batches instead emitted a phantom NULL neighbor that
+            # outranked real ties) — matching brute_force_topk's
+            # neighbor_id != query_id three-valued drop
+            pdf = pdf[pdf["_vec"].notna() & pdf["_nid"].notna()]
             if pdf.empty:
                 continue
             ids = pdf["_nid"].to_numpy()
@@ -817,25 +827,36 @@ def centroid_outliers(
     per-group window shuffle. Returns (id, group, cos_c, cutoff) for
     outliers only.
 
-    NULL-embedding rows are excluded UP FRONT: a NULL cosine sorts
-    first in the rank window (taking rn=1), its pct_cell term is NULL
-    and F.sum silently drops it — biasing the cutoff low for the whole
-    group — and the row itself could never be flagged (NULL < cutoff
-    is not true). Vectorless rows are an upstream data-quality issue,
-    not embedding-space outliers.
+    NULL-embedding rows — including arrays CONTAINING a NULL element,
+    which poison the cosine to NULL just the same — are excluded UP
+    FRONT: a NULL cosine sorts first in the rank window (taking rn=1),
+    its pct_cell term is NULL and F.sum silently drops it — biasing
+    the cutoff low for the whole group — and the row itself could
+    never be flagged (NULL < cutoff is not true). Vectorless rows are
+    an upstream data-quality issue, not embedding-space outliers.
+
+    NULL group labels form their own group (null-safe joins, the
+    embedding_dup_pairs convention): a plain name-join would silently
+    exempt every unlabeled vector from outlier detection.
     """
     from pyspark.sql.window import Window
 
     from chillastic_spark.operators.dedup import materialize
 
-    df = df.filter(F.col(vec_col).isNotNull())
+    df = df.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda v: v.isNull())
+    )
     cent = centroid_arrays(df, group_col, vec_col)
     # the scored table feeds BOTH the percentile window and the final
     # filter — materialize it so the centroid join + cosine pass over
     # the corpus runs once (same two-consumer pattern as the dedup
     # shingle tables)
+    cent = cent.withColumnRenamed(group_col, "__cg")
     scored = materialize(
-        df.join(F.broadcast(cent), group_col).select(
+        df.join(
+            F.broadcast(cent), F.col(group_col).eqNullSafe(F.col("__cg"))
+        ).select(
             F.col(id_col),
             F.col(group_col),
             CF.round_det(
@@ -854,6 +875,11 @@ def centroid_outliers(
         .groupBy(group_col)
         .agg(CF.round_det(F.sum(cell), 6).alias("cutoff"))
     )
-    return scored.join(F.broadcast(cut), group_col).filter(
-        F.col("cos_c") < F.col("cutoff")
+    cut = cut.withColumnRenamed(group_col, "__kg")
+    return (
+        scored.join(
+            F.broadcast(cut), F.col(group_col).eqNullSafe(F.col("__kg"))
+        )
+        .filter(F.col("cos_c") < F.col("cutoff"))
+        .drop("__kg")
     )

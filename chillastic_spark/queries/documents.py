@@ -195,8 +195,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
+    # marker-row twin of operators.dedup.simhash (r7): '' phantom
+    # tokens hash to NULL and contribute 0 to every bit sum, so
+    # token-less docs keep their row and read simhash 0
     bit_terms = ",\n    ".join(
-        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        f"sum(CASE WHEN h IS NULL THEN 0 "
+        f"WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(D.SIMHASH_BITS)
     )
     combine = " + ".join(
@@ -204,9 +208,12 @@ def _simhash_sql() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest({_W}) AS tok FROM documents
+  SELECT doc_id, unnest(coalesce({_W}, [''])) AS tok FROM documents
 ), h AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+  SELECT doc_id, CASE WHEN tok = '' THEN NULL
+                      ELSE ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                 END AS h
+  FROM toks
 ), b AS (
   SELECT doc_id,
     {bit_terms}
@@ -237,7 +244,12 @@ def _simhash_pairs_sql(max_hamming: int = 3, chunks: int = 4) -> str:
     )
     return f"""
 WITH base AS ({base}),
-sh AS (SELECT doc_id, simhash FROM base),
+sh AS (
+  SELECT base.doc_id, base.simhash FROM base
+  JOIN (SELECT doc_id FROM documents
+        WHERE len(list_filter({_W}, t -> t <> '')) >= 1) live
+  USING (doc_id)
+),
 cand AS (
 {cand_union}
 )
