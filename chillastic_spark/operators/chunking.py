@@ -54,8 +54,20 @@ def chunk_documents(
 ) -> DataFrame:
     """(doc_id, chunk_idx, chunk_text, n_chunk_tokens) — one row per
     overlapping window. Tokenise once (two-step projection, see
-    functions.ngrams_of_words), then posexplode the window array."""
-    w = df.select(F.col(id_col).alias("doc_id"), CF.words(text_col).alias("__w"))
+    functions.ngrams_of_words), then posexplode the window array.
+
+    Token-less docs (NULL/empty/whitespace-only text) emit NO chunks —
+    the token_count()=0 convention, and what the UDTF twin does. The
+    unfiltered shape emitted phantom rows: a NULL-text doc produced one
+    chunk with n_chunk_tokens = size (greatest(NULL,1)=1 window whose
+    NULL length skipped the least()), inflating downstream token
+    accounting by ``size`` per NULL doc; empty docs counted their ''
+    phantom token as 1."""
+    w = df.select(
+        F.col(id_col).alias("doc_id"), CF.words(text_col).alias("__w")
+    ).filter(
+        F.size(F.filter(F.col("__w"), lambda t: t != F.lit(""))) >= 1
+    )
     # pre-project the chunk array (and token count) so posexplode reads
     # attributes, not a generator re-evaluating the window expression
     arr = w.select(
@@ -113,7 +125,11 @@ def chunk_text_udtf(size: int = 50, stride: int = 40):
             # are Unicode-aware and would diverge on e.g. \xa0.
             _ws = " \t\n\x0b\f\r"
             toks = _re.split(f"[{_ws}]+", text.strip(_ws))
-            n = max(len(toks), 1)
+            if toks == [""]:
+                # token-less doc: no chunks (the chunk_documents /
+                # token_count()=0 convention)
+                return
+            n = len(toks)
             n_chunks = max((n - win + step - 1) // step + 1, 1)
             for i in range(n_chunks):
                 piece = toks[i * step : i * step + win]

@@ -274,6 +274,7 @@ def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_SQL = f"""
 WITH w AS (
   SELECT doc_id, {_W} AS w FROM documents
+  WHERE len(list_filter({_W}, t -> t <> '')) >= 1
 ), n AS (
   SELECT doc_id, w,
          greatest(CAST(floor((len(w) - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1}) / {_CHUNK_STRIDE}.0) AS INT) + 1, 1) AS nc

@@ -213,10 +213,20 @@ def scan(
         body = dict(body or {})
         body["slice"] = {"id": int(slice_id or 0), "max": int(slice_max)}
     if not include_source:
-        # metadata-only scroll (_size lives in hit metadata): planning
-        # must not ship every document body over the wire
+        # metadata-only scroll: planning must not ship every document
+        # body over the wire
         body = dict(body or {})
         body["_source"] = False
+    # the mapper-size plugin's _size is NOT part of hit metadata on a
+    # real cluster unless the request asks for it — without the ask,
+    # every envelope/planning size reads NULL and the size-bucket
+    # planner degenerates to one bucket. Pre-5 wires spell the ask
+    # 'fields'; 5+ 'docvalue_fields'. (The fixture only serves _size
+    # when asked, under hits[].fields, mirroring real ES.)
+    body = dict(body or {})
+    size_key = "fields" if wire.major_version() < 5 else "docvalue_fields"
+    if "_size" not in (body.get(size_key) or []):
+        body[size_key] = list(body.get(size_key) or []) + ["_size"]
     resp = wire.post(f"{path}/_search?scroll={SCROLL_TTL}&size={flush_size}", body)
     scrolled = 0
     scroll_id = resp.get("_scroll_id")
@@ -304,7 +314,7 @@ def scan_to_df(
                     json.dumps(h["_source"], sort_keys=True)
                     if h.get("_source") is not None
                     else None,
-                    h.get("_size"),
+                    _hit_size(h),
                 )
 
     rdd = spark.sparkContext.parallelize(range(n), n).mapPartitions(scan_partition)
@@ -329,6 +339,16 @@ def doc_to_bulk(doc: dict) -> list[str]:
     ]
 
 
+def _hit_size(h: dict):
+    """A hit's mapper-size value: real ES serves requested doc values
+    under ``hits[].fields._size`` (a one-element list); a top-level
+    ``_size`` is kept as a fallback for proxies that inline it."""
+    if h.get("_size") is not None:
+        return h["_size"]
+    v = (h.get("fields") or {}).get("_size")
+    return v[0] if v else None
+
+
 def _item_rejected(err) -> bool:
     """True when a bulk item's ``error`` field is a queue rejection
     (retryable). ES ≥ 2 reports a dict with a ``type`` chain; ES 1.x
@@ -340,6 +360,34 @@ def _item_rejected(err) -> bool:
             return True
         err = err.get("caused_by")
     return isinstance(err, str) and BULK_REJECTED in err
+
+
+def _post_bulk(
+    wire: Wire, payload: str, attempt: int, max_retries: int,
+    backoff_sec: float, what: str = "bulk",
+) -> "dict | None":
+    """POST one ``_bulk`` NDJSON payload, converting a WHOLE-REQUEST
+    HTTP 429 into the same backoff discipline as per-item rejections:
+    a real cluster under write pressure rejects the entire request at
+    the HTTP layer (urllib raises HTTPError before any items array
+    exists), which used to bypass every retry and kill the task on one
+    transient rejection. Returns the parsed response, or None after
+    sleeping when the caller should retry. Shared by the upsert and
+    delete paths so their backpressure handling can never diverge."""
+    import urllib.error
+
+    try:
+        return wire.post("/_bulk", payload, ndjson=True)
+    except urllib.error.HTTPError as e:
+        if e.code == 429:
+            if attempt == max_retries:
+                raise RuntimeError(
+                    f"{what}: whole-request HTTP 429 after "
+                    f"{max_retries} retries"
+                ) from e
+            time.sleep(backoff_sec * (2**attempt))
+            return None
+        raise
 
 
 def _send_bulk(
@@ -356,7 +404,12 @@ def _send_bulk(
     spans two NDJSON lines (meta + doc), items align 1:1 with ops."""
     pending = lines
     for attempt in range(max_retries + 1):
-        resp = wire.post("/_bulk", "\n".join(pending) + "\n", ndjson=True)
+        resp = _post_bulk(
+            wire, "\n".join(pending) + "\n", attempt, max_retries,
+            backoff_sec,
+        )
+        if resp is None:  # whole-request HTTP 429: backed off, retry
+            continue
         if not resp.get("errors"):
             return n_docs
         items = resp.get("items", [])
@@ -537,7 +590,7 @@ def pipe(
             "_id": str(h["_id"]),
             # a _source-disabled index scans to hits with no body
             "_source": h.get("_source") or {},
-            "_size": h.get("_size"),
+            "_size": _hit_size(h),
         }
         if mutators:
             doc = apply_chain(doc, mutators)
@@ -826,7 +879,12 @@ def bulk_delete(
             lines.append(json.dumps({"delete": action}, separators=(",", ":")))
         pending = lines
         for attempt in range(max_retries + 1):
-            resp = wire.post("/_bulk", "\n".join(pending) + "\n", ndjson=True)
+            resp = _post_bulk(
+                wire, "\n".join(pending) + "\n", attempt, max_retries,
+                backoff_sec, what="bulk delete",
+            )
+            if resp is None:  # whole-request HTTP 429: backed off, retry
+                continue
             items = resp.get("items", [])
             # ES rejects PER ITEM: count this attempt's successes and
             # resend only the rejected actions — retrying the whole

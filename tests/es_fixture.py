@@ -43,6 +43,7 @@ class FakeES:
     def __init__(
         self,
         reject_first_bulks: int = 0,
+        reject_first_bulks_http: int = 0,
         version: str = "5.6.0",
         total_cap: Optional[int] = None,
         auth_token: Optional[str] = None,
@@ -60,6 +61,9 @@ class FakeES:
         self.cleared_scrolls: list[str] = []
         self.request_log: list[dict] = []
         self.reject_remaining = reject_first_bulks
+        # whole-request backpressure: real ES under write pressure 429s
+        # the ENTIRE _bulk request at the HTTP layer (no items array)
+        self.reject_http_remaining = reject_first_bulks_http
         self.version = version
         self.major = int(version.split(".")[0])
         self.total_cap = total_cap
@@ -237,6 +241,15 @@ class FakeES:
             # scrolls are point-in-time — aliasing the live doc dicts
             # would let a concurrent bulk update mutate not-yet-served
             # pages, validating engine behavior real ES would reject
+            # real-ES mapper-size contract: _size is NOT hit metadata —
+            # it appears under hits[].fields ONLY when the request asks
+            # (docvalue_fields on 5+, fields pre-5). Serving it
+            # unconditionally at top level masked engines that forget
+            # the ask and would read all-NULL sizes on a live cluster.
+            asked = set((body or {}).get("docvalue_fields") or ()) | set(
+                (body or {}).get("fields") or ()
+            )
+            wants_size = "_size" in asked
             hits = [
                 {
                     "_index": ix,
@@ -246,7 +259,11 @@ class FakeES:
                     **({"_type": t} if self.major < 8 else {}),
                     "_id": _id,
                     **({"_source": _copy.deepcopy(src)} if with_source else {}),
-                    "_size": src.get("__size"),
+                    **(
+                        {"fields": {"_size": [src.get("__size")]}}
+                        if wants_size and src.get("__size") is not None
+                        else {}
+                    ),
                 }
                 for (ix, t, _id), src in doc_items
                 if ix == index
@@ -330,6 +347,14 @@ class FakeES:
                         }, 400
             with self._lock:
                 self.bulk_bodies.append(payload)
+                if self.reject_http_remaining > 0:
+                    self.reject_http_remaining -= 1
+                    return {
+                        "error": {
+                            "type": "es_rejected_execution_exception",
+                            "reason": "bulk queue is full",
+                        }
+                    }, 429
                 if self.reject_remaining > 0:
                     self.reject_remaining -= 1
                     # real-ES shape: one item PER op, each rejected

@@ -168,3 +168,10 @@ def test_goldens_pin_the_version_gates():
         # and 8.x search hits — where purge recovers types — have none)
         has_type = any('"_type"' in r["body"] for r in bulks)
         assert has_type == (major < 8), major
+        # mapper-size ask: _size is not hit metadata on a real cluster —
+        # every scan must request it (docvalue_fields on 5+, the legacy
+        # 'fields' spelling pre-5) or sizes read NULL and size-bucket
+        # planning degenerates
+        key = "fields" if major < 5 else "docvalue_fields"
+        for r in searches:
+            assert f'"{key}": ["_size"]' in r["body"], (major, r["body"])

@@ -103,3 +103,100 @@ def test_exact_dedup_rejects_reserved_rn_column(spark):
     )
     with pytest.raises(ValueError, match="__rn"):
         D.exact_dedup(d)
+
+
+def test_chunking_drops_token_less_docs_across_all_surfaces(spark):
+    """NULL-text docs used to emit a phantom chunk with n_chunk_tokens
+    = size (inflating token accounting by `size` per NULL doc) and
+    empty docs counted their '' phantom token; token-less docs now
+    emit NO chunks on the expression path, the UDTF, and the oracle."""
+    from chillastic_spark.operators.chunking import (
+        chunk_documents,
+        chunk_text_udtf,
+    )
+
+    rows = [(1, "one two three four five"), (2, None), (3, ""), (4, "   ")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = chunk_documents(d, size=3, stride=2).collect()
+    assert {r["doc_id"] for r in got} == {1}
+    assert sum(r["n_chunk_tokens"] for r in got) >= 5  # overlap counts twice
+    assert all(r["n_chunk_tokens"] > 0 for r in got)
+
+    spark.udtf.register("chunk_text_r7d", chunk_text_udtf(3, 2))
+    d.createOrReplaceTempView("docs_r7d")
+    u = spark.sql(
+        "SELECT doc_id, c.* FROM docs_r7d, LATERAL chunk_text_r7d(text) c"
+    ).collect()
+    assert {r["doc_id"] for r in u} == {1}
+    assert {(r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in u} == {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in got
+    }
+
+
+def test_whole_request_http_429_is_retried_with_backoff(spark):
+    """Real ES under write pressure 429s the ENTIRE _bulk request at
+    the HTTP layer; that used to bypass the retry loop entirely and
+    kill the task on one transient rejection."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from es_fixture import FakeES
+
+    from chillastic_spark.sources import es_rest
+
+    es = FakeES(reject_first_bulks_http=2)
+    url = es.start()
+    try:
+        lines = []
+        for i in range(3):
+            lines.extend(es_rest.doc_to_bulk(
+                {"_index": "ix", "_type": "t", "_id": f"d{i}",
+                 "_source": {"v": i}}
+            ))
+        n = es_rest._send_bulk(es_rest.as_wire(url), lines, 3)
+        assert n == 3
+        assert len(es.contents("ix")) == 3
+        assert len(es.bulk_bodies) == 3  # 2 rejected + 1 delivered
+
+        # delete path shares the same backpressure discipline
+        es.reject_http_remaining = 1
+        deleted = es_rest.bulk_delete(url, "ix", [("t", "d0"), ("t", "d1")])
+        assert deleted == 2
+        assert len(es.contents("ix")) == 1
+
+        # and a PERMANENT 429 storm still surfaces after max_retries
+        es.reject_http_remaining = 99
+        with pytest.raises(RuntimeError, match="HTTP 429"):
+            es_rest._send_bulk(
+                es_rest.as_wire(url), lines[:2], 1,
+                max_retries=2, backoff_sec=0.001,
+            )
+    finally:
+        es.stop()
+
+
+def test_scan_reads_size_from_docvalue_fields_shape(spark):
+    """Real clusters serve mapper-size under hits[].fields._size only
+    when asked; the fixture now mirrors that, so this pins BOTH the
+    ask and the parse — an engine that forgets either reads NULL sizes
+    and size-bucket planning degenerates."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from es_fixture import FakeES
+
+    from chillastic_spark.sources.es_rest import ESStore
+
+    es = FakeES()
+    url = es.start()
+    try:
+        es.seed("ix", "t1", {f"d{i}": {"v": i, "__size": 40 + i} for i in range(6)})
+        store = ESStore(url, slices=1)
+        sizes = [
+            r["_size"]
+            for r in store.read_sizes(spark, "ix", "t1").collect()
+        ]
+        assert sorted(sizes) == [40, 41, 42, 43, 44, 45]
+        # the full read carries sizes into the envelope too
+        env = {r["_id"]: r["_size"] for r in store.read(spark, "ix", "t1").collect()}
+        assert env["d3"] == 43
+    finally:
+        es.stop()
