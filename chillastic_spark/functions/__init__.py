@@ -33,8 +33,11 @@ def round_det(col: Column, digits: int) -> Column:
 
 
 def round_det_sql(expr: str, digits: int) -> str:
-    """The DuckDB twin of round_det — same expression, same doubles."""
-    p = f"{10**digits}.0"
+    """The DuckDB twin of round_det — same expression, same doubles.
+    Renders the scale as a float repr so NEGATIVE digits (round to
+    tens/hundreds) emit a valid literal — '{10**-2}.0' was '0.01.0',
+    a parse error the Spark twin never had."""
+    p = repr(float(10**digits))
     return f"floor(({expr}) * {p} + 0.5) / {p}"
 
 
@@ -144,9 +147,12 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     """Distinct word n-gram shingles of a text column, space-joined.
 
     Prefer projecting words() first and calling ngrams_of_words — see
-    its docstring for the codegen pitfall.
+    its docstring for the codegen pitfall. The '' phantom token of
+    empty/whitespace-only text is purged first (the words() contract):
+    unfiltered, n=1 would emit [''] — an empty shingle that hashes and
+    joins like a real gram.
     """
-    w = words(col)
+    w = F.filter(words(col), lambda t: t != F.lit(""))
     return ngrams_of_words(w, n)
 
 
@@ -233,7 +239,11 @@ regexp_test = F.rlike  # OLD_DATE_REGEX.test(doc._index)  (indexDate.js:20)
 regexp_replace = F.regexp_replace  # .replace(...)        (indexDate.js:33)
 date_format = F.date_format  # moment(...).format(...)    (indexDate.js:30-31)
 to_date = F.to_date  # moment(str, fmt)                   (indexDate.js:29)
-format_number = F.format_number  # price.toFixed(2)       (intPrice.js:17)
+# price.toFixed(2) (intPrice.js:17). NOT F.format_number: that inserts
+# thousands-grouping commas ('1,234.50') and rounds HALF_EVEN, so a
+# mutator porting toFixed through it would silently break equality
+# joins/fingerprints on the field; printf matches JS's plain rendering.
+to_fixed = lambda c, d=2: F.format_string(f"%.{int(d)}f", c)  # noqa: E731
 array_map = F.transform  # _.map(products, ...)           (intPrice.js:15)
 has_field = lambda c: F.col(c).isNotNull()  # noqa: E731  _.has(doc, f)
 to_json = F.to_json  # JSON.stringify                     (subtask.js:24)

@@ -6,20 +6,36 @@ The pattern set is deliberately conservative (high precision): training
 corpora lose more value to over-redaction than to a missed phone
 number. Each pattern is applied in order; placeholders are stable
 tokens so downstream dedup still works on scrubbed text.
+
+Cross-engine contract: these patterns are interpolated VERBATIM into
+the DuckDB oracle (queries/analytics8._pii_sql), so they must avoid
+every Java-vs-RE2 divergence — no ``\\s`` (Java includes \\x0B, RE2
+does not: spell the whitespace class explicitly, the repo-wide rule
+from functions.WS_CHARS) and no lookarounds (RE2 has none).
 """
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+_WS = r" \t\n\x0b\f\r"  # explicit Java==RE2 whitespace class
+
 # (name, regex, replacement) — order matters: URLs before bare domains,
 # emails before phone-ish digit runs.
 SCRUB_RULES: list[tuple[str, str, str]] = [
-    ("url", r"https?://[^\s]+", "<URL>"),
+    ("url", rf"https?://[^{_WS}]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    # phone requires ≥1 separator between digits so bare digit runs
-    # (account numbers) fall through to the long_digits rule instead
-    ("phone", r"\+?\d[\d().-]*[\s().-]+[\d\s().-]{5,}\d", "<PHONE>"),
+    # phone: the classic grouped shapes only — optional +CC, optional
+    # (area), 3-3-4 groups with single space/dash separators. The old
+    # looser pattern accepted '.'/'-' runs alone as separators and
+    # redacted decimals ('pi is 3.14159265'), IPs, and date pairs —
+    # exactly the over-redaction the module contract forbids. No dots:
+    # dotted phones sacrifice recall for decimal/IP/version precision.
+    (
+        "phone",
+        r"(\+\d{1,2}[- ]?)?(\(\d{3}\)|\b\d{3})[- ]?\d{3}[- ]?\d{4}\b",
+        "<PHONE>",
+    ),
     ("long_digits", r"\b\d{9,}\b", "<NUM>"),
 ]
 
@@ -41,10 +57,16 @@ def with_scrubbed_text(
     intermediate, in the same chain order scrub_text applies: a flag
     matched against the ORIGINAL text would report rules whose match
     was already swallowed by an earlier rule (an email inside a URL),
-    contradicting the placeholder counts an auditor reconciles."""
-    out = df.withColumn(out_col, scrub_text(text_col))
+    contradicting the placeholder counts an auditor reconciles. The
+    final intermediate IS the scrubbed text (one chain, one place to
+    edit — a separately-built out_col could silently diverge from what
+    the flags describe)."""
     stage = F.col(text_col)
+    flags = []
     for name, pattern, repl in SCRUB_RULES:
-        out = out.withColumn(f"hit_{name}", stage.rlike(pattern))
+        flags.append((f"hit_{name}", stage.rlike(pattern)))
         stage = F.regexp_replace(stage, pattern, repl)
+    out = df.withColumn(out_col, stage)
+    for name, flag in flags:
+        out = out.withColumn(name, flag)
     return out

@@ -173,10 +173,10 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_PAT_SQL = (
-    "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+|"
-    " ?[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]+"
-)
+# derived MECHANICALLY from the one Spark definition (SQL single-quote
+# doubling only) — a hand-maintained spelling silently goes stale when
+# BPE_PATTERN changes and the parity failure surfaces rounds later
+_BPE_PAT_SQL = T.BPE_PATTERN.replace("'", "''")
 
 BPE_TOKEN_SQL = f"""
 SELECT lang, count(*) AS n_docs,

@@ -32,7 +32,14 @@ def _events_ts_is_nanos(path: str) -> bool:
     if not files:
         return False
     try:
-        return str(pq.read_schema(files[0]).field("ts").type) == "timestamp[ns]"
+        import pyarrow as pa
+
+        t = pq.read_schema(files[0]).field("ts").type
+        # type-level check, not a string match: a tz-annotated nanos
+        # column prints 'timestamp[ns, tz=UTC]' and a string equality
+        # would miss it — the Spark read then throws the exact
+        # 'Illegal Parquet type' this probe exists to absorb
+        return pa.types.is_timestamp(t) and t.unit == "ns"
     except Exception:
         return False  # unreadable/odd schema: let the Spark read report it
 
@@ -56,9 +63,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # div 1000 ONLY when the footer proved nanos: a bigint ts can
         # also mean the file genuinely stores int64 (e.g. epoch-micros
         # staged by a producer) — guessing nanos there would shrink
-        # every timestamp 1000x with no error
+        # every timestamp 1000x with no error. FLOOR division (via the
+        # non-negative pmod remainder), not `div`: `div` truncates
+        # toward zero, but DuckDB's TIMESTAMP_NS → TIMESTAMP cast
+        # floors, so a pre-epoch nanos ts would land 1 µs later than
+        # the oracle sees it
         if is_nanos and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+            )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

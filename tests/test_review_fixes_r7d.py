@@ -200,3 +200,60 @@ def test_scan_reads_size_from_docvalue_fields_shape(spark):
         assert env["d3"] == 43
     finally:
         es.stop()
+
+
+def test_scrub_phone_precision_on_non_pii_numerics(spark):
+    """The old phone rule accepted '.'/'-' runs alone as separators and
+    redacted decimals, IPs, and date pairs — the over-redaction the
+    module's high-precision contract forbids. Classic phone shapes
+    still scrub; math/networking/date content survives."""
+    from chillastic_spark.operators.scrub import scrub_text
+
+    rows = [
+        (1, "pi is 3.14159265 exactly"),
+        (2, "host 192.168.100.250 up"),
+        (3, "range 2024-01-15 2024-01-16 ok"),
+        (4, "call +1 (555) 123-4567 now"),
+        (5, "or 555-123-4567 works"),
+        (6, "raw 5551234567 too"),
+        (7, "account 1234567890123 big"),  # 13 digits -> <NUM>, not a
+    ]                                      # partial <PHONE>
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in d.select(
+        "doc_id", scrub_text("text").alias("s")).collect()}
+    assert got[1] == "pi is 3.14159265 exactly"
+    assert got[2] == "host 192.168.100.250 up"
+    assert got[3] == "range 2024-01-15 2024-01-16 ok"
+    assert got[4] == "call <PHONE> now"
+    assert got[5] == "or <PHONE> works"
+    assert got[6] == "raw <PHONE> too"
+    assert got[7] == "account <NUM> big"
+
+
+def test_scrub_rules_are_re2_compatible_and_engine_exact(spark):
+    """Every rule pattern must run identically on Java (Spark) and RE2
+    (DuckDB) — including the \\x0b whitespace divergence the repo-wide
+    explicit-char-class rule exists for."""
+    import duckdb
+    import pandas as pd
+
+    from chillastic_spark.operators.scrub import SCRUB_RULES, scrub_text
+
+    rows = [
+        (1, "see https://a.b/c\x0btail x"),       # \x0b ends the URL both sides
+        (2, "mail a.b@c.de\x0bnext"),
+        (3, "call 555-123-4567\x0bok"),
+        (4, "id 123456789\x0bafter"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in d.select(
+        "doc_id", scrub_text("text").alias("s")).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    expr = "text"
+    for _, pattern, repl in SCRUB_RULES:
+        p = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    want = {r[0]: r[1] for r in con.sql(
+        f"SELECT doc_id, {expr} FROM t").fetchall()}
+    assert got == want
