@@ -58,6 +58,19 @@ def asof_join(
             f"asof_join reserves column names {sorted(reserved)}; rename "
             f"{sorted(clash)} before joining"
         )
+    # a value_col sharing a name with a LEFT column would be silently
+    # dropped and replaced by the matched right value — the exact
+    # lose-caller-data failure the reserved-name guard above exists
+    # for. pandas merge_asof suffixes such collisions; here the caller
+    # must rename (an implicit suffix would silently change the output
+    # schema contract 'left columns plus value_cols').
+    overwritten = set(value_cols) & set(left.columns)
+    if overwritten:
+        raise ValueError(
+            f"asof_join value_cols {sorted(overwritten)} collide with "
+            "left columns — rename one side (the left data would be "
+            "silently replaced by the matched right values)"
+        )
     # Right values travel as ONE struct so every carried column comes
     # from the SAME matched row — carrying columns independently with
     # last(ignorenulls) would backfill a NULL field of the true match
@@ -122,4 +135,16 @@ def asof_join(
     out = carried.filter(F.col("__side") == 1)
     for c in value_cols:
         out = out.drop(c).withColumn(c, F.col(f"__asof_vals.{c}"))
-    return out.drop("__side", "__vals", "__asof_vals")
+    out = out.drop("__side", "__vals", "__asof_vals")
+    if (
+        rt_tiebreak
+        and order_tiebreak not in left.columns
+        and order_tiebreak not in value_cols  # carried as a value: keep
+    ):
+        # a RIGHT-only tiebreak column rode the union for ordering; on
+        # left rows it is always NULL and is not part of the documented
+        # output (left columns plus value_cols) — dropping it keeps
+        # strict selects/unionByName downstream from meeting a junk
+        # all-NULL column
+        out = out.drop(order_tiebreak)
+    return out

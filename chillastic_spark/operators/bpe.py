@@ -44,9 +44,12 @@ def word_frequencies(
 
 
 def _initial_symbols(word: Column) -> Column:
-    """Character symbols + the </w> marker."""
+    """Character symbols + the </w> marker. split('', '') yields ['']
+    (one spurious empty symbol) — purged so the encoder twin contract
+    holds on dirty data: encode_local('') is ['</w>'], and training is
+    only protected by word_frequencies' own word != '' filter."""
     return F.concat(
-        F.split(word, ""),  # one element per character
+        F.array_remove(F.split(word, ""), ""),  # one element per character
         F.array(F.lit(EOW)),
     )
 
@@ -167,6 +170,11 @@ def train_bpe(
         # must pin 2 vocab tables, not one per round (same pattern as
         # graph.pagerank / components.connected_components)
         release(prev)
+    # the FINAL round's pin outlives nothing: merges is a plain Python
+    # list, so an unreleased vocab checkpoint would sit in executor
+    # storage for the session per train_bpe call (the production
+    # caller runs outside any batch_scope)
+    release(vocab)
     if stats is not None:
         stats["rounds"] = rounds
     return merges

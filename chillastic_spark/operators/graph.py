@@ -117,6 +117,12 @@ def pagerank(
         if prev_pinned is not None:
             release(prev_pinned)
         prev_pinned = ranks
+    # the setup pins feed nothing once the final ranks checkpoint is
+    # computed (iterative pins are eager in every mode): unreleased,
+    # each pagerank call leaked four corpus-scale tables for the
+    # session lifetime — the callers run outside any batch_scope
+    for setup_pin in (nodes, deg, out, dangling_nodes):
+        release(setup_pin)
     return ranks
 
 
@@ -218,6 +224,9 @@ def label_propagation(
         if prev_pinned is not None:  # bound live pins to 2 rounds
             release(prev_pinned)
         prev_pinned = labels
+    # the undirected edge pin feeds nothing once the final labels
+    # checkpoint exists — unreleased it leaked per call (pagerank rule)
+    release(und)
     return labels
 
 

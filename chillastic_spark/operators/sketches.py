@@ -99,17 +99,35 @@ def heavy_hitter_tokens(
     one precisely because no whitespace- or NUL-free tokenizer can
     collide with it.
     """
+    if capacity < 1:
+        # capacity=0 silently returned zero tokens with the whole
+        # corpus mass in err_bound; negative capacities made the
+        # "bounded" sketch grow with distinct-token count — both are
+        # misconfigurations, not sketches (skew.salt_buckets contract)
+        raise ValueError(f"heavy_hitter_tokens capacity must be >= 1 (got {capacity})")
+    from chillastic_spark.persist import materialize, persist_mode, release
+
     w = words if words is not None else CF.words(text_col)
     toks = df.select(F.array_remove(w, "").alias("w"))
     partial = toks.mapInPandas(_mg_partial(capacity), schema="token string, est long")
-    merged = partial.groupBy("token").agg(F.sum("est").alias("est"))
+    # pin the merged counters: the err_bound branch and the token
+    # branch cannot share the exchange (Catalyst pushes the sentinel
+    # filters beneath the aggregate), so unpinned, the WHOLE
+    # corpus-wide tokenize+sketch pass runs twice — the one-bounded-
+    # pass claim of this module. The pin is ≤ (capacity+1)·partitions
+    # rows; the returned top-k (≤ k rows) is pinned so the big pin can
+    # be released before returning.
+    merged = materialize(partial.groupBy("token").agg(F.sum("est").alias("est")))
     err = (
         merged.filter(F.col("token") == F.lit(_DECR_SENTINEL))
         .agg(F.coalesce(F.sum("est"), F.lit(0)).alias("err_bound"))
     )
-    return (
+    out = materialize(
         merged.filter(F.col("token") != F.lit(_DECR_SENTINEL))
         .crossJoin(F.broadcast(err))
         .orderBy(F.desc("est"), F.asc("token"))
         .limit(k)
     )
+    if persist_mode() in ("local", "reliable"):
+        release(merged)  # superseded by the (eager) tiny result pin
+    return out

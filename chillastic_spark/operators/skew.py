@@ -54,9 +54,21 @@ def salted_join(
     # equi-join silently matches nothing
     if salt_buckets < 1:
         raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    # xxhash64 rejects MAP-typed inputs (DATATYPE_MISMATCH) — a fact
+    # table with a metadata/properties map column could not be salted
+    # at all. Serialize unhashable columns through to_json (still
+    # deterministic content); hash everything else directly.
+    from pyspark.sql.types import MapType
+
+    hash_inputs = [
+        F.to_json(F.struct(F.col(f.name)))
+        if isinstance(f.dataType, MapType)
+        else F.col(f.name)
+        for f in big.schema.fields
+    ]
     salted_big = big.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),
+        F.pmod(F.xxhash64(*hash_inputs), F.lit(salt_buckets)),
     )
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

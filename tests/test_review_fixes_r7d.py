@@ -257,3 +257,100 @@ def test_scrub_rules_are_re2_compatible_and_engine_exact(spark):
     want = {r[0]: r[1] for r in con.sql(
         f"SELECT doc_id, {expr} FROM t").fetchall()}
     assert got == want
+
+
+def test_asof_tiebreak_column_does_not_leak_and_collisions_raise(spark):
+    from chillastic_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 9, 5, 1.5), (1, 9, 7, 2.5)], "k long, t long, seq long, price double"
+    )
+    out = asof_join(left, right, key="k", ts="t", value_cols=["price"],
+                    order_tiebreak="seq")
+    assert out.columns == ["k", "t", "price"]  # no all-NULL seq column
+    assert out.collect()[0]["price"] == 2.5  # largest tiebreak wins
+
+    left2 = spark.createDataFrame([(1, 10, 999.0)], "k long, t long, price double")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="collide with"):
+        asof_join(left2, right, key="k", ts="t", value_cols=["price"])
+
+
+def test_salted_join_handles_map_columns(spark):
+    from chillastic_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, {"a": "x"}), (1, {"b": "y"}), (2, None)],
+        "k long, props map<string,string>",
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    got = salted_join(big, small, "k", salt_buckets=4).collect()
+    assert len(got) == 3
+    assert {r["name"] for r in got} == {"one", "two"}
+
+
+def test_bpe_encoder_twin_holds_on_empty_word(spark):
+    from chillastic_spark.operators.bpe import EOW, encode_local, encode_words
+
+    d = spark.createDataFrame([("",), ("ab",)], "word string")
+    got = {r["word"]: r["bpe"] for r in encode_words(d, [("a", "b")]).collect()}
+    assert got[""] == encode_local("", [("a", "b")]) == [EOW]
+    assert got["ab"] == encode_local("ab", [("a", "b")])
+
+
+def test_heavy_hitter_capacity_validated(spark):
+    from chillastic_spark.operators.sketches import heavy_hitter_tokens
+    from chillastic_spark.tables import load
+
+    d = load(spark, SF := "/root/testdata/sf0.001", "documents").limit(5)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="capacity"):
+            heavy_hitter_tokens(d, capacity=bad)
+
+
+def test_iterative_operators_release_setup_pins(spark):
+    """pagerank leaked nodes/deg/out/dangling per call, train_bpe its
+    final vocab checkpoint, label_propagation its undirected edges —
+    callers run outside any batch_scope, so session-lifetime leaks."""
+    from chillastic_spark.operators.bpe import train_bpe, word_frequencies
+    from chillastic_spark.operators.graph import label_propagation, pagerank
+    from chillastic_spark.tables import load
+
+    sc = spark.sparkContext
+
+    def n_pins():
+        import time
+        for _ in range(20):
+            s = sc._jsc.sc().getPersistentRDDs().keySet().toString()
+            ids = {x.strip(",()") for x in s.removeprefix("Set(").split() if x.strip(",()")}
+            if len(ids - baseline) <= expected[0]:
+                return len(ids - baseline)
+            time.sleep(0.25)
+        return len(ids - baseline)
+
+    s0 = sc._jsc.sc().getPersistentRDDs().keySet().toString()
+    baseline = {x.strip(",()") for x in s0.removeprefix("Set(").split() if x.strip(",()")}
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)] + [(5, 7), (7, 9)],
+        "src long, dst long",
+    )
+    ranks = pagerank(edges, iters=3)
+    ranks.count()
+    expected = [1]  # only the returned ranks checkpoint may remain
+    assert n_pins() <= 1
+
+    labels = label_propagation(edges, iters=2)
+    labels.count()
+    expected = [2]
+    assert n_pins() <= 2
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    train_bpe(d, n_merges=3)
+    expected = [2]  # train_bpe adds NOTHING that survives
+    assert n_pins() <= 2
+
+    from chillastic_spark.persist import release
+    release(ranks)
+    release(labels)
