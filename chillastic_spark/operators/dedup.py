@@ -998,7 +998,12 @@ def embedding_dup_pairs(
     JVM-side fold over zip_with (no Python). For unblocked corpora use
     similarity.random_hyperplane_buckets as the blocking column.
     """
-    v = df.select(
+    from chillastic_spark.operators.similarity import clean_vectors
+
+    # the shared dirty-vector gate (similarity.clean_vectors): a NULL
+    # element silently NULL-poisons the JVM cosine while the DuckDB
+    # oracle hard-errors on it — both sides exclude such rows up front
+    v = clean_vectors(df, vec_col).select(
         F.col(id_col).alias("vid"),
         *( [F.col(group_col).alias("grp")] if group_col else []),
         CF.as_double_array(vec_col).alias("vec"),

@@ -14,6 +14,27 @@ from pyspark.sql import functions as F
 from chillastic_spark import functions as CF
 
 
+def clean_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Rows with a USABLE vector: non-NULL and containing no NULL
+    element. THE dirty-vector gate every similarity operator applies up
+    front (and every DuckDB oracle mirrors): a NULL element
+    NULL-poisons each JVM cosine silently, while DuckDB's
+    list_dot_product hard-ERRORS on it — without one shared exclusion
+    the engine and its oracles cannot even agree on whether the query
+    runs."""
+    return df.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda v: v.isNull())
+    )
+
+
+# the DuckDB spelling of clean_vectors' predicate, interpolated into
+# the oracle WITH-clauses (queries/vectors.py, queries/search.py)
+CLEAN_VECTORS_SQL = (
+    "{col} IS NOT NULL AND len(list_filter({col}, x -> x IS NULL)) = 0"
+)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -29,16 +50,16 @@ def brute_force_topk(
     so results are bit-stable across engines. Returns
     (query_id, neighbor_id, cos) with k rows per query.
     """
-    # vectorless rows score nothing (NULL cos would otherwise pad the
-    # top-k with junk rows whenever a query has < k real candidates —
-    # and diverge from brute_force_topk_fast, which drops them); same
-    # for NULL-qvec queries
-    v = vectors.select(
+    # dirty vectors score nothing (a NULL/NULL-element cos would
+    # otherwise pad the top-k with junk rows whenever a query has < k
+    # real candidates — and diverge from brute_force_topk_fast and the
+    # DuckDB oracle, which cannot even evaluate NULL elements)
+    v = clean_vectors(vectors, vec_col).select(
         F.col(id_col).alias("neighbor_id"), CF.as_double_array(vec_col).alias("vec")
-    ).filter(F.col("vec").isNotNull())
-    q = queries.select(
+    )
+    q = clean_vectors(queries, vec_col).select(
         F.col(query_id_col).alias("query_id"), CF.as_double_array(vec_col).alias("qvec")
-    ).filter(F.col("qvec").isNotNull())
+    )
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
@@ -134,7 +155,9 @@ def brute_force_topk_fast(
         (
             r
             for r in queries.select(query_id_col, vec_col).collect()
-            if r[0] is not None and r[1] is not None
+            if r[0] is not None
+            and r[1] is not None
+            and not any(x is None for x in r[1])  # clean_vectors twin
         ),
         key=lambda r: r[0],
     )
@@ -161,6 +184,9 @@ def brute_force_topk_fast(
             # outranked real ties) — matching brute_force_topk's
             # neighbor_id != query_id three-valued drop
             pdf = pdf[pdf["_vec"].notna() & pdf["_nid"].notna()]
+            pdf = pdf[pdf["_vec"].map(
+                lambda a: not any(x is None for x in a)
+            )]
             if pdf.empty:
                 continue
             ids = pdf["_nid"].to_numpy()
@@ -307,13 +333,13 @@ def lsh_topk(
     # vectorless rows score nothing: a NULL embedding projects to NULL
     # on every plane (bucket 0 by the when/otherwise) and cosines to
     # NULL — it would soak up k junk candidate slots per bucket-0 query
-    v = vectors.filter(F.col(vec_col).isNotNull()).select(
+    v = clean_vectors(vectors, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         CF.as_double_array(vec_col).alias("vec"),
         random_hyperplane_buckets(vec_col, planes, dims=dims).alias("bucket"),
     )
     base_bucket = random_hyperplane_buckets(vec_col, planes, dims=dims)
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
+    q = clean_vectors(queries, vec_col).select(
         F.col(query_id_col).alias("query_id"),
         CF.as_double_array(vec_col).alias("qvec"),
         F.explode(probe_buckets_expr(base_bucket, probes, planes)).alias("bucket"),
@@ -372,7 +398,7 @@ def knn_graph(
     # NULL-embedding rows would all land in bucket 0 and hand out k
     # NULL-cos edges each, silently distorting every graph metric built
     # on these edges — vectorless rows are not graph nodes
-    b = vectors.filter(F.col(vec_col).isNotNull()).select(
+    b = clean_vectors(vectors, vec_col).select(
         F.col(id_col).alias("id"),
         CF.as_double_array(vec_col).alias("v"),
         random_hyperplane_buckets(vec_col, planes, dims=dims).alias("bkt"),
@@ -412,7 +438,7 @@ def ivf_coarse_centroids(
     rows = (
         # NULL vectors cannot train a quantizer and make np.array
         # ragged (ValueError) — excluded from the sample
-        vectors.filter(F.col(vec_col).isNotNull())
+        clean_vectors(vectors, vec_col)
         .select(F.col(id_col).alias("_id"), CF.as_double_array(vec_col).alias("_v"))
         .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
         .limit(sample)
@@ -590,7 +616,7 @@ def pq_train_codebooks(
     rows = (
         # NULL vectors cannot train a quantizer and make np.array
         # ragged (ValueError) — excluded from the sample
-        vectors.filter(F.col(vec_col).isNotNull())
+        clean_vectors(vectors, vec_col)
         .select(F.col(id_col).alias("_id"), CF.as_double_array(vec_col).alias("_v"))
         .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
         .limit(sample)
@@ -843,10 +869,7 @@ def centroid_outliers(
 
     from chillastic_spark.operators.dedup import materialize
 
-    df = df.filter(
-        F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), lambda v: v.isNull())
-    )
+    df = clean_vectors(df, vec_col)
     cent = centroid_arrays(df, group_col, vec_col)
     # the scored table feeds BOTH the percentile window and the final
     # filter — materialize it so the centroid join + cosine pass over

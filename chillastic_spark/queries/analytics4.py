@@ -49,8 +49,6 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hourly feeds two consumers (bounds + the grid join); materialise
     # the small aggregate once or Catalyst re-derives BOTH subtrees from
     # the raw scan — at 100 TB that is two full passes over events.
-    from chillastic_spark.persist import materialize
-
     hourly = materialize(hourly)
     bounds = hourly.groupBy("event_type").agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
@@ -194,8 +192,13 @@ def balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p, cnt in counts:
         offsets[p] = acc
         acc += cnt
+    # long-cast every literal: F.lit(int) is IntegerType below 2^31 and
+    # LongType above, and create_map rejects mixed types — on a table
+    # whose cumulative offsets cross 2^31 (the scale this query exists
+    # for) the analysis would fail with 'values should all be the same
+    # type'
     off_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
+        *[F.lit(v).cast("long") for kv in offsets.items() for v in kv]
     )
     q, rem = divmod(total, 10)
     big = q + 1
@@ -315,7 +318,8 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_TRANSITIONS_SQL = """
 WITH t AS (
   SELECT event_type,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
            AS prev_type
   FROM events),
 c AS (

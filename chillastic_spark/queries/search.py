@@ -204,8 +204,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             CF.as_double_array("embedding").alias("qvec")
         )
     )
+    from chillastic_spark.operators.similarity import clean_vectors
+
     scored = (
-        e.filter(F.col("vec_id") != 0)
+        clean_vectors(e).filter(F.col("vec_id") != 0)
         .crossJoin(qv)
         .select(
             "vec_id",
@@ -239,12 +241,13 @@ WITH {_BM25_RANKED_CTE},
 bm AS (
   SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rt
   FROM bm25_ranked QUALIFY rt <= {RRF_DEPTH}),
-q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+q AS (SELECT list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
 cos_scored AS (
   SELECT vec_id,
-    floor(({CF.cosine_sql("embedding::DOUBLE[]", "qvec")})
-          * 1000000.0 + 0.5) / 1000000.0 AS cos
-  FROM embeddings CROSS JOIN q WHERE vec_id != 0),
+    {CF.round_det_sql(CF.cosine_sql("list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[]", "qvec"), 6)} AS cos
+  FROM embeddings CROSS JOIN q
+  WHERE vec_id != 0 AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 vec AS (
   SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rv
   FROM cos_scored QUALIFY rv <= {RRF_DEPTH})

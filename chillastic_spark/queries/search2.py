@@ -438,9 +438,15 @@ def search_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     full = bm25_scored(spark, sf_dir)
     topk = ranked_topk(full, "bm25", "doc_id", _EVAL_K, "rn")
-    from chillastic_spark.queries.search import keyword_search_and
+    from chillastic_spark.queries.search import TERMS
 
-    rel = keyword_search_and(spark, sf_dir).select("doc_id", F.lit(1).alias("rel"))
+    # the relevance set (docs matching ALL query terms) is already a
+    # column of the BM25 frame — keyword_search_and here would re-run
+    # the whole tokenise+postings pass a THIRD time over the corpus
+    # just to re-derive n_terms_matched == |TERMS|
+    rel = full.filter(F.col("n_terms_matched") == len(TERMS)).select(
+        "doc_id", F.lit(1).alias("rel")
+    )
     judged = topk.join(F.broadcast(rel), "doc_id", "left").select(
         "rn", F.coalesce("rel", F.lit(0)).alias("rel")
     )

@@ -26,7 +26,9 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMILARITY_TOPK_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 scored AS (
   SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
          floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0 AS cos
@@ -61,7 +63,9 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_DUP_SQL = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, label, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, floor(({_COS}) * 10000.0 + 0.5) / 10000.0 AS cos
 FROM e a JOIN e b ON a.label IS NOT DISTINCT FROM b.label AND a.vec_id < b.vec_id
 WHERE floor(({_COS}) * 10000.0 + 0.5) / 10000.0 >= 0.3
@@ -91,7 +95,9 @@ def _ann_lsh_sql() -> str:
         for p, row in enumerate(coeffs)
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 b AS (SELECT vec_id, v, {bucket} AS bkt FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE vec_id < 5),
 scored AS (
@@ -157,7 +163,9 @@ def _knn_graph_sql() -> str:
         for p, row in enumerate(coeffs)
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 b AS (SELECT vec_id, v, {bucket} AS bkt FROM e),
 scored AS (
   SELECT a.vec_id AS src, b2.vec_id AS dst,
@@ -182,12 +190,11 @@ def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles — one map-side pass at any scale. Reports hit count
     and the worst (max) similarity per flagged vector."""
     e = load(spark, sf_dir, "embeddings")
-    from chillastic_spark import functions as CF
 
     is_bench = (
         CF.hash60(F.concat(F.col("vec_id").cast("string"), F.lit("#vbench"))) % 100
     ) < 5
-    flagged = e.withColumn("is_bench", is_bench)
+    flagged = S.clean_vectors(e).withColumn("is_bench", is_bench)
     corpus = flagged.filter(~F.col("is_bench")).select(
         "vec_id", CF.as_double_array("embedding").alias("v")
     )
@@ -209,9 +216,11 @@ def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMANTIC_DECON_SQL = f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
+  SELECT vec_id, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v,
          {_H60.format(expr="vec_id::VARCHAR || '#vbench'")} % 100 < 5 AS is_bench
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ), scored AS (
   SELECT a.vec_id,
          floor(({_COS})
@@ -241,8 +250,17 @@ def _outliers_sql(pct: float = _OUT_PCT) -> str:
     cos = (
         CF.cosine_sql("e.v", "cent.cv")
     )
+    # lockstep with centroid_outliers' r7 hardening: NULL/poison
+    # (NULL-element) vectors excluded up front, NULL labels scored as
+    # their own group via null-safe joins — the plain USING joins
+    # silently dropped unlabeled vectors, and poison rows biased the
+    # group cutoff exactly as the operator docstring describes
     return f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (
+  SELECT vec_id, label, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
 long AS (
   SELECT label,
          unnest(generate_series(1, len(v))) AS dim,
@@ -255,7 +273,7 @@ cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent_long GROUP BY label)
 scored AS (
   SELECT e.vec_id, e.label,
          floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 AS cos_c
-  FROM e JOIN cent USING (label)),
+  FROM e JOIN cent ON e.label IS NOT DISTINCT FROM cent.label),
 r AS (
   SELECT vec_id, label, cos_c,
          row_number() OVER (PARTITION BY label ORDER BY cos_c, vec_id) AS rn,
@@ -265,9 +283,9 @@ cut AS (
   SELECT label, floor((sum({cell})) * 1000000.0 + 0.5) / 1000000.0 AS cutoff
   FROM r WHERE {CF.pct_keep_sql(pct)}
   GROUP BY label)
-SELECT vec_id, label, cos_c, cutoff
-FROM scored JOIN cut USING (label)
-WHERE cos_c < cutoff
+SELECT s.vec_id, s.label, s.cos_c, cut.cutoff
+FROM scored s JOIN cut ON s.label IS NOT DISTINCT FROM cut.label
+WHERE s.cos_c < cut.cutoff
 """
 
 

@@ -354,3 +354,86 @@ def test_iterative_operators_release_setup_pins(spark):
     from chillastic_spark.persist import release
     release(ranks)
     release(labels)
+
+
+def test_vector_oracles_engine_exact_on_dirty_rows(spark):
+    """r7: the Spark ANN/outlier operators were hardened against dirty
+    rows but their DuckDB twins were not — the clean fixture masked the
+    divergence. Pin value-parity on a frame with NULL embeddings, NULL
+    labels, and NULL-element vectors."""
+    import duckdb
+    import pandas as pd
+
+    from chillastic_spark.operators import similarity as S
+    from chillastic_spark.queries.vectors import (
+        SIMILARITY_TOPK_SQL,
+        _outliers_sql,
+    )
+
+    import random
+    random.seed(3)
+    rows = []
+    for i in range(20):
+        lab = ["a", "b", None][i % 3]
+        base = {"a": [1.0, 0.0], "b": [0.0, 1.0], None: [0.7, 0.7]}[lab]
+        rows.append((i, [base[0] + random.uniform(-0.05, 0.05),
+                         base[1] + random.uniform(-0.05, 0.05)], lab))
+    rows.append((50, None, "a"))          # NULL embedding
+    rows.append((51, [0.5, None], "b"))   # NULL element
+    rows.append((52, [-1.0, 0.0], "a"))   # far outlier
+    rows.append((53, [-0.7, -0.7], None))  # far outlier, NULL label
+    d = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        rows, columns=["vec_id", "embedding", "label"]))
+
+    q = d.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {(r["query_id"], r["neighbor_id"], r["cos"])
+           for r in S.brute_force_topk(d, q, k=10).collect()}
+    want = {tuple(r) for r in con.sql(SIMILARITY_TOPK_SQL).fetchall()}
+    assert got == want
+    assert all(n != 50 for _, n, _ in got)  # NULL embedding absent
+
+    got_o = {(r["vec_id"], r["label"]) for r in
+             S.centroid_outliers(d, pct=0.2).collect()}
+    want_o = {(r[0], r[1]) for r in con.sql(_outliers_sql(0.2)).fetchall()}
+    assert got_o == want_o
+    assert (52, "a") in got_o and (53, None) in got_o  # NULL group scored
+    assert all(v != 51 for v, _ in got_o)  # poison row excluded
+
+
+def test_event_transitions_engine_exact_on_null_ts(spark):
+    """Spark asc = NULLS FIRST, DuckDB default = NULLS LAST: one
+    NULL-ts event used to produce different (prev, next) pairs per
+    engine; the oracle now pins NULLS FIRST."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from chillastic_spark.queries import analytics4 as A4
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(4):
+        for j in range(4):
+            eid += 1
+            ts = None if (u == 1 and j == 2) else t0 + datetime.timedelta(
+                minutes=10 * j + u)
+            rows.append((eid, ts, u, ["view", "click", "buy"][j % 3], 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = spark.createDataFrame(pdf)
+    import unittest.mock as um
+    with um.patch.object(A4, "load", lambda s, sf, n: d):
+        got = {(r["prev_type"], r["next_type"], r["n"], r["p"])
+               for r in A4.event_transitions(spark, "unused").collect()}
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {tuple(r) for r in con.sql(A4.EVENT_TRANSITIONS_SQL).fetchall()}
+    assert got == want and len(got) > 0
