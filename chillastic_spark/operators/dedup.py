@@ -990,36 +990,122 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     group_col: str | None = "label",
     threshold: float = 0.95,
+    block_size: int = 2048,
 ) -> DataFrame:
     """Cosine near-duplicate pairs within a blocking group.
 
-    Blocked brute force: equi-join on the blocking column (label / LSH
-    bucket / IVF cell) keeps the pair space linear-ish; the cosine is a
-    JVM-side fold over zip_with (no Python). For unblocked corpora use
+    Blocked brute force as a *block-pair grid*: vectors hash into
+    ceil(n/block_size) blocks per group, every (block_i ≤ block_j)
+    pair becomes one Arrow task, and the task scores its ≤block_size²
+    candidate grid with a single numpy matrix product. Same exact
+    semantics as the former per-pair zip_with fold (clean_vectors
+    gate, NULL groups block together, cross-dimension pairs drop,
+    zero-norm cosine = 0, round-then-threshold) at a fraction of the
+    cost: the shuffle moves O(n·blocks) vector rows instead of
+    materializing O(Σ n_g²) joined pairs, and the dot products run in
+    BLAS instead of one 3-fold aggregate per pair. A group larger than
+    any executor's memory still works — no task ever sees more than
+    two blocks. For unblocked corpora use
     similarity.random_hyperplane_buckets as the blocking column.
     """
+    import pandas as pd  # noqa: F401  (applyInPandas dependency)
+
     from chillastic_spark.operators.similarity import clean_vectors
 
     # the shared dirty-vector gate (similarity.clean_vectors): a NULL
     # element silently NULL-poisons the JVM cosine while the DuckDB
     # oracle hard-errors on it — both sides exclude such rows up front
+    #
+    # size(vec) joins the blocking key: the old zip_with fold returned
+    # NULL (pair dropped) for mismatched dimensions, so grouping by
+    # dimension reproduces that drop while keeping numpy matrices
+    # rectangular.
     v = clean_vectors(df, vec_col).select(
         F.col(id_col).alias("vid"),
-        *( [F.col(group_col).alias("grp")] if group_col else []),
+        # null-safe blocking: NULL-label vectors still block together —
+        # groupBy treats NULL as one group, matching the former
+        # eqNullSafe join condition
+        (F.col(group_col) if group_col else F.lit(0)).alias("grp"),
         CF.as_double_array(vec_col).alias("vec"),
+        F.size(vec_col).alias("_dim"),
     )
-    a, b = v.alias("a"), v.alias("b")
-    cond = F.col("a.vid") < F.col("b.vid")
-    if group_col:
-        # null-safe: NULL-label vectors still block together — a plain
-        # = silently exempted them from dedup entirely
-        cond = F.col("a.grp").eqNullSafe(F.col("b.grp")) & cond
-    pairs = a.join(b, cond).select(
-        F.col("a.vid").alias("id_a"),
-        F.col("b.vid").alias("id_b"),
-        CF.round_det(CF.cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
+    # blocks per (grp, dim): ceil(n / block_size). One tiny row per
+    # group — broadcast back onto the vectors (no shuffle of v).
+    sizes = v.groupBy(
+        F.col("grp").alias("_sg"), F.col("_dim").alias("_sd")
+    ).agg(F.ceil(F.count(F.lit(1)) / F.lit(block_size)).alias("_nb"))
+    v = v.join(
+        F.broadcast(sizes),
+        v["grp"].eqNullSafe(sizes["_sg"]) & (v["_dim"] == sizes["_sd"]),
+    ).drop("_sg", "_sd")
+    blk = F.pmod(F.xxhash64(F.col("vid").cast("string")), F.col("_nb"))
+    v = v.withColumn("_blk", blk)
+    # replicate each row to every block-pair task it participates in:
+    # left side (role 0) of tasks (blk, k≥blk), right side (role 1) of
+    # tasks (k<blk, blk) — exactly _nb copies per row, the standard
+    # distributed block-nested-loop fan-out, linear in _nb.
+    tasks = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("_nb") - 1),
+        lambda k: F.struct(
+            F.least(k, F.col("_blk")).alias("ci"),
+            F.greatest(k, F.col("_blk")).alias("cj"),
+            F.when(k >= F.col("_blk"), F.lit(0)).otherwise(F.lit(1)).alias("role"),
+        ),
     )
-    return pairs.filter(F.col("cos") >= threshold)
+    rep = v.select(
+        "vid", "grp", "_dim", "vec", F.explode(tasks).alias("t")
+    ).select("vid", "grp", "_dim", "vec", "t.ci", "t.cj", "t.role")
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+    thr = float(threshold)
+
+    def _score_block(key, pdf):
+        # key = (grp, _dim, ci, cj)
+        import numpy as np
+        import pandas as pd
+
+        diag = key[2] == key[3]
+        a = pdf[pdf["role"] == 0]
+        b = a if diag else pdf[pdf["role"] == 1]
+        dim = int(key[1])
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                {"id_a": a["vid"][:0], "id_b": a["vid"][:0], "cos": []}
+            )
+
+        def unit(rows):
+            m = (
+                np.vstack(rows.to_numpy())
+                if dim > 0
+                else np.zeros((len(rows), 0))
+            ).astype(np.float64, copy=False)
+            n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+            # zero-norm vector → zero row → dot 0.0, the CF.cosine
+            # zero-safe convention
+            np.divide(m, n, out=m, where=n != 0)
+            return m
+
+        ua = unit(a["vec"])
+        c = ua @ (ua.T if diag else unit(b["vec"]).T)
+        # round-then-threshold, the exact round_det arithmetic
+        c = np.floor(c * 10000.0 + 0.5) / 10000.0
+        ia, ib = np.nonzero(c >= thr)
+        va = a["vid"].to_numpy()[ia]
+        vb = b["vid"].to_numpy()[ib]
+        # diagonal blocks see each unordered pair twice — keep the
+        # vid_a < vid_b orientation the join form emitted (which also
+        # drops equal-vid row pairs, as the old a.vid < b.vid did);
+        # cross blocks see it once, in arbitrary orientation.
+        keep = va < vb if diag else va != vb
+        va, vb, cs = va[keep], vb[keep], c[ia, ib][keep]
+        lo = np.where(va < vb, va, vb)
+        hi = np.where(va < vb, vb, va)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cs})
+
+    return rep.groupBy("grp", "_dim", "ci", "cj").applyInPandas(
+        _score_block, out_schema
+    )
 
 
 def minhash_bands(

@@ -139,6 +139,19 @@ def test_embedding_dup_pairs(spark, vectors):
     assert (0, 99) in pairs and pairs[(0, 99)] > 0.999
 
 
+def test_embedding_dup_pairs_block_grid_exact(spark, vectors):
+    """The multi-block grid (forced by a tiny block_size, so every
+    group spans several hash blocks and cross-block tasks run) must
+    emit EXACTLY the single-block pair set — same pairs, same rounded
+    cosines, each unordered pair once."""
+    lo = D.embedding_dup_pairs(vectors, threshold=0.2).collect()
+    hi = D.embedding_dup_pairs(vectors, threshold=0.2, block_size=4).collect()
+    as_map = lambda rows: {(r["id_a"], r["id_b"]): r["cos"] for r in rows}  # noqa: E731
+    assert len(hi) == len(lo)  # no duplicated cross-block emissions
+    assert as_map(hi) == as_map(lo)
+    assert all(r["id_a"] < r["id_b"] for r in hi)
+
+
 def test_brute_force_topk_exact(spark, vectors):
     import numpy as np
 
