@@ -291,8 +291,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.5)
     clusters = duplicate_clusters(pairs)
-    q = T.with_text_features(d).select("doc_id", "quality")
-    joined = clusters.join(q, "doc_id")
+    # join membership BEFORE scoring: quality tokenization runs only on
+    # cluster members (a sliver of the corpus), not on every document —
+    # Catalyst will not defer a Project's expensive expressions past a
+    # join on its own, so the order here IS the cost model
+    members = clusters.select("doc_id", "cluster_id").join(d, "doc_id")
+    joined = T.with_text_features(members).select("doc_id", "cluster_id", "quality")
     best = joined.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.max(
