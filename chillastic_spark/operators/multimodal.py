@@ -226,8 +226,13 @@ def _y4m_frames(payload: bytes, stride: int, max_frames: int) -> "list[bytes]":
             h = int(tok[1:])
         elif tok[:1] == b"C":
             chroma = tok[1:]
-    if not w or not h:
-        raise ValueError("y4m header missing W/H")
+    # strictly positive, not merely present: a crafted negative W/H
+    # (e.g. b"W-5") yields a NEGATIVE frame size, which walks ``pos``
+    # BACKWARD each iteration — an infinite loop inside an executor
+    # task, the one failure mode the quarantine side-channel cannot
+    # absorb (it catches exceptions, not hangs)
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError("y4m header missing or non-positive W/H")
     # exact 8-bit chroma tags only: C420p10/p12/p16 (high-bit-depth)
     # would match a prefix test and mis-size every frame — reject them
     if chroma in (b"420", b"420jpeg", b"420paldv", b"420mpeg2"):
