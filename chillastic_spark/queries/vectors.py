@@ -186,9 +186,15 @@ def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n-gram `decontaminate_flags`: flag corpus vectors whose cosine
     to ANY held-out benchmark vector (deterministic 5% hash-gated
     pseudo-benchmark) reaches the threshold. Real benchmarks are tiny
-    vs the corpus, so the benchmark side is broadcast and the corpus
-    never shuffles — one map-side pass at any scale. Reports hit count
-    and the worst (max) similarity per flagged vector."""
+    vs the corpus, so the benchmark side ships whole in the task
+    closure (bounded collect — same contract as similarity's query-set
+    broadcast) and the corpus never shuffles: one Arrow batch × bench
+    matrix product per batch instead of materializing |corpus|·|bench|
+    joined rows each paying a per-pair fold. Semantics are the join
+    form's exactly: clean_vectors gate, zero-norm cosine = 0,
+    cross-dimension pairs drop (the zip_with fold returned NULL),
+    round-to-6 then threshold, per-corpus-row hit count and worst
+    (max) similarity, flagged rows only."""
     e = load(spark, sf_dir, "embeddings")
 
     is_bench = (
@@ -198,20 +204,56 @@ def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = flagged.filter(~F.col("is_bench")).select(
         "vec_id", CF.as_double_array("embedding").alias("v")
     )
-    bench = flagged.filter(F.col("is_bench")).select(
-        F.col("vec_id").alias("bench_id"), CF.as_double_array("embedding").alias("bv")
+    bench_rows = (
+        flagged.filter(F.col("is_bench"))
+        .select(CF.as_double_array("embedding").alias("bv"))
+        .collect()
     )
-    cos = CF.round_det(CF.cosine(F.col("v"), F.col("bv")), 6)
-    return (
-        corpus.crossJoin(F.broadcast(bench))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= _SEM_TAU)
-        .groupBy("vec_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hits"),
-            F.max("cos").alias("max_cos"),
-        )
-    )
+
+    import numpy as np
+
+    bench_by_dim: dict = {}
+    for r in bench_rows:
+        bench_by_dim.setdefault(len(r["bv"]), []).append(r["bv"])
+    bench_by_dim = {
+        d: S._unit_rows(np.asarray(vs, dtype=np.float64))
+        for d, vs in bench_by_dim.items()
+    }
+    tau = _SEM_TAU
+    id_t = e.schema["vec_id"].dataType.simpleString()
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def _unit(m):
+            n = _np.linalg.norm(m, axis=1, keepdims=True)
+            return m / _np.where(n == 0, 1.0, n)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for dim, sub in pdf.groupby(pdf["v"].map(len)):
+                b = bench_by_dim.get(dim)
+                if b is None or dim == 0:
+                    continue  # cross-dim / degenerate pairs never hit
+                m = _unit(_np.vstack(sub["v"].to_numpy()).astype(_np.float64))
+                c = _np.floor((m @ b.T) * 1e6 + 0.5) / 1e6
+                hits = c >= tau
+                n = hits.sum(axis=1)
+                keep = n > 0
+                if not keep.any():
+                    continue
+                mx = _np.where(hits, c, -_np.inf).max(axis=1)
+                yield _pd.DataFrame(
+                    {
+                        "vec_id": sub["vec_id"].to_numpy()[keep],
+                        "n_hits": n[keep].astype("int64"),
+                        "max_cos": mx[keep],
+                    }
+                )
+
+    return corpus.mapInPandas(score, f"vec_id {id_t}, n_hits long, max_cos double")
 
 
 SEMANTIC_DECON_SQL = f"""
