@@ -1028,6 +1028,11 @@ def embedding_dup_pairs(
         (F.col(group_col) if group_col else F.lit(0)).alias("grp"),
         CF.as_double_array(vec_col).alias("vec"),
         F.size(vec_col).alias("_dim"),
+    ).filter(
+        # a NULL id could never pair under the join form (vid < vid'
+        # is NULL) — drop such rows before they reach numpy, where
+        # None/NaN id comparisons would misbehave instead
+        F.col("vid").isNotNull()
     )
     # blocks per (grp, dim): ceil(n / block_size). One tiny row per
     # group — broadcast back onto the vectors (no shuffle of v).

@@ -139,6 +139,19 @@ def test_embedding_dup_pairs(spark, vectors):
     assert (0, 99) in pairs and pairs[(0, 99)] > 0.999
 
 
+def test_embedding_dup_pairs_null_id_rows_never_pair(spark):
+    """Join-form semantics: a NULL id fails vid < vid' (NULL), so such
+    rows pair with nothing — the block-grid path must drop them before
+    numpy, where None/NaN id comparisons would misbehave instead."""
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (None, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           D.embedding_dup_pairs(e, threshold=0.9).collect()}
+    assert got == {(1, 2)}
+
+
 def test_embedding_dup_pairs_block_grid_exact(spark, vectors):
     """The multi-block grid (forced by a tiny block_size, so every
     group spans several hash blocks and cross-block tasks run) must
