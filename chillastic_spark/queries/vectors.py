@@ -339,7 +339,11 @@ QUERIES: dict[str, Query] = {
     ),
     "knn_graph_edges": Query(knn_graph_edges, _knn_graph_sql()),
     "embedding_centroids": Query(embedding_centroids, EMBEDDING_CENTROIDS_SQL),
-    "embedding_dup_pairs": Query(embedding_dup_pairs, EMBEDDING_DUP_SQL),
+    # headline since r7: the block-grid matmul rewrite made this the
+    # representative vector-dedup cost, worth tracking per round
+    "embedding_dup_pairs": Query(
+        embedding_dup_pairs, EMBEDDING_DUP_SQL, headline=True
+    ),
     "ann_lsh_topk": Query(ann_lsh_topk, _ann_lsh_sql()),
     "ann_ivf_topk": Query(ann_ivf_topk, None),
     "ann_pq_topk": Query(ann_pq_topk, None),
