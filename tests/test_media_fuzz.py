@@ -79,7 +79,7 @@ def test_huge_dims_raise_not_allocate():
 # ------------------------------------------------------ y4m body fuzz
 
 
-@settings(max_examples=60, deadline=2000, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     pos=st.integers(min_value=0, max_value=200),
     val=st.integers(min_value=0, max_value=255),
@@ -88,8 +88,10 @@ def test_huge_dims_raise_not_allocate():
 def test_mutated_y4m_never_escapes_or_hangs(pos, val, cut):
     """Single byte flip + truncation anywhere in a valid stream: the
     parser either returns PNG-encoded luma frames (each decodable by
-    _png_decode) or raises ValueError. deadline=2s doubles as the
-    no-hang guard."""
+    _png_decode) or raises ValueError. The hang regression itself is
+    pinned deterministically above (deadline=None, the sibling
+    test_png_fuzz convention — wall-clock deadlines flake on a loaded
+    box)."""
     good = mk_y4m(4, 4, 3)
     mutated = bytearray(good)
     if pos < len(mutated):
@@ -144,7 +146,7 @@ def _decode_audio_rows(spark, payloads):
         return None, e
 
 
-@settings(max_examples=40, deadline=5000, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     pos=st.integers(min_value=0, max_value=300),
     val=st.integers(min_value=0, max_value=255),
