@@ -1010,7 +1010,10 @@ def embedding_dup_pairs(
     """
     import pandas as pd  # noqa: F401  (applyInPandas dependency)
 
-    from chillastic_spark.operators.similarity import clean_vectors
+    from chillastic_spark.operators.similarity import (
+        block_pair_replicate,
+        clean_vectors,
+    )
 
     # the shared dirty-vector gate (similarity.clean_vectors): a NULL
     # element silently NULL-poisons the JVM cosine while the DuckDB
@@ -1034,32 +1037,7 @@ def embedding_dup_pairs(
         # None/NaN id comparisons would misbehave instead
         F.col("vid").isNotNull()
     )
-    # blocks per (grp, dim): ceil(n / block_size). One tiny row per
-    # group — broadcast back onto the vectors (no shuffle of v).
-    sizes = v.groupBy(
-        F.col("grp").alias("_sg"), F.col("_dim").alias("_sd")
-    ).agg(F.ceil(F.count(F.lit(1)) / F.lit(block_size)).alias("_nb"))
-    v = v.join(
-        F.broadcast(sizes),
-        v["grp"].eqNullSafe(sizes["_sg"]) & (v["_dim"] == sizes["_sd"]),
-    ).drop("_sg", "_sd")
-    blk = F.pmod(F.xxhash64(F.col("vid").cast("string")), F.col("_nb"))
-    v = v.withColumn("_blk", blk)
-    # replicate each row to every block-pair task it participates in:
-    # left side (role 0) of tasks (blk, k≥blk), right side (role 1) of
-    # tasks (k<blk, blk) — exactly _nb copies per row, the standard
-    # distributed block-nested-loop fan-out, linear in _nb.
-    tasks = F.transform(
-        F.sequence(F.lit(0).cast("long"), F.col("_nb") - 1),
-        lambda k: F.struct(
-            F.least(k, F.col("_blk")).alias("ci"),
-            F.greatest(k, F.col("_blk")).alias("cj"),
-            F.when(k >= F.col("_blk"), F.lit(0)).otherwise(F.lit(1)).alias("role"),
-        ),
-    )
-    rep = v.select(
-        "vid", "grp", "_dim", "vec", F.explode(tasks).alias("t")
-    ).select("vid", "grp", "_dim", "vec", "t.ci", "t.cj", "t.role")
+    rep = block_pair_replicate(v, ["grp", "_dim"], "vid", block_size)
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cos double"

@@ -126,6 +126,49 @@ def _unit_rows(M):
     return M / np.where(n == 0, 1.0, n)
 
 
+def block_pair_replicate(
+    v: DataFrame, keys: "list[str]", id_col: str, block_size: int
+) -> DataFrame:
+    """THE block-pair-grid fan-out shared by every pairwise matmul
+    scorer (dedup.embedding_dup_pairs, knn_graph): rows hash into
+    ceil(n/block_size) blocks per ``keys`` group and each row is
+    replicated to every (block_i ≤ block_j) task it participates in —
+    left side (role 0) of tasks (blk, k≥blk), right side (role 1) of
+    tasks (k<blk, blk); exactly nb copies per row, the standard
+    distributed block-nested-loop fan-out, linear in nb. Group the
+    result by (*keys, ci, cj); no task ever holds more than two
+    blocks, so a group larger than any executor's memory still works.
+
+    Per-group block counts ride a broadcast join (one tiny row per
+    group — the corpus side never shuffles for them); keys match
+    null-safely, so NULL-keyed rows stay one group."""
+    sizes = v.groupBy(*[F.col(c).alias(f"_bp_{c}") for c in keys]).agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(block_size)).alias("_nb")
+    )
+    cond = None
+    for c in keys:
+        e = v[c].eqNullSafe(sizes[f"_bp_{c}"])
+        cond = e if cond is None else (cond & e)
+    out = v.join(F.broadcast(sizes), cond).drop(*[f"_bp_{c}" for c in keys])
+    out = out.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("_nb"))
+    )
+    tasks = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("_nb") - 1),
+        lambda t: F.struct(
+            F.least(t, F.col("_blk")).alias("ci"),
+            F.greatest(t, F.col("_blk")).alias("cj"),
+            F.when(t >= F.col("_blk"), F.lit(0)).otherwise(F.lit(1)).alias("role"),
+        ),
+    )
+    return out.withColumn("_t", F.explode(tasks)).select(
+        *v.columns,
+        F.col("_t.ci").alias("ci"),
+        F.col("_t.cj").alias("cj"),
+        F.col("_t.role").alias("role"),
+    )
+
+
 def brute_force_topk_fast(
     vectors: DataFrame,
     queries: DataFrame,
@@ -385,31 +428,89 @@ def knn_graph(
     of :func:`lsh_topk` (near-dup clustering, diversity sampling, and
     graph-based curation all start from this edge list).
 
-    Scale shape: bucket once (pure column expressions), self equi-join
-    on the bucket key (AQE splits hot buckets), per-node top-k via a
-    PARTITIONED window (compiles to WindowGroupLimit: each map task
-    keeps k rows per node before the shuffle). Pairs are O(Σ bucket²),
-    never corpus² — ``planes`` tunes bucket occupancy (≈ n/2^planes).
-    Deterministic: hash-derived hyperplanes, rounded scores, id
-    tie-breaks — exactly reproducible in ANSI SQL (oracle-checked).
+    Scale shape: bucket once (pure column expressions), then the
+    block-pair grid (:func:`block_pair_replicate`): each bucket's
+    ≤block² candidate grid is scored with one numpy matrix product per
+    Arrow task, which emits its LOCAL top-k per node; a final
+    PARTITIONED window (compiles to WindowGroupLimit) re-ranks the ≤
+    k·blocks survivors per node. Exact under the (rounded cos desc, id
+    asc) total order: a node's global top-k is contained in the union
+    of its per-block top-k's. Pairs SCORED are O(Σ bucket²), never
+    corpus², with no joined-row materialization — ``planes`` tunes
+    bucket occupancy (≈ n/2^planes). Deterministic: hash-derived
+    hyperplanes, rounded scores, id tie-breaks — exactly reproducible
+    in ANSI SQL (oracle-checked).
     """
     first_v = vectors.select(CF.as_double_array(vec_col)).first()
     dims = len(first_v[0]) if first_v and first_v[0] is not None else None
     # NULL-embedding rows would all land in bucket 0 and hand out k
     # NULL-cos edges each, silently distorting every graph metric built
-    # on these edges — vectorless rows are not graph nodes
-    b = clean_vectors(vectors, vec_col).select(
-        F.col(id_col).alias("id"),
-        CF.as_double_array(vec_col).alias("v"),
-        random_hyperplane_buckets(vec_col, planes, dims=dims).alias("bkt"),
+    # on these edges — vectorless rows are not graph nodes. NULL ids
+    # and off-width vectors could never pair under the former join
+    # (id != id' and bkt = bkt' both evaluate NULL for them) — dropped
+    # up front, before numpy would mishandle them instead.
+    v = (
+        clean_vectors(vectors, vec_col)
+        .filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vid"),
+            CF.as_double_array(vec_col).alias("vec"),
+            random_hyperplane_buckets(vec_col, planes, dims=dims).alias("bkt"),
+        )
+        .filter(F.col("bkt").isNotNull())
     )
-    a, c = b.alias("a"), b.alias("b")
-    scored = a.join(
-        c, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") != F.col("b.id"))
-    ).select(
-        F.col("a.id").alias("src"),
-        F.col("b.id").alias("dst"),
-        CF.round_det(CF.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+    rep = block_pair_replicate(v, ["bkt"], "vid", 2048)
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    kk = int(k)
+
+    def _local_topk(key, pdf):
+        # key = (bkt, ci, cj)
+        import numpy as np
+        import pandas as pd
+
+        diag = key[1] == key[2]
+        a = pdf[pdf["role"] == 0]
+        b = a if diag else pdf[pdf["role"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                {"src": a["vid"][:0], "dst": a["vid"][:0], "cos": []}
+            )
+        ua = _unit_rows(np.vstack(a["vec"].to_numpy()).astype(np.float64))
+        ub = ua if diag else _unit_rows(
+            np.vstack(b["vec"].to_numpy()).astype(np.float64)
+        )
+        # round-then-rank, the exact round_det arithmetic
+        c = np.floor((ua @ ub.T) * 1e6 + 0.5) / 1e6
+        ia, ib = a["vid"].to_numpy(), b["vid"].to_numpy()
+        # the join form's id != id' exclusion (covers self-pairs AND
+        # duplicate-id row pairs)
+        c[ia[:, None] == ib[None, :]] = -np.inf
+
+        def side(src_ids, dst_ids, cm):
+            # local top-k per src under (cos desc, dst asc): order
+            # candidates by dst once, then a stable sort on -cos keeps
+            # dst-ascending among ties — the _rank_topk total order
+            order = np.argsort(dst_ids, kind="stable")
+            cm = cm[:, order]
+            dsts = dst_ids[order]
+            top = np.argsort(-cm, axis=1, kind="stable")[:, :kk]
+            vals = np.take_along_axis(cm, top, axis=1).ravel()
+            keep = np.isfinite(vals)  # excluded ids sort last as -inf
+            return pd.DataFrame(
+                {
+                    "src": np.repeat(src_ids, top.shape[1])[keep],
+                    "dst": dsts[top.ravel()][keep],
+                    "cos": vals[keep],
+                }
+            )
+
+        frames = [side(ia, ib, c)]
+        if not diag:
+            frames.append(side(ib, ia, c.T))
+        return pd.concat(frames, ignore_index=True)
+
+    scored = rep.groupBy("bkt", "ci", "cj").applyInPandas(
+        _local_topk, f"src {id_t}, dst {id_t}, cos double"
     )
     return _rank_topk(scored, k, part_col="src", id_col="dst")
 
