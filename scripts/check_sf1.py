@@ -36,6 +36,10 @@ SCOPE = [
     "purchase_prior_window", "balance_deciles", "balance_deciles_approx",
     "text_features", "events_gapfill", "similarity_topk",
     "dedup_edit_distance", "dedup_exact",
+    # r7 additions: the vector family whose pairwise paths moved to the
+    # block-pair matmul grid — scale-sensitive by construction
+    "knn_graph_edges", "semantic_decontaminate_flags",
+    "semantic_dedup_manifest", "embedding_outliers",
 ]
 
 
