@@ -224,6 +224,50 @@ def test_cross_version_transfer_v5_source_to_v8_destination(spark, tmp_path):
         dst.stop()
 
 
+def test_cross_version_transfer_v2_source_to_v8_destination(spark, tmp_path):
+    """The MAXIMUM version gap the wire layer supports: a 2.x source
+    (no sliced scrolls, 'fields' size key, typed everything) feeding an
+    8.x destination (typeless bulk or 400). Exercises the non-sliced
+    scan fallback end-to-end — the engine must degrade to ONE scroll
+    context instead of requesting slices ES 2 would reject."""
+    src, dst = FakeES(version="2.4.6"), FakeES(version="8.5.0")
+    src_url, dst_url = src.start(), dst.start()
+    try:
+        src.seed("ancient", "t1", {
+            f"d{i}": {"field": f"value {i}"} for i in range(13)
+        })
+        src.seed_index_cfg("ancient", {
+            "settings": {"index": {"number_of_shards": 1}},
+            "mappings": {"t1": {"properties": {"field": {"type": "string"}}}},
+            "aliases": {},
+        })
+        eng = Engine(spark, str(tmp_path / "state"))
+        eng.mutators.add("toTypeless", TYPELESS_DATA)
+        eng.mutators.add("idxTypeless", TYPELESS_INDEX)
+        eng.add_task("xver2", Task(
+            source=src_url, destination=dst_url,
+            transfer=TransferSpec(from_indices="ancient", index_names="ancient"),
+            mutators=[ActionRef(id="toTypeless"), ActionRef(id="idxTypeless")],
+        ))
+        status = eng.run_task("xver2")
+        assert status["percentComplete"] == 100.0
+        assert status["completed"] == 13
+        # doc-exact, typeless on the 8.x side
+        assert dst.contents("ancient") == {
+            f"d{i}": {"field": f"value {i}"} for i in range(13)
+        }
+        assert {k[1] for k in dst.docs if k[0] == "ancient"} == {None}
+        # pre-5 wire: the engine must NOT have requested sliced scrolls
+        assert all(not st.get("slice") for st in src.scrolls.values())
+        # catalog transferred with mappings folded typeless
+        assert dst.index_cfgs["ancient"]["mappings"] == {
+            "properties": {"field": {"type": "string"}}
+        }
+    finally:
+        src.stop()
+        dst.stop()
+
+
 def test_es8_destination_rejects_typed_bulk_actions(spark, tmp_path):
     """Negative control for the cross-version path: the SAME v5->v8
     task WITHOUT the type-stripping mutator must fail loudly (real ES 8
