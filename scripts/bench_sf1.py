@@ -29,6 +29,14 @@ QUERIES = [
     "q1_pricing_summary",
     "source_unigram_kl",
     "dsir_importance_weights",
+    # r7: the block-pair-grid matmul operators. NOTE their candidate
+    # spaces are super-10x by construction at sf1 — make_sf1's small
+    # per-copy embedding perturbations keep cross-copy cosines above
+    # the 0.3 thresholds, so within-label pairs grow ~100x (151,661 vs
+    # 1,450 emitted pairs) while wall time is bounded by the grid, not
+    # the pair count. Judge the ratio against THAT, not against 10x.
+    "embedding_dup_pairs",
+    "knn_graph_edges",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(
