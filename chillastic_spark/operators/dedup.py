@@ -3,11 +3,15 @@ embedding-cosine near-dup.
 
 Design notes for 100 TB scale
 -----------------------------
-* Never cross-join the corpus. Pair generation is always an
+* Never cross-join the corpus. TEXT pair generation is always an
   *inverted-index equi-join* (explode shingles / LSH band buckets /
-  simhash chunks → shuffle on the bucket key → join within bucket).
-  Catalyst turns these into ordinary shuffled hash joins; AQE splits
-  skewed buckets (a hot shingle) at runtime.
+  simhash chunks → shuffle on the bucket key → join within bucket);
+  Catalyst turns these into ordinary shuffled hash joins and AQE
+  splits skewed buckets (a hot shingle) at runtime. VECTOR pair
+  scoring (embedding_dup_pairs) goes through the block-pair grid
+  (similarity.block_pair_replicate): hash-blocked Arrow tasks scoring
+  their grid with one numpy matmul each — no joined-row
+  materialization, no task ever holding more than two blocks.
 * All hashing is the md5-derived 60-bit hash from
   ``chillastic_spark.functions.hash60`` so every operator has an exact
   ANSI-SQL oracle (see chillastic_spark/queries/documents.py).
