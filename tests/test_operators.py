@@ -139,6 +139,62 @@ def test_embedding_dup_pairs(spark, vectors):
     assert (0, 99) in pairs and pairs[(0, 99)] > 0.999
 
 
+def test_embedding_dup_pairs_torture_frame_matches_reference(spark):
+    """Every dirty-data rule of the former join form, on one frame,
+    against an in-test pure-Python reference: duplicate ids never pair
+    with each other but pair (with multiplicity) against others;
+    zero vectors score cos 0.0; NULL labels block together; mixed
+    dimensions never pair; NULL ids and NULL-element vectors drop.
+    Checked at block_size large (single block) AND 2 (grid path)."""
+    import math
+
+    rows = [
+        (1, [1.0, 0.0], "a"),      # \
+        (2, [1.0, 0.0], "a"),      #  exact dups, cos 1.0
+        (2, [0.0, 1.0], "a"),      # duplicate id, different vector
+        (3, [0.0, 0.0], "a"),      # zero vector: cos 0.0 to everything
+        (4, [1.0, 0.0], None),     # NULL label group...
+        (5, [1.0, 0.0], None),     # ...pairs with 4
+        (6, [1.0, 0.0, 0.0], "a"), # 3-dim: never pairs with 2-dim
+        (None, [1.0, 0.0], "a"),   # NULL id: drops
+        (7, None, "a"),            # NULL vector: drops
+        (8, [1.0, None], "a"),     # NULL element: drops
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+    def ref_pairs(threshold):
+        clean = [
+            (i, v, lab) for i, v, lab in rows
+            if i is not None and v is not None and all(x is not None for x in v)
+        ]
+        out = []
+        for x, (ia, va, la) in enumerate(clean):
+            for ib, vb, lb in clean[x + 1:]:
+                if ia == ib or la != lb or len(va) != len(vb):
+                    continue
+                na = math.sqrt(sum(q * q for q in va))
+                nb = math.sqrt(sum(q * q for q in vb))
+                dot = sum(p * q for p, q in zip(va, vb))
+                cos = 0.0 if na * nb == 0 else dot / (na * nb)
+                cos = math.floor(cos * 10000.0 + 0.5) / 10000.0
+                if cos >= threshold:
+                    out.append((min(ia, ib), max(ia, ib), cos))
+        return sorted(out)
+
+    for thr in (0.0, 0.9):
+        want = ref_pairs(thr)
+        for bs in (2048, 2):
+            got = sorted(
+                (r["id_a"], r["id_b"], r["cos"])
+                for r in D.embedding_dup_pairs(
+                    df, threshold=thr, block_size=bs
+                ).collect()
+            )
+            assert got == want, (thr, bs, got, want)
+
+
 def test_embedding_dup_pairs_null_id_rows_never_pair(spark):
     """Join-form semantics: a NULL id fails vid < vid' (NULL), so such
     rows pair with nothing — the block-grid path must drop them before
