@@ -139,6 +139,73 @@ def test_embedding_dup_pairs(spark, vectors):
     assert (0, 99) in pairs and pairs[(0, 99)] > 0.999
 
 
+def test_block_pair_replicate_covers_every_pair_exactly_once(spark):
+    """THE invariant every grid scorer relies on: for ANY two rows of
+    the same group, exactly one (ci, cj) task holds both — the left
+    one as role 0 and the right one as role 1 (both role 0 on the
+    diagonal) — and each row is replicated exactly nb times."""
+    from chillastic_spark.operators.similarity import block_pair_replicate
+
+    rows = [(i, i % 3, [float(i)]) for i in range(40)] + [(99, None, [9.9])]
+    df = spark.createDataFrame(
+        rows, "vid long, grp int, vec array<double>"
+    )
+    rep = block_pair_replicate(df, ["grp"], "vid", block_size=4).collect()
+
+    from collections import defaultdict
+
+    per_row = defaultdict(list)
+    for r in rep:
+        per_row[(r["grp"], r["vid"])].append((r["ci"], r["cj"], r["role"]))
+    group_sizes = defaultdict(int)
+    for _, g, _ in rows:
+        group_sizes[g] += 1
+    import math
+
+    blk_of = {}
+    for (g, vid), tasks in per_row.items():
+        nb = math.ceil(group_sizes[g] / 4)
+        assert len(tasks) == nb, (g, vid, tasks)
+        # the row's own block: the diagonal task it must sit on
+        diags = [(ci, cj) for ci, cj, _ in tasks if ci == cj]
+        assert len(diags) == 1
+        blk_of[(g, vid)] = diags[0][0]
+    # every same-group row pair shares EXACTLY one task, with the
+    # correct sides
+    ids_by_grp = defaultdict(list)
+    for (g, vid) in per_row:
+        ids_by_grp[g].append(vid)
+    for g, ids in ids_by_grp.items():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ba, bb = blk_of[(g, a)], blk_of[(g, b)]
+                ta = {(ci, cj) for ci, cj, _ in per_row[(g, a)]}
+                tb = {(ci, cj) for ci, cj, _ in per_row[(g, b)]}
+                shared = ta & tb
+                assert (min(ba, bb), max(ba, bb)) in shared
+                # the pair is SCOREABLE (opposite sides, or both side 0
+                # on a diagonal) on exactly ONE shared task — same-side
+                # co-occurrences elsewhere are never scored, so no
+                # double counting
+                scoreable = 0
+                for t in shared:
+                    ra = [r for ci, cj, r in per_row[(g, a)] if (ci, cj) == t][0]
+                    rb = [r for ci, cj, r in per_row[(g, b)] if (ci, cj) == t][0]
+                    if t[0] == t[1]:
+                        assert ra == 0 and rb == 0  # diagonals are all side 0
+                        scoreable += 1
+                    elif ra != rb:
+                        scoreable += 1
+                    else:
+                        # same side off-diagonal: only possible when the
+                        # rows share a block (their pairing happens on
+                        # the diagonal instead)
+                        assert ba == bb
+                assert scoreable == 1, (g, a, b, shared)
+    # the NULL-group row exists and got exactly one (diagonal) task
+    assert per_row[(None, 99)] == [(0, 0, 0)]
+
+
 def test_embedding_dup_pairs_torture_frame_matches_reference(spark):
     """Every dirty-data rule of the former join form, on one frame,
     against an in-test pure-Python reference: duplicate ids never pair
