@@ -1001,11 +1001,15 @@ def embedding_dup_pairs(
     Blocked brute force as a *block-pair grid*: vectors hash into
     ceil(n/block_size) blocks per group, every (block_i ≤ block_j)
     pair becomes one Arrow task, and the task scores its ≤block_size²
-    candidate grid with a single numpy matrix product. Same exact
-    semantics as the former per-pair zip_with fold (clean_vectors
-    gate, NULL groups block together, cross-dimension pairs drop,
-    zero-norm cosine = 0, round-then-threshold) at a fraction of the
-    cost: the shuffle moves O(n·blocks) vector rows instead of
+    candidate grid with a single numpy matrix product. Same semantics
+    as the former per-pair zip_with fold (clean_vectors gate, NULL
+    groups block together, cross-dimension pairs drop, zero-norm
+    cosine = 0, round-then-threshold) at a fraction of the cost —
+    with one empirical caveat: cosine runs as unit(a)·unit(b) in BLAS
+    accumulation order vs the fold's sequential dot/(|a||b|), so
+    pre-rounding doubles differ in the last ulps; equality with the
+    oracle is hash-verified at every tested SF (collision risk ~1e-12
+    per pair at the 1e-4 bin), not an IEEE identity. The cost story: the shuffle moves O(n·blocks) vector rows instead of
     materializing O(Σ n_g²) joined pairs, and the dot products run in
     BLAS instead of one 3-fold aggregate per pair. A group larger than
     any executor's memory still works — no task ever sees more than

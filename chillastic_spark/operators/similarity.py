@@ -438,17 +438,30 @@ def knn_graph(
     of its per-block top-k's. Pairs SCORED are O(Σ bucket²), never
     corpus², with no joined-row materialization — ``planes`` tunes
     bucket occupancy (≈ n/2^planes). Deterministic: hash-derived
-    hyperplanes, rounded scores, id tie-breaks — exactly reproducible
-    in ANSI SQL (oracle-checked).
+    hyperplanes, rounded scores, id tie-breaks. Agreement with the
+    sequential-fold ANSI-SQL oracle is EMPIRICAL, not structural: the
+    task computes cosine as unit(a)·unit(b) in BLAS accumulation
+    order while the oracle folds dot(a,b)/(|a||b|) sequentially, so
+    the pre-rounding doubles can differ in the last ulps and a
+    round-then-rank could in principle flip at a 1e-6 bin boundary —
+    hash-verified at every tested scale factor (sf0.001/0.01/0.1/1),
+    collision risk ~1e-12 per pair.
     """
     first_v = vectors.select(CF.as_double_array(vec_col)).first()
     dims = len(first_v[0]) if first_v and first_v[0] is not None else None
     # NULL-embedding rows would all land in bucket 0 and hand out k
     # NULL-cos edges each, silently distorting every graph metric built
     # on these edges — vectorless rows are not graph nodes. NULL ids
-    # and off-width vectors could never pair under the former join
-    # (id != id' and bkt = bkt' both evaluate NULL for them) — dropped
-    # up front, before numpy would mishandle them instead.
+    # could never pair under the former join (id != id' evaluates
+    # NULL) — dropped up front, before numpy would mishandle them.
+    # Off-width vectors do NOT get a NULL bucket: the plan-time
+    # coefficient matrix zip_withs to NULL elements, the projection
+    # goes NULL, and each bit's .otherwise(lit(0)) maps it to 0 — they
+    # land in bucket 0 alongside genuine all-negative-projection rows.
+    # size(vec) therefore joins the blocking key (exactly as
+    # dedup.embedding_dup_pairs does): cross-dimension pairs drop —
+    # the zip_with-fold cosine convention — and every numpy matrix
+    # stays rectangular instead of np.vstack raising on ragged input.
     v = (
         clean_vectors(vectors, vec_col)
         .filter(F.col(id_col).isNotNull())
@@ -456,19 +469,19 @@ def knn_graph(
             F.col(id_col).alias("vid"),
             CF.as_double_array(vec_col).alias("vec"),
             random_hyperplane_buckets(vec_col, planes, dims=dims).alias("bkt"),
+            F.size(vec_col).alias("_dim"),
         )
-        .filter(F.col("bkt").isNotNull())
     )
-    rep = block_pair_replicate(v, ["bkt"], "vid", 2048)
+    rep = block_pair_replicate(v, ["bkt", "_dim"], "vid", 2048)
     id_t = vectors.schema[id_col].dataType.simpleString()
     kk = int(k)
 
     def _local_topk(key, pdf):
-        # key = (bkt, ci, cj)
+        # key = (bkt, _dim, ci, cj)
         import numpy as np
         import pandas as pd
 
-        diag = key[1] == key[2]
+        diag = key[2] == key[3]
         a = pdf[pdf["role"] == 0]
         b = a if diag else pdf[pdf["role"] == 1]
         if len(a) == 0 or len(b) == 0:
@@ -509,7 +522,7 @@ def knn_graph(
             frames.append(side(ib, ia, c.T))
         return pd.concat(frames, ignore_index=True)
 
-    scored = rep.groupBy("bkt", "ci", "cj").applyInPandas(
+    scored = rep.groupBy("bkt", "_dim", "ci", "cj").applyInPandas(
         _local_topk, f"src {id_t}, dst {id_t}, cos double"
     )
     return _rank_topk(scored, k, part_col="src", id_col="dst")

@@ -181,20 +181,40 @@ _SEM_TAU = 0.3  # contamination cosine threshold
 _H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+_SEM_BENCH_CAP = 250_000  # rows; ~128 MB of float64 at 64 dims
+
+
 def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic benchmark decontamination — the embedding companion to
     the n-gram `decontaminate_flags`: flag corpus vectors whose cosine
     to ANY held-out benchmark vector (deterministic 5% hash-gated
-    pseudo-benchmark) reaches the threshold. Real benchmarks are tiny
-    vs the corpus, so the benchmark side ships whole in the task
-    closure (bounded collect — same contract as similarity's query-set
-    broadcast) and the corpus never shuffles: one Arrow batch × bench
-    matrix product per batch instead of materializing |corpus|·|bench|
-    joined rows each paying a per-pair fold. Semantics are the join
-    form's exactly: clean_vectors gate, zero-norm cosine = 0,
-    cross-dimension pairs drop (the zip_with fold returned NULL),
-    round-to-6 then threshold, per-corpus-row hit count and worst
-    (max) similarity, flagged rows only."""
+    pseudo-benchmark) reaches the threshold. Real decontamination
+    benchmarks are CONSTANT-size (MMLU/GSM8K-scale, thousands of rows)
+    while the corpus is unbounded — so the benchmark side is collected
+    to the driver and BROADCAST (one Arrow-file transfer per executor,
+    not a per-task closure pickle) and the corpus never shuffles: one
+    Arrow batch × bench matrix product per batch instead of
+    materializing |corpus|·|bench| joined rows each paying a per-pair
+    fold.
+
+    Driver-memory contract: the collect is bounded by the BENCHMARK
+    size, not the corpus. The 5%% hash gate here is the test-data
+    stand-in for a real fixed benchmark table, so in THIS query the
+    bound grows with the corpus (sf1: ~3.4k rows ≈ 1.7 MB); a hard cap
+    (`_SEM_BENCH_CAP`) raises a clear error instead of silently
+    OOM-ing the driver if someone points the 5%% gate at a corpus
+    where 5%% is no longer benchmark-shaped. Note the builder is
+    EAGER by necessity — constructing the plan runs the bounded
+    benchmark collect (one small Spark job), unlike the lazy builders
+    elsewhere in this package.
+
+    Semantics match the join form (clean_vectors gate, zero-norm
+    cosine = 0, cross-dimension pairs drop — the zip_with fold
+    returned NULL — round-to-6 then threshold, per-corpus-row hit
+    count and worst (max) similarity, flagged rows only); cosine runs
+    in BLAS accumulation order vs the oracle's sequential fold, so
+    equality is oracle-verified at tested scales rather than an IEEE
+    identity."""
     e = load(spark, sf_dir, "embeddings")
 
     is_bench = (
@@ -204,11 +224,18 @@ def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = flagged.filter(~F.col("is_bench")).select(
         "vec_id", CF.as_double_array("embedding").alias("v")
     )
-    bench_rows = (
-        flagged.filter(F.col("is_bench"))
-        .select(CF.as_double_array("embedding").alias("bv"))
-        .collect()
+    bench_side = flagged.filter(F.col("is_bench")).select(
+        CF.as_double_array("embedding").alias("bv")
     )
+    n_bench = bench_side.limit(_SEM_BENCH_CAP + 1).count()
+    if n_bench > _SEM_BENCH_CAP:
+        raise ValueError(
+            f"semantic decontamination benchmark side exceeds "
+            f"{_SEM_BENCH_CAP} rows — the held-out side must be "
+            f"benchmark-shaped (constant-size), not a corpus slice; "
+            f"sample it or raise _SEM_BENCH_CAP deliberately"
+        )
+    bench_rows = bench_side.collect()
 
     import numpy as np
 
@@ -219,6 +246,9 @@ def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         d: S._unit_rows(np.asarray(vs, dtype=np.float64))
         for d, vs in bench_by_dim.items()
     }
+    # executors fetch this once each; the task closure carries only the
+    # broadcast handle, not the matrix
+    bench_bc = spark.sparkContext.broadcast(bench_by_dim)
     tau = _SEM_TAU
     id_t = e.schema["vec_id"].dataType.simpleString()
 
@@ -230,11 +260,12 @@ def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = _np.linalg.norm(m, axis=1, keepdims=True)
             return m / _np.where(n == 0, 1.0, n)
 
+        bench = bench_bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             for dim, sub in pdf.groupby(pdf["v"].map(len)):
-                b = bench_by_dim.get(dim)
+                b = bench.get(dim)
                 if b is None or dim == 0:
                     continue  # cross-dim / degenerate pairs never hit
                 m = _unit(_np.vstack(sub["v"].to_numpy()).astype(_np.float64))

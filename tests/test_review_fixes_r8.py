@@ -1,0 +1,77 @@
+"""Regression tests for the round-8 review (ADVICE r7):
+
+1. knn_graph crashed on mixed-dimension corpora: off-width vectors do
+   not get a NULL LSH bucket (the plan-time coefficient zip_with NULLs
+   the projection and each bit's .otherwise(0) lands them in bucket 0),
+   so a 3-dim vector sharing bucket 0 with 4-dim vectors made
+   np.vstack raise ValueError inside the block-grid task and abort the
+   job. Fixed by joining size(vec) to the block keys, exactly as
+   embedding_dup_pairs does — cross-dimension pairs drop (the
+   zip_with-fold cosine convention) and matrices stay rectangular.
+"""
+from pyspark.sql import functions as F
+
+
+def test_knn_graph_survives_mixed_dimension_corpus(spark):
+    from chillastic_spark.operators import similarity as S
+
+    rows = [
+        # 4-dim family: a tight pair + two orthogonal others
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        # 3-dim family: a tight pair — valid vectors, just a different
+        # modality/model width than the rest of the corpus
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.95, 0.05, 0.0]),
+        # degenerate rows the cleaners must drop
+        (99, None),
+        (98, [1.0, None, 0.0, 0.0]),
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # planes=1 funnels everything into at most two buckets — before the
+    # fix this configuration reproduced the ValueError crash
+    edges = S.knn_graph(v, k=2, planes=1).collect()
+    assert edges, "mixed-dim corpus must still produce a graph"
+    by_src = {}
+    for r in edges:
+        by_src.setdefault(r.src, set()).add(r.dst)
+    dims = {r[0]: len(r[1]) for r in rows if r[1] is not None and None not in r[1]}
+    # cross-dimension pairs drop; NULL/NULL-element rows are not nodes
+    for src, dsts in by_src.items():
+        for dst in dsts:
+            assert dims[src] == dims[dst], (src, dst)
+    assert 99 not in by_src and 98 not in by_src
+    # same-width neighbors are still found on both sides of the split
+    assert 2 in by_src.get(1, set())
+    assert 11 in by_src.get(10, set())
+
+
+def test_knn_graph_mixed_dims_does_not_perturb_majority_width(spark):
+    """Adding _dim to the block keys may not change same-width scoring:
+    the plan-time width (taken from the first row) is 4 in both runs,
+    so 4-dim bucket ids are identical, and the 3-dim intruders can only
+    ever land in foreign buckets — never in a 4-dim numpy block. The
+    mixed run's 4-dim edge component must therefore equal the
+    4-dim-only run exactly. (The 3-dim subset alone is NOT comparable —
+    solo it gets a genuine 3-wide plane matrix instead of the NULL
+    projection's bucket 0 — so only the majority width is asserted.)"""
+    from chillastic_spark.operators import similarity as S
+
+    four = [(i, [float(i == j) for j in range(4)]) for i in range(1, 5)]
+    four += [(5, [0.8, 0.2, 0.0, 0.0]), (6, [0.7, 0.3, 0.0, 0.0])]
+    three = [(20 + i, [float(i == j) for j in range(3)]) for i in range(3)]
+    three += [(25, [0.9, 0.1, 0.0])]
+    schema = "vec_id long, embedding array<double>"
+
+    def edge_set(rows, keep_ids=None):
+        df = spark.createDataFrame(rows, schema)
+        return {
+            (r.src, r.dst, r.cos)
+            for r in S.knn_graph(df, k=3, planes=1).collect()
+            if keep_ids is None or r.src in keep_ids
+        }
+
+    four_ids = {r[0] for r in four}
+    assert edge_set(four + three, four_ids) == edge_set(four)
