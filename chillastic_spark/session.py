@@ -64,6 +64,21 @@ def get_spark(app_name: str = "chillastic-spark", cpus: str | int | None = None)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # per-executor heap for multi-JVM masters (local-cluster /
+        # standalone); local[] ignores it — executors live in the
+        # driver JVM there
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "3g"),
+        )
+        # multi-JVM masters spawn Python workers from the EXECUTOR
+        # process, whose inherited env decides what those workers can
+        # import — pin the package root explicitly rather than hoping
+        # the driver's PYTHONPATH propagated through the worker launch
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.environ.get("PYTHONPATH", pkg_root),
+        )
         # retrying search/scroll (reference transfer.js:79-87) → Spark
         # task retries; no-op on local[] but the shipped default
         .config("spark.task.maxFailures", "4")
