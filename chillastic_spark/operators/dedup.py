@@ -1049,10 +1049,22 @@ def embedding_dup_pairs(
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
-    thr = float(threshold)
+
+    return rep.groupBy("grp", "_dim", "ci", "cj").applyInPandas(
+        _block_cos_scorer(float(threshold)), out_schema
+    )
+
+
+def _block_cos_scorer(thr: float):
+    """THE block-grid cosine pair kernel shared by the blocked
+    (:func:`embedding_dup_pairs`) and LSH-bucketed
+    (:func:`embedding_dup_pairs_unblocked`) dedups: one numpy matmul
+    per (group, _dim, ci, cj) Arrow task, round-then-threshold, the
+    vid_a < vid_b orientation. Callers must groupBy FOUR key columns
+    ending (_dim, ci, cj)."""
 
     def _score_block(key, pdf):
-        # key = (grp, _dim, ci, cj)
+        # key = (group, _dim, ci, cj)
         import numpy as np
         import pandas as pd
 
@@ -1094,9 +1106,100 @@ def embedding_dup_pairs(
         hi = np.where(va < vb, vb, va)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cs})
 
-    return rep.groupBy("grp", "_dim", "ci", "cj").applyInPandas(
-        _score_block, out_schema
+    return _score_block
+
+
+def embedding_dup_pairs_unblocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 6,
+    probes: int = 2,
+    tables: int = 3,
+    block_size: int = 2048,
+) -> DataFrame:
+    """Cosine near-duplicate pairs for an UNBLOCKED corpus — no label
+    or natural blocking column required (the composition the
+    :func:`embedding_dup_pairs` docstring points unlabeled corpora
+    at, registered end-to-end).
+
+    Candidate generation is random-hyperplane LSH with ``tables``
+    INDEPENDENT hyperplane sets (seeds rp0..rp{t}) and the shared
+    multi-probe policy (:func:`similarity.probe_buckets_expr`): every
+    vector lands in tables × probes buckets, a pair is a candidate
+    when any bucket coincides, and each (table·bucket, _dim) group is
+    scored exactly by the block-pair grid
+    (:func:`similarity.block_pair_replicate` +
+    :func:`_block_cos_scorer`). Emitted pairs are therefore EXACT
+    (same clean_vectors gate, dimension blocking, zero-norm and
+    round-then-threshold conventions as the blocked dedup — precision
+    1 by construction); RECALL is the LSH bargain: a pair at cosine s
+    survives one table with probability ~p^planes + p^(planes-1)(1-p)
+    (p = 1 - arccos(s)/π), and ``tables`` independent sets compound
+    to 1-(1-·)^tables. Defaults give ≳0.9 expected recall at 0.95+
+    and a measured floor pinned by the scripts/twins.py recall twin.
+
+    Scale shape: per-row fan-out is tables·probes bucket rows then nb
+    block copies — O(n) total, never corpus²; bucket occupancy
+    ~n/2^planes per table keeps every grid task bounded, and the
+    multiply-found pairs collapse in ONE dropDuplicates shuffle.
+    """
+    from chillastic_spark.operators.similarity import (
+        block_pair_replicate,
+        clean_vectors,
+        probe_buckets_expr,
+        random_hyperplane_buckets,
     )
+
+    first_v = df.select(CF.as_double_array(vec_col)).first()
+    dims = len(first_v[0]) if first_v and first_v[0] is not None else None
+    probe_arrays = [
+        probe_buckets_expr(
+            random_hyperplane_buckets(
+                vec_col, planes, seed=f"rp{t}", dims=dims
+            ),
+            probes,
+            planes,
+        )
+        for t in range(tables)
+    ]
+    # one flat bucket id per (table, bucket): table t's buckets live in
+    # [t·2^planes, (t+1)·2^planes) — a single int key keeps the shared
+    # scorer's (group, _dim, ci, cj) key layout. NB: the shift lambda
+    # must stay single-parameter — pyspark calls a two-parameter
+    # higher-order lambda as (element, array_index), silently
+    # overriding any default-bound second argument.
+    def _shift(t: int):
+        return lambda b: b + F.lit(t * (1 << planes))
+
+    buckets = F.flatten(
+        F.array(
+            *[
+                F.transform(F.array_distinct(arr), _shift(t))
+                for t, arr in enumerate(probe_arrays)
+            ]
+        )
+    )
+    v = (
+        clean_vectors(df, vec_col)
+        .filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vid"),
+            CF.as_double_array(vec_col).alias("vec"),
+            F.size(vec_col).alias("_dim"),
+            F.explode(buckets).alias("bkt"),
+        )
+    )
+    rep = block_pair_replicate(v, ["bkt", "_dim"], "vid", block_size)
+    id_type = df.schema[id_col].dataType.simpleString()
+    scored = rep.groupBy("bkt", "_dim", "ci", "cj").applyInPandas(
+        _block_cos_scorer(float(threshold)),
+        f"id_a {id_type}, id_b {id_type}, cos double",
+    )
+    # a pair found in several tables/buckets is the SAME exact row
+    # (identical vectors, identical rounding) — exactly-once emission
+    return scored.dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_bands(

@@ -38,30 +38,32 @@ PANEL_FIRST = [
     # order), so evidence freshness compounds instead of decaying.
     # Computed mechanically from CORRECTNESS_r01..r{N-1}.
     #
-    # r7 panel (computed from CORRECTNESS_r01..r06): the 50 stalest —
-    # 8 queries last driver-sampled in r3 and 42 last sampled in r4,
-    # over code that has changed in every round since.
-    # last driver evidence: r3
-    "bm25_topk", "hybrid_search_rrf", "phrase_search", "percolate",
-    "search_rank_eval", "search_after_page", "search_rescore",
-    "multi_match_best_fields",
+    # r8 panel (computed from CORRECTNESS_r01..r07): the 50 stalest —
+    # 1 never-sampled (new this round), 6 last driver-sampled in r4,
+    # 43 last sampled in r5.
+    # never driver-sampled (registered r8)
+    "embedding_dup_pairs_unblocked",
     # last driver evidence: r4
-    "q7_nation_trade", "q8_market_share", "q12_priority_shipping",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_part_supplier_counts", "q17_small_quantity_revenue",
-    "q20_bulk_suppliers", "q22_dormant_customers", "size_stats",
-    "distinct_slices", "backlog_union", "reroute_by_month",
-    "events_hourly", "session_window_stats", "dedup_substring_spans",
-    "dedup_winnow_pairs", "simhash_pairs", "knn_graph_edges",
-    "ann_lsh_topk", "repetition_scores", "bpe_token_stats",
-    "embedding_int8_checksum", "more_like_this", "pii_scrub_report",
-    "dsir_importance_weights", "domain_mixture_manifest",
-    "mixture_sample_counts", "dedup_keep_best", "dedup_incremental",
-    "semantic_dedup_manifest", "gopher_quality_flags", "c4_line_filter",
-    "table_profile", "leakage_safe_splits", "splits_incremental",
-    "source_overlap_matrix", "shard_manifest", "perplexity_filter",
-    "quality_classifier_scores", "busy_window_counts",
-    "video_frame_stats",
+    "knn_pagerank", "rollup_incremental_refresh", "source_unigram_kl",
+    "significant_terms", "fuzzy_search", "search_facets",
+    # last driver evidence: r5
+    "q5_local_supplier_volume", "count_per_slice", "snapshot_reconcile",
+    "dedup_jaccard_prefix", "multimodal_meta", "image_phash_pairs",
+    "embedding_outliers", "semantic_decontaminate_flags",
+    "ann_ivf_topk", "ann_pq_topk", "events_pivot", "skew_top_keys",
+    "geomean_value_by_type", "value_outliers", "source_similarity",
+    "rolling_event_stats", "median_value_by_type",
+    "sketch_distinct_users", "sketch_value_quantiles",
+    "events_daily_rollup", "user_retention_cohorts",
+    "audio_features_meta", "source_quality_report", "sample_stratified",
+    "purchase_prior_window", "token_histogram", "balance_deciles",
+    "balance_deciles_approx", "event_transitions",
+    "referential_integrity", "dedup_containment_prefix",
+    "basket_part_pairs", "dataset_split_manifest",
+    "events_unpivot_roundtrip", "quality_percentile_gate", "events_ohlc",
+    "heavy_hitter_terms", "value_winsorized_stats", "top_event_paths",
+    "bpe_merge_candidates", "bpe_trained_merges", "source_unigram_psi",
+    "knn_communities",
 ]
 
 

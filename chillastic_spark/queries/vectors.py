@@ -62,6 +62,23 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_dup_pairs(e, threshold=0.3)
 
 
+def embedding_dup_pairs_unblocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs over the UNBLOCKED corpus —
+    no label column used (operators/dedup.embedding_dup_pairs_unblocked
+    end-to-end: multi-table hyperplane buckets + multi-probe + block
+    grid within bucket). Parameters are tuned to THIS synthetic
+    corpus's adversarially-low similarity regime (max pair cos ≈ 0.6,
+    where hyperplane collision probability is weak): planes=3/tables=8
+    gives ~0.98 expected recall at the 0.4 threshold. A real near-dup
+    corpus (cos ≥ 0.9) would use the defaults (6 planes, 3 tables) at
+    a fraction of the fan-out. Emitted pairs are exact (precision 1);
+    recall is twin-checked against the numpy all-pairs ground truth."""
+    e = load(spark, sf_dir, "embeddings")
+    return D.embedding_dup_pairs_unblocked(
+        e, threshold=0.4, planes=3, probes=2, tables=8
+    )
+
+
 EMBEDDING_DUP_SQL = f"""
 WITH e AS (SELECT vec_id, label, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v FROM embeddings
            WHERE embedding IS NOT NULL
@@ -375,6 +392,11 @@ QUERIES: dict[str, Query] = {
     "embedding_dup_pairs": Query(
         embedding_dup_pairs, EMBEDDING_DUP_SQL, headline=True
     ),
+    # rows-only + recall twin: LSH candidate generation is not
+    # SQL-expressible pairwise (the oracle would be the all-pairs join
+    # this operator exists to avoid); scripts/twins.py checks every
+    # emitted cos exactly vs numpy AND a measured recall floor
+    "embedding_dup_pairs_unblocked": Query(embedding_dup_pairs_unblocked, None),
     "ann_lsh_topk": Query(ann_lsh_topk, _ann_lsh_sql()),
     "ann_ivf_topk": Query(ann_ivf_topk, None),
     "ann_pq_topk": Query(ann_pq_topk, None),

@@ -356,6 +356,52 @@ def _ann_twin(sdf, con, floor, what):
     )
 
 
+def embedding_dup_pairs_unblocked(sdf, sf_dir, con):
+    """Precision-exact + measured-recall twin for the LSH-bucketed
+    unblocked dedup (threshold 0.4, planes=3, probes=2, tables=8 — the
+    registered query's parameters). Ground truth is the full numpy
+    all-pairs matrix: every emitted pair must BE a true >=0.4 pair
+    with the exact rounded cosine (precision 1 by construction — any
+    violation is a bug, not an approximation), and recall must clear
+    0.9 (theory ~0.98 for this corpus's cos distribution; measured
+    0.983 sf0.01 / 0.989 sf0.1)."""
+    e = con.sql("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").df()
+    V = np.array(e["embedding"].tolist(), dtype=np.float64)
+    ids = e["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = _round_det(Vn @ Vn.T, 4)
+    iu = np.triu_indices(len(V), 1)
+    truth = {
+        (int(ids[i]), int(ids[j])): float(C[i, j])
+        for i, j in zip(*iu)
+        if C[i, j] >= 0.4
+    }
+    got = {}
+    for r in sdf.itertuples(index=False):
+        key = (int(r.id_a), int(r.id_b))
+        if key in got:
+            return _fail(f"pair {key} emitted twice")
+        got[key] = float(r.cos)
+    for key, cos in got.items():
+        want = truth.get(key)
+        if want is None:
+            return _fail(f"false positive pair {key} cos={cos}")
+        if abs(cos - want) > 1e-12:
+            return _fail(f"pair {key}: cos {cos} vs exact {want}")
+    if not truth:
+        return _fail("ground truth empty — corpus regenerated?")
+    recall = len(got) / len(truth)
+    if recall < 0.9:
+        return _fail(
+            f"recall {recall:.3f} < 0.9 vs all-pairs exact"
+            f" ({len(got)}/{len(truth)})"
+        )
+    return _ok(
+        f"all {len(got)} emitted pairs exact vs numpy all-pairs; "
+        f"recall {recall:.3f} >= 0.9 (lsh planes=3 tables=8 probes=2)"
+    )
+
+
 def ann_ivf_topk(sdf, sf_dir, con):
     """Value-exact scores + brute-force recall floor for the IVF path
     (n_cells=8, nprobe=3 probes ~3/8 of the corpus; same 0.5 floor
@@ -380,4 +426,5 @@ TWINS = {
     "audio_features_meta": audio_features_meta,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "embedding_dup_pairs_unblocked": embedding_dup_pairs_unblocked,
 }

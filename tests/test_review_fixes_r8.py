@@ -1,4 +1,5 @@
-"""Regression tests for the round-8 review (ADVICE r7):
+"""Regression tests for the round-8 review (ADVICE r7) and the new
+unblocked embedding dedup:
 
 1. knn_graph crashed on mixed-dimension corpora: off-width vectors do
    not get a NULL LSH bucket (the plan-time coefficient zip_with NULLs
@@ -75,3 +76,44 @@ def test_knn_graph_mixed_dims_does_not_perturb_majority_width(spark):
 
     four_ids = {r[0] for r in four}
     assert edge_set(four + three, four_ids) == edge_set(four)
+
+
+def test_embedding_dup_pairs_unblocked_finds_planted_dups(spark):
+    """Planted near-identical pairs must surface without any blocking
+    column; emitted cosines are exact; dirty rows (NULL id, NULL
+    vector, NULL element, off-width) never pair; each pair emits once
+    despite multi-table/multi-probe candidate overlap."""
+    import numpy as np
+
+    from chillastic_spark.operators.dedup import embedding_dup_pairs_unblocked
+
+    rng_rows = []
+    # deterministic pseudo-random base vectors (no np.random state
+    # dependence across runs: fixed seed)
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8)
+    for i, v in enumerate(base):
+        rng_rows.append((i, [float(x) for x in v]))
+    # planted near-dups: tiny perturbations of rows 0 and 1
+    rng_rows.append((100, [float(x) for x in base[0] + 1e-3]))
+    rng_rows.append((101, [float(x) for x in base[1] * 1.0001]))
+    # dirty rows
+    rng_rows += [(900, None), (901, [1.0, None, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+                 (None, [float(x) for x in base[2]]), (902, [1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+    got = embedding_dup_pairs_unblocked(
+        df, threshold=0.99, planes=2, probes=2, tables=4
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.cos for r in got}
+    assert len(pairs) == len(got), "a pair was emitted more than once"
+    assert (0, 100) in pairs and (1, 101) in pairs
+    for (a, b), cos in pairs.items():
+        assert a is not None and b is not None and a < b
+        assert a not in (900, 901) and b not in (900, 901)
+        assert cos >= 0.99
+    # exact cosine for a planted pair (independent recompute)
+    va, vb = np.array(base[0]), np.array(base[0] + 1e-3)
+    want = float(np.floor(
+        va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) * 10000 + 0.5
+    ) / 10000)
+    assert pairs[(0, 100)] == want
