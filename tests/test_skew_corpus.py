@@ -1,0 +1,105 @@
+"""The hot-gram cap's recall contract, pinned on a skewed corpus
+(r7 verdict #4 — the functional twin of scripts/bench_skew.py).
+
+Corpus shape mirrors scripts/make_skew.py at test scale: a hot
+three-token phrase shared by ~30% of docs (the boilerplate shingle a
+scraped corpus always has), a near-dup template cluster, and ordinary
+docs with disjoint token sets. Contract:
+
+1. capping NEVER costs a pair whose similarity rests on
+   discriminative grams — the template cluster's pair set AND scores
+   are identical capped vs uncapped (cluster docs carry no hot gram,
+   so their gram universe is untouched);
+2. capping DOES remove pairs whose only evidence is the hot gram —
+   that is the documented semantic (scores are true Jaccard over the
+   CAPPED universe), not a recall bug;
+3. the cap threshold is a document-frequency gate: grams at the
+   cluster's frequency (below the cap) survive, the hot phrase's
+   grams (above it) do not.
+"""
+import pytest
+from pyspark.sql import functions as F
+
+HOT = "skewhot boiler plate"
+TEMPLATE = (
+    "template page header navigation footer copyright all rights "
+    "reserved contact about privacy terms sitemap"
+)
+
+
+@pytest.fixture(scope="module")
+def skew_docs(spark):
+    rows = []
+    # 12-doc near-dup template cluster (ids 0..11): shared template +
+    # one unique trailing token each
+    for i in range(12):
+        rows.append((i, f"{TEMPLATE} uniq{i}"))
+    # 60 ordinary docs (ids 100..159) with DISJOINT token streams; 30%
+    # of the corpus (every id%10<3) carries the hot phrase appended
+    for i in range(60):
+        body = " ".join(f"tok{i}x{j}" for j in range(12))
+        if i % 10 < 3:
+            body = f"{body} {HOT}"
+        rows.append((100 + i, body))
+    # two docs whose ONLY shared grams come from the hot phrase
+    rows.append((900, f"{HOT} tail900only"))
+    rows.append((901, f"{HOT} tail901only"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(df, **kw):
+    from chillastic_spark.operators.dedup import ngram_jaccard_pairs
+
+    return {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.2, **kw).collect()
+    }
+
+
+def test_cap_preserves_discriminative_pairs_exactly(skew_docs):
+    uncapped = _pairs(skew_docs)
+    capped = _pairs(skew_docs, max_doc_frac=0.2)  # cluster 12/74 ≈ 16% < 20% < ~31% hot
+    cluster_ids = set(range(12))
+    un_cluster = {k: v for k, v in uncapped.items() if k[0] in cluster_ids}
+    cp_cluster = {k: v for k, v in capped.items() if k[0] in cluster_ids}
+    # every C(12,2) template pair present on both sides, scores identical
+    assert len(un_cluster) == 12 * 11 // 2
+    assert cp_cluster == un_cluster
+
+
+def test_cap_removes_hot_gram_only_pairs(skew_docs):
+    uncapped = _pairs(skew_docs)
+    capped = _pairs(skew_docs, max_doc_frac=0.2)
+    # 900/901 share ONLY hot-phrase-derived grams: a real pair in the
+    # uncapped universe, gone from the capped one
+    assert (900, 901) in uncapped
+    assert (900, 901) not in capped
+    # and nothing else changed: the capped output is exactly the
+    # uncapped output minus pairs evidenced only by hot grams
+    hot_only = {(900, 901)}
+    survivors = {k: v for k, v in uncapped.items() if k not in hot_only}
+    # ordinary docs share no grams at all (disjoint token streams
+    # except the hot phrase), so every surviving pair is a cluster
+    # pair and must be score-identical
+    assert capped == survivors
+
+
+def test_cap_gate_is_document_frequency(skew_docs):
+    from chillastic_spark.operators.dedup import cap_hot_grams, shingles
+    from chillastic_spark import functions as CF
+
+    g = shingles(skew_docs, "doc_id", "text", 3).withColumn(
+        "gh", CF.hash60("gram")
+    )
+    capped = cap_hot_grams(g.select("doc_id", "gh"), skew_docs, 0.2)
+    # hot-phrase interior gram: present in >30% of docs → dropped
+    hot_docs = capped.join(
+        g.filter(F.col("gram") == HOT).select("gh").distinct(), "gh", "semi"
+    )
+    assert hot_docs.count() == 0
+    # a template gram (12/74 docs ≈ 16%) survives
+    tpl_gram = " ".join(TEMPLATE.split()[:3])
+    tpl = capped.join(
+        g.filter(F.col("gram") == tpl_gram).select("gh").distinct(), "gh", "semi"
+    )
+    assert tpl.count() == 12
