@@ -126,6 +126,25 @@ def _unit_rows(M):
     return M / np.where(n == 0, 1.0, n)
 
 
+def _majority_dim(vecs) -> int:
+    """The width a driver-side training sample agrees on: the most
+    common vector length, ties to the SMALLER width (deterministic).
+    Mixed-width corpora exist in real pipelines (two embedding models
+    in one table); np.array over a ragged sample raises ValueError and
+    kills the whole job, so every quantizer trains on the majority
+    width and off-width rows drop at assignment/scoring — the same
+    cross-dimension-pairs-drop convention the zip_with cosine fold
+    established."""
+    from collections import Counter
+
+    counts = Counter(len(v) for v in vecs)
+    if not counts:
+        raise ValueError("no vectors to measure a width from")
+    return min(
+        (d for d, c in counts.items() if c == max(counts.values())),
+    )
+
+
 def block_pair_replicate(
     v: DataFrame, keys: "list[str]", id_col: str, block_size: int
 ) -> DataFrame:
@@ -206,9 +225,21 @@ def brute_force_topk_fast(
     )
     if not q_rows:
         return _empty_topk(vectors.sparkSession, qid_t=qid_t, nid_t=nid_t)
-    q_ids = [r[0] for r in q_rows]
-    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-    Qn = _unit_rows(Q)
+    # PER-WIDTH query groups: a mixed-width query set made np.array
+    # ragged (ValueError at plan time). This operator is EXACT, so a
+    # mixed-width corpus is fully supported — each query scores
+    # against the same-width corpus rows only (the cross-dimension-
+    # pairs-drop convention: the zip_with fold's cosine is NULL there)
+    by_dim: dict = {}
+    for r in q_rows:
+        by_dim.setdefault(len(r[1]), []).append(r)
+    q_groups = {
+        d: (
+            [r[0] for r in rows],
+            _unit_rows(np.array([r[1] for r in rows], dtype=np.float64)),
+        )
+        for d, rows in by_dim.items()
+    }
     kk = k
 
     def score(batches):
@@ -227,36 +258,47 @@ def brute_force_topk_fast(
             # outranked real ties) — matching brute_force_topk's
             # neighbor_id != query_id three-valued drop
             pdf = pdf[pdf["_vec"].notna() & pdf["_nid"].notna()]
+            # NULL elements arrive from Arrow as NaN (an `is None`
+            # check is dead batch-side): the clean_vectors twin, nan-
+            # aware — a poisoned row must not emit nan-cos neighbors
             pdf = pdf[pdf["_vec"].map(
-                lambda a: not any(x is None for x in a)
+                lambda a: not np_.isnan(
+                    np_.asarray(a, dtype=np_.float64)
+                ).any()
             )]
             if pdf.empty:
                 continue
-            ids = pdf["_nid"].to_numpy()
-            V = np_.array(list(pdf["_vec"]), dtype=np_.float64)
-            n = np_.linalg.norm(V, axis=1, keepdims=True)
-            Vn = V / np_.where(n == 0, 1.0, n)
-            S = Vn @ Qn.T  # (batch × m) cosines
             out = []
-            for j, qid in enumerate(q_ids):
-                col = S[:, j]
-                mask = ids != qid
-                cand_idx = np_.nonzero(mask)[0]
-                if len(cand_idx) == 0:
-                    continue
-                take = min(kk, len(cand_idx))
-                # batch-local selection must agree with the GLOBAL
-                # ranking (rounded score desc, id asc): raw-score
-                # argpartition breaks ties by batch position, so two
-                # equal-rounded rows straddling the cutoff would make
-                # the result partition-dependent
-                rcol = np_.floor(col[cand_idx] * 1e6 + 0.5) / 1e6
-                order = np_.lexsort((ids[cand_idx], -rcol))
-                top = cand_idx[order[:take]]
-                for i in top:
-                    # no int() cast: ids keep the caller's type (string
-                    # ids crashed here; numpy scalars convert via Arrow)
-                    out.append((qid, ids[i], float(col[i])))
+            for dim, sub in pdf.groupby(pdf["_vec"].map(len)):
+                grp = q_groups.get(dim)
+                if grp is None:
+                    continue  # no same-width query — nothing to score
+                g_ids, Qn = grp
+                ids = sub["_nid"].to_numpy()
+                V = np_.array(list(sub["_vec"]), dtype=np_.float64)
+                n = np_.linalg.norm(V, axis=1, keepdims=True)
+                Vn = V / np_.where(n == 0, 1.0, n)
+                S = Vn @ Qn.T  # (batch × m) cosines
+                for j, qid in enumerate(g_ids):
+                    col = S[:, j]
+                    mask = ids != qid
+                    cand_idx = np_.nonzero(mask)[0]
+                    if len(cand_idx) == 0:
+                        continue
+                    take = min(kk, len(cand_idx))
+                    # batch-local selection must agree with the GLOBAL
+                    # ranking (rounded score desc, id asc): raw-score
+                    # argpartition breaks ties by batch position, so
+                    # two equal-rounded rows straddling the cutoff
+                    # would make the result partition-dependent
+                    rcol = np_.floor(col[cand_idx] * 1e6 + 0.5) / 1e6
+                    order = np_.lexsort((ids[cand_idx], -rcol))
+                    top = cand_idx[order[:take]]
+                    for i in top:
+                        # no int() cast: ids keep the caller's type
+                        # (string ids crashed here; numpy scalars
+                        # convert via Arrow)
+                        out.append((qid, ids[i], float(col[i])))
             yield pd_.DataFrame(out, columns=["query_id", "neighbor_id", "cos_raw"])
 
     v = vectors.select(
@@ -392,6 +434,12 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
+        # a NULL cosine can only be a width mismatch here (clean_vectors
+        # gated NULL elements): cross-dimension pairs DROP instead of
+        # filling the tail of a sparse bucket with NULL-cos edges.
+        # MIRRORED in sources.vector_index.ann_query_index — the served
+        # index must stay bit-identical to this operator.
+        .filter(F.col("cos").isNotNull())
         .select("query_id", "neighbor_id", "cos")
     )
     return _rank_topk(scored, k)
@@ -560,7 +608,12 @@ def ivf_coarse_centroids(
     )
     if not rows:
         raise ValueError("ivf_coarse_centroids: no vectors to train on")
-    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    # a mixed-width corpus makes np.array ragged (ValueError): the
+    # quantizer trains on the sample's MAJORITY width — off-width
+    # vectors drop here and at assignment (the cross-dimension-pairs-
+    # drop convention; ties break to the smaller width)
+    dim = _majority_dim(r["_v"] for r in rows)
+    X = np.array([r["_v"] for r in rows if len(r["_v"]) == dim], dtype=np.float64)
     X = _unit_rows(X)
     C = X[: min(n_cells, len(X))].copy()
     for _ in range(iters):
@@ -600,8 +653,22 @@ def ivf_assign_cells(
                 continue
             # NULL vectors make np.array ragged (ValueError kills the
             # task and, via build_ivf_index, the whole index build) —
-            # a vectorless row cannot be assigned a cell: dropped
+            # a vectorless row cannot be assigned a cell: dropped.
+            # Off-width vectors (vs the trained quantizer) are the
+            # same ragged crash: they cannot live in ANY cell — dropped.
+            # NULL ELEMENTS are subtler: Arrow hands them to pandas as
+            # NaN (an `x is None` check is DEAD here), the nan row's
+            # argmax lands on a real cell, and the poisoned vector
+            # serves as a normal-looking neighbor — dropped here, the
+            # choke point every caller shares (data NaNs drop with
+            # them: a non-finite vector cannot be anyone's neighbor)
             pdf = pdf[pdf["_dvec"].notna()]
+            pdf = pdf[pdf["_dvec"].map(
+                lambda a: len(a) == Cn.shape[1]
+                and not np_.isnan(
+                    np_.asarray(a, dtype=np_.float64)
+                ).any()
+            )]
             if pdf.empty:
                 continue
             V = np_.array(list(pdf["_dvec"]), dtype=np_.float64)
@@ -654,15 +721,19 @@ def ivf_topk(
     ).select("neighbor_id", CF.as_double_array(vec_col).alias("vec"), "cell")
 
     qid_t = _id_type(queries, query_id_col)
-    # dirty query rows (NULL id / NULL vector) score nothing instead of
-    # crashing the numpy batch (ragged np.array raises ValueError)
+    # dirty query rows (NULL id / NULL vector / NULL element /
+    # off-width vs the trained quantizer) score nothing instead of
+    # crashing the numpy batch (ragged or object-dtype np.array)
     q_rows = [
         r
         for r in queries.select(
             F.col(query_id_col).alias("query_id"),
             CF.as_double_array(vec_col).alias("qvec"),
         ).collect()
-        if r["query_id"] is not None and r["qvec"] is not None
+        if r["query_id"] is not None
+        and r["qvec"] is not None
+        and not any(x is None for x in r["qvec"])
+        and len(r["qvec"]) == C.shape[1]
     ]
     if not q_rows:
         return _empty_topk(
@@ -683,6 +754,11 @@ def ivf_topk(
         v.join(F.broadcast(q), ["cell"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
+        # assignment already width/NULL-gates the corpus and the query
+        # list is width-filtered, so a NULL cosine should be impossible
+        # — the drop is cheap insurance mirroring lsh_topk (a NULL-cos
+        # edge must never pad a sparse cell's top-k)
+        .filter(F.col("cos").isNotNull())
         .select("query_id", "neighbor_id", "cos")
     )
     return _rank_topk(scored, k)
@@ -738,9 +814,11 @@ def pq_train_codebooks(
     )
     if not rows:
         raise ValueError("pq_train_codebooks: no vectors to train on")
-    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    # majority-width training, exactly as ivf_coarse_centroids: a
+    # mixed-width sample must not ValueError the whole job
+    dim = _majority_dim(r["_v"] for r in rows)
+    X = np.array([r["_v"] for r in rows if len(r["_v"]) == dim], dtype=np.float64)
     X = _unit_rows(X)
-    dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -789,8 +867,18 @@ def pq_encode(
             if pdf.empty:
                 continue
             # NULL vectors make np.array ragged (ValueError kills the
-            # task) — a vectorless row cannot be encoded: dropped
+            # task) — a vectorless row cannot be encoded: dropped.
+            # Off-width vectors (vs the trained codebooks) likewise.
+            # NULL elements arrive from Arrow as NaN (not None) and
+            # would encode into a normal-looking code from garbage nan
+            # subdistances — dropped at this shared choke point
             pdf = pdf[pdf["_dvec"].notna()]
+            pdf = pdf[pdf["_dvec"].map(
+                lambda a: len(a) == m * dsub
+                and not np_.isnan(
+                    np_.asarray(a, dtype=np_.float64)
+                ).any()
+            )]
             if pdf.empty:
                 continue
             V = np_.array(list(pdf["_dvec"]), dtype=np_.float64)
@@ -859,15 +947,19 @@ def pq_topk(
     )
 
     qid_t = _id_type(queries, query_id_col)
-    # dirty query rows (NULL id / NULL vector) score nothing instead of
-    # crashing the numpy batch (ragged np.array raises ValueError)
+    # dirty query rows (NULL id / NULL vector / NULL element /
+    # off-width vs the trained codebooks) score nothing instead of
+    # crashing the numpy batch (ragged or object-dtype np.array)
     q_rows = [
         r
         for r in queries.select(
             F.col(query_id_col).alias("query_id"),
             CF.as_double_array(vec_col).alias("qvec"),
         ).collect()
-        if r["query_id"] is not None and r["qvec"] is not None
+        if r["query_id"] is not None
+        and r["qvec"] is not None
+        and not any(x is None for x in r["qvec"])
+        and len(r["qvec"]) == mm * dsub
     ]
     if not q_rows:
         return _empty_topk(

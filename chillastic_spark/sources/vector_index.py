@@ -363,6 +363,10 @@ def ann_query_index(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
+        # cross-dimension pairs drop (NULL cosine = width mismatch) —
+        # the exact mirror of lsh_topk's filter; the served index and
+        # the scan-time operator must rank identically
+        .filter(F.col("cos").isNotNull())
         .select("query_id", "neighbor_id", "cos")
     )
     return _rank_topk(scored, k)

@@ -117,3 +117,75 @@ def test_embedding_dup_pairs_unblocked_finds_planted_dups(spark):
         va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) * 10000 + 0.5
     ) / 10000)
     assert pairs[(0, 100)] == want
+
+
+def test_ann_surface_survives_mixed_dimension_corpus(spark, tmp_path):
+    """The whole ANN serving family on a mixed-width corpus + mixed-
+    width queries: no ragged-np.array crash anywhere, cross-dimension
+    pairs drop everywhere (the zip_with-fold convention), quantizers
+    train on the majority width, and the served vector index stays
+    bit-identical to scan-time lsh_topk."""
+    from chillastic_spark.operators import similarity as S
+    from chillastic_spark.sources.vector_index import (
+        ann_query_index,
+        build_vector_index,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.5, 0.5, 0.0, 0.0]),
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.95, 0.05, 0.0]),
+        (99, None),
+        (98, [1.0, None, 0.0, 0.0]),
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (10, [1.0, 0.0, 0.0]),
+         (77, [1.0, 0.0, 0.0, 0.0, 0.0]), (78, [1.0, None, 0.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+    dims = {r[0]: len(r[1]) for r in rows if r[1] is not None and None not in r[1]}
+
+    def check(df, exact_widths):
+        got = df.collect()
+        for r in got:
+            assert r.neighbor_id not in (98, 99)
+            assert r.cos is not None or hasattr(r, "adc_d2")
+            if exact_widths:
+                assert dims[r.neighbor_id] == (4 if r.query_id == 1 else 3)
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert 77 not in by_q and 78 not in by_q  # off-width/dirty queries
+        return by_q
+
+    # exact: BOTH widths served, each within its width
+    bq = check(S.brute_force_topk_fast(v, qs, k=3), exact_widths=True)
+    assert 2 in bq[1] and 11 in bq[10]
+    # LSH: no NULL-cos edges, no cross-width pairs
+    lsh = S.lsh_topk(v, qs, k=3, planes=2, probes=2)
+    for r in lsh.collect():
+        assert r.cos is not None and dims[r.neighbor_id] == dims[r.query_id]
+    # IVF/PQ: majority width (4) is the trained geometry; the 3-wide
+    # query scores nothing instead of crashing the lut/probe math
+    ivf = check(S.ivf_topk(v, qs, k=3, n_cells=2), exact_widths=False)
+    assert 10 not in ivf and all(dims[n] == 4 for n in ivf.get(1, set()))
+    pq = S.pq_topk(v, qs, k=3, m=2, n_centroids=4).collect()
+    assert all(r.neighbor_id not in (98, 99, 10, 11) for r in pq)
+    assert {r.query_id for r in pq} == {1}
+    # served index == scan-time operator on the same mixed corpus
+    idx = str(tmp_path / "vidx_mixed")
+    build_vector_index(v, idx, planes=2)
+    got = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in ann_query_index(spark, idx, qs, k=3, probes=2).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in S.lsh_topk(v, qs, k=3, planes=2, probes=2).collect()
+    }
+    assert got == want and want
