@@ -141,18 +141,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k with exact re-rank: corpus
-    compressed to m=16 4-bit codes (256 float bytes → 8 bytes/vector),
-    the compressed scan scores by summing m lookup-table entries
-    JVM-side and keeps a 5×k shortlist, and only the shortlist touches
-    full vectors again — the third ANN scale path (compressed-domain
-    search; billion-vector indexes store codes, not floats).
-    Approximate by design → rows-only check, recall (0.9 on this
-    corpus) pinned by tests/test_pq.py."""
+    compressed to m=16 8-bit codes (256 float bytes → 16 bytes/vector,
+    the FAISS-default PQ resolution), the compressed scan scores by
+    summing m lookup-table entries JVM-side and keeps a 10×k
+    shortlist, and only the shortlist touches full vectors again — the
+    third ANN scale path (compressed-domain search; billion-vector
+    indexes store codes, not floats). Approximate by design →
+    rows-only check; the scripts/twins.py twin pins a 0.8 recall
+    floor. SCALE NOTE (found by the r8 10x run, CHECK_sf1): the
+    previous 4-bit/5xk config measured recall 1.00 at sf0.01 but only
+    0.50 at sf1 — ADC resolution and shortlist width, not corpus
+    size, set recall, so both were raised to the production defaults
+    (measured 1.00 sf0.01 / 0.96 sf1; growing corpora further needs
+    more code bits or IVF-PQ, not a bigger refine)."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.pq_topk(e, q, k=10, m=16, n_centroids=16, refine=5)
+    return S.pq_topk(e, q, k=10, m=16, n_centroids=256, refine=10)
 
 
 # ------------------------------------------------------------ kNN graph

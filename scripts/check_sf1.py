@@ -40,7 +40,125 @@ SCOPE = [
     # block-pair matmul grid — scale-sensitive by construction
     "knn_graph_edges", "semantic_decontaminate_flags",
     "semantic_dedup_manifest", "embedding_outliers",
+    # r8 additions (r7 verdict #3): the ANN serving trio — recall
+    # floors were pinned at sf0.01 only — plus the new LSH-bucketed
+    # unblocked dedup (recall twin)
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "embedding_dup_pairs_unblocked",
 ]
+
+
+def check_indexes() -> dict:
+    """Materialized-index equivalence at sf1 (r7 verdict #3): the
+    vector index must serve BIT-IDENTICAL results to the scan-time LSH
+    operator — after build, after an incremental add, and after
+    compaction — with the probe scan pruned to bucket partitions
+    (PartitionFilters); the inverted index must serve the identical
+    BM25 top-k with the term filter pushed to the postings scan."""
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    sys.path.insert(0, ROOT)
+    from chillastic_spark.operators.similarity import lsh_topk
+    from chillastic_spark.queries.search import TERMS, bm25_topk
+    from chillastic_spark.session import get_spark
+    from chillastic_spark.sources.search_index import (
+        bm25_search_index,
+        build_inverted_index,
+    )
+    from chillastic_spark.sources.vector_index import (
+        ann_query_index,
+        build_vector_index,
+        compact_vector_index,
+        update_vector_index,
+    )
+    from chillastic_spark.tables import load
+
+    spark = get_spark("check-sf1-indexes")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {}
+    planes = 5
+
+    e = load(spark, SF1, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with tempfile.TemporaryDirectory(prefix="sf1_vidx_") as idx:
+        t0 = time.time()
+        old = e.filter(F.col("vec_id") >= 10)
+        build_vector_index(old, idx, planes=planes)
+        build_sec = time.time() - t0
+        t0 = time.time()
+        meta = update_vector_index(e.filter(F.col("vec_id") < 10), idx)
+        update_sec = time.time() - t0
+
+        def serve(probes):
+            df = ann_query_index(spark, idx, q, k=10, probes=probes)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return (
+                {(r[0], r[1], r[2]) for r in df.collect()},
+                "PartitionFilters" in plan and "bucket" in plan,
+            )
+
+        def scan(probes):
+            return {
+                (r[0], r[1], r[2])
+                for r in lsh_topk(
+                    e, q, k=10, planes=planes, probes=probes
+                ).collect()
+            }
+
+        t0 = time.time()
+        eq, pruned, n = [], [], 0
+        for probes in (1, 3):
+            got, pr = serve(probes)
+            want = scan(probes)
+            eq.append(got == want and len(want) > 0)
+            pruned.append(pr)
+            n = max(n, len(want))
+        query_sec = time.time() - t0
+        t0 = time.time()
+        compact_vector_index(spark, idx)
+        compact_sec = time.time() - t0
+        got_after, pr_after = serve(3)
+        eq.append(got_after == scan(3))
+        out["vector_index"] = {
+            "n_vectors": meta["n_vectors"],
+            "serving_equals_scan": all(eq),
+            "partition_pruned": all(pruned) and pr_after,
+            "build_sec": round(build_sec, 1),
+            "incremental_add_sec": round(update_sec, 1),
+            "query_pair_sec": round(query_sec, 1),
+            "compact_sec": round(compact_sec, 1),
+            "topk_rows": n,
+        }
+
+    d = load(spark, SF1, "documents")
+    with tempfile.TemporaryDirectory(prefix="sf1_sidx_") as idx:
+        t0 = time.time()
+        stats = build_inverted_index(spark, d, idx)
+        build_sec = time.time() - t0
+        t0 = time.time()
+        df = bm25_search_index(spark, idx, TERMS, k=20)
+        got = [tuple(r) for r in df.collect()]
+        want = [tuple(r) for r in bm25_topk(spark, SF1).collect()]
+        query_sec = time.time() - t0
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        out["search_index"] = {
+            "n_docs": stats["n_docs"],
+            "serving_equals_scan": got == want and len(want) > 0,
+            "term_filter_pushed": "PushedFilters: [In(term" in plan,
+            "never_touches_corpus": "documents.parquet" not in plan,
+            "build_sec": round(build_sec, 1),
+            "query_sec": round(query_sec, 1),
+        }
+    return out
 
 
 def main() -> int:
@@ -77,6 +195,14 @@ def main() -> int:
         if m:
             calib.append(float(m.group(1)))
     missing = [q for q in SCOPE if q not in results]
+    indexes = check_indexes()
+    index_fail = [
+        f"indexes.{k}"
+        for k, v in indexes.items()
+        if not (v.get("serving_equals_scan") and
+                v.get("partition_pruned", v.get("term_filter_pushed")))
+    ]
+    failures += index_fail
     doc = {
         "sf_dir": SF1,
         "scope": (
@@ -90,6 +216,9 @@ def main() -> int:
         "failures": failures + missing,
         "calibration_sec": calib,
         "results": results,
+        # r8: materialized-index equivalence at sf1 (ANN serving +
+        # inverted index), with the partition/term pushdown assertions
+        "indexes": indexes,
     }
     path = os.path.join(ROOT, f"CHECK_sf1_r{rnd}.json")
     with open(path, "w") as f:
