@@ -113,10 +113,55 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs_prefix(d, n=3, threshold=0.5)
 
 
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-gram-capped Jaccard dedup, ORACLE-VERIFIED end to end:
+    grams present in more than 1% of documents leave the shingle
+    universe before the join (operators/dedup.cap_hot_grams — the
+    skew defense BENCH_skew_r08 measured collapsing a 10.6x hot-bucket
+    blowup back to ~1x), and scores are true Jaccard over the capped
+    universe. The oracle reproduces the document-frequency gate in
+    SQL, so the cap's exact semantics — not just its recall contract
+    (tests/test_skew_corpus.py) — are hash-checked. The 1% cap is
+    tuned to FIRE on this corpus (its hottest gram sits at 1.4% of
+    docs at sf0.01), so the capped output genuinely differs from
+    dedup_ngram_jaccard's."""
+    d = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.5, max_doc_frac=0.01)
+
+
 DEDUP_NGRAM_SQL = f"""
 WITH g AS (
   SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
   FROM (SELECT doc_id, unnest({_GRAMS}) AS gram FROM documents)
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id
+), c AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       floor((common / (sa.sz + sb.sz - common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM c JOIN sz sa ON c.ia = sa.doc_id JOIN sz sb ON c.ib = sb.doc_id
+WHERE floor((common / (sa.sz + sb.sz - common)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+"""
+
+
+# the capped twin: identical pipeline with the document-frequency gate
+# (cap_hot_grams) applied to the shingle universe before sizes/join —
+# count(*) per gh IS document frequency (shingles are distinct-per-doc)
+DEDUP_NGRAM_CAPPED_SQL = f"""
+WITH g0 AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, unnest({_GRAMS}) AS gram FROM documents)
+), nd AS (
+  SELECT count(*) AS n FROM documents
+), g AS (
+  SELECT g0.* FROM g0
+  WHERE gh IN (
+    SELECT gh FROM g0 GROUP BY gh
+    HAVING count(*) <= (SELECT n FROM nd) * 0.01
+  )
 ), sz AS (
   SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id
 ), c AS (
@@ -453,6 +498,7 @@ QUERIES: dict[str, Query] = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, DEDUP_NGRAM_SQL, headline=True),
     "dedup_jaccard_prefix": Query(dedup_jaccard_prefix, DEDUP_NGRAM_SQL),
+    "dedup_jaccard_capped": Query(dedup_jaccard_capped, DEDUP_NGRAM_CAPPED_SQL),
     "dedup_minhash_lsh": Query(dedup_minhash_lsh, DEDUP_MINHASH_SQL, headline=True),
     "dedup_clusters": Query(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_simhash": Query(dedup_simhash, _simhash_sql()),
