@@ -1018,6 +1018,136 @@ def pq_topk(
     return _rank_topk(reranked, k)
 
 
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    m: int = 8,
+    n_centroids: int = 256,
+    refine: int = 10,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ top-k — the billion-scale composite (FAISS IVFPQ shape):
+    the coarse quantizer prunes the corpus to each query's ``nprobe``
+    nearest cells, PQ codes score ONLY those survivors in the
+    compressed domain (the same JVM-side ADC lookup-table aggregate as
+    :func:`pq_topk`), and the exact cosine re-ranks the ``refine``×k
+    shortlist. :func:`ivf_topk` bounds scan VOLUME but pays full-dim
+    math per survivor; :func:`pq_topk` compresses the math but scans
+    every code; this pays neither — scanned fraction ~nprobe/n_cells
+    AND bytes/vector ~m·log2(n_centroids)/8, which is what serves
+    1e9+ vectors from executor RAM.
+
+    Codes quantize RAW vectors (IVF prunes, PQ compresses —
+    independent codebooks, not per-cell residual codebooks; the
+    residual variant buys recall at equal bits but couples the
+    quantizers, and the twin-measured recall here already clears the
+    production floor). Deterministic: both quantizers train on the
+    same smallest-xxhash64 sample, majority-width rule, and every
+    ranking orders by (rounded score, id). Approximate by design →
+    rows-only oracle; recall twin in scripts/twins.py.
+    """
+    import numpy as np
+
+    C = ivf_coarse_centroids(
+        vectors, n_cells=n_cells, iters=iters, sample=sample,
+        id_col=id_col, vec_col=vec_col,
+    )
+    B = pq_train_codebooks(
+        vectors, m=m, k=n_centroids, iters=iters, sample=sample,
+        id_col=id_col, vec_col=vec_col,
+    )
+    mm, kk_cb, dsub = B.shape
+    if C.shape[1] != mm * dsub:
+        # both train on the same sample under the same majority-width
+        # rule, so a mismatch means the caller's m doesn't divide the
+        # corpus width — surface it before garbage LUT math does
+        raise ValueError(
+            f"ivf_pq_topk: coarse dim {C.shape[1]} != m*dsub {mm * dsub}"
+        )
+    enc = pq_encode(
+        ivf_assign_cells(
+            vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+            C,
+            vec_col=vec_col,
+        ),
+        B,
+        vec_col=vec_col,
+    )
+
+    qid_t = _id_type(queries, query_id_col)
+    q_rows = [
+        r
+        for r in queries.select(
+            F.col(query_id_col).alias("query_id"),
+            CF.as_double_array(vec_col).alias("qvec"),
+        ).collect()
+        if r["query_id"] is not None
+        and r["qvec"] is not None
+        and not any(x is None for x in r["qvec"])
+        and len(r["qvec"]) == C.shape[1]
+    ]
+    if not q_rows:
+        return _empty_topk(
+            vectors.sparkSession, qid_t=qid_t, nid_t=_id_type(vectors, id_col)
+        )
+    Q = _unit_rows(np.array([r["qvec"] for r in q_rows], dtype=np.float64))
+    probe_cells = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, : max(nprobe, 1)]
+    probe = []
+    for r, qv, cells in zip(q_rows, Q, probe_cells):
+        lut = np.empty(mm * kk_cb)
+        for j in range(mm):
+            qj = qv[j * dsub : (j + 1) * dsub]
+            lut[j * kk_cb : (j + 1) * kk_cb] = (
+                (B[j] - qj[None, :]) ** 2
+            ).sum(axis=1)
+        lut_list = [round(float(x), 9) for x in lut]
+        for c in cells:
+            probe.append((r["query_id"], lut_list, int(c)))
+    spark = vectors.sparkSession
+    q = spark.createDataFrame(
+        probe, f"query_id {qid_t}, lut array<double>, cell int"
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(mm - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"), j * kk_cb + F.element_at(F.col("code"), j + 1) + 1
+        ),
+    )
+    scored = (
+        enc.join(F.broadcast(q), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_d2", CF.round_det(adc, 6))
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
+    shortlist = _rank_topk(
+        scored, k * max(refine, 1), score_col="adc_d2", ascending=True
+    )
+    qv_frame = spark.createDataFrame(
+        [(r["query_id"], [float(x) for x in qv]) for r, qv in zip(q_rows, Q)],
+        f"query_id {qid_t}, qvec array<double>",
+    )
+    full = vectors.select(
+        F.col(id_col).alias("neighbor_id"), CF.as_double_array(vec_col).alias("vec")
+    )
+    reranked = (
+        F.broadcast(shortlist).join(full, "neighbor_id")
+        .join(F.broadcast(qv_frame), "query_id")
+        .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _rank_topk(reranked, k)
+
+
 def centroid_arrays(
     df: DataFrame,
     group_col: str = "label",
