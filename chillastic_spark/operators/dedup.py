@@ -1202,6 +1202,137 @@ def embedding_dup_pairs_unblocked(
     return scored.dropDuplicates(["id_a", "id_b"])
 
 
+def embedding_dup_incremental(
+    df: DataFrame,
+    incoming,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = "label",
+    threshold: float = 0.95,
+    block_size: int = 2048,
+) -> DataFrame:
+    """Cosine near-dup flags for an INCOMING batch against the
+    EXISTING pool — the embedding companion to
+    :func:`minhash_lsh_incremental` (streaming/batch curation: each
+    arriving batch is checked against the already-curated corpus;
+    incoming×incoming pairs are the next batch run's job, exactly as
+    the minhash variant excludes them).
+
+    ``incoming`` is a boolean Column over ``df`` splitting the pool.
+    Scale shape is a BIPARTITE block grid: existing rows hash into
+    ceil(n_e/block) blocks and incoming rows into ceil(n_i/block)
+    blocks per (group, width); every (existing_block × incoming_block)
+    task scores one rectangular numpy matmul. Candidate volume is
+    n_e·nb_i + n_i·nb_e replicated rows — linear per side, never
+    pool², and a steady-state pipeline (huge pool, small batch) pays
+    ~one pool scan per batch. Same conventions as
+    :func:`embedding_dup_pairs`: clean-vector gate, NULL groups block
+    together, cross-dimension pairs drop, zero-norm cosine = 0,
+    round-then-threshold — all mirrored in the ANSI-SQL oracle.
+
+    Output: (vec_id, match_id, cos) — one row per (incoming, existing)
+    pair at or above the threshold.
+    """
+    import pandas as pd  # noqa: F401  (applyInPandas dependency)
+
+    from chillastic_spark.operators.similarity import clean_vectors
+
+    v = clean_vectors(df, vec_col).select(
+        F.col(id_col).alias("vid"),
+        (F.col(group_col) if group_col else F.lit(0)).alias("grp"),
+        CF.as_double_array(vec_col).alias("vec"),
+        F.size(vec_col).alias("_dim"),
+        # NULL incoming-flag rows are EXISTING (the minhash_lsh_
+        # incremental convention): an unflagged row is pool, not batch
+        F.coalesce(incoming.cast("boolean"), F.lit(False)).alias("__inc"),
+    ).filter(F.col("vid").isNotNull())
+    keys = ["grp", "_dim"]
+
+    def _counts(side: DataFrame, name: str) -> DataFrame:
+        return side.groupBy(
+            *[F.col(c).alias(f"_bc_{c}") for c in keys]
+        ).agg(F.ceil(F.count(F.lit(1)) / F.lit(block_size)).alias(name))
+
+    ex = v.filter(~F.col("__inc"))
+    inc = v.filter(F.col("__inc"))
+    nbe = _counts(ex, "_nbe")
+    nbi = _counts(inc, "_nbi")
+
+    def _join_counts(side: DataFrame, counts: DataFrame) -> DataFrame:
+        cond = None
+        for c in keys:
+            e = side[c].eqNullSafe(counts[f"_bc_{c}"])
+            cond = e if cond is None else (cond & e)
+        # left join: a (group, width) present on one side only has no
+        # partner blocks — sequence over a NULL count explodes to
+        # nothing, dropping the row from the grid for free
+        return side.join(F.broadcast(counts), cond, "left").drop(
+            *[f"_bc_{c}" for c in keys]
+        )
+
+    # existing row -> its own block ci, fanned over every incoming
+    # block cj (role 0); incoming row -> fanned over every existing
+    # block ci, its own block cj (role 1)
+    exf = _join_counts(_join_counts(ex, nbe), nbi)
+    exf = exf.withColumn(
+        "ci", F.pmod(F.xxhash64(F.col("vid").cast("string")), F.col("_nbe"))
+    ).withColumn(
+        "cj", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nbi") - 1))
+    ).withColumn("role", F.lit(0))
+    incf = _join_counts(_join_counts(inc, nbe), nbi)
+    incf = incf.withColumn(
+        "cj", F.pmod(F.xxhash64(F.col("vid").cast("string")), F.col("_nbi"))
+    ).withColumn(
+        "ci", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nbe") - 1))
+    ).withColumn("role", F.lit(1))
+    cols = ["vid", "grp", "vec", "_dim", "ci", "cj", "role"]
+    rep = exf.select(*cols).unionByName(incf.select(*cols))
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def _score(key, pdf):
+        # key = (grp, _dim, ci, cj); role 0 = existing, role 1 = incoming
+        import numpy as np
+        import pandas as pd
+
+        ex_rows = pdf[pdf["role"] == 0]
+        in_rows = pdf[pdf["role"] == 1]
+        dim = int(key[1])
+        if len(ex_rows) == 0 or len(in_rows) == 0:
+            return pd.DataFrame(
+                {"vec_id": in_rows["vid"][:0], "match_id": in_rows["vid"][:0],
+                 "cos": []}
+            )
+
+        def unit(rows):
+            m = (
+                np.vstack(rows.to_numpy())
+                if dim > 0
+                else np.zeros((len(rows), 0))
+            ).astype(np.float64, copy=False)
+            n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+            np.divide(m, n, out=m, where=n != 0)
+            return m
+
+        c = unit(in_rows["vec"]) @ unit(ex_rows["vec"]).T
+        c = np.floor(c * 10000.0 + 0.5) / 10000.0
+        ii, ie = np.nonzero(c >= thr)
+        vi = in_rows["vid"].to_numpy()[ii]
+        ve = ex_rows["vid"].to_numpy()[ie]
+        # a row is on exactly one side, so same-id pairs only arise
+        # from duplicate ids in the data — excluded like the join
+        # form's vec_id != match_id would
+        keep = vi != ve
+        return pd.DataFrame(
+            {"vec_id": vi[keep], "match_id": ve[keep], "cos": c[ii, ie][keep]}
+        )
+
+    return rep.groupBy("grp", "_dim", "ci", "cj").applyInPandas(
+        _score, f"vec_id {id_type}, match_id {id_type}, cos double"
+    )
+
+
 def minhash_bands(
     sig: DataFrame, num_perm: int, bands: int, extra_cols: "list[str] | None" = None
 ) -> DataFrame:

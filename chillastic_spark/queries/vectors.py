@@ -14,6 +14,9 @@ from chillastic_spark.tables import load
 # on a zero-norm vector while the Spark side returns 0.0
 _COS = CF.cosine_sql("a.v", "b.v")
 
+# DuckDB twin of CF.hash60 — shared by every hash-gated split oracle
+_H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for 5 query vectors (vec_id<5):
@@ -60,6 +63,39 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus where max within-label cos ≈ 0.45)."""
     e = load(spark, sf_dir, "embeddings")
     return D.embedding_dup_pairs(e, threshold=0.3)
+
+
+def embedding_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup: a deterministic 5% hash-gated
+    pseudo-batch of vectors checked against the existing 95% pool
+    (operators/dedup.embedding_dup_incremental — the embedding
+    companion to dedup_incremental's minhash path; incoming×incoming
+    pairs are the next batch's job). Bipartite block grid: one
+    rectangular matmul per (existing_block × incoming_block) task,
+    candidate volume linear per side. Exactly SQL-expressible — the
+    oracle is the naive incoming×existing join with the identical
+    cosine/rounding recipe."""
+    e = load(spark, sf_dir, "embeddings")
+    inc = (
+        CF.hash60(F.concat(F.col("vec_id").cast("string"), F.lit("#vinc"))) % 100
+    ) < 5
+    return D.embedding_dup_incremental(e, inc, threshold=0.3)
+
+
+EMBEDDING_DUP_INC_SQL = f"""
+WITH e AS (SELECT vec_id, label, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v,
+                  {_H60.format(expr="vec_id::VARCHAR || '#vinc'")} % 100 < 5 AS inc
+           FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+SELECT a.vec_id AS vec_id, b.vec_id AS match_id,
+       floor(({_COS}) * 10000.0 + 0.5) / 10000.0 AS cos
+FROM e a JOIN e b
+  ON a.inc AND NOT b.inc
+ AND a.label IS NOT DISTINCT FROM b.label
+ AND a.vec_id != b.vec_id
+WHERE floor(({_COS}) * 10000.0 + 0.5) / 10000.0 >= 0.3
+"""
 
 
 def embedding_dup_pairs_unblocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +256,6 @@ QUALIFY row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= {_KNN_K}
 
 
 _SEM_TAU = 0.3  # contamination cosine threshold
-_H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
 _SEM_BENCH_CAP = 250_000  # rows; ~128 MB of float64 at 64 dims
@@ -422,6 +457,9 @@ QUERIES: dict[str, Query] = {
     # this operator exists to avoid); scripts/twins.py checks every
     # emitted cos exactly vs numpy AND a measured recall floor
     "embedding_dup_pairs_unblocked": Query(embedding_dup_pairs_unblocked, None),
+    "embedding_dup_incremental": Query(
+        embedding_dup_incremental, EMBEDDING_DUP_INC_SQL
+    ),
     "ann_lsh_topk": Query(ann_lsh_topk, _ann_lsh_sql()),
     "ann_ivf_topk": Query(ann_ivf_topk, None),
     "ann_ivf_pq_topk": Query(ann_ivf_pq_topk, None),

@@ -230,3 +230,54 @@ def test_ivf_pq_topk_exhaustive_probe_equals_brute_force(spark):
         assert nid not in (900, 901, 902)
     with pytest.raises(ValueError, match="divisible|dim"):
         S.ivf_pq_topk(v, q, k=5, n_cells=4, nprobe=2, m=3, n_centroids=16)
+
+
+def test_embedding_dup_incremental_bipartite_grid(spark):
+    """The incremental embedding dedup under a FORCED multi-block
+    bipartite grid (block_size=4): exactly-once pair emission across
+    the fan-out, incoming x incoming never pairs, incoming-only or
+    existing-only (group, width) slices score nothing, dirty rows
+    drop, and every emitted cosine matches an independent recompute."""
+    import numpy as np
+
+    from chillastic_spark.operators.dedup import embedding_dup_incremental
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(3)
+    rows = []
+    vecs = {}
+    # 20 existing + 10 incoming in one label, 8-dim
+    for i in range(20):
+        vecs[i] = rng.randn(8)
+        rows.append((i, "a", [float(x) for x in vecs[i]], False))
+    for i in range(100, 110):
+        # each incoming vector is a near-copy of existing i-100
+        vecs[i] = vecs[i - 100] + 1e-3
+        rows.append((i, "a", [float(x) for x in vecs[i]], True))
+    # incoming-only width (3-dim) and existing-only label
+    rows.append((200, "a", [1.0, 0.0, 0.0], True))
+    rows.append((201, "b", [1.0] * 8, False))
+    # dirty
+    rows.append((900, "a", None, True))
+    rows.append((901, "a", [1.0, None, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], False))
+    rows.append((None, "a", [float(x) for x in vecs[0]], True))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>, inc boolean"
+    )
+    got = embedding_dup_incremental(
+        df, F.col("inc"), threshold=0.99, block_size=4
+    ).collect()
+    pairs = {(r.vec_id, r.match_id): r.cos for r in got}
+    assert len(pairs) == len(got), "a pair was emitted more than once"
+    inc_ids = {i for i in range(100, 110)} | {200, 900}
+    for (vi, me), cos in pairs.items():
+        assert vi in inc_ids and me not in inc_ids, (vi, me)
+        assert vi not in (900, None) and me not in (901, 201)
+        a, b = vecs[vi], vecs[me]
+        want = float(np.floor(
+            a @ b / (np.linalg.norm(a) * np.linalg.norm(b)) * 10000 + 0.5
+        ) / 10000)
+        assert cos == want and cos >= 0.99
+    # every planted near-copy found its source
+    for i in range(100, 110):
+        assert (i, i - 100) in pairs
