@@ -45,6 +45,10 @@ SCOPE = [
     # unblocked dedup (recall twin)
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "embedding_dup_pairs_unblocked",
+    # late-r8 additions (both sf1-gated individually this round:
+    # ivf-pq twin recall 0.74, incremental hash-PASS 14,691 rows/3.9s)
+    "ann_ivf_pq_topk", "embedding_dup_incremental",
+    "dedup_jaccard_capped",
 ]
 
 
