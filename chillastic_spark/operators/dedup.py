@@ -19,6 +19,9 @@ Design notes for 100 TB scale
 """
 from __future__ import annotations
 
+import os
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -250,6 +253,68 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     )
 
 
+class HotGramSkewWarning(UserWarning):
+    """The uncapped gram universe contains a hot gram — the documented
+    quadratic-blowup hazard of the plain pair generators."""
+
+
+# Preflight trigger: warn when the hottest gram sits in more than this
+# fraction of documents. BENCH_skew_r08 measured the failure mode the
+# guard exists for: one gram in ~30% of docs made uncapped Jaccard
+# 10.56× slower at sf1-skew (candidate growth is Σ|posting|², so it
+# only gets worse with corpus size), while cap_hot_grams held 0.96×.
+# 0.2 clears every benign corpus tested (sf* documents max ≈ a few %)
+# while firing well before the measured blowup regime.
+_HOT_GRAM_WARN_FRAC = 0.2
+
+
+def _hot_gram_preflight(
+    g: DataFrame, strict: bool, warn_frac: "float | None" = None
+) -> None:
+    """Cheap document-frequency preflight over the (pinned) gram index
+    (r8 verdict #2): two small aggregations — max per-gram doc
+    frequency and the distinct doc count — then warn (or raise, with
+    ``strict=True``) when the hottest gram exceeds ``warn_frac`` of
+    docs, pointing at the defenses. Runs only on the UNCAPPED path:
+    ``max_doc_frac`` callers already bought the defense, and the
+    semantics of the guarded query are untouched (a warning, never a
+    data change — oracle hashes identical by construction).
+
+    Disable with CHILLASTIC_HOT_GRAM_PREFLIGHT=0; tune the trigger
+    with CHILLASTIC_HOT_GRAM_WARN_FRAC."""
+    if os.environ.get("CHILLASTIC_HOT_GRAM_PREFLIGHT", "1") == "0":
+        return
+    if warn_frac is None:
+        warn_frac = float(
+            os.environ.get("CHILLASTIC_HOT_GRAM_WARN_FRAC", _HOT_GRAM_WARN_FRAC)
+        )
+    stats = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .agg(F.max("__df").alias("max_df"))
+        .collect()[0]
+    )
+    if stats["max_df"] is None:
+        return  # empty corpus — nothing to guard
+    n_docs = g.agg(F.countDistinct("doc_id").alias("nd")).collect()[0]["nd"]
+    frac = stats["max_df"] / max(n_docs, 1)
+    if frac <= warn_frac:
+        return
+    msg = (
+        f"hot-gram skew: the hottest gram appears in {stats['max_df']} of "
+        f"{n_docs} documents ({frac:.0%} > {warn_frac:.0%}). The uncapped "
+        f"pair join's candidate volume grows as the SQUARE of that posting "
+        f"list (measured 10.6x wall at sf1-skew; worse with corpus size). "
+        f"Pass max_doc_frac=... (cap_hot_grams — the document-frequency "
+        f"gate, oracle-verified as dedup_jaccard_capped) or use the "
+        f"prefix-filtered variants (ngram_jaccard_pairs_prefix / "
+        f"ngram_containment_pairs_prefix)."
+    )
+    if strict:
+        raise ValueError(msg)
+    warnings.warn(msg, HotGramSkewWarning, stacklevel=3)
+
+
 def cap_hot_grams(
     g: DataFrame, df: DataFrame, max_doc_frac: float
 ) -> DataFrame:
@@ -285,6 +350,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.05,
     partition_cols: list[str] | None = None,
     max_doc_frac: float | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs by word-n-gram Jaccard similarity.
 
@@ -299,7 +365,9 @@ def ngram_jaccard_pairs(
     uncapped semantics) excludes boilerplate grams shared by more than
     that fraction of docs from the shingle universe before the join —
     see :func:`cap_hot_grams`; sizes and scores are computed over the
-    capped universe so the measure stays a true Jaccard.
+    capped universe so the measure stays a true Jaccard. The uncapped
+    path runs the :func:`_hot_gram_preflight` skew guard (warn, or
+    raise with ``strict=True``) — semantics untouched.
     """
     keys = list(partition_cols or [])
     g = shingles(df, id_col, text_col, n, extra_cols=keys).withColumn(
@@ -313,6 +381,8 @@ def ngram_jaccard_pairs(
         lambda c, a, b: c / (a + b - c),
         threshold,
         keys=keys,
+        preflight=max_doc_frac is None,
+        strict=strict,
     )
 
 
@@ -322,6 +392,8 @@ def _pair_scores(
     score_of,
     threshold: float,
     keys: "list[str] | None" = None,
+    preflight: bool = False,
+    strict: bool = False,
 ) -> DataFrame:
     """THE inverted-index pair scorer shared by the Jaccard and
     containment operators: one materialized gram table feeding both
@@ -335,6 +407,8 @@ def _pair_scores(
     # materialise it once instead of re-tokenising per consumer — at
     # cluster scale this is a persist/checkpoint of the inverted index
     g = materialize(g)
+    if preflight:
+        _hot_gram_preflight(g, strict)
     sizes = g.groupBy("doc_id", *keys).agg(F.count("*").alias("sz"))
     a, b = g.alias("a"), g.alias("b")
     cond = (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -370,6 +444,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.9,
     max_doc_frac: float | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by n-gram CONTAINMENT:
     |A ∩ B| / min(|A|, |B|).
@@ -387,7 +462,12 @@ def ngram_containment_pairs(
     if max_doc_frac is not None:
         g = cap_hot_grams(g, df, max_doc_frac)
     return _pair_scores(
-        g, "containment", lambda c, a, b: c / F.least(a, b), threshold
+        g,
+        "containment",
+        lambda c, a, b: c / F.least(a, b),
+        threshold,
+        preflight=max_doc_frac is None,
+        strict=strict,
     )
 
 
@@ -1143,7 +1223,10 @@ def embedding_dup_pairs_unblocked(
     Scale shape: per-row fan-out is tables·probes bucket rows then nb
     block copies — O(n) total, never corpus²; bucket occupancy
     ~n/2^planes per table keeps every grid task bounded, and the
-    multiply-found pairs collapse in ONE dropDuplicates shuffle.
+    multiply-found pairs collapse in ONE groupBy(max(cos)) shuffle —
+    max, not dropDuplicates, because each bucket recomputes the cosine
+    in a different matmul shape and may round a bin-edge pair
+    differently in the last ulp (r8 ADVICE).
     """
     from chillastic_spark.operators.similarity import (
         block_pair_replicate,
@@ -1197,9 +1280,15 @@ def embedding_dup_pairs_unblocked(
         _block_cos_scorer(float(threshold)),
         f"id_a {id_type}, id_b {id_type}, cos double",
     )
-    # a pair found in several tables/buckets is the SAME exact row
-    # (identical vectors, identical rounding) — exactly-once emission
-    return scored.dropDuplicates(["id_a", "id_b"])
+    # a pair found in several tables/buckets recomputes the SAME
+    # cosine, but in a different BLAS matmul shape per bucket — the
+    # accumulation order can differ in the last ulp and round
+    # differently at a bin edge, so dropDuplicates would keep a
+    # partition-nondeterministic survivor. max(cos) is deterministic
+    # over the (deterministic) set of bucket emissions; whether a
+    # borderline pair is emitted at all keeps the empirical-ulp caveat
+    # documented for the oracle comparison.
+    return scored.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
 
 
 def embedding_dup_incremental(

@@ -8,30 +8,59 @@ equi-join. Hyperplane components derive from the oracle-reproducible
 """
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from chillastic_spark import functions as CF
 
+_LOG = logging.getLogger("chillastic_spark.similarity")
+
+# stage name -> the Spark accumulator counting rows the LAST plan built
+# by that stage will silently drop (NULL / off-width / NaN vectors).
+# Populated when ivf_assign_cells / pq_encode build a plan; the value
+# is meaningful after an action runs. Exists so a mixed-width corpus
+# losing a large fraction of the ANN index is VISIBLE (r8 ADVICE)
+# rather than only discoverable through recall twins.
+DROP_COUNTERS: dict = {}
+
+
+def _track_drops(df: DataFrame, stage: str):
+    acc = df.sparkSession.sparkContext.accumulator(0)
+    DROP_COUNTERS[stage] = acc
+    return acc
+
 
 def clean_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Rows with a USABLE vector: non-NULL and containing no NULL
+    """Rows with a USABLE vector: non-NULL, no NULL element, no NaN
     element. THE dirty-vector gate every similarity operator applies up
     front (and every DuckDB oracle mirrors): a NULL element
     NULL-poisons each JVM cosine silently, while DuckDB's
     list_dot_product hard-ERRORS on it — without one shared exclusion
     the engine and its oracles cannot even agree on whether the query
-    runs."""
+    runs. Data NaN is the same class of poison with the OPPOSITE
+    failure mode: both Spark's sort and DuckDB's comparison order NaN
+    GREATEST, so a NaN cosine ranks FIRST in any desc top-k — and the
+    Arrow fast paths (brute_force_topk_fast, ivf_assign_cells) already
+    drop NaN rows batch-side, so keeping them here split the "exact"
+    twins. One convention everywhere: a non-finite vector cannot be
+    anyone's neighbor."""
     return df.filter(
         F.col(vec_col).isNotNull()
         & ~F.exists(F.col(vec_col), lambda v: v.isNull())
+        & ~F.exists(F.col(vec_col), lambda v: F.isnan(v))
     )
 
 
 # the DuckDB spelling of clean_vectors' predicate, interpolated into
-# the oracle WITH-clauses (queries/vectors.py, queries/search.py)
+# the oracle WITH-clauses (queries/vectors.py, queries/search.py).
+# NaN clause mirrors the engine gate: isnan(NULL) is NULL in DuckDB,
+# but the NULL-element clause already excludes those rows, so the
+# conjunction is well-defined on every input.
 CLEAN_VECTORS_SQL = (
     "{col} IS NOT NULL AND len(list_filter({col}, x -> x IS NULL)) = 0"
+    " AND len(list_filter({col}, x -> isnan(x))) = 0"
 )
 
 
@@ -126,7 +155,7 @@ def _unit_rows(M):
     return M / np.where(n == 0, 1.0, n)
 
 
-def _majority_dim(vecs) -> int:
+def _majority_dim(vecs, stage: str = "quantizer") -> int:
     """The width a driver-side training sample agrees on: the most
     common vector length, ties to the SMALLER width (deterministic).
     Mixed-width corpora exist in real pipelines (two embedding models
@@ -134,15 +163,32 @@ def _majority_dim(vecs) -> int:
     kills the whole job, so every quantizer trains on the majority
     width and off-width rows drop at assignment/scoring — the same
     cross-dimension-pairs-drop convention the zip_with cosine fold
-    established."""
+    established. A mixed sample is LOGGED with the width histogram
+    (r8 ADVICE): a near-50/50 two-model corpus silently losing half
+    its rows from the serving path must be visible, not only
+    discoverable through recall twins."""
     from collections import Counter
 
     counts = Counter(len(v) for v in vecs)
     if not counts:
         raise ValueError("no vectors to measure a width from")
-    return min(
+    dim = min(
         (d for d, c in counts.items() if c == max(counts.values())),
     )
+    if len(counts) > 1:
+        total = sum(counts.values())
+        _LOG.warning(
+            "%s: mixed-width training sample — training on width %d "
+            "(%d/%d rows, %.0f%%); off-width rows drop from the index "
+            "at assignment. widths=%s",
+            stage,
+            dim,
+            counts[dim],
+            total,
+            100.0 * counts[dim] / total,
+            dict(sorted(counts.items())),
+        )
+    return dim
 
 
 def block_pair_replicate(
@@ -612,7 +658,7 @@ def ivf_coarse_centroids(
     # quantizer trains on the sample's MAJORITY width — off-width
     # vectors drop here and at assignment (the cross-dimension-pairs-
     # drop convention; ties break to the smaller width)
-    dim = _majority_dim(r["_v"] for r in rows)
+    dim = _majority_dim((r["_v"] for r in rows), stage="ivf_coarse_centroids")
     X = np.array([r["_v"] for r in rows if len(r["_v"]) == dim], dtype=np.float64)
     X = _unit_rows(X)
     C = X[: min(n_cells, len(X))].copy()
@@ -644,6 +690,7 @@ def ivf_assign_cells(
 
     Cn = np.asarray(centroids_arr, dtype=np.float64)
     schema = df.withColumn(out_col, F.lit(0)).schema
+    dropped = _track_drops(df, "ivf_assign_cells")
 
     def assign(batches):
         import numpy as np_
@@ -661,7 +708,10 @@ def ivf_assign_cells(
             # argmax lands on a real cell, and the poisoned vector
             # serves as a normal-looking neighbor — dropped here, the
             # choke point every caller shares (data NaNs drop with
-            # them: a non-finite vector cannot be anyone's neighbor)
+            # them: a non-finite vector cannot be anyone's neighbor).
+            # Drops COUNT into DROP_COUNTERS["ivf_assign_cells"] so a
+            # mixed-width corpus losing half its index is visible.
+            n_in = len(pdf)
             pdf = pdf[pdf["_dvec"].notna()]
             pdf = pdf[pdf["_dvec"].map(
                 lambda a: len(a) == Cn.shape[1]
@@ -669,6 +719,8 @@ def ivf_assign_cells(
                     np_.asarray(a, dtype=np_.float64)
                 ).any()
             )]
+            if n_in - len(pdf):
+                dropped.add(n_in - len(pdf))
             if pdf.empty:
                 continue
             V = np_.array(list(pdf["_dvec"]), dtype=np_.float64)
@@ -816,7 +868,7 @@ def pq_train_codebooks(
         raise ValueError("pq_train_codebooks: no vectors to train on")
     # majority-width training, exactly as ivf_coarse_centroids: a
     # mixed-width sample must not ValueError the whole job
-    dim = _majority_dim(r["_v"] for r in rows)
+    dim = _majority_dim((r["_v"] for r in rows), stage="pq_train_codebooks")
     X = np.array([r["_v"] for r in rows if len(r["_v"]) == dim], dtype=np.float64)
     X = _unit_rows(X)
     if dim % m:
@@ -860,6 +912,8 @@ def pq_encode(
         + [f"{out_col} array<int>"]
     )
 
+    dropped = _track_drops(df, "pq_encode")
+
     def enc(batches):
         import numpy as np_
 
@@ -871,7 +925,9 @@ def pq_encode(
             # Off-width vectors (vs the trained codebooks) likewise.
             # NULL elements arrive from Arrow as NaN (not None) and
             # would encode into a normal-looking code from garbage nan
-            # subdistances — dropped at this shared choke point
+            # subdistances — dropped at this shared choke point.
+            # Drops COUNT into DROP_COUNTERS["pq_encode"] (r8 ADVICE).
+            n_in = len(pdf)
             pdf = pdf[pdf["_dvec"].notna()]
             pdf = pdf[pdf["_dvec"].map(
                 lambda a: len(a) == m * dsub
@@ -879,6 +935,8 @@ def pq_encode(
                     np_.asarray(a, dtype=np_.float64)
                 ).any()
             )]
+            if n_in - len(pdf):
+                dropped.add(n_in - len(pdf))
             if pdf.empty:
                 continue
             V = np_.array(list(pdf["_dvec"]), dtype=np_.float64)

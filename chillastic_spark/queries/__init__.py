@@ -38,32 +38,31 @@ PANEL_FIRST = [
     # order), so evidence freshness compounds instead of decaying.
     # Computed mechanically from CORRECTNESS_r01..r{N-1}.
     #
-    # r8 panel (computed from CORRECTNESS_r01..r07): the 50 stalest —
-    # 1 never-sampled (new this round), 6 last driver-sampled in r4,
-    # 43 last sampled in r5.
+    # r9 panel (computed from CORRECTNESS_r01..r08): the 50 stalest —
+    # 3 never-sampled (registered r8; r8 verdict next-round #1 puts
+    # them first), 7 last driver-sampled in r5, 40 last sampled in r6.
     # never driver-sampled (registered r8)
-    "embedding_dup_pairs_unblocked",
-    # last driver evidence: r4
-    "knn_pagerank", "rollup_incremental_refresh", "source_unigram_kl",
-    "significant_terms", "fuzzy_search", "search_facets",
+    "dedup_jaccard_capped", "embedding_dup_incremental",
+    "ann_ivf_pq_topk",
     # last driver evidence: r5
-    "q5_local_supplier_volume", "count_per_slice", "snapshot_reconcile",
-    "dedup_jaccard_prefix", "multimodal_meta", "image_phash_pairs",
-    "embedding_outliers", "semantic_decontaminate_flags",
-    "ann_ivf_topk", "ann_pq_topk", "events_pivot", "skew_top_keys",
-    "geomean_value_by_type", "value_outliers", "source_similarity",
-    "rolling_event_stats", "median_value_by_type",
-    "sketch_distinct_users", "sketch_value_quantiles",
-    "events_daily_rollup", "user_retention_cohorts",
-    "audio_features_meta", "source_quality_report", "sample_stratified",
-    "purchase_prior_window", "token_histogram", "balance_deciles",
-    "balance_deciles_approx", "event_transitions",
-    "referential_integrity", "dedup_containment_prefix",
-    "basket_part_pairs", "dataset_split_manifest",
-    "events_unpivot_roundtrip", "quality_percentile_gate", "events_ohlc",
-    "heavy_hitter_terms", "value_winsorized_stats", "top_event_paths",
-    "bpe_merge_candidates", "bpe_trained_merges", "source_unigram_psi",
-    "knn_communities",
+    "source_diversity", "top_collocations", "source_oov_rate",
+    "bool_search", "wildcard_search", "search_snippets",
+    "terms_set_query",
+    # last driver evidence: r6
+    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
+    "top_customers", "nation_order_stats", "q4_late_orders",
+    "above_avg_balance", "q10_returned_items", "q14_promo_share",
+    "q18_large_orders", "rollup_nation_status", "distinct_counts",
+    "top_terms", "event_funnel", "q2_min_cost_parts",
+    "q9_product_profit", "q11_important_parts",
+    "q21_sole_returned_supplier", "scan_projection",
+    "asof_view_before_purchase", "scalar_functions", "size_histogram",
+    "backlog_totals", "resume_anti_join", "latest_event_per_user",
+    "mutate_pipeline", "sessionize", "events_json_extract",
+    "text_features", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
+    "chunk_windows", "similarity_topk", "embedding_centroids",
+    "embedding_dup_pairs", "tfidf_top_terms", "q19_discounted_revenue",
 ]
 
 

@@ -247,7 +247,8 @@ cos_scored AS (
     {CF.round_det_sql(CF.cosine_sql("list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[]", "qvec"), 6)} AS cos
   FROM embeddings CROSS JOIN q
   WHERE vec_id != 0 AND embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+             AND len(list_filter(embedding, x -> isnan(x))) = 0),
 vec AS (
   SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rv
   FROM cos_scored QUALIFY rv <= {RRF_DEPTH})

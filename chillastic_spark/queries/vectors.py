@@ -31,7 +31,8 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMILARITY_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v FROM embeddings
            WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0
+             AND len(list_filter(embedding, x -> isnan(x))) = 0),
 scored AS (
   SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
          floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0 AS cos
@@ -87,7 +88,8 @@ WITH e AS (SELECT vec_id, label, list_filter(embedding, x -> x IS NOT NULL)::DOU
                   {_H60.format(expr="vec_id::VARCHAR || '#vinc'")} % 100 < 5 AS inc
            FROM embeddings
            WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0
+             AND len(list_filter(embedding, x -> isnan(x))) = 0)
 SELECT a.vec_id AS vec_id, b.vec_id AS match_id,
        floor(({_COS}) * 10000.0 + 0.5) / 10000.0 AS cos
 FROM e a JOIN e b
@@ -118,7 +120,8 @@ def embedding_dup_pairs_unblocked(spark: SparkSession, sf_dir: str) -> DataFrame
 EMBEDDING_DUP_SQL = f"""
 WITH e AS (SELECT vec_id, label, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v FROM embeddings
            WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0
+             AND len(list_filter(embedding, x -> isnan(x))) = 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, floor(({_COS}) * 10000.0 + 0.5) / 10000.0 AS cos
 FROM e a JOIN e b ON a.label IS NOT DISTINCT FROM b.label AND a.vec_id < b.vec_id
 WHERE floor(({_COS}) * 10000.0 + 0.5) / 10000.0 >= 0.3
@@ -150,7 +153,8 @@ def _ann_lsh_sql() -> str:
     return f"""
 WITH e AS (SELECT vec_id, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v FROM embeddings
            WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0
+             AND len(list_filter(embedding, x -> isnan(x))) = 0),
 b AS (SELECT vec_id, v, {bucket} AS bkt FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE vec_id < 5),
 scored AS (
@@ -243,7 +247,8 @@ def _knn_graph_sql() -> str:
     return f"""
 WITH e AS (SELECT vec_id, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v FROM embeddings
            WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0
+             AND len(list_filter(embedding, x -> isnan(x))) = 0),
 b AS (SELECT vec_id, v, {bucket} AS bkt FROM e),
 scored AS (
   SELECT a.vec_id AS src, b2.vec_id AS dst,
@@ -259,6 +264,44 @@ _SEM_TAU = 0.3  # contamination cosine threshold
 
 
 _SEM_BENCH_CAP = 250_000  # rows; ~128 MB of float64 at 64 dims
+
+# One LIVE benchmark-side broadcast per Spark application, keyed on the
+# bench matrix fingerprint (r8 ADVICE): the bench/A-B harness calls
+# this builder every round, and each call used to leave another
+# up-to-~128 MB broadcast registered on the executors for the life of
+# the app. Same fingerprint → reuse the handle; new fingerprint →
+# unpersist the superseded one (unpersist, not destroy: a still-alive
+# plan holding the old handle re-fetches from the driver on use).
+_SEM_BC_CACHE: dict = {}  # app_id -> (fingerprint, Broadcast)
+
+
+def _bench_broadcast(spark: SparkSession, bench_by_dim: dict):
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.md5()
+    for d in sorted(bench_by_dim):
+        m = bench_by_dim[d]
+        # collect order is plan/partition-dependent: fingerprint (and
+        # nothing else) must not care, so hash the row-sorted matrix
+        mm = m[np.lexsort(m.T[::-1])] if len(m) else m
+        h.update(str(d).encode())
+        h.update(mm.tobytes())
+    fp = h.hexdigest()
+    sc = spark.sparkContext
+    key = sc.applicationId
+    cached = _SEM_BC_CACHE.get(key)
+    if cached is not None and cached[0] == fp:
+        return cached[1]
+    if cached is not None:
+        try:
+            cached[1].unpersist(False)
+        except Exception:  # noqa: BLE001 — a dead context must not kill the build
+            pass
+    bc = sc.broadcast(bench_by_dim)
+    _SEM_BC_CACHE[key] = (fp, bc)
+    return bc
 
 
 def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,8 +367,9 @@ def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d, vs in bench_by_dim.items()
     }
     # executors fetch this once each; the task closure carries only the
-    # broadcast handle, not the matrix
-    bench_bc = spark.sparkContext.broadcast(bench_by_dim)
+    # broadcast handle, not the matrix — and repeated builds reuse one
+    # cached broadcast per app (see _bench_broadcast)
+    bench_bc = _bench_broadcast(spark, bench_by_dim)
     tau = _SEM_TAU
     id_t = e.schema["vec_id"].dataType.simpleString()
 
@@ -371,6 +415,7 @@ WITH e AS (
   FROM embeddings
   WHERE embedding IS NOT NULL
     AND len(list_filter(embedding, x -> x IS NULL)) = 0
+             AND len(list_filter(embedding, x -> isnan(x))) = 0
 ), scored AS (
   SELECT a.vec_id,
          floor(({_COS})
@@ -410,6 +455,7 @@ WITH e AS (
   SELECT vec_id, label, list_filter(embedding, x -> x IS NOT NULL)::DOUBLE[] AS v FROM embeddings
   WHERE embedding IS NOT NULL
     AND len(list_filter(embedding, x -> x IS NULL)) = 0
+             AND len(list_filter(embedding, x -> isnan(x))) = 0
 ),
 long AS (
   SELECT label,

@@ -103,3 +103,81 @@ def test_cap_gate_is_document_frequency(skew_docs):
         g.filter(F.col("gram") == tpl_gram).select("gh").distinct(), "gh", "semi"
     )
     assert tpl.count() == 12
+
+
+# ---------------------------------------------- r9: preflight skew guard
+
+
+def test_preflight_warns_on_hot_gram_corpus(skew_docs):
+    """r8 verdict #2: the UNCAPPED default pointed at a skewed corpus
+    must say so — the hot phrase sits in ~32% of docs, over the 20%
+    trigger."""
+    import pytest as _pt
+
+    from chillastic_spark.operators.dedup import (
+        HotGramSkewWarning,
+        ngram_jaccard_pairs,
+    )
+
+    with _pt.warns(HotGramSkewWarning, match="cap_hot_grams"):
+        ngram_jaccard_pairs(skew_docs, n=3, threshold=0.2)
+
+
+def test_preflight_strict_raises(skew_docs):
+    import pytest as _pt
+
+    from chillastic_spark.operators.dedup import ngram_containment_pairs
+
+    with _pt.raises(ValueError, match="hot-gram skew"):
+        ngram_containment_pairs(skew_docs, n=3, threshold=0.5, strict=True)
+
+
+def test_preflight_silent_on_benign_corpus(spark):
+    """No false positive: disjoint token streams plus a small template
+    cluster (16% doc frequency, under the 20% trigger) build quietly."""
+    import warnings as _w
+
+    from chillastic_spark.operators.dedup import (
+        HotGramSkewWarning,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, f"{TEMPLATE} uniq{i}") for i in range(12)] + [
+        (100 + i, " ".join(f"tok{i}x{j}" for j in range(12))) for i in range(60)
+    ]
+    benign = spark.createDataFrame(rows, "doc_id long, text string")
+    with _w.catch_warnings():
+        _w.simplefilter("error", HotGramSkewWarning)
+        ngram_jaccard_pairs(benign, n=3, threshold=0.2).collect()
+
+
+def test_preflight_skipped_when_capped(skew_docs):
+    """The capped path already bought the defense — no preflight, no
+    warning, even on the skewed corpus."""
+    import warnings as _w
+
+    from chillastic_spark.operators.dedup import (
+        HotGramSkewWarning,
+        ngram_jaccard_pairs,
+    )
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", HotGramSkewWarning)
+        ngram_jaccard_pairs(skew_docs, n=3, threshold=0.2, max_doc_frac=0.2).collect()
+
+
+def test_preflight_silent_on_testdata_documents(spark):
+    """The headline corpus itself (driver testdata) must never trip the
+    guard — oracle panel runs stay warning-free."""
+    import warnings as _w
+
+    from chillastic_spark.operators.dedup import (
+        HotGramSkewWarning,
+        ngram_jaccard_pairs,
+    )
+    from chillastic_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    with _w.catch_warnings():
+        _w.simplefilter("error", HotGramSkewWarning)
+        ngram_jaccard_pairs(docs, n=5, threshold=0.3)
