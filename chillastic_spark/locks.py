@@ -118,3 +118,19 @@ class FileLock:
 
     def __exit__(self, *exc) -> None:
         self.release()
+
+
+def test_pause(point: str, marker_dir: str) -> None:
+    """Crash-injection hook for the multiprocess torture tests
+    (tests/test_index_writer_race.py): when CHILLASTIC_TEST_PAUSE
+    names this ``point``, drop a marker file and sleep so the test can
+    SIGKILL the process INSIDE the named crash window (e.g. between
+    the two renames of an index swap) while the writer flock is held.
+    Inert in production — the env var is never set there, and the
+    fast path is one dict lookup."""
+    import time
+
+    if os.environ.get("CHILLASTIC_TEST_PAUSE") != point:
+        return
+    open(os.path.join(marker_dir, f".paused-{point}"), "w").close()
+    time.sleep(600)

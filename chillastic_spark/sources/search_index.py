@@ -280,6 +280,13 @@ def _swap_in(index_dir: str, post_tmp: str, ts_tmp: str, stats: dict) -> None:
         json.dump({"post_tmp": post_tmp, "ts_tmp": ts_tmp, "stats": stats}, f)
     os.replace(jtmp, jpath)
     for live_name, tmp in (("postings", post_tmp), ("term_stats", ts_tmp)):
+        if live_name == "term_stats":
+            # torture-test crash window: postings installed, term_stats
+            # and stats.json not yet — the silently-wrong-BM25 tear the
+            # journal roll-forward exists for
+            from chillastic_spark.locks import test_pause
+
+            test_pause("si_mid_swap", index_dir)
         live = os.path.join(index_dir, live_name)
         if os.path.exists(live):
             bak = live + ".old-" + uuid.uuid4().hex[:8]

@@ -410,6 +410,12 @@ def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
         _write_meta(index_dir, {"tag": tag}, name=COMPACT_JOURNAL)
         old = f"{data}.old-{tag}"
         os.rename(data, old)
+        # torture-test crash window: journal committed, live data dir
+        # renamed away, compacted dir not yet installed — the window
+        # _recover_compact_locked rolls FORWARD from
+        from chillastic_spark.locks import test_pause
+
+        test_pause("vi_mid_swap", index_dir)
         os.rename(new, data)
         shutil.rmtree(old)
         os.remove(journal)

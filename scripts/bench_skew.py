@@ -48,7 +48,10 @@ N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
 def ops():
     """name -> fn(spark, sf_dir) -> DataFrame for every measured op."""
+    from pyspark.sql import functions as F
+
     from chillastic_spark.operators import dedup as D
+    from chillastic_spark.operators.similarity import knn_graph
     from chillastic_spark.queries.engine_parity import sessionize
     from chillastic_spark.tables import load
 
@@ -77,6 +80,19 @@ def ops():
         "embedding_block_grid": lambda s, sf: D.embedding_dup_pairs(
             embs(s, sf), threshold=0.3
         ),
+        # r9 (r8 verdict #5): the two vector paths with hot-key
+        # exposure the r8 table missed. embedding_dup_incremental: the
+        # 50%-hot label's POOL blocks all meet every incoming block of
+        # that label (bipartite grid occupancy). knn_graph: the
+        # direction-concentrated 30% slice piles into ONE hyperplane
+        # bucket (make_skew r9), the hot bucket the block grid must
+        # bound.
+        "embedding_incremental": lambda s, sf: D.embedding_dup_incremental(
+            embs(s, sf),
+            incoming=(F.pmod(F.col("vec_id"), F.lit(20)) == 0),
+            threshold=0.5,
+        ),
+        "knn_graph": lambda s, sf: knn_graph(embs(s, sf), k=5, planes=5),
         "sessionize": sessionize,
     }
 
@@ -157,7 +173,14 @@ def main() -> int:
             "hot_gram_doc_frac": 0.30,
             "cluster_doc_frac": 0.10,
             "hot_label_frac": 0.50,
+            "hot_bucket_vec_frac": 0.30,
             "hot_user_event_frac": 0.30,
+            "r9_note": (
+                "the skew corpus now also direction-concentrates 30% "
+                "of vectors into one LSH bucket (make_skew r9) — "
+                "embedding op ratios are therefore NOT comparable to "
+                "BENCH_skew_r08's, which measured label skew only"
+            ),
             "note": (
                 "skew output growth is real work: the 10% template "
                 "cluster holds ~12.5M TRUE near-dup pairs, so compare "

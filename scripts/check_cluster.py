@@ -249,6 +249,124 @@ def mutate(doc, args):
     except ImportError as e:  # flask genuinely absent
         result["engine"]["es2es_task"] = {"skipped": f"ImportError: {e}"}
 
+    # ---- r9 (r8 verdict #3): the stateful/index surface across real
+    # executor JVMs — the shapes the query panel cannot reach.
+
+    # applyInPandasWithState sessionize: per-key state rides the state
+    # store on EXECUTOR JVMs here (local[32] keeps it in-process)
+    try:
+        import pathlib
+
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        from conftest import stage_events_stream
+        from chillastic_spark.streaming import stateful_sessionize
+
+        with tempfile.TemporaryDirectory(prefix="ckcluster_stream_") as tmp:
+            ev_dir = stage_events_stream(pathlib.Path(tmp))
+            q = stateful_sessionize(
+                spark,
+                ev_dir,
+                os.path.join(tmp, "ck"),
+                query_name="ckc_sess",
+            )
+            q.awaitTermination(600)
+            pdf = spark.sql(
+                "SELECT user_id, max(n_sessions) AS n_sessions, "
+                "max(n_events) AS n_events FROM ckc_sess GROUP BY user_id"
+            ).toPandas()
+            result["engine"]["stream_sessionize"] = {
+                "rows": len(pdf),
+                "hash": value_hash(pdf),
+            }
+    except Exception as e:  # noqa: BLE001 — recorded, compared, flagged
+        result["engine"]["stream_sessionize"] = {
+            "error": f"{type(e).__name__}: {e}"
+        }
+    print(
+        f"# [{master}] stream_sessionize:"
+        f" {result['engine']['stream_sessionize']}",
+        file=sys.stderr,
+    )
+
+    # vector index lifecycle: build → incremental add → serve →
+    # compact → serve; hashes must agree across masters AND across the
+    # compaction (rows never change buckets)
+    try:
+        from pyspark.sql import functions as F
+
+        from chillastic_spark.sources.vector_index import (
+            ann_query_index,
+            build_vector_index,
+            compact_vector_index,
+            update_vector_index,
+        )
+        from chillastic_spark.tables import load
+
+        with tempfile.TemporaryDirectory(prefix="ckcluster_vi_") as tmp:
+            e = load(spark, sf_dir, "embeddings")
+            idx = os.path.join(tmp, "vi")
+            build_vector_index(e.filter(F.col("vec_id") >= 10), idx, planes=5)
+            meta = update_vector_index(e.filter(F.col("vec_id") < 10), idx)
+            q = e.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            served = ann_query_index(spark, idx, q, k=10, probes=3).toPandas()
+            compact_vector_index(spark, idx)
+            after = ann_query_index(spark, idx, q, k=10, probes=3).toPandas()
+            result["engine"]["vector_index_lifecycle"] = {
+                "rows": len(served),
+                "n_vectors": meta["n_vectors"],
+                "hash": value_hash(served),
+                "hash_after_compact": value_hash(after),
+            }
+    except Exception as e:  # noqa: BLE001
+        result["engine"]["vector_index_lifecycle"] = {
+            "error": f"{type(e).__name__}: {e}"
+        }
+    print(
+        f"# [{master}] vector_index_lifecycle:"
+        f" {result['engine']['vector_index_lifecycle']}",
+        file=sys.stderr,
+    )
+
+    # inverted index lifecycle: build on half the corpus → incremental
+    # update with the other half → BM25 serve
+    try:
+        from pyspark.sql import functions as F
+
+        from chillastic_spark.queries.search import TERMS
+        from chillastic_spark.sources.search_index import (
+            bm25_search_index,
+            build_inverted_index,
+            update_inverted_index,
+        )
+        from chillastic_spark.tables import load
+
+        with tempfile.TemporaryDirectory(prefix="ckcluster_si_") as tmp:
+            d = load(spark, sf_dir, "documents")
+            idx = os.path.join(tmp, "si")
+            build_inverted_index(
+                spark, d.filter(F.col("doc_id") % 2 == 0), idx
+            )
+            stats = update_inverted_index(
+                spark, d.filter(F.col("doc_id") % 2 == 1), idx
+            )
+            pdf = bm25_search_index(spark, idx, TERMS, k=20).toPandas()
+            result["engine"]["search_index_lifecycle"] = {
+                "rows": len(pdf),
+                "n_docs": stats["n_docs"],
+                "hash": value_hash(pdf),
+            }
+    except Exception as e:  # noqa: BLE001
+        result["engine"]["search_index_lifecycle"] = {
+            "error": f"{type(e).__name__}: {e}"
+        }
+    print(
+        f"# [{master}] search_index_lifecycle:"
+        f" {result['engine']['search_index_lifecycle']}",
+        file=sys.stderr,
+    )
+
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     spark.stop()
@@ -263,7 +381,14 @@ def run_parent(sf_dir: str, only: "list[str]") -> int:
 
     registry = all_queries()
     headliners = [n for n, q in registry.items() if q.headline]
-    names = only or pick_queries(list(entrymod.queries()), headliners)
+    # r9: force the bipartite incremental dedup (r8 verdict #3) into
+    # every full run — its batch-vs-pool block grid is exactly the
+    # closure/broadcast shape multi-JVM execution stresses
+    forced = ["embedding_dup_incremental"]
+    names = only or pick_queries(
+        list(entrymod.queries()),
+        headliners + [n for n in forced if n not in headliners],
+    )
     print(f"comparing {len(names)} queries under {LOCAL_MASTER} vs {CLUSTER_MASTER}")
 
     outs = {}
@@ -348,6 +473,33 @@ def run_parent(sf_dir: str, only: "list[str]") -> int:
         if not ok:
             report["mismatches"].append(f"engine.{task}")
         print(f"{'PASS' if ok else 'FAIL'}  engine.{task}")
+
+    # r9: stateful streaming + materialized index lifecycles — compare
+    # every value-bearing key (hashes, rows, counters); timing excluded
+    for sect in (
+        "stream_sessionize",
+        "vector_index_lifecycle",
+        "search_index_lifecycle",
+    ):
+        a = local["engine"].get(sect, {})
+        b = cluster["engine"].get(sect, {})
+        keys = ("rows", "hash", "hash_after_compact", "n_vectors", "n_docs")
+        ok = (
+            "error" not in a
+            and "error" not in b
+            and bool(a)
+            and all(a.get(k) == b.get(k) for k in keys)
+        )
+        # within-master invariant: compaction must not change serving
+        if sect == "vector_index_lifecycle" and ok:
+            ok = (
+                a.get("hash") == a.get("hash_after_compact")
+                and b.get("hash") == b.get("hash_after_compact")
+            )
+        report["engine"][sect] = {"match": ok, "local": a, "cluster": b}
+        if not ok:
+            report["mismatches"].append(f"engine.{sect}")
+        print(f"{'PASS' if ok else 'FAIL'}  engine.{sect}")
 
     out_path = os.environ.get("SPARK_GRAFT_CLUSTER_OUT")
     if not out_path:

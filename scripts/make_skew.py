@@ -19,7 +19,13 @@ measured rather than argued:
   output-size stressor.
 * embeddings: 50% of vectors get label 'hotskew' — the block-pair
   grid's largest possible group (10k vectors → 5 blocks → 15 grid
-  tasks at block_size 2048).
+  tasks at block_size 2048). r9 adds a DISJOINT 30% slice whose
+  vectors are direction-concentrated (one shared base direction plus
+  tiny deterministic per-vector noise): every hyperplane projects
+  them to the same side, so they pile into ONE LSH bucket — the hot
+  bucket knn_graph / the unblocked dedup's bucket grid must bound
+  (r8 verdict #5). Labels of that slice are untouched, so the
+  hot-LABEL group measured since r8 is unchanged.
 * events: 30% of events are reassigned to user_id 1 — one bot user,
   the single-partition window stressor for sessionize.
 * every other table copies through unchanged.
@@ -53,6 +59,9 @@ HOT_FRAC = 0.30      # docs carrying the hot phrase
 CLUSTER_FRAC = 0.10  # docs collapsed onto the template (disjoint gate)
 HOT_LABEL_FRAC = 0.50
 HOT_USER_FRAC = 0.30
+# r9: vec_id % 100 in [50, 80) — disjoint from the hot-label gate
+# (< 50) — gets one shared direction + tiny per-(id, position) noise
+HOT_BUCKET_FRAC = 0.30
 
 
 def _write_single(df, table: str) -> None:
@@ -123,8 +132,35 @@ def main() -> None:
             F.lit(999_999).cast(e.schema["label"].dataType),
         ).otherwise(F.col("label")),
     )
+    # r9 hot LSH bucket: ids 50..79 (mod 100) collapse onto one base
+    # direction — every component positive and near 1.0, so every
+    # hyperplane projection lands the same side and the whole slice
+    # shares one bucket at any plane count. Per-(id, position) noise
+    # (deterministic long arithmetic) keeps the vectors distinct.
+    # NB the two-parameter higher-order lambda receives
+    # (element, array_index) — here that index IS what we want.
+    vgate = F.pmod(F.col("vec_id"), F.lit(100))
+    elem_t = e.schema["embedding"].dataType.elementType.simpleString()
+    e = e.withColumn(
+        "embedding",
+        F.when(
+            (vgate >= int(HOT_LABEL_FRAC * 100))
+            & (vgate < int((HOT_LABEL_FRAC + HOT_BUCKET_FRAC) * 100)),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    F.lit(1.0)
+                    + F.pmod(F.col("vec_id") * 31 + i * 17, F.lit(97))
+                    / F.lit(970.0)
+                ).cast(elem_t),
+            ),
+        ).otherwise(F.col("embedding")),
+    )
     _write_single(e, "embeddings")
-    print("embeddings: skewed (50% one label)")
+    print(
+        "embeddings: skewed (50% one label; 30% direction-concentrated"
+        " → one LSH bucket)"
+    )
 
     ev = spark.read.parquet(f"{SRC}/events.parquet")
     ev = ev.withColumn(

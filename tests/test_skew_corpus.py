@@ -181,3 +181,82 @@ def test_preflight_silent_on_testdata_documents(spark):
     with _w.catch_warnings():
         _w.simplefilter("error", HotGramSkewWarning)
         ngram_jaccard_pairs(docs, n=5, threshold=0.3)
+
+
+# --------------------------------- r9: vector paths under hot keys
+
+
+def test_incremental_embedding_dedup_exact_under_hot_pool(spark):
+    """r8 verdict #5 (functional twin of the BENCH_skew op): one group
+    owns 90% of the pool and block_size forces a multi-block bipartite
+    grid — output must still equal the naive incoming×existing join,
+    each pair exactly once."""
+    import numpy as np
+
+    from chillastic_spark.operators.dedup import embedding_dup_incremental
+
+    rows = []
+    for i in range(90):  # hot group
+        rows.append((i, 1, [1.0 + 0.01 * (i % 9), 0.5 * (i % 4), 1.0, 0.25]))
+    for i in range(10):  # small group
+        rows.append((200 + i, 2, [0.1 * (i % 3), 1.0, 0.5, 0.75]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    inc_ids = {r[0] for r in rows if r[0] % 10 == 0}
+    got = {
+        (r.vec_id, r.match_id): r.cos
+        for r in embedding_dup_incremental(
+            df,
+            incoming=(F.pmod(F.col("vec_id"), F.lit(10)) == 0),
+            threshold=0.5,
+            block_size=8,  # hot pool → 11 existing blocks
+        ).collect()
+    }
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    want = {}
+    by_id = {r[0]: r for r in rows}
+    for i in inc_ids:
+        for j, lab, vec in rows:
+            if j in inc_ids or by_id[i][1] != lab:
+                continue
+            c = float(unit(by_id[i][2]) @ unit(vec))
+            c = np.floor(c * 10000.0 + 0.5) / 10000.0
+            if c >= 0.5:
+                want[(i, j)] = c
+    assert got == want and len(want) > 50
+
+
+def test_knn_graph_bounded_and_exact_under_hot_bucket(spark):
+    """The direction-concentrated corpus shape at test scale: most
+    vectors share one LSH bucket (planes=1 → ≤2 buckets). Every node
+    emits at most k edges, and every emitted cosine is exact against a
+    numpy recompute — the hot bucket changes cost, never correctness."""
+    import numpy as np
+
+    from chillastic_spark.operators.similarity import knn_graph
+
+    rows = [
+        (i, [1.0 + ((i * 31) % 97) / 970.0, 1.0, 1.0, 1.0]) for i in range(80)
+    ] + [(500 + i, [-1.0, 0.5 * i, -1.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    edges = knn_graph(df, k=3, planes=1).collect()
+    per_src = {}
+    for r in edges:
+        per_src.setdefault(r.src, []).append(r)
+    assert all(len(v) <= 3 for v in per_src.values())
+    assert len(per_src) >= 80  # the hot-bucket nodes all got neighbors
+    by_id = {r[0]: np.asarray(r[1]) for r in rows}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        c = float(a @ b / (na * nb)) if na and nb else 0.0
+        return np.floor(c * 1e6 + 0.5) / 1e6
+
+    for r in edges:
+        assert r.cos == cos(by_id[r.src], by_id[r.dst]), (r.src, r.dst)
