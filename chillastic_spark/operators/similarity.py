@@ -622,6 +622,35 @@ def knn_graph(
     return _rank_topk(scored, k, part_col="src", id_col="dst")
 
 
+def _auto_cells(
+    n: int, rows_per_cell: int = 512, lo: int = 4, hi: int = 1024
+) -> int:
+    """Corpus-adaptive IVF cell count: the nearest power of two to
+    n/512, clamped to [4, 1024]. The r9 sf1 operating-curve sweep
+    (SWEEP_ann_r09.json) showed why a FIXED cell count cannot serve a
+    serving path: 32 cells give recall 0.88 at 3–9%% scan on a 20k
+    corpus but 0.28 on a 500-row one (15 rows/cell starves the top-k),
+    while 8 cells waste a 37%% scan for 0.72 at 20k. ~512 rows/cell
+    keeps every probed cell populated well past k and the scanned
+    fraction sublinear in the corpus (FAISS practice: cells grow with
+    corpus size; probes stay constant)."""
+    import math
+
+    if n <= 0:
+        return lo
+    return max(lo, min(hi, 1 << round(math.log2(max(n / rows_per_cell, 1)))))
+
+
+def resolve_n_cells(vectors: DataFrame, n_cells, vec_col: str) -> int:
+    """``n_cells='auto'`` → :func:`_auto_cells` over the clean-vector
+    count (one count job — the IVF builders already run driver-side
+    training collects, so this does not change their eagerness class);
+    an int passes through."""
+    if n_cells != "auto":
+        return int(n_cells)
+    return _auto_cells(clean_vectors(vectors, vec_col).count())
+
+
 def ivf_coarse_centroids(
     vectors: DataFrame,
     n_cells: int = 16,
@@ -742,7 +771,7 @@ def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_cells: int = 16,
+    n_cells="auto",
     nprobe: int = 3,
     iters: int = 5,
     sample: int = 4096,
@@ -760,9 +789,15 @@ def ivf_topk(
     JVM-side cosine fold + rounded ranking, so results are reproducible
     run-to-run (approximate vs. brute force by design → rows-only
     oracle; recall pinned by unit tests).
+
+    ``n_cells`` defaults to ``'auto'`` (:func:`_auto_cells`, ~512
+    rows/cell): the r9 sweep showed NO fixed cell count serves both a
+    500-row and a 20k corpus — picked from SWEEP_ann_r09.json, recall
+    ≥0.8 at every tested SF with sublinear scan fraction.
     """
     import numpy as np
 
+    n_cells = resolve_n_cells(vectors, n_cells, vec_col)
     C = ivf_coarse_centroids(
         vectors, n_cells=n_cells, iters=iters, sample=sample, id_col=id_col, vec_col=vec_col
     )
@@ -1080,7 +1115,7 @@ def ivf_pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_cells: int = 16,
+    n_cells="auto",
     nprobe: int = 3,
     m: int = 8,
     n_centroids: int = 256,
@@ -1110,9 +1145,14 @@ def ivf_pq_topk(
     same smallest-xxhash64 sample, majority-width rule, and every
     ranking orders by (rounded score, id). Approximate by design →
     rows-only oracle; recall twin in scripts/twins.py.
+
+    ``n_cells='auto'`` follows :func:`_auto_cells` — same sweep-picked
+    rule as :func:`ivf_topk` (recall here is bounded by the coarse
+    probe; the PQ stage loses nothing further at 8-bit resolution).
     """
     import numpy as np
 
+    n_cells = resolve_n_cells(vectors, n_cells, vec_col)
     C = ivf_coarse_centroids(
         vectors, n_cells=n_cells, iters=iters, sample=sample,
         id_col=id_col, vec_col=vec_col,

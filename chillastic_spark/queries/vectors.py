@@ -171,12 +171,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: spherical-kmeans coarse quantizer, corpus
     partitioned into cells, queries probe their 3 nearest cells. The
     second ANN scale path next to LSH (SURVEY training-data extensions);
-    approximate by design → rows-only check, recall pinned by tests."""
+    approximate by design → rows-only check, recall pinned by tests.
+    r9: cells are now corpus-adaptive (~512 rows/cell) — the sf1 sweep
+    (SWEEP_ann_r09.json) showed the old fixed n_cells=8 served recall
+    0.54–0.72 at a 37% scan while 32 cells on the same corpus serve
+    0.88 at 9%; no FIXED count covers both 500-row and 20k corpora.
+    Twin floor raised 0.5 → 0.8 (scripts/twins.py)."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ivf_topk(e, q, k=10, n_cells=8, nprobe=3)
+    return S.ivf_topk(e, q, k=10, nprobe=3)
 
 
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,15 +191,16 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine re-ranks the 10xk shortlist — the fourth ANN path,
     and the one that serves 1e9+ vectors from executor RAM (scan
     volume AND bytes/vector both sublinear). Recall is bounded by the
-    IVF probe (measured: equal to pure IVF's 0.54 at sf0.01, 0.74 at
-    sf1 — the PQ stage loses nothing beyond cell pruning at this
-    resolution); rows-only check, recall twin in scripts/twins.py."""
+    IVF probe — the PQ stage loses nothing beyond cell pruning at
+    8-bit resolution (SWEEP_ann_r09: 0.85 at refine=10 vs the pick's
+    0.856 pure-IVF bound) — so cells follow the same r9
+    corpus-adaptive rule as ann_ivf_topk; twin floor 0.5 → 0.8."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivf_pq_topk(
-        e, q, k=10, n_cells=8, nprobe=3, m=16, n_centroids=256, refine=10
+        e, q, k=10, nprobe=3, m=16, n_centroids=256, refine=10
     )
 
 

@@ -434,7 +434,7 @@ IVF_DATA = "ivf_data"
 def build_ivf_index(
     df: DataFrame,
     index_dir: str,
-    n_cells: int = 16,
+    n_cells="auto",
     iters: int = 5,
     sample: int = 4096,
     id_col: str = "vec_id",
@@ -445,12 +445,16 @@ def build_ivf_index(
     deterministic hash-ordered sample, operators.similarity), its
     centroid matrix is persisted in the meta file (plain floats — the
     whole 'model'), and the corpus is written partitioned by cell id.
-    A probe reads only its ``nprobe`` nearest cell partitions."""
+    A probe reads only its ``nprobe`` nearest cell partitions.
+    ``n_cells='auto'`` sizes cells to the corpus (~512 rows/cell, the
+    sweep-picked rule — see operators.similarity._auto_cells)."""
     from chillastic_spark.operators.similarity import (
         ivf_assign_cells,
         ivf_coarse_centroids,
+        resolve_n_cells,
     )
 
+    n_cells = resolve_n_cells(df, n_cells, vec_col)
     C = ivf_coarse_centroids(
         df, n_cells=n_cells, iters=iters, sample=sample,
         id_col=id_col, vec_col=vec_col,

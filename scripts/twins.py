@@ -403,11 +403,12 @@ def embedding_dup_pairs_unblocked(sdf, sf_dir, con):
 
 
 def ann_ivf_topk(sdf, sf_dir, con):
-    """Value-exact scores + brute-force recall floor for the IVF path
-    (n_cells=8, nprobe=3 probes ~3/8 of the corpus; same 0.5 floor
-    tests/test_scale_ops.py pins for this config — measured 0.54 at
-    sf0.01)."""
-    return _ann_twin(sdf, con, 0.5, "ivf n_cells=8 nprobe=3")
+    """Value-exact scores + brute-force recall floor for the IVF path.
+    r9: cells are corpus-adaptive (~512 rows/cell, picked from the
+    SWEEP_ann_r09 operating curve) and the floor rises 0.5 → 0.8 —
+    measured 0.96 at sf0.01 (4 cells, nprobe 3) and 0.88 at sf1
+    (32 cells, nprobe 3)."""
+    return _ann_twin(sdf, con, 0.8, "ivf cells=auto(~512/cell) nprobe=3")
 
 
 def ann_pq_topk(sdf, sf_dir, con):
@@ -420,11 +421,14 @@ def ann_pq_topk(sdf, sf_dir, con):
 
 def ann_ivf_pq_topk(sdf, sf_dir, con):
     """Value-exact re-ranked scores + recall floor for the IVF-PQ
-    composite. Recall is bounded by the coarse probe (nprobe 3 of 8
-    cells): measured 0.54 at sf0.01 and 0.74 at sf1 — identical to
-    pure IVF at the same probe, i.e. the 8-bit PQ stage and 10xk
-    shortlist lose nothing further. Same 0.5 floor as ann_ivf_topk."""
-    return _ann_twin(sdf, con, 0.5, "ivfpq cells=8 nprobe=3 m=16 k=256 refine=10")
+    composite. Recall is bounded by the coarse probe — the 8-bit PQ
+    stage and 10xk shortlist lose nothing further (SWEEP_ann_r09:
+    0.85 at the pick vs its 0.856 IVF bound) — so the r9
+    corpus-adaptive cells raise this floor with ann_ivf_topk's:
+    0.5 → 0.8."""
+    return _ann_twin(
+        sdf, con, 0.8, "ivfpq cells=auto(~512/cell) nprobe=3 m=16 k=256 refine=10"
+    )
 
 
 TWINS = {
