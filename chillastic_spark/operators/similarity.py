@@ -626,19 +626,33 @@ def _auto_cells(
     n: int, rows_per_cell: int = 512, lo: int = 4, hi: int = 1024
 ) -> int:
     """Corpus-adaptive IVF cell count: the nearest power of two to
-    n/512, clamped to [4, 1024]. The r9 sf1 operating-curve sweep
-    (SWEEP_ann_r09.json) showed why a FIXED cell count cannot serve a
-    serving path: 32 cells give recall 0.88 at 3–9%% scan on a 20k
-    corpus but 0.28 on a 500-row one (15 rows/cell starves the top-k),
-    while 8 cells waste a 37%% scan for 0.72 at 20k. ~512 rows/cell
-    keeps every probed cell populated well past k and the scanned
-    fraction sublinear in the corpus (FAISS practice: cells grow with
-    corpus size; probes stay constant)."""
+    n/512, clamped to [4, 1024]. The r9 sf1 sweep showed why a FIXED
+    cell count cannot serve a serving path: 32 cells starve a 500-row
+    corpus (15 rows/cell → recall 0.28) while 8 cells give a 20k
+    corpus needlessly coarse pruning granularity. ~512 rows/cell keeps
+    every probed cell populated well past k (FAISS practice: cells
+    grow with corpus size)."""
     import math
 
     if n <= 0:
         return lo
     return max(lo, min(hi, 1 << round(math.log2(max(n / rows_per_cell, 1)))))
+
+
+def _auto_nprobe(n_cells: int) -> int:
+    """Floor-holding probe default: max(3, n_cells // 2) — a ~50–75%
+    scan. Deliberately conservative, and the r9 sweep says WHY: the
+    first sweep drew its recall queries from the quantizer's own
+    xxhash-ordered TRAINING sample (the centroids are literally seeded
+    from those rows) and measured 0.88 at a 9% scan; held-out queries
+    measure 0.26 at the same config. On this isotropic synthetic
+    corpus, honest out-of-sample recall tracks the SCANNED FRACTION
+    (held-out curve in SWEEP_ann_r09.json: ~0.43 at 25%, ~0.75–0.83 at
+    50%, ~0.95 at 75%) — with no cluster structure, IVF cannot beat
+    the scan fraction, information-theoretically. Real embedding
+    corpora ARE clustered, which is when nprobe can be tuned far below
+    cells/2 — against the recall twin, per corpus, never assumed."""
+    return max(3, n_cells // 2)
 
 
 def resolve_n_cells(vectors: DataFrame, n_cells, vec_col: str) -> int:
@@ -649,6 +663,13 @@ def resolve_n_cells(vectors: DataFrame, n_cells, vec_col: str) -> int:
     if n_cells != "auto":
         return int(n_cells)
     return _auto_cells(clean_vectors(vectors, vec_col).count())
+
+
+def resolve_nprobe(nprobe, n_cells: int) -> int:
+    """``nprobe='auto'`` → :func:`_auto_nprobe`; an int passes
+    through; always capped at ``n_cells``."""
+    p = _auto_nprobe(n_cells) if nprobe == "auto" else int(nprobe)
+    return max(1, min(p, n_cells))
 
 
 def ivf_coarse_centroids(
@@ -772,7 +793,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 10,
     n_cells="auto",
-    nprobe: int = 3,
+    nprobe="auto",
     iters: int = 5,
     sample: int = 4096,
     id_col: str = "vec_id",
@@ -791,13 +812,17 @@ def ivf_topk(
     oracle; recall pinned by unit tests).
 
     ``n_cells`` defaults to ``'auto'`` (:func:`_auto_cells`, ~512
-    rows/cell): the r9 sweep showed NO fixed cell count serves both a
-    500-row and a 20k corpus — picked from SWEEP_ann_r09.json, recall
-    ≥0.8 at every tested SF with sublinear scan fraction.
+    rows/cell — no fixed count serves both a 500-row and a 20k
+    corpus) and ``nprobe`` to ``'auto'`` (:func:`_auto_nprobe`,
+    max(3, cells/2)) — the floor-holding default the HELD-OUT sf1
+    sweep forced; read _auto_nprobe's docstring for the
+    train/test-contamination story and why structureless data pins
+    recall to the scanned fraction.
     """
     import numpy as np
 
     n_cells = resolve_n_cells(vectors, n_cells, vec_col)
+    nprobe = resolve_nprobe(nprobe, n_cells)
     C = ivf_coarse_centroids(
         vectors, n_cells=n_cells, iters=iters, sample=sample, id_col=id_col, vec_col=vec_col
     )
@@ -1116,7 +1141,7 @@ def ivf_pq_topk(
     queries: DataFrame,
     k: int = 10,
     n_cells="auto",
-    nprobe: int = 3,
+    nprobe="auto",
     m: int = 8,
     n_centroids: int = 256,
     refine: int = 10,
@@ -1146,13 +1171,14 @@ def ivf_pq_topk(
     ranking orders by (rounded score, id). Approximate by design →
     rows-only oracle; recall twin in scripts/twins.py.
 
-    ``n_cells='auto'`` follows :func:`_auto_cells` — same sweep-picked
-    rule as :func:`ivf_topk` (recall here is bounded by the coarse
-    probe; the PQ stage loses nothing further at 8-bit resolution).
+    ``n_cells='auto'`` / ``nprobe='auto'`` follow the same rules as
+    :func:`ivf_topk` (recall here is bounded by the coarse probe; the
+    PQ stage loses nothing further at 8-bit resolution).
     """
     import numpy as np
 
     n_cells = resolve_n_cells(vectors, n_cells, vec_col)
+    nprobe = resolve_nprobe(nprobe, n_cells)
     C = ivf_coarse_centroids(
         vectors, n_cells=n_cells, iters=iters, sample=sample,
         id_col=id_col, vec_col=vec_col,

@@ -306,7 +306,16 @@ def audio_features_meta(sdf, sf_dir, con):
 # ------------------------------------------------------------ ANN
 
 
-def _ann_truth(con, k=10):
+def _hash60_py(s: str) -> int:
+    """stdlib twin of chillastic_spark.functions.hash60 (md5 → first
+    15 hex digits → int) — lets this module reproduce the engine's
+    hash-selected ANN query set without Spark."""
+    import hashlib
+
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def _ann_truth(con, k=10, n_queries=32):
     e = con.sql("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").df()
     V = np.array(e["embedding"].tolist(), dtype=np.float64)
     ids = e["vec_id"].to_numpy()
@@ -315,10 +324,16 @@ def _ann_truth(con, k=10):
     # query-qi vector while vec_ids happen to be 0-based contiguous —
     # a regenerated corpus with gapped/1-based ids would silently score
     # ground truth against the WRONG vectors. Query set = the same
-    # vec_id < 5 predicate the registered queries use.
+    # 32-smallest-hash60 sample the registered queries draw
+    # (queries/vectors._ann_query_set): r9 raised the recall floors and
+    # the old 5-fixed-id set promptly mismeasured the system — at sf1
+    # ids 0-4 have diffuse neighborhoods (top cos ~0.4-0.5) where NO
+    # sublinear probe recalls well; a hash-spread sample is the
+    # standard ANN-benchmark shape.
     row_of = {int(i): r for r, i in enumerate(ids)}
+    qids = sorted((int(i) for i in ids), key=lambda i: (_hash60_py(i), i))
     truth, cos = {}, {}
-    for qid in sorted(int(i) for i in ids if int(i) < 5):
+    for qid in sorted(qids[:n_queries]):
         c = _round_det(Vn @ Vn[row_of[qid]])
         order = np.lexsort((ids, -c))
         top = [int(ids[j]) for j in order if int(ids[j]) != qid][:k]
@@ -404,11 +419,17 @@ def embedding_dup_pairs_unblocked(sdf, sf_dir, con):
 
 def ann_ivf_topk(sdf, sf_dir, con):
     """Value-exact scores + brute-force recall floor for the IVF path.
-    r9: cells are corpus-adaptive (~512 rows/cell, picked from the
-    SWEEP_ann_r09 operating curve) and the floor rises 0.5 → 0.8 —
-    measured 0.96 at sf0.01 (4 cells, nprobe 3) and 0.88 at sf1
-    (32 cells, nprobe 3)."""
-    return _ann_twin(sdf, con, 0.8, "ivf cells=auto(~512/cell) nprobe=3")
+    r9: cells corpus-adaptive (~512 rows/cell), nprobe auto
+    (max(3, cells/2)), floor 0.5 → 0.8 — measured on HELD-OUT
+    hash-spread queries: 0.86 at sf0.01 (4 cells, nprobe 3) and 0.83
+    at sf1 (32 cells, nprobe 16). The first sweep's 0.88-at-9%-scan
+    was train/test contamination (queries drawn from the quantizer's
+    own training sample); on this isotropic corpus honest recall
+    tracks the scanned fraction — the config pays the documented
+    ~50–75% scan to hold the floor."""
+    return _ann_twin(
+        sdf, con, 0.8, "ivf cells=auto(~512/cell) nprobe=auto(cells/2)"
+    )
 
 
 def ann_pq_topk(sdf, sf_dir, con):
@@ -422,12 +443,14 @@ def ann_pq_topk(sdf, sf_dir, con):
 def ann_ivf_pq_topk(sdf, sf_dir, con):
     """Value-exact re-ranked scores + recall floor for the IVF-PQ
     composite. Recall is bounded by the coarse probe — the 8-bit PQ
-    stage and 10xk shortlist lose nothing further (SWEEP_ann_r09:
-    0.85 at the pick vs its 0.856 IVF bound) — so the r9
-    corpus-adaptive cells raise this floor with ann_ivf_topk's:
-    0.5 → 0.8."""
+    stage and 10xk shortlist lose ≤1% further (SWEEP_ann_r09 refine
+    curve) — so the r9 adaptive cells/nprobe raise this floor with
+    ann_ivf_topk's: 0.5 → 0.8."""
     return _ann_twin(
-        sdf, con, 0.8, "ivfpq cells=auto(~512/cell) nprobe=3 m=16 k=256 refine=10"
+        sdf,
+        con,
+        0.8,
+        "ivfpq cells=auto(~512/cell) nprobe=auto(cells/2) m=16 k=256 refine=10",
     )
 
 

@@ -166,27 +166,38 @@ def test_auto_cells_rule():
     assert _auto_cells(10**9) == 1024
 
 
-def test_ivf_auto_defaults_clear_raised_recall_floor(spark):
-    """The registered ann_ivf_topk config (auto cells, nprobe=3) must
-    clear the raised 0.8 twin floor on the driver corpus (measured
-    0.96; the old fixed n_cells=8 measured 0.54 here)."""
-    from pyspark.sql import functions as F_
+def test_auto_nprobe_rule():
+    """nprobe defaults to max(3, cells/2) — the floor-holding scan
+    fraction the HELD-OUT sweep forced (the contaminated first sweep
+    claimed 0.88 recall at 9%; held-out queries measured 0.26)."""
+    from chillastic_spark.operators.similarity import _auto_nprobe, resolve_nprobe
 
+    assert _auto_nprobe(4) == 3
+    assert _auto_nprobe(32) == 16
+    assert _auto_nprobe(1024) == 512
+    assert resolve_nprobe("auto", 4) == 3
+    assert resolve_nprobe(8, 4) == 4  # capped at n_cells
+    assert resolve_nprobe(2, 32) == 2  # explicit passes through
+
+
+def test_ivf_auto_defaults_clear_raised_recall_floor(spark):
+    """The registered ann_ivf_topk config (auto cells, auto nprobe,
+    hash-spread 32-query sample) must clear the raised 0.8 twin floor
+    on the driver corpus (the old fixed n_cells=8 measured 0.54)."""
     from chillastic_spark.operators.similarity import (
         brute_force_topk_fast,
         ivf_topk,
     )
+    from chillastic_spark.queries.vectors import _ann_query_set
     from chillastic_spark.tables import load
 
     e = load(spark, "/root/testdata/sf0.01", "embeddings")
-    q = e.filter(F_.col("vec_id") < 5).select(
-        F_.col("vec_id").alias("query_id"), "embedding"
-    )
+    q = _ann_query_set(e)
     want: dict = {}
     for r in brute_force_topk_fast(e, q, k=10).collect():
         want.setdefault(r.query_id, set()).add(r.neighbor_id)
     got: dict = {}
-    for r in ivf_topk(e, q, k=10, nprobe=3).collect():
+    for r in ivf_topk(e, q, k=10).collect():
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(len(want[k] & got.get(k, set())) for k in want)
     tot = sum(len(v) for v in want.values())
