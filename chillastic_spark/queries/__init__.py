@@ -38,31 +38,31 @@ PANEL_FIRST = [
     # order), so evidence freshness compounds instead of decaying.
     # Computed mechanically from CORRECTNESS_r01..r{N-1}.
     #
-    # r9 panel (computed from CORRECTNESS_r01..r08): the 50 stalest —
-    # 3 never-sampled (registered r8; r8 verdict next-round #1 puts
-    # them first), 7 last driver-sampled in r5, 40 last sampled in r6.
-    # never driver-sampled (registered r8)
-    "dedup_jaccard_capped", "embedding_dup_incremental",
-    "ann_ivf_pq_topk",
-    # last driver evidence: r5
-    "source_diversity", "top_collocations", "source_oov_rate",
-    "bool_search", "wildcard_search", "search_snippets",
-    "terms_set_query",
+    # r10 panel (computed from CORRECTNESS_r01..r09): the 50 stalest —
+    # every registered query now has a driver row (r9 closed the gap),
+    # so the panel is 10 last driver-sampled in r6 + 40 last sampled
+    # in r7 (ties broken by base registration order).
     # last driver evidence: r6
-    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
-    "top_customers", "nation_order_stats", "q4_late_orders",
-    "above_avg_balance", "q10_returned_items", "q14_promo_share",
-    "q18_large_orders", "rollup_nation_status", "distinct_counts",
-    "top_terms", "event_funnel", "q2_min_cost_parts",
-    "q9_product_profit", "q11_important_parts",
-    "q21_sole_returned_supplier", "scan_projection",
-    "asof_view_before_purchase", "scalar_functions", "size_histogram",
-    "backlog_totals", "resume_anti_join", "latest_event_per_user",
-    "mutate_pipeline", "sessionize", "events_json_extract",
-    "text_features", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
-    "chunk_windows", "similarity_topk", "embedding_centroids",
-    "embedding_dup_pairs", "tfidf_top_terms", "q19_discounted_revenue",
+    "dedup_edit_distance", "decontaminate_flags",
+    "quality_topk_per_lang", "events_gapfill", "revenue_grouping_sets",
+    "dedup_ngram_containment", "value_percentiles", "sequence_packing",
+    "time_weighted_avg", "keyword_search_and",
+    # last driver evidence: r7
+    "q7_nation_trade", "q8_market_share", "q12_priority_shipping",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_part_supplier_counts", "q17_small_quantity_revenue",
+    "q20_bulk_suppliers", "q22_dormant_customers", "size_stats",
+    "distinct_slices", "backlog_union", "reroute_by_month",
+    "events_hourly", "session_window_stats", "dedup_substring_spans",
+    "dedup_winnow_pairs", "simhash_pairs", "knn_graph_edges",
+    "ann_lsh_topk", "repetition_scores", "bpe_token_stats",
+    "embedding_int8_checksum", "more_like_this", "pii_scrub_report",
+    "dsir_importance_weights", "domain_mixture_manifest",
+    "mixture_sample_counts", "dedup_keep_best", "dedup_incremental",
+    "semantic_dedup_manifest", "gopher_quality_flags",
+    "c4_line_filter", "table_profile", "leakage_safe_splits",
+    "splits_incremental", "source_overlap_matrix", "shard_manifest",
+    "perplexity_filter", "quality_classifier_scores",
 ]
 
 
