@@ -178,6 +178,30 @@ def create_app(
             return jsonify({"error": f"no store at {path}"}), 404
         return jsonify(store_health_report(store, request.args.get("pattern", "*")))
 
+    @app.get("/indexes/health")
+    def index_health_endpoint():
+        # materialized-index dashboard (r9 verdict #3): persisted
+        # metas (incl. build-time dropped_rows for the IVF path —
+        # mixed-width corpora losing index rows become visible HERE,
+        # not only in logs), file shape, pending swap journals, plus
+        # the session-level engine observability (ANN drop counters +
+        # dedup hot-gram preflight verdicts)
+        from flask import request
+
+        from chillastic_spark.sources.maintenance import (
+            engine_observability,
+            index_health,
+        )
+
+        path = request.args.get("dir")
+        if not path:
+            return jsonify({"error": "dir query param required"}), 400
+        body = index_health(path)
+        if not body["exists"]:
+            return jsonify({"error": f"no index dir at {path}"}), 404
+        body["_engine"] = engine_observability()
+        return jsonify(body)
+
     @app.get("/drift")
     def drift_report():
         # monitoring read for streaming.drift_stream output: the

@@ -29,10 +29,17 @@ class LockHeld(RuntimeError):
 
 
 class FileLock:
-    """An exclusive advisory lock on ``path`` (created if absent).
+    """An advisory lock on ``path`` (created if absent) — exclusive by
+    default, shared with ``shared=True``.
 
     Use as a context manager (blocking) or call :meth:`acquire`
     with ``blocking=False`` to fail fast with :class:`LockHeld`.
+
+    ``shared=True`` takes ``LOCK_SH``: any number of readers hold it
+    together, and all of them block a ``LOCK_EX`` writer (and vice
+    versa). The index reader guards ride this — a serving read's
+    journal-check + file listing must not interleave with a live
+    swap's renames (r9 verdict #4).
 
     Thread semantics match process semantics: re-entrancy is granted
     only to the thread currently holding the lock through this object;
@@ -43,8 +50,9 @@ class FileLock:
     guarded by an internal mutex, so concurrent acquire/release on one
     shared FileLock cannot corrupt the depth count."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, shared: bool = False):
         self.path = path
+        self.shared = shared
         self._fd: Optional[int] = None
         self._depth = 0
         self._owner: Optional[int] = None
@@ -65,7 +73,9 @@ class FileLock:
                 # process — distinct fds are distinct open file
                 # descriptions
                 fcntl.flock(
-                    fd, fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB)
+                    fd,
+                    (fcntl.LOCK_SH if self.shared else fcntl.LOCK_EX)
+                    | (0 if blocking else fcntl.LOCK_NB),
                 )
             except OSError as e:
                 os.close(fd)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import warnings
+from collections import deque
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -268,17 +269,36 @@ class HotGramSkewWarning(UserWarning):
 _HOT_GRAM_WARN_FRAC = 0.2
 
 
+# Most recent preflight verdicts (bounded ring, newest last) — the
+# operator-visible record of every guard run, hot or benign, surfaced
+# through maintenance.store_health_report / GET /stores/health (r9
+# verdict #3) so a skew-hazard corpus shows up on the dashboard rather
+# than only in the warnings log of whichever executor driver ran it.
+PREFLIGHT_VERDICTS: "deque[dict]" = deque(maxlen=16)
+
+
 def _hot_gram_preflight(
-    g: DataFrame, strict: bool, warn_frac: "float | None" = None
+    g: DataFrame,
+    strict: bool,
+    sizes: "DataFrame | None" = None,
+    warn_frac: "float | None" = None,
 ) -> None:
-    """Cheap document-frequency preflight over the (pinned) gram index
-    (r8 verdict #2): two small aggregations — max per-gram doc
-    frequency and the distinct doc count — then warn (or raise, with
-    ``strict=True``) when the hottest gram exceeds ``warn_frac`` of
-    docs, pointing at the defenses. Runs only on the UNCAPPED path:
-    ``max_doc_frac`` callers already bought the defense, and the
-    semantics of the guarded query are untouched (a warning, never a
-    data change — oracle hashes identical by construction).
+    """Document-frequency preflight over the gram index (r8 verdict
+    #2): warn (or raise, with ``strict=True``) when the hottest gram
+    exceeds ``warn_frac`` of docs, pointing at the defenses. Runs only
+    on the UNCAPPED path: ``max_doc_frac`` callers already bought the
+    defense, and the semantics of the guarded query are untouched (a
+    warning, never a data change — oracle hashes identical by
+    construction).
+
+    AMORTIZED (r9 verdict #5): the caller passes its lazily-pinned
+    per-doc ``sizes`` aggregate and a lazily-pinned ``g`` — the doc
+    count action here then DOUBLES as the materialization job for both
+    frames (g is sizes' parent in the pinned lineage), so the guard's
+    only marginal work is one max-df reduce over the already-cached
+    gram index instead of the two standalone jobs it used to cost
+    (BENCH_AB_r09 measured those at +0.5–0.8s on the sf0.1 jaccard
+    headliner).
 
     Disable with CHILLASTIC_HOT_GRAM_PREFLIGHT=0; tune the trigger
     with CHILLASTIC_HOT_GRAM_WARN_FRAC."""
@@ -288,16 +308,26 @@ def _hot_gram_preflight(
         warn_frac = float(
             os.environ.get("CHILLASTIC_HOT_GRAM_WARN_FRAC", _HOT_GRAM_WARN_FRAC)
         )
+    nd_src = sizes if sizes is not None else g
+    n_docs = nd_src.agg(F.countDistinct("doc_id").alias("nd")).collect()[0]["nd"]
+    if not n_docs:
+        return  # empty corpus — nothing to guard
     stats = (
         g.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("__df"))
         .agg(F.max("__df").alias("max_df"))
         .collect()[0]
     )
-    if stats["max_df"] is None:
-        return  # empty corpus — nothing to guard
-    n_docs = g.agg(F.countDistinct("doc_id").alias("nd")).collect()[0]["nd"]
-    frac = stats["max_df"] / max(n_docs, 1)
+    frac = stats["max_df"] / n_docs
+    PREFLIGHT_VERDICTS.append(
+        {
+            "max_df": stats["max_df"],
+            "n_docs": n_docs,
+            "hot_gram_doc_frac": round(frac, 4),
+            "warn_frac": warn_frac,
+            "triggered": frac > warn_frac,
+        }
+    )
     if frac <= warn_frac:
         return
     msg = (
@@ -403,13 +433,22 @@ def _pair_scores(
     apply to one measure and silently diverge in the other.
     ``score_of(common, sz_a, sz_b) -> Column`` supplies the formula."""
     keys = list(keys or [])
+    run_preflight = preflight and os.environ.get(
+        "CHILLASTIC_HOT_GRAM_PREFLIGHT", "1"
+    ) != "0"
     # the shingle table feeds three consumers (both join sides + sizes);
     # materialise it once instead of re-tokenising per consumer — at
-    # cluster scale this is a persist/checkpoint of the inverted index
-    g = materialize(g)
-    if preflight:
-        _hot_gram_preflight(g, strict)
+    # cluster scale this is a persist/checkpoint of the inverted index.
+    # On the preflight path the pin is LAZY: the guard's doc-count
+    # action doubles as the materialization job for g AND the sizes
+    # aggregate (pinned too — a bonus: sa/sb below used to recompute it
+    # twice from cached g), so the guard costs one extra max-df reduce
+    # over cached data instead of two standalone jobs (r9 verdict #5).
+    g = materialize(g, eager=not run_preflight)
     sizes = g.groupBy("doc_id", *keys).agg(F.count("*").alias("sz"))
+    if run_preflight:
+        sizes = materialize(sizes, eager=False)
+        _hot_gram_preflight(g, strict, sizes=sizes)
     a, b = g.alias("a"), g.alias("b")
     cond = (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     for k in keys:

@@ -876,6 +876,163 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
+def ivf_recall_curve(
+    vectors: DataFrame,
+    k: int = 10,
+    n_cells="auto",
+    n_queries: int = 32,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Exact held-out recall@k of IVF probing at EVERY probe depth,
+    from ONE Spark job (r9 verdict #1's measurement primitive).
+
+    Train the coarse quantizer once, then score the held-out query set
+    against the whole assigned corpus keeping only the per-(query,
+    cell) top-k — a WindowGroupLimit, so n_queries·n_cells·k rows reach
+    the driver, never the corpus. That per-cell top-k is a SUFFICIENT
+    statistic: any candidate in the top-k of an nprobe-prefix is
+    necessarily in the top-k of its OWN cell (every same-cell candidate
+    is inside the same prefix), so a driver-side prefix scan reads off
+    exact recall at every nprobe — including nprobe = n_cells, which IS
+    the brute-force truth under the shared rounded-cosine + id
+    tie-break order.
+
+    Queries are the ``n_queries`` LARGEST-xxhash64 clean vectors —
+    provably disjoint from the quantizer's smallest-xxhash64 training
+    sample (the r9 train/test-contamination lesson, SWEEP_ann_r09:
+    training-head queries over-measured recall 0.88 vs 0.26 held-out).
+    """
+    import numpy as np
+
+    n_cells = resolve_n_cells(vectors, n_cells, vec_col)
+    C = ivf_coarse_centroids(
+        vectors, n_cells=n_cells, iters=iters, sample=sample,
+        id_col=id_col, vec_col=vec_col,
+    )
+    clean = clean_vectors(vectors, vec_col)
+    q_rows = [
+        r
+        for r in (
+            clean.select(
+                F.col(id_col).alias("query_id"),
+                CF.as_double_array(vec_col).alias("qvec"),
+            )
+            .orderBy(F.desc(F.xxhash64(F.col("query_id"))), F.col("query_id"))
+            .limit(n_queries)
+            .collect()
+        )
+        if r["query_id"] is not None and len(r["qvec"]) == C.shape[1]
+    ]
+    if not q_rows:
+        raise ValueError("ivf_recall_curve: no usable held-out queries")
+    Q = _unit_rows(np.array([r["qvec"] for r in q_rows], dtype=np.float64))
+    order = np.argsort(-(Q @ C.T), axis=1, kind="stable")
+    probe = [
+        (r["query_id"], r["qvec"], int(c), int(pos))
+        for r, cells in zip(q_rows, order)
+        for pos, c in enumerate(cells)
+    ]
+    spark = vectors.sparkSession
+    qid_t = _id_type(vectors, id_col)
+    qdf = spark.createDataFrame(
+        probe, f"query_id {qid_t}, qvec array<double>, cell int, cell_rank int"
+    )
+    v = ivf_assign_cells(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        C,
+        vec_col=vec_col,
+    ).select("neighbor_id", CF.as_double_array(vec_col).alias("vec"), "cell")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id", "cell_rank").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    per_cell = (
+        v.join(F.broadcast(qdf), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", CF.round_det(CF.cosine(F.col("vec"), F.col("qvec")), 6))
+        .filter(F.col("cos").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "cell_rank")
+        .collect()
+    )
+    by_q: dict = {}
+    for r in per_cell:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["cell_rank"], -r["cos"], r["neighbor_id"])
+        )
+
+    def _topk(rows, p):
+        elig = sorted(
+            (t for t in rows if t[0] < p), key=lambda t: (t[1], t[2])
+        )
+        return {t[2] for t in elig[:k]}
+
+    truth = {q: _topk(rows, n_cells) for q, rows in by_q.items()}
+    curve = []
+    for p in range(1, n_cells + 1):
+        hits = tot = 0
+        for q, rows in by_q.items():
+            want = truth[q]
+            tot += len(want)
+            hits += len(want & _topk(rows, p))
+        curve.append(
+            {
+                "n_cells": n_cells,
+                "nprobe": p,
+                "scan_frac": round(p / n_cells, 4),
+                "recall_at_k": round(hits / tot, 4) if tot else 0.0,
+            }
+        )
+    return curve
+
+
+def calibrate_nprobe(
+    vectors: DataFrame,
+    target_recall: float = 0.8,
+    k: int = 10,
+    n_cells="auto",
+    n_queries: int = 32,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Measured per-corpus IVF serving config (r9 verdict #1): the
+    smallest ``nprobe`` whose HELD-OUT recall@k meets ``target_recall``
+    on THIS corpus, read off one :func:`ivf_recall_curve` pass.
+
+    The registered default (:func:`_auto_nprobe` = max(3, cells/2))
+    stays floor-honest because a STRUCTURELESS corpus pins
+    out-of-sample recall to the scanned fraction — on isotropic data
+    this helper simply measures that and picks ≈cells/2. On a corpus
+    with cluster structure — the realistic embedding case — the same
+    recall floor is reached at a small fraction of the scan, and this
+    MEASUREMENT (never an assumption) is what licenses a serving
+    config below the floor default. SWEEP_ann_r10.json carries both
+    regimes side by side.
+
+    Returns the picked point plus ``met_target`` (False → the pick is
+    the full-scan end of the curve: serve brute-force or restructure)
+    and the whole ``curve`` for the dashboard."""
+    curve = ivf_recall_curve(
+        vectors, k=k, n_cells=n_cells, n_queries=n_queries, iters=iters,
+        sample=sample, id_col=id_col, vec_col=vec_col,
+    )
+    ok = [pt for pt in curve if pt["recall_at_k"] >= target_recall]
+    pick = min(ok, key=lambda pt: pt["nprobe"]) if ok else curve[-1]
+    return {
+        **pick,
+        "target_recall": target_recall,
+        "met_target": bool(ok),
+        "curve": curve,
+    }
+
+
 def centroids(
     df: DataFrame, group_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

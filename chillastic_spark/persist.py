@@ -76,12 +76,25 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
 
 
 def materialize(
-    df: DataFrame, mode: "str | None" = None, iterative: bool = False
+    df: DataFrame,
+    mode: "str | None" = None,
+    iterative: bool = False,
+    eager: bool = True,
 ) -> DataFrame:
     """Pin a multi-consumer or per-round intermediate per the module
     policy (see module docstring). ``iterative=True`` marks round
     state inside a fixpoint loop: modes that retain lineage
-    (disk/none) escalate to ``reliable`` so the plan stays flat."""
+    (disk/none) escalate to ``reliable`` so the plan stays flat.
+
+    ``eager=False`` defers the checkpoint to the FIRST downstream
+    action instead of running a dedicated materialization job. Use it
+    only when the caller runs a single driver-side action on the
+    pinned frame before fanning out to multiple consumers — that
+    action then doubles as the materialization pass (the hot-gram
+    preflight rides this: its stats job IS the checkpoint job, r9
+    verdict #5). A lazy pin whose first consumer is a MULTI-branch
+    plan may compute overlapping partitions concurrently before the
+    cache fills — keep the default for that shape."""
     mode = mode or persist_mode()
     if mode not in _VALID:
         raise ValueError(
@@ -90,10 +103,10 @@ def materialize(
     if iterative and mode in ("disk", "none"):
         mode = "reliable"
     if mode == "local":
-        out = df.localCheckpoint()
+        out = df.localCheckpoint(eager=eager)
     elif mode == "reliable":
         _ensure_checkpoint_dir(df)
-        out = df.checkpoint()
+        out = df.checkpoint(eager=eager)
     elif mode == "disk":
         from pyspark import StorageLevel
 

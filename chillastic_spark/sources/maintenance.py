@@ -362,6 +362,75 @@ def zorder_layout(df, cols: "list[str]", n_files: int, bits: int = 12):
     return df.repartitionByRange(max(n_files, 1), key).sortWithinPartitions(key)
 
 
+def engine_observability() -> dict:
+    """Session-level operator observability for the dashboard (r9
+    verdict #3): the similarity ``DROP_COUNTERS`` — rows each ANN
+    stage's most recent plan silently dropped (NULL / NaN / off-width
+    vectors) — and the dedup hot-gram preflight verdict ring (every
+    guard run, hot or benign). Both existed only as logs/test hooks;
+    surfacing them here puts a mixed-width corpus losing index rows or
+    a skew-hazard corpus on the same dashboard an operator already
+    polls for compaction verdicts."""
+    from chillastic_spark.operators.dedup import PREFLIGHT_VERDICTS
+    from chillastic_spark.operators.similarity import DROP_COUNTERS
+
+    drops: dict[str, "int | None"] = {}
+    for stage, acc in DROP_COUNTERS.items():
+        try:
+            drops[stage] = int(acc.value)
+        except Exception:  # accumulator from an ended SparkContext
+            drops[stage] = None
+    return {
+        "ann_dropped_rows": drops,
+        "dedup_hot_gram_preflight": list(PREFLIGHT_VERDICTS),
+    }
+
+
+def index_health(index_dir: str) -> dict:
+    """Dashboard snapshot of ONE materialized-index dir (vector LSH /
+    vector IVF / inverted text — whichever artifacts are present):
+    persisted metas (IVF centroid matrix elided — it is the model, not
+    a health stat), file shape per artifact, and whether a swap
+    journal is pending (a crash leftover the next reader/writer will
+    roll forward). Pure metadata walk, no Spark job — the GET
+    /indexes/health body."""
+    import json as _json
+
+    out: dict = {"path": index_dir, "exists": os.path.isdir(index_dir)}
+    if not out["exists"]:
+        return out
+    meta_p = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            out["lsh"] = {
+                **_json.load(f),
+                "files": file_stats(os.path.join(index_dir, "data")),
+            }
+    ivf_p = os.path.join(index_dir, "ivf_meta.json")
+    if os.path.exists(ivf_p):
+        with open(ivf_p) as f:
+            m = _json.load(f)
+        m.pop("centroids", None)
+        out["ivf"] = {
+            **m,
+            "files": file_stats(os.path.join(index_dir, "ivf_data")),
+        }
+    stats_p = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_p):
+        with open(stats_p) as f:
+            out["inverted"] = {
+                **_json.load(f),
+                "postings_files": file_stats(
+                    os.path.join(index_dir, "postings")
+                ),
+            }
+    out["pending_swap_journal"] = any(
+        os.path.exists(os.path.join(index_dir, j))
+        for j in ("swap-journal.json", "compact-journal.json")
+    )
+    return out
+
+
 def store_health_report(
     store: DocumentStore,
     pattern: str = "*",
@@ -405,4 +474,8 @@ def store_health_report(
             "files_per_bucket_max": max(per_bucket) if per_bucket else None,
             "needs_compaction": stats["n_files"] > 1 and small_frac > 0.5,
         }
+    # reserved key (ES-style index names cannot start with "_"):
+    # session-level engine observability rides the same dashboard
+    # poll — see engine_observability (r9 verdict #3)
+    report["_engine"] = engine_observability()
     return report

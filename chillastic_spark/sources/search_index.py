@@ -17,15 +17,19 @@ queries/search.py:bm25_topk exactly (same rounding), so the served
 result is bit-identical to the scan-time query.
 
 Concurrency contract: mutations (build/update/compact) are SINGLE-
-WRITER maintenance operations serialized by the writer flock; the
-query functions deliberately return LAZY DataFrames (keeping the
-In-filter pushdown visible and composable) and take NO lock, so a
-query whose action races a concurrent update's directory swap can fail
-with a file-not-found (the swap renames the postings dir) or score
-with the pre-update corpus constants. Run index mutations in a
-maintenance window, or have the serving layer retry the query once on
-failure — the swap itself is journaled and never leaves torn
-artifacts, so a retry always sees a consistent index.
+WRITER maintenance operations serialized by the writer flock; query
+functions take a SHARED flock on the same lock file for their journal
+check + stats read + parquet file listing (``_reader_snapshot``, r9
+verdict #4), so a read can never interleave with a live swap's
+renames — it sees the whole old index or the whole new one, never new
+postings paired with old term_stats/stats.json (silently wrong BM25)
+and never a half-renamed dir misread as empty. The returned
+DataFrames stay LAZY (keeping the In-filter pushdown visible and
+composable): an action that runs AFTER a later swap completes can
+still fail loudly with file-not-found (the swap renames the postings
+dir) — loud-and-retriable, never torn. Multiprocess proof:
+tests/test_index_reader_race.py (reader vs pause-injected mid-swap
+writer).
 """
 from __future__ import annotations
 
@@ -78,6 +82,42 @@ def _recover_swap(index_dir: str) -> None:
         return
     with _writer_lock(index_dir):
         _recover_swap_locked(index_dir)
+
+
+@contextmanager
+def _reader_snapshot(index_dir: str):
+    """Shared-lock read window (r9 verdict #4): a serving read performs
+    its journal check, stats.json read, and parquet FILE LISTING inside
+    one ``LOCK_SH`` window on the same ``.swap.lock`` every writer
+    holds ``LOCK_EX`` on. Holding SH proves no swap is mid-flight — a
+    live updater owns EX from before the journal write until after the
+    journal removal — so a journal observed under SH can only be a
+    CRASH leftover: the guard releases, rolls it forward (under EX),
+    and retries. Without the window a reader racing a live swap could
+    pair NEW postings with OLD term_stats/stats.json (silently wrong
+    BM25 — the exact tear the journal exists to prevent) or misread
+    the between-renames state as a missing index. Readers share the
+    window with each other; a writer waits out at most the listing
+    (milliseconds), not the query."""
+    from chillastic_spark.locks import FileLock
+
+    jpath = os.path.join(index_dir, "swap-journal.json")
+    os.makedirs(index_dir, exist_ok=True)
+    for attempt in range(4):
+        lock = FileLock(os.path.join(index_dir, ".swap.lock"), shared=True)
+        lock.acquire()
+        if not os.path.exists(jpath):
+            try:
+                yield
+            finally:
+                lock.release()
+            return
+        lock.release()
+        _recover_swap(index_dir)
+    raise RuntimeError(
+        f"{index_dir}: swap journal persists after repeated recovery — "
+        "the index artifacts need manual inspection"
+    )
 
 
 def _recover_swap_locked(index_dir: str) -> None:
@@ -309,17 +349,19 @@ def bm25_search_index(
 ) -> DataFrame:
     """Serve a BM25 top-k from the prebuilt index. Identical math and
     rounding to queries/search.py:bm25_topk — the golden equivalence is
-    test-pinned."""
-    _recover_swap(index_dir)
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        stats = json.load(f)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    p = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
-        F.col("term").isin(terms)
-    )
-    dfreq = spark.read.parquet(os.path.join(index_dir, "term_stats")).filter(
-        F.col("term").isin(terms)
-    )
+    test-pinned. Stats + both artifact listings happen inside ONE
+    ``_reader_snapshot`` window, so the three can never come from
+    different swap generations."""
+    with _reader_snapshot(index_dir):
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            stats = json.load(f)
+        n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+        p = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+            F.col("term").isin(terms)
+        )
+        dfreq = spark.read.parquet(os.path.join(index_dir, "term_stats")).filter(
+            F.col("term").isin(terms)
+        )
     scored = (
         p.join(F.broadcast(dfreq), "term")
         .withColumn(
@@ -471,10 +513,10 @@ def wildcard_search_index(
     sorted-term layout turns it into a contiguous range of files
     (footer min/max skipping — the reason build sorts by term). Per-doc
     hit counts + matched terms, top-k by hits."""
-    _recover_swap(index_dir)
-    p = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
-        F.col("term").startswith(prefix)
-    )
+    with _reader_snapshot(index_dir):
+        p = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+            F.col("term").startswith(prefix)
+        )
     return (
         p.groupBy("doc_id")
         .agg(
@@ -491,15 +533,17 @@ def suggest_terms(
 ) -> list[str]:
     """Autocomplete: most-frequent vocabulary terms with the given
     prefix, straight off the tiny term_stats artifact (df = doc
-    frequency) — no postings touched."""
-    _recover_swap(index_dir)
-    ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
-    rows = (
-        ts.filter(F.col("term").startswith(prefix))
-        .orderBy(F.desc("df"), F.asc("term"))
-        .limit(k)
-        .collect()
-    )
+    frequency) — no postings touched. Collects INSIDE the reader
+    window: the result is end-to-end consistent, not just listed
+    consistently."""
+    with _reader_snapshot(index_dir):
+        ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        rows = (
+            ts.filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+            .collect()
+        )
     return [r["term"] for r in rows]
 
 

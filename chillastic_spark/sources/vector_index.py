@@ -93,6 +93,40 @@ def _recover_compact(index_dir: str, data_name: str = DATA) -> None:
         _recover_compact_locked(index_dir, data_name)
 
 
+@contextmanager
+def _reader_snapshot(index_dir: str):
+    """Shared-lock read window (r9 verdict #4) — the vector twin of
+    search_index._reader_snapshot: a serving read's journal check,
+    meta read, and parquet FILE LISTING run inside one ``LOCK_SH``
+    window on the ``.swap.lock`` every writer holds ``LOCK_EX`` on.
+    A live compactor owns EX from before the journal write until
+    after the journal removal, so a journal seen under SH is a CRASH
+    leftover: release, roll forward (EX), retry. Without the window a
+    reader racing a live compaction hits the between-renames state
+    (data dir missing) and misreads it as a BOOTSTRAP-EMPTY index —
+    silently empty results from a populated index. Readers share the
+    window; a writer waits out at most the listing."""
+    from chillastic_spark.locks import FileLock
+
+    jpath = os.path.join(index_dir, COMPACT_JOURNAL)
+    os.makedirs(index_dir, exist_ok=True)
+    for attempt in range(4):
+        lock = FileLock(os.path.join(index_dir, ".swap.lock"), shared=True)
+        lock.acquire()
+        if not os.path.exists(jpath):
+            try:
+                yield
+            finally:
+                lock.release()
+            return
+        lock.release()
+        _recover_compact(index_dir)
+    raise RuntimeError(
+        f"{index_dir}: compact journal persists after repeated recovery — "
+        "the index artifacts need manual inspection"
+    )
+
+
 def _recover_compact_locked(index_dir: str, data_name: str = DATA) -> None:
     """The recovery body — caller MUST hold _writer_lock. Heals every
     crash window of compact_vector_index's swap (journal → rename
@@ -139,7 +173,12 @@ def build_vector_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
-    """Bucket the corpus and write it partitioned by bucket id."""
+    """Bucket the corpus and write it partitioned by bucket id.
+
+    Runs under the writer lock (r9 verdict #4): a REBUILD's
+    ``mode('overwrite')`` deletes the live data dir before rewriting
+    it — unlocked, a concurrent reader's listing lands in that window
+    and serves a partial (or empty) index with no error."""
     first = df.select(F.col(vec_col)).first()
     dims = len(first[0]) if first and first[0] is not None else None
     rows = df.select(
@@ -148,28 +187,30 @@ def build_vector_index(
         random_hyperplane_buckets(vec_col, planes, seed, dims=dims).alias("bucket"),
     )
     data = os.path.join(index_dir, DATA)
-    rows.write.mode("overwrite").partitionBy("bucket").parquet(data)
-    spark = df.sparkSession
-    # count the WRITTEN index (parquet footers — nearly free), not the
-    # input: df.count() would re-run the whole upstream pipeline a
-    # third time, and for a nondeterministic df could disagree with
-    # what actually landed on disk. An empty-corpus build leaves a data
-    # dir with no part files — that reads as 0, not an error.
-    try:
-        n_written = spark.read.parquet(data).count()
-    except Exception:  # bootstrap-empty index
-        n_written = 0
-    meta = {
-        "planes": planes,
-        "seed": seed,
-        "n_vectors": n_written,
-        "n_buckets": 1 << planes,
-        # persisted so every later bucket computation (update, serve)
-        # can embed the plane coefficients as literals instead of
-        # hashing planes*dims md5s per row
-        "dims": dims,
-    }
-    _write_meta(index_dir, meta)
+    with _writer_lock(index_dir):
+        _recover_compact_locked(index_dir)
+        rows.write.mode("overwrite").partitionBy("bucket").parquet(data)
+        spark = df.sparkSession
+        # count the WRITTEN index (parquet footers — nearly free), not the
+        # input: df.count() would re-run the whole upstream pipeline a
+        # third time, and for a nondeterministic df could disagree with
+        # what actually landed on disk. An empty-corpus build leaves a data
+        # dir with no part files — that reads as 0, not an error.
+        try:
+            n_written = spark.read.parquet(data).count()
+        except Exception:  # bootstrap-empty index
+            n_written = 0
+        meta = {
+            "planes": planes,
+            "seed": seed,
+            "n_vectors": n_written,
+            "n_buckets": 1 << planes,
+            # persisted so every later bucket computation (update, serve)
+            # can embed the plane coefficients as literals instead of
+            # hashing planes*dims md5s per row
+            "dims": dims,
+        }
+        _write_meta(index_dir, meta)
     return meta
 
 
@@ -279,7 +320,10 @@ def update_vector_index(
         except Exception:  # still-empty bootstrap index (no part files)
             meta["n_vectors"] += n_added
         _write_meta(index_dir, meta)
-        return meta
+        # batch-scoped observability rides the RETURN only (n_added is
+        # per-call; persisting it in meta.json would misread as a
+        # corpus stat on the next load) — r9 verdict #3
+        return {**meta, "n_added": n_added}
 
 
 def _meta(index_dir: str) -> dict:
@@ -306,9 +350,31 @@ def ann_query_index(
     that one collect, so a nondeterministic queries frame can never
     produce a bucket list that disagrees with the join-time probes
     (silently missing neighbors).
+
+    Meta read + data listing run inside one ``_reader_snapshot``
+    window, so a live compaction's mid-swap state (data dir renamed
+    away) can never be misread as a bootstrap-empty index.
     """
-    _recover_compact(index_dir)
-    meta = _meta(index_dir)
+    with _reader_snapshot(index_dir):
+        meta = _meta(index_dir)
+        try:
+            data_df = spark.read.parquet(os.path.join(index_dir, DATA))
+        except Exception as e:
+            # bootstrap-empty index: a partitionBy write of an empty
+            # corpus leaves a data dir with NO part files (nothing to
+            # infer a schema from). Under the reader lock with no
+            # journal this is GENUINELY empty — a mid-swap missing dir
+            # cannot reach here (the compactor holds the exclusive
+            # lock through the whole swap). Serving before the first
+            # non-empty batch returns empty results, not a crash.
+            msg = str(e)
+            if not (
+                "UNABLE_TO_INFER_SCHEMA" in msg
+                or "Unable to infer schema" in msg
+                or "PATH_NOT_FOUND" in msg
+            ):
+                raise
+            data_df = None
     planes = meta["planes"]
     base = random_hyperplane_buckets(
         vec_col, planes, meta["seed"], dims=meta.get("dims")
@@ -334,20 +400,7 @@ def ann_query_index(
         probe, f"query_id {qid_t}, qvec array<double>, bucket int"
     )
     wanted = sorted({b for _, _, b in probe})
-    try:
-        data_df = spark.read.parquet(os.path.join(index_dir, DATA))
-    except Exception as e:
-        # bootstrap-empty index: a partitionBy write of an empty corpus
-        # leaves a data dir with NO part files (nothing to infer a
-        # schema from). Serving before the first non-empty batch must
-        # return empty results, not crash the stream.
-        msg = str(e)
-        if not (
-            "UNABLE_TO_INFER_SCHEMA" in msg
-            or "Unable to infer schema" in msg
-            or "PATH_NOT_FOUND" in msg
-        ):
-            raise
+    if data_df is None:  # bootstrap-empty index (listed under the lock)
         return _empty_topk(spark, qid_t=qid_t)
     idx = (
         data_df
@@ -454,6 +507,8 @@ def build_ivf_index(
         resolve_n_cells,
     )
 
+    from chillastic_spark.operators.similarity import DROP_COUNTERS
+
     n_cells = resolve_n_cells(df, n_cells, vec_col)
     C = ivf_coarse_centroids(
         df, n_cells=n_cells, iters=iters, sample=sample,
@@ -465,15 +520,34 @@ def build_ivf_index(
         vec_col="embedding",
     )
     data = os.path.join(index_dir, IVF_DATA)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(data)
-    meta = {
-        "n_cells": len(C),
-        "centroids": [[float(x) for x in row] for row in C],
-        # footer count of what was actually written, not a third pass
-        # over the input pipeline
-        "n_vectors": df.sparkSession.read.parquet(data).count(),
-    }
-    _write_meta(index_dir, meta, name=IVF_META)
+    # writer lock (r9 verdict #4): a REBUILD's overwrite deletes the
+    # live cell dirs before rewriting — unlocked, a concurrent reader's
+    # listing lands mid-delete and serves a partial index silently
+    with _writer_lock(index_dir):
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(data)
+        dropped = DROP_COUNTERS.get("ivf_assign_cells")
+        meta = {
+            "n_cells": len(C),
+            "centroids": [[float(x) for x in row] for row in C],
+            # footer count of what was actually written, not a third pass
+            # over the input pipeline
+            "n_vectors": df.sparkSession.read.parquet(data).count(),
+            # rows the assignment stage dropped during THIS build's write
+            # (NULL / NULL-element / NaN / off-width vectors) — persisted
+            # so a mixed-width corpus losing index rows is dashboard-
+            # visible (vector_index_health / GET /indexes/health, r9
+            # verdict #3), not only a DROP_COUNTERS log line
+            "dropped_rows": int(dropped.value) if dropped is not None else 0,
+        }
+        _write_meta(index_dir, meta, name=IVF_META)
+    if meta["dropped_rows"]:
+        import logging
+
+        logging.getLogger("chillastic_spark.vector_index").warning(
+            "build_ivf_index: dropped %d unindexable vectors "
+            "(NULL/NaN/off-width) — see ivf_meta.json dropped_rows",
+            meta["dropped_rows"],
+        )
     return meta
 
 
@@ -489,11 +563,16 @@ def ann_query_ivf_index(
     """Top-k by cosine served from the materialized IVF index —
     identical ranking to scan-time ``ivf_topk`` at the same quantizer
     (the persisted centroids ARE that quantizer), scanning only the
-    probed cell partitions."""
+    probed cell partitions. Meta read + cell listing share one
+    ``_reader_snapshot`` window so a live rebuild's overwrite (which
+    deletes cell dirs before rewriting) can never serve a partial
+    index."""
     import numpy as np
 
-    with open(os.path.join(index_dir, IVF_META)) as f:
-        meta = json.load(f)
+    with _reader_snapshot(index_dir):
+        with open(os.path.join(index_dir, IVF_META)) as f:
+            meta = json.load(f)
+        idx_raw = spark.read.parquet(os.path.join(index_dir, IVF_DATA))
     C = np.array(meta["centroids"], dtype=np.float64)
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -523,7 +602,7 @@ def ann_query_ivf_index(
     )
     wanted = sorted({c for _, _, c in probe})
     idx = (
-        spark.read.parquet(os.path.join(index_dir, IVF_DATA))
+        idx_raw
         .filter(F.col("cell").isin(wanted))
         .select(
             F.col("vec_id").alias("neighbor_id"),

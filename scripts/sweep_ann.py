@@ -1,24 +1,28 @@
 #!/usr/bin/env python
-"""ANN serving operating-curve sweep at sf1 (r8 verdict #4) — with
-HELD-OUT queries.
+"""ANN serving operating curves, HELD-OUT, on BOTH embedding regimes
+(r9 verdict #1).
 
-The PQ recall cliff (f55c9c1) proved defaults tuned at sf0.01 can be
-wrong at 10x the data. This sweep measures the (n_cells × nprobe)
-grid — and the IVF-PQ refine axis — on the sf1 corpus against exact
-brute force, so production defaults are PICKED FROM A CURVE (recall
-≥ 0.8 at the lowest scanned corpus fraction) instead of asserted.
+r9 established two things the hard way:
 
-TRAIN/TEST CONTAMINATION (the r9 finding, preserved in the artifact's
-``contamination_check``): the first version of this sweep selected its
-32 recall queries by SMALLEST xxhash64(vec_id) — exactly the head of
-the quantizer's training sample (ivf_coarse_centroids trains on the
-4096 smallest-xxhash64 rows and SEEDS the centroids from the first of
-them). Recall measured on those queries: 0.88 at a 9% scan. Recall on
-held-out queries at the same config: 0.26. This corpus is isotropic
-(no cluster structure), so honest IVF recall tracks the SCANNED
-FRACTION — which is what forced the nprobe='auto' (cells/2) default.
-Queries here are therefore the 32 LARGEST-xxhash64 clean vectors:
-provably disjoint from the 4096-smallest training sample.
+* TRAIN/TEST CONTAMINATION — recall queries drawn from the quantizer's
+  own smallest-xxhash64 training sample over-measured recall (0.88
+  apparent vs 0.26 held-out at a 9% scan; preserved in
+  SWEEP_ann_r09.json `contamination_check`). All queries here are the
+  32 LARGEST-xxhash64 clean vectors — provably disjoint from the
+  4096-smallest training sample.
+* The synthetic sf* corpora are ISOTROPIC, so held-out IVF recall
+  tracks the scanned fraction — there is no structure to exploit, and
+  the floor-honest default (nprobe = cells/2) is forced.
+
+r10 adds the missing half: the SAME held-out measurement on a corpus
+WITH cluster structure (scripts/make_clustered.py — a 32-component
+mixture at sf1 scale, the realistic embedding regime), via
+operators.similarity.ivf_recall_curve — one Spark job per (corpus,
+n_cells) yielding EXACT recall at every nprobe (the per-cell top-k is
+a sufficient statistic; nprobe = n_cells IS brute force). The
+calibrate_nprobe helper then picks the smallest nprobe meeting the
+0.8 floor per corpus — the measured, per-corpus path to a serving
+config below the floor default.
 
 Writes SWEEP_ann_r{N}.json and prints one JSON line.
 Usage: python scripts/sweep_ann.py
@@ -35,16 +39,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 SF1 = os.path.join(ROOT, ".scale", "sf1")
-N_QUERIES = 32
+CLUSTERED = os.path.join(ROOT, ".scale", "clustered")
 K = 10
-
-IVF_GRID = [
-    (n_cells, nprobe)
-    for n_cells in (4, 8, 16, 32, 64)
-    for nprobe in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48)
-    if nprobe <= n_cells
-]
-PQ_REFINE = (4, 10, 20)
+N_QUERIES = 32
+TARGET = 0.8
 
 
 def _got_map(rows) -> dict:
@@ -64,7 +62,11 @@ def _recall(got: dict, want: dict) -> float:
 
 def main() -> int:
     if not os.path.isdir(SF1):
-        raise SystemExit("benign sf1 missing — run scripts/make_sf1.py first")
+        raise SystemExit("sf1 missing — run scripts/make_sf1.py first")
+    if not os.path.isdir(CLUSTERED):
+        raise SystemExit(
+            "clustered corpus missing — run scripts/make_clustered.py first"
+        )
     from pyspark.sql import functions as F
 
     from chillastic_spark.operators import similarity as S
@@ -73,120 +75,101 @@ def main() -> int:
 
     spark = get_spark("sweep-ann")
     spark.sparkContext.setLogLevel("ERROR")
-    e = load(spark, SF1, "embeddings")
-    n_corpus = e.count()
 
-    def qset(order_desc: bool):
-        key = F.xxhash64(F.col("vec_id"))
-        order = [F.desc(key) if order_desc else F.asc(key), F.col("vec_id")]
-        return (
-            S.clean_vectors(e)
-            .orderBy(*order)
-            .limit(N_QUERIES)
-            .select(F.col("vec_id").alias("query_id"), "embedding")
-        )
-
-    held_out = qset(order_desc=True)  # disjoint from the training head
-    train_head = qset(order_desc=False)  # the contaminated set
-
-    def truth_of(q):
-        want: dict = {}
-        for r in S.brute_force_topk_fast(e, q, k=K).collect():
-            want.setdefault(r[0], set()).add(r[1])
-        return want
-
-    t0 = time.time()
-    want = truth_of(held_out)
-    brute_sec = round(time.time() - t0, 1)
-
-    ivf_curve = []
-    for n_cells, nprobe in IVF_GRID:
-        t0 = time.time()
-        got = _got_map(
-            S.ivf_topk(e, held_out, k=K, n_cells=n_cells, nprobe=nprobe).collect()
-        )
-        point = {
-            "n_cells": n_cells,
-            "nprobe": nprobe,
-            "scan_frac": round(nprobe / n_cells, 3),
-            "recall_at_10": round(_recall(got, want), 3),
-            "sec": round(time.time() - t0, 1),
-        }
-        ivf_curve.append(point)
-        print(f"# ivf {point}", file=sys.stderr)
-
-    ok = [p for p in ivf_curve if p["recall_at_10"] >= 0.8]
-    pick = (
-        min(ok, key=lambda p: (p["scan_frac"], p["n_cells"]))
-        if ok
-        else max(ivf_curve, key=lambda p: p["recall_at_10"])
-    )
-
-    # the contamination check: same config, training-head queries
-    contaminated_cfg = {"n_cells": 32, "nprobe": 3}
-    want_train = truth_of(train_head)
-    got_train = _got_map(
-        S.ivf_topk(e, train_head, k=K, **contaminated_cfg).collect()
-    )
-    got_held = _got_map(
-        S.ivf_topk(e, held_out, k=K, **contaminated_cfg).collect()
-    )
-    contamination = {
-        **contaminated_cfg,
-        "recall_training_head_queries": round(_recall(got_train, want_train), 3),
-        "recall_held_out_queries": round(_recall(got_held, want), 3),
-        "note": (
-            "queries drawn from the quantizer's own training sample "
-            "over-measure recall — centroids are seeded from those rows"
+    corpora = {
+        "isotropic_sf1": load(spark, SF1, "embeddings"),
+        "clustered_mixture": spark.read.parquet(
+            os.path.join(CLUSTERED, "embeddings.parquet")
         ),
     }
-    print(f"# contamination {contamination}", file=sys.stderr)
-
-    pq_curve = []
-    for refine in PQ_REFINE:
+    out: dict = {}
+    for name, e in corpora.items():
+        n_corpus = e.count()
         t0 = time.time()
-        got = _got_map(
-            S.ivf_pq_topk(
-                e,
-                held_out,
-                k=K,
-                n_cells=pick["n_cells"],
-                nprobe=pick["nprobe"],
-                m=16,
-                n_centroids=256,
-                refine=refine,
-            ).collect()
+        cal = S.calibrate_nprobe(
+            e, target_recall=TARGET, k=K, n_queries=N_QUERIES
         )
-        point = {
-            "n_cells": pick["n_cells"],
-            "nprobe": pick["nprobe"],
-            "refine": refine,
-            "recall_at_10": round(_recall(got, want), 3),
-            "sec": round(time.time() - t0, 1),
+        sec = round(time.time() - t0, 1)
+        curve = cal.pop("curve")
+        out[name] = {
+            "corpus_rows": n_corpus,
+            "calibrated": cal,
+            "sec": sec,
+            # the whole exact curve, thinned for the artifact
+            "curve": [
+                p
+                for i, p in enumerate(curve)
+                if i < 8 or (i + 1) % 4 == 0 or p["nprobe"] == cal["nprobe"]
+            ],
         }
-        pq_curve.append(point)
-        print(f"# ivfpq {point}", file=sys.stderr)
+        print(f"# {name}: {cal} ({sec}s)", file=sys.stderr)
+
+    # structure sensitivity on the clustered corpus: the calibrated
+    # scan fraction must hold across cell-count choices, not be a
+    # one-cell-count artifact
+    e = corpora["clustered_mixture"]
+    cells_scan = {}
+    for n_cells in (16, 64):
+        cal = S.calibrate_nprobe(
+            e, target_recall=TARGET, k=K, n_cells=n_cells, n_queries=N_QUERIES
+        )
+        cal.pop("curve")
+        cells_scan[n_cells] = cal
+        print(f"# clustered n_cells={n_cells}: {cal}", file=sys.stderr)
+
+    # IVF-PQ at the calibrated clustered config: the compressed path
+    # must keep the floor where the uncompressed one does
+    pick = out["clustered_mixture"]["calibrated"]
+    qset = (
+        S.clean_vectors(e)
+        .orderBy(F.desc(F.xxhash64(F.col("vec_id"))), F.col("vec_id"))
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    want = _got_map(S.brute_force_topk_fast(e, qset, k=K).collect())
+    t0 = time.time()
+    got = _got_map(
+        S.ivf_pq_topk(
+            e,
+            qset,
+            k=K,
+            n_cells=pick["n_cells"],
+            nprobe=pick["nprobe"],
+            m=16,
+            n_centroids=256,
+            refine=10,
+        ).collect()
+    )
+    ivf_pq = {
+        "n_cells": pick["n_cells"],
+        "nprobe": pick["nprobe"],
+        "m": 16,
+        "refine": 10,
+        "recall_at_10": round(_recall(got, want), 3),
+        "sec": round(time.time() - t0, 1),
+    }
+    print(f"# clustered ivf_pq: {ivf_pq}", file=sys.stderr)
 
     payload = {
-        "metric": "ann_operating_curve_sf1_held_out",
-        "corpus_rows": n_corpus,
-        "n_queries": N_QUERIES,
+        "metric": "ann_operating_curves_held_out_r10",
         "k": K,
+        "n_queries": N_QUERIES,
+        "target_recall": TARGET,
         "query_selection": "32 largest-xxhash64 clean vectors — disjoint "
-        "from the quantizer's 4096-smallest training sample",
-        "brute_force_sec": brute_sec,
-        "ivf_curve": ivf_curve,
-        "ivf_pick": pick,
-        "ivf_pq_refine_curve": pq_curve,
-        "contamination_check": contamination,
+        "from the quantizer's 4096-smallest training sample (the r9 "
+        "contamination fix, measured in SWEEP_ann_r09.contamination_check)",
+        "corpora": out,
+        "clustered_cells_sensitivity": cells_scan,
+        "clustered_ivf_pq_at_calibrated": ivf_pq,
         "note": (
-            "recall vs exact brute force under the shared rounded-cos "
-            "total order; sec includes quantizer training + assignment "
-            "+ probe. scan_frac = nprobe/n_cells. This synthetic corpus "
-            "is ISOTROPIC: honest recall tracks scan_frac (no cluster "
-            "structure for IVF to exploit), which is the worst case — "
-            "clustered real corpora reach the same recall at smaller "
-            "fractions, to be measured per corpus via the recall twin."
+            "Exact per-nprobe recall from ivf_recall_curve (per-cell "
+            "top-k sufficient statistic; nprobe=n_cells IS brute force). "
+            "The isotropic corpus pins recall to scan_frac — the floor-"
+            "honest default (nprobe=cells/2) remains correct there. The "
+            "clustered corpus (32-component mixture, make_clustered.py) "
+            "is the regime IVF exists for: calibrate_nprobe reads the "
+            "serving config off the measured curve instead of assuming "
+            "structure."
         ),
     }
     print(json.dumps(payload))
