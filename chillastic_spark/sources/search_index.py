@@ -473,7 +473,7 @@ def update_inverted_index(
         # emptiness check AND the incremental stats accumulator
         batch = _input_stats_row(toks)
         if not batch["n_docs"]:
-            return old_stats
+            return {**old_stats, "n_docs_added": 0}
         stats = _make_stats(
             old_stats["n_docs"] + batch["n_docs"],
             old_stats["sum_dl"] + (batch["sum_dl"] or 0.0),
@@ -502,7 +502,10 @@ def update_inverted_index(
             1
         ).write.mode("overwrite").parquet(ts_tmp)
         _swap_in(index_dir, tmp, ts_tmp, stats)
-    return stats
+    # batch-scoped observability rides the RETURN only (the persisted
+    # stats.json stays a pure corpus stat) — r9 verdict #3, mirroring
+    # update_vector_index's n_added
+    return {**stats, "n_docs_added": batch["n_docs"]}
 
 
 def wildcard_search_index(

@@ -71,6 +71,9 @@ def test_incremental_update_equals_full_rebuild(spark, tmp_path):
     )
     full_dir = str(tmp_path / "full")
     stats_full = build_inverted_index(spark, docs, full_dir)
+    # the corpus stats must equal a full rebuild's; n_docs_added is the
+    # update's batch-scoped observability counter (r10), not a corpus stat
+    assert stats_inc.pop("n_docs_added") == 100
     assert stats_inc == stats_full
     got = [tuple(r) for r in bm25_search_index(spark, inc_dir, TERMS, k=20).collect()]
     want = [tuple(r) for r in bm25_search_index(spark, full_dir, TERMS, k=20).collect()]
