@@ -572,15 +572,29 @@ def ann_query_ivf_index(
     with _reader_snapshot(index_dir):
         with open(os.path.join(index_dir, IVF_META)) as f:
             meta = json.load(f)
-        idx_raw = spark.read.parquet(os.path.join(index_dir, IVF_DATA))
+        try:
+            idx_raw = spark.read.parquet(os.path.join(index_dir, IVF_DATA))
+        except Exception as e:
+            # a hand-rolled/damaged meta with no data dir (or an
+            # empty-write dir with no part files) must serve empty
+            # results, not crash — under the reader lock this state is
+            # genuinely bootstrap-empty, never a live rebuild mid-swap
+            msg = str(e)
+            if not (
+                "UNABLE_TO_INFER_SCHEMA" in msg
+                or "Unable to infer schema" in msg
+                or "PATH_NOT_FOUND" in msg
+            ):
+                raise
+            idx_raw = None
     C = np.array(meta["centroids"], dtype=np.float64)
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"),
         CF.as_double_array(vec_col).alias("qvec"),
     ).collect()
-    # bootstrap-empty index (no centroids to probe) or no queries:
-    # empty results, not a numpy matmul ValueError mid-stream
-    if not q_rows or C.size == 0:
+    # bootstrap-empty index (no centroids to probe / no data dir) or no
+    # queries: empty results, not a numpy matmul ValueError mid-stream
+    if not q_rows or C.size == 0 or idx_raw is None:
         from chillastic_spark.operators.similarity import _id_type
 
         return _empty_topk(spark, qid_t=_id_type(queries, query_id_col))
