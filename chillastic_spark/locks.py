@@ -28,6 +28,28 @@ class LockHeld(RuntimeError):
     """The lock is held by another process (or another fd)."""
 
 
+# Per-thread registry of exclusively-held lock paths. flock treats two
+# fds of one process as INDEPENDENT holders, so a thread that holds
+# LOCK_EX and then requests LOCK_SH on a fresh fd of the same file
+# would block on itself forever. The reader guards consult this to
+# skip their shared lock when the calling thread is the writer (e.g.
+# upsert's merge reading the index inside its own locked window).
+_HELD_EX = threading.local()
+
+
+def _held_map() -> dict:
+    m = getattr(_HELD_EX, "m", None)
+    if m is None:
+        m = _HELD_EX.m = {}
+    return m
+
+
+def held_exclusive(path: str) -> bool:
+    """True when THIS thread currently holds an exclusive FileLock on
+    ``path`` (at any re-entrancy depth)."""
+    return _held_map().get(os.path.abspath(path), 0) > 0
+
+
 class FileLock:
     """An advisory lock on ``path`` (created if absent) — exclusive by
     default, shared with ``shared=True``.
@@ -63,6 +85,9 @@ class FileLock:
         with self._guard:
             if self._fd is not None and self._owner == me:
                 self._depth += 1  # re-entrant within the holder thread
+                if not self.shared:
+                    ap = os.path.abspath(self.path)
+                    _held_map()[ap] = _held_map().get(ap, 0) + 1
                 return self
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         while True:
@@ -104,6 +129,9 @@ class FileLock:
             self._fd = fd
             self._depth = 1
             self._owner = me
+        if not self.shared:
+            ap = os.path.abspath(self.path)
+            _held_map()[ap] = _held_map().get(ap, 0) + 1
         return self
 
     def release(self) -> None:
@@ -116,6 +144,13 @@ class FileLock:
                     "hold the lock"
                 )
             self._depth -= 1
+            if not self.shared:
+                ap = os.path.abspath(self.path)
+                n = _held_map().get(ap, 0) - 1
+                if n > 0:
+                    _held_map()[ap] = n
+                else:
+                    _held_map().pop(ap, None)
             if self._depth > 0:
                 return  # an outer holder still owns the lock
             fcntl.flock(self._fd, fcntl.LOCK_UN)

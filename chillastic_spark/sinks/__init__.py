@@ -164,13 +164,15 @@ def upsert(
                 # whose live dir died mid-swap reads as empty, and
                 # merging against "empty" would permanently drop its
                 # pre-crash rows)
+                from chillastic_spark.sources import store_swap_window
                 from chillastic_spark.sources.maintenance import (
                     _recover_interrupted_swap,
                     recover_bucket_swaps,
                 )
 
-                _recover_interrupted_swap(store.index_path(index))
-                recover_bucket_swaps(store.index_path(index))
+                with store_swap_window(store.index_path(index)):
+                    _recover_interrupted_swap(store.index_path(index))
+                    recover_bucket_swaps(store.index_path(index))
                 nb = store.bucket_count(index)
                 if nb is None:
                     from chillastic_spark.sources.maintenance import (
@@ -241,15 +243,21 @@ def _write_bucket_tmp(
 def _swap_bucket(tmp: str, store: DocumentStore, index: str, b: int) -> None:
     """Atomically install ``tmp/__bucket=b`` as the live bucket dir;
     a bucket with no surviving rows is deleted (absent == empty)."""
+    from chillastic_spark.sources import store_swap_window
+
     src = os.path.join(tmp, f"__bucket={b}")
     target = store.bucket_path(index, b)
     old = target + ".old-" + uuid.uuid4().hex[:8]
-    if os.path.exists(target):
-        os.rename(target, old)
-    if os.path.isdir(src):
-        os.rename(src, target)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    # rename window under the index's swap lock (r10): readers list
+    # bucket dirs under the SHARED side, so a read can never see this
+    # bucket mid-rename and silently serve the index without it
+    with store_swap_window(store.index_path(index)):
+        if os.path.exists(target):
+            os.rename(target, old)
+        if os.path.isdir(src):
+            os.rename(src, target)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
 
 def _replace_buckets(
@@ -300,12 +308,15 @@ def _replace_index_bucketed(
         raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    from chillastic_spark.sources import store_swap_window
+
     old = target + ".old-" + uuid.uuid4().hex[:8]
-    if os.path.exists(target):
-        os.rename(target, old)
-    os.rename(new, target)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    with store_swap_window(target):
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(new, target)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
 
 def _replace_index_type_partitioned(
@@ -322,10 +333,13 @@ def _replace_index_type_partitioned(
     except BaseException:
         shutil.rmtree(new, ignore_errors=True)
         raise
+    from chillastic_spark.sources import store_swap_window
+
     old = target + ".old-" + uuid.uuid4().hex[:8]
-    os.rename(target, old)
-    os.rename(new, target)
-    shutil.rmtree(old)
+    with store_swap_window(target):
+        os.rename(target, old)
+        os.rename(new, target)
+        shutil.rmtree(old)
 
 
 def purge(
@@ -356,13 +370,15 @@ def purge(
     with _index_lock(store.index_path(index)), FileLock(
         store.index_path(index) + ".lock"
     ):
+        from chillastic_spark.sources import store_swap_window
         from chillastic_spark.sources.maintenance import (
             _recover_interrupted_swap,
             recover_bucket_swaps,
         )
 
-        _recover_interrupted_swap(store.index_path(index))
-        recover_bucket_swaps(store.index_path(index))
+        with store_swap_window(store.index_path(index)):
+            _recover_interrupted_swap(store.index_path(index))
+            recover_bucket_swaps(store.index_path(index))
         nb = store.bucket_count(index)
         buckets = None
         if nb is not None:
@@ -406,9 +422,12 @@ def _atomic_replace(store: DocumentStore, index: str, merged: DataFrame) -> None
     if os.path.isdir(target) and _is_type_partitioned(target):
         writer = writer.partitionBy("_type")
     writer.parquet(tmp)
+    from chillastic_spark.sources import store_swap_window
+
     old = target + ".old-" + uuid.uuid4().hex[:8]
-    if os.path.exists(target):
-        os.rename(target, old)
-    os.rename(tmp, target)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    with store_swap_window(target):
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
+        if os.path.exists(old):
+            shutil.rmtree(old)

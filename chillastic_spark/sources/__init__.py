@@ -28,6 +28,7 @@ merge anti-join is only correct when both sides agree on the hash.
 """
 from __future__ import annotations
 
+import contextlib
 import fnmatch
 import json
 import os
@@ -55,6 +56,38 @@ NON_PORTABLE_SETTINGS = ("uuid", "creation_date", "provided_name")
 N_BUCKETS_DEFAULT = int(os.environ.get("CHILLASTIC_STORE_BUCKETS", "32"))
 BUCKET_PREFIX = "bucket-"
 BUCKET_MARKER = ".n_buckets"
+
+
+@contextlib.contextmanager
+def store_swap_window(index_path: str):
+    """EXCLUSIVE flock on ``<index>.swap.lock`` held ONLY around a live
+    directory-rename window — the store twin of the search/vector
+    index swap protocol (r10; r9 verdict #4 applied to the store).
+
+    The long per-index mutation lock (``<index>.lock``) still
+    serializes whole mutations against each other; this second, narrow
+    lock exists for READERS: ``DocumentStore.read`` takes it SHARED
+    around its existence check + file listing, so a read can never
+    land between a swap's two renames (where it used to see the live
+    dir missing and silently serve an EMPTY or bucket-incomplete
+    frame) — and a reader blocks a writer only for the microseconds of
+    a rename, never for the minutes of the rewrite that precedes it.
+    Bucket-level swaps take the INDEX-level lock so one reader guard
+    covers both layouts. Re-entrant per thread via
+    ``locks.held_exclusive`` (recovery runs inside callers that
+    already hold the window)."""
+    from chillastic_spark.locks import FileLock, held_exclusive
+
+    lock_path = index_path + ".swap.lock"
+    if held_exclusive(lock_path):
+        yield
+        return
+    lk = FileLock(lock_path)
+    lk.acquire()
+    try:
+        yield
+    finally:
+        lk.release()
 
 
 def bucket_expr(n_buckets: int) -> F.Column:
@@ -370,17 +403,49 @@ class DocumentStore:
 
         ``buckets`` prunes a bucketed index to the given hash buckets —
         the MERGE fast path reads only the touched 1/N-th of the index.
+
+        The existence check + file listing run under the SHARED side
+        of :func:`store_swap_window` (r10): a read can no longer land
+        between a live swap's two renames and silently serve an empty
+        or bucket-incomplete frame. A dir missing UNDER the lock with
+        ``.old-``/``.compact-`` siblings is a crashed swap — healed
+        once (``_recover_interrupted_swap``) and retried, so a reader
+        is never the caller that has to know about compactor crashes.
         """
         path = self.index_path(index)
-        if not os.path.isdir(path):
+        if not os.path.isdir(os.path.dirname(path)):
+            # bare root — no data dir to lock in (reads must not mkdir)
             return spark.createDataFrame([], ENVELOPE_SCHEMA)
-        if self.bucket_count(index) is not None:
-            paths = self.bucket_paths(index, buckets)
-            if not paths:
-                return spark.createDataFrame([], ENVELOPE_SCHEMA)
-            df = spark.read.schema(ENVELOPE_SCHEMA).parquet(*paths)
-        else:
-            df = spark.read.schema(ENVELOPE_SCHEMA).parquet(path)
+        if (
+            not os.path.isdir(path)
+            and not self._swap_leftovers(index)
+            and not os.path.exists(path + ".swap.lock")
+        ):
+            # genuinely never-built: no dir, no crashed-swap leftovers,
+            # and no swap lock file (every mutation path creates one, so
+            # a LIVE swap always leaves either the lock or a tagged dir
+            # visible) — return empty without materializing a lock file
+            return spark.createDataFrame([], ENVELOPE_SCHEMA)
+        df = None
+        for attempt in (0, 1):
+            with self._read_snapshot(index):
+                if os.path.isdir(path):
+                    if self.bucket_count(index) is not None:
+                        paths = self.bucket_paths(index, buckets)
+                        if not paths:
+                            return spark.createDataFrame([], ENVELOPE_SCHEMA)
+                        df = spark.read.schema(ENVELOPE_SCHEMA).parquet(*paths)
+                    else:
+                        df = spark.read.schema(ENVELOPE_SCHEMA).parquet(path)
+                    break
+            # absent under the lock: genuinely unbuilt, or a crashed
+            # swap whose leftovers hold the data — heal once, retry
+            if attempt == 0 and self._swap_leftovers(index):
+                self._heal_interrupted_swap(index)
+                continue
+            return spark.createDataFrame([], ENVELOPE_SCHEMA)
+        if df is None:
+            return spark.createDataFrame([], ENVELOPE_SCHEMA)
         df = df.withColumn("_index", F.lit(index))
         if type is not None:
             df = df.filter(F.col("_type") == type)
@@ -393,6 +458,51 @@ class DocumentStore:
                 in_range = in_range | F.col("_size").isNull()
             df = df.filter(in_range)
         return df
+
+    @contextlib.contextmanager
+    def _read_snapshot(self, index: str):
+        """SHARED flock on the index's ``.swap.lock`` (see
+        :func:`store_swap_window`) — skipped when the calling thread
+        already holds it exclusively (a recovery mid-swap reading its
+        own work would self-deadlock: flock treats two fds of one
+        process as independent holders)."""
+        from chillastic_spark.locks import FileLock, held_exclusive
+
+        lock_path = self.index_path(index) + ".swap.lock"
+        if held_exclusive(lock_path):
+            yield
+            return
+        lk = FileLock(lock_path, shared=True)
+        lk.acquire()
+        try:
+            yield
+        finally:
+            lk.release()
+
+    def _swap_leftovers(self, index: str) -> bool:
+        """True when ``.old-``/``.compact-`` siblings of the index dir
+        exist — the signature of a compaction that died mid-swap."""
+        base = os.path.basename(self.index_path(index))
+        parent = os.path.dirname(self.index_path(index))
+        if not os.path.isdir(parent):
+            return False
+        return any(
+            d.startswith(base + ".old-") or d.startswith(base + ".compact-")
+            for d in os.listdir(parent)
+        )
+
+    def _heal_interrupted_swap(self, index: str) -> None:
+        """Roll a crashed flat-index swap back to its ``.old-``
+        snapshot (``maintenance._recover_interrupted_swap``) under the
+        full writer locks — the read path's self-service recovery."""
+        from chillastic_spark.locks import FileLock
+        from chillastic_spark.sources.maintenance import (
+            _recover_interrupted_swap,
+        )
+
+        path = self.index_path(index)
+        with FileLock(path + ".lock"), store_swap_window(path):
+            _recover_interrupted_swap(path)
 
     def read_sizes(
         self, spark: SparkSession, index: str, type: Optional[str] = None

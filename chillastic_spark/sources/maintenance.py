@@ -134,8 +134,11 @@ def _compact_index_locked(
             spark, store, index, target_file_bytes, min_files_to_compact,
             sort_by, zorder_by,
         )
+    from chillastic_spark.sources import store_swap_window
+
     path = store.index_path(index)
-    _recover_interrupted_swap(path)
+    with store_swap_window(path):
+        _recover_interrupted_swap(path)
     before = file_stats(path, small_file_bytes=target_file_bytes // 4)
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
     relayout = sort_by is not None or zorder_by is not None
@@ -164,9 +167,19 @@ def _compact_index_locked(
     writer.parquet(tmp)
 
     old = path + ".old-" + uuid.uuid4().hex[:8]
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    # rename window under the index's swap lock (r10): readers hold the
+    # SHARED side during their listing, so a read either sees the whole
+    # pre-compaction dir or the whole post-compaction one — never the
+    # between-renames gap it used to misread as an empty index
+    with store_swap_window(path):
+        os.rename(path, old)
+        # torture-test crash window: live dir renamed away, compacted
+        # dir not yet installed (tests/test_store_reader_race.py)
+        from chillastic_spark.locks import test_pause
+
+        test_pause("store_mid_swap", os.path.dirname(path))
+        os.rename(tmp, path)
+        shutil.rmtree(old)
     return {
         "before": before,
         "after": file_stats(path, small_file_bytes=target_file_bytes // 4),
@@ -239,8 +252,11 @@ def _compact_bucketed(
 
     agg_before: dict = {"n_files": 0, "total_bytes": 0, "small_files": 0}
     agg_after: dict = {"n_files": 0, "total_bytes": 0, "small_files": 0}
+    from chillastic_spark.sources import store_swap_window
+
     compacted_any = False
-    recover_bucket_swaps(store.index_path(index))
+    with store_swap_window(store.index_path(index)):
+        recover_bucket_swaps(store.index_path(index))
     for bpath in store.bucket_paths(index):
         before = file_stats(bpath, small_file_bytes=target_file_bytes // 4)
         n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
@@ -261,9 +277,12 @@ def _compact_bucketed(
             tmp = bpath + ".compact-" + uuid.uuid4().hex[:8]
             shaped.write.mode("overwrite").parquet(tmp)
             old = bpath + ".old-" + uuid.uuid4().hex[:8]
-            os.rename(bpath, old)
-            os.rename(tmp, bpath)
-            shutil.rmtree(old)
+            # per-bucket rename window on the INDEX-level swap lock —
+            # readers guard at index granularity (store._read_snapshot)
+            with store_swap_window(store.index_path(index)):
+                os.rename(bpath, old)
+                os.rename(tmp, bpath)
+                shutil.rmtree(old)
             compacted_any = True
             after = file_stats(bpath, small_file_bytes=target_file_bytes // 4)
         for k in agg_before:
