@@ -34,8 +34,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single scan → hash agg; Catalyst pushes the shipdate filter to
     parquet; partial aggregation map-side (8 aggs over 2 group keys).
+    fanout=True (r10): the shipdate filter keeps ~98% of rows, so the
+    scan-fused decimal aggregation dominates — on a parallelism-starved
+    layout (single row group) the adaptive fan-out parallelizes it
+    (measured 0.77x; no-op on well-split inputs, where the filter
+    keeps its PushedFilters row-group pruning).
     """
-    l = load(spark, sf_dir, "lineitem")
+    l = load(spark, sf_dir, "lineitem", fanout=True)
     qty = _dec("l_quantity", 12, 2)
     ep = _dec("l_extendedprice", 14, 2)
     disc = _dec("l_discount", 4, 2)

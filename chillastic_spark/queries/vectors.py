@@ -61,8 +61,11 @@ GROUP BY label, dim
 
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-dup pairs blocked by label (threshold tuned to the
-    synthetic corpus where max within-label cos ≈ 0.45)."""
-    e = load(spark, sf_dir, "embeddings")
+    synthetic corpus where max within-label cos ≈ 0.45).
+    fanout=False (r10): the block-grid operator re-shuffles by block id
+    immediately, so a load-side fan-out is a redundant exchange
+    (measured 1.16x under blanket fan-out)."""
+    e = load(spark, sf_dir, "embeddings", fanout=False)
     return D.embedding_dup_pairs(e, threshold=0.3)
 
 
