@@ -300,7 +300,12 @@ def table_profile(
     ``exact=False`` swaps countDistinct for approx_count_distinct —
     the fact-table-scale knob; same plan shape, no Expand.
     """
-    li = load(spark, sf_dir, "lineitem").withColumn(
+    # fanout=True (r10): the multi-countDistinct Expand multiplies the
+    # scan ~12x before the partial agg; on a parallelism-starved layout
+    # the whole expansion ran in ONE scan task (measured 16.4s in the
+    # sweep — the slowest registered query). Filter-free full scan, so
+    # there is no pushdown to lose.
+    li = load(spark, sf_dir, "lineitem", fanout=True).withColumn(
         "l_shipdate", F.col("l_shipdate").cast("date")
     )
     cols = PROFILE_COLS + ["l_shipdate"]

@@ -79,7 +79,11 @@ def _events_ts_is_nanos(path: str) -> bool:
 # shape, pushdown intact). CHILLASTIC_SCAN_FANOUT=off disables.
 
 _FANOUT_KEYS = {
-    "lineitem": ["l_orderkey", "l_linenumber"],
+    # l_orderkey alone (not +l_linenumber): ~150k distinct orders
+    # spread 32 partitions fine, and single-key partitioning satisfies
+    # every downstream clustering that includes l_orderkey (the
+    # basket-pairs distinct + self-join reuse this exchange outright)
+    "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
     "events": ["event_id"],
     "documents": ["doc_id"],
