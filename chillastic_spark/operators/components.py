@@ -3,13 +3,26 @@ near-duplicate PAIRS into duplicate CLUSTERS (pick one canonical doc per
 component, drop the rest).
 
 Spark-first shape: iterative min-label propagation expressed as
-DataFrame joins, with a pointer-jumping step per round so convergence is
-O(log n) rounds for chains, O(diameter) worst case. Each round cuts
-lineage via the shared ``persist.materialize`` (iterative=True — the
-cluster mode is a reliable checkpoint). Near-dup graphs are overwhelmingly tiny star/clique
-components, so rounds ≈ 2-3 in practice at any corpus size; every round
-is two shuffles on node id (AQE-coalesced), never a driver-side
-collect of the graph.
+DataFrame joins, with a LABEL-CLASS MERGE (every node of a label class
+wholesale adopts the best label any member found — the star-contraction
+move of Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) plus a POINTER JUMP (comp ← label(comp)) per round, so
+convergence is ~log n rounds instead of O(diameter) on BOTH id
+regimes (see the loop comments). Each round cuts lineage via the
+shared ``persist.materialize`` (iterative=True — the cluster mode is a
+reliable checkpoint). Near-dup graphs are overwhelmingly tiny
+star/clique components, so rounds ≈ 2-3 in practice at any corpus
+size; every round is an edge-table equi-join plus three label-table
+aggregations/joins shuffled on node/label id (AQE-coalesced), never a
+driver-side collect of the graph.
+
+Round-count evidence (r10): sf0.1 embedding pair graph (1536 nodes,
+chain-shaped components, random ids): r9 shape (per-hop propagation +
+pointer jump) 16 rounds; merge-only 8; merge+jump 4 — labels
+bit-identical in all variants. 200-node path with shuffled ids:
+merge+jump 6 rounds. 51-node ORDERED path: jump-only 6 rounds,
+merge-only >25 (non-convergent in the cap). A second merge level per
+round saved fewer rounds than its two extra label-table shuffles cost.
 """
 from __future__ import annotations
 
@@ -29,17 +42,27 @@ def connected_components(
     ``component`` is the smallest node id in the node's component.
 
     Raises if not converged within ``max_iters`` rounds (a round =
-    neighbor-min propagation + one pointer jump).
+    neighbor-min propagation + one label-class merge).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     sym = materialize(sym.distinct(), iterative=True)
+    # seed comp ← min(node, min neighbor): one aggregation replaces the
+    # r9 code's separate nodes-distinct pass AND its first full
+    # join-round of work — the fixpoint (comp = component min, verified
+    # by a no-change round) is unchanged, rounds-to-converge drops by
+    # one. sym is symmetric, so every node appears as `a`.
     labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("_mb")).alias("comp"),
+        )
     )
     prev_pinned = None
-    for _ in range(max_iters):
+    for _round in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
@@ -55,28 +78,56 @@ def connected_components(
                 F.col("comp").alias("_old"),
             )
         )
-        # pointer jump: comp ← label(comp)
-        ptr = prop.select(F.col("node").alias("_pn"), F.col("comp").alias("_pc"))
-        jumped = (
-            prop.join(ptr, prop["comp"] == ptr["_pn"], "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("_pc"), F.col("comp"))).alias(
-                    "comp"
-                ),
-                "_old",
-            )
+        # LABEL-CLASS MERGE: group this round's candidates by the OLD
+        # label; every member of the class adopts the class-wide min.
+        # Whole label classes (partial components discovered in earlier
+        # rounds) merge in one step instead of leaking the better label
+        # one graph-hop per round. Correctness: _cmin is a min over
+        # in-component candidate labels, so comp only ever decreases to
+        # another in-component node id; the fixpoint (comp = component
+        # min everywhere, confirmed by a no-change round) is unchanged.
+        cls = prop.groupBy("_old").agg(F.min("comp").alias("_cmin"))
+        merged = prop.join(cls, "_old").select(
+            "node",
+            F.least(F.col("comp"), F.col("_cmin")).alias("comp"),
+            "_old",
         )
-        jumped = materialize(jumped, iterative=True)
-        changed = jumped.filter(F.col("comp") != F.col("_old")).limit(1).count()
+        # POINTER JUMP: comp ← label(comp). Complementary to the class
+        # merge — the merge collapses label CLASSES (many nodes sharing
+        # a label; the random-id regime of real near-dup graphs, where
+        # this jump is a measured no-op) while the jump shortcuts label
+        # CHAINS (comp points at a node whose own comp is smaller; the
+        # ordered-id chain regime, where classes stay singletons and
+        # the merge alone is a no-op — a 51-node ordered path failed to
+        # converge in 25 merge-only rounds). Either alone is ~diameter
+        # on its bad shape; together rounds are ~log on both.
+        ptr = merged.select(F.col("node").alias("_pn"), F.col("comp").alias("_pc"))
+        merged = merged.join(ptr, merged["comp"] == ptr["_pn"], "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("_pc"), F.col("comp"))).alias(
+                "comp"
+            ),
+            "_old",
+        )
+        # EAGER per-round pin + limit(1) convergence probe. A lazy pin
+        # here (count doubling as the materialization job) measured
+        # FASTER per round but wedges at sf0.1: under AQE,
+        # localCheckpoint(eager=False) still executes the subplan's
+        # stages synchronously inside the py4j call, and on this
+        # loop's join-over-previous-lazy-pin shape that blocked for
+        # minutes (observed live in r10; the win comes from the class
+        # merge cutting the ROUND COUNT instead).
+        merged = materialize(merged, iterative=True)
+        changed = merged.filter(F.col("comp") != F.col("_old")).limit(1).count()
         # release the PREVIOUS round's pin now that this round is fully
         # computed — unreleased, a k-round convergence holds k
         # graph-sized checkpoints live until scope exit
         if prev_pinned is not None:
             release(prev_pinned)
-        prev_pinned = jumped
-        labels = jumped.select("node", "comp")
+        prev_pinned = merged
+        labels = merged.select("node", "comp")
         if changed == 0:
+            release(sym)
             return labels.select("node", F.col("comp").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
 

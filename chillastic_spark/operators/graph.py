@@ -26,6 +26,12 @@ from pyspark.sql import functions as F
 from chillastic_spark import functions as CF
 from chillastic_spark.persist import materialize, release
 
+# Lazy round-state checkpoints are forced (eager sync + release of all
+# older pins) every this many rounds: per-job scheduler overhead is the
+# dominant cost of small/medium iterations, while live round-state
+# memory stays bounded by _SYNC_ROUNDS + 1 tables.
+_SYNC_ROUNDS = 3
+
 
 def pagerank(
     edges: DataFrame,
@@ -47,38 +53,57 @@ def pagerank(
     and the pure-Python twin.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # setup pins are LAZY; the two setup actions below (node count,
+    # dangling count) double as their materialization jobs, so setup is
+    # 2 Spark jobs instead of the 5 the r9 eager pins cost
+    e = materialize(e, iterative=True, eager=False)
     nodes = materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct(),
         iterative=True,
+        eager=False,
     )
-    n_nodes = nodes.count()
+    n_nodes = nodes.count()  # materializes e + nodes
     # pinned: deg feeds the out-edge checkpoint AND the dangling
     # anti-join — unpinned, the edges scan + distinct + groupBy ran
     # twice during setup
     deg = materialize(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")),
         iterative=True,
+        eager=False,
     )
-    # out-edges with weights, checkpointed once — reused every round
-    out = materialize(e.join(deg, "src"), iterative=True)
+    # out-edges with weights, checkpointed once — reused every round;
+    # lazy: first loop job computes and pins it
+    out = materialize(e.join(deg, "src"), iterative=True, eager=False)
 
     dec = "decimal(28,{})".format(digits)
     # the DANGLING SET (nodes with no out-edges) is fixed across
     # iterations — only its rank mass changes. Compute it once; when
     # it is empty (every kNN graph: each node has out-edges) skip the
     # per-iteration mass aggregate entirely (x + 0.0 == x bit-wise,
-    # so results are unchanged)
+    # so results are unchanged). FULL count, not limit(1): this action
+    # materializes the lazy deg + dangling pins, and a partial scan
+    # would leave them half-populated.
     dangling_nodes = materialize(
         nodes.join(deg, nodes["node"] == deg["src"], "left_anti"),
         iterative=True,
+        eager=False,
     )
-    has_dangling = bool(dangling_nodes.limit(1).count())
+    has_dangling = bool(dangling_nodes.count())
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    prev_pinned = None
-    for _ in range(iters):
+    # Round state is pinned LAZILY and synced (eager checkpoint job +
+    # release of everything older) every _SYNC_ROUNDS rounds and on the
+    # last round: a k-round PageRank is ceil(k/_SYNC_ROUNDS) Spark jobs
+    # instead of k (r9 shape: one eager checkpoint job per round). The
+    # sync job computes every pending lazy round in one pass — each
+    # round's checkpoint persists as it computes, so the within-job
+    # chain stays flat — and live round-state pins stay bounded by
+    # _SYNC_ROUNDS + 1 tables, preserving the r9 memory contract's
+    # spirit (bounded, not 2).
+    pending: "list[DataFrame]" = []
+    for i in range(iters):
         contrib = (
             out.join(ranks, out["src"] == ranks["node"])
             .select(
@@ -102,6 +127,7 @@ def pagerank(
             mass = F.coalesce("in_sum", F.lit(0.0)) + F.col("d") / n_nodes
         else:
             mass = F.coalesce("in_sum", F.lit(0.0))
+        sync = (i + 1) % _SYNC_ROUNDS == 0 or i == iters - 1
         ranks = materialize(
             base.select(
                 "node",
@@ -110,18 +136,22 @@ def pagerank(
                 ),
             ),
             iterative=True,
+            eager=sync,
         )
-        # release the PREVIOUS round's checkpoint once this round is
-        # fully computed — k rounds must pin 2 rank tables, not k
-        # (same pattern as components.connected_components)
-        if prev_pinned is not None:
-            release(prev_pinned)
-        prev_pinned = ranks
+        if sync:
+            # everything older than this checkpoint is now fully
+            # computed (it is an ancestor of the job that just ran)
+            # and referenced by nothing downstream — release it
+            for p in pending:
+                release(p)
+            pending = [ranks]
+        else:
+            pending.append(ranks)
     # the setup pins feed nothing once the final ranks checkpoint is
     # computed (iterative pins are eager in every mode): unreleased,
     # each pagerank call leaked four corpus-scale tables for the
     # session lifetime — the callers run outside any batch_scope
-    for setup_pin in (nodes, deg, out, dangling_nodes):
+    for setup_pin in (e, nodes, deg, out, dangling_nodes):
         release(setup_pin)
     return ranks
 
@@ -189,18 +219,27 @@ def label_propagation(
     one equi-join + two aggregations shuffled on node id; lineage cut
     per round."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # lazy pin: the first sync job below materializes it (r10 round)
     und = materialize(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct(),
         iterative=True,
+        eager=False,
     )
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    prev_pinned = None
-    for _ in range(iters):
+    # EAGER per-round sync, unlike pagerank's 3-round batches: an LPA
+    # round is a vote join + TWO aggregations, so a 3-round-deep lazy
+    # plan costs more in optimizer/AQE work than the saved jobs —
+    # measured at sf0.1 (knn_communities, 3 adjacent-window reps):
+    # batched 6.29/5.17/6.92s vs per-round 5.24/4.83/6.54s. The lazy
+    # setup pin above still saves its separate materialization job
+    # (round 1 computes it).
+    pending: "list[DataFrame]" = []
+    for i in range(iters):
         votes = (
             und.join(
                 labels.withColumnRenamed("node", "__n"),
@@ -220,10 +259,14 @@ def label_propagation(
             )
             .select("node", F.col("s.lb").alias("label"))
         )
-        labels = materialize(labels, iterative=True)
-        if prev_pinned is not None:  # bound live pins to 2 rounds
-            release(prev_pinned)
-        prev_pinned = labels
+        sync = True
+        labels = materialize(labels, iterative=True, eager=sync)
+        if sync:
+            for p in pending:
+                release(p)
+            pending = [labels]
+        else:
+            pending.append(labels)
     # the undirected edge pin feeds nothing once the final labels
     # checkpoint exists — unreleased it leaked per call (pagerank rule)
     release(und)

@@ -75,6 +75,44 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
         )
 
 
+def _reset_stats(out: DataFrame) -> DataFrame:
+    """Rebuild a checkpointed frame over its own RDD so it does NOT
+    inherit the parent plan's size statistics.
+
+    Dataset.checkpoint/localCheckpoint preserve the ORIGIN plan's
+    ``sizeInBytes`` estimate on the LogicalRDD. Inside a fixpoint loop
+    that estimate COMPOUNDS: every join multiplies its children's
+    estimates, the per-round checkpoint carries the product into the
+    next round, and after k rounds the estimate is a
+    doubly-exponential BigInt. Measured live on the sf0.1 embedding
+    pair graph (r10 round): by round 5 the checkpoint's sizeInBytes
+    exceeded 4300 DIGITS and the driver burned minutes per round in
+    BigInteger.multiply inside SizeInBytesOnlyStatsPlanVisitor —
+    25s/173s for rounds 10/11 of connected-components, and with more
+    joins per round (pointer doubling) the blowup came even earlier.
+
+    The rebuilt LogicalRDD reports the default leaf estimate
+    (spark.sql.defaultSizeInBytes = Long.MaxValue), which (a) stays
+    CONSTANT across rounds — planning cost is flat forever — and
+    (b) only disables estimate-based auto-broadcast of round state,
+    which the compounded garbage estimate disabled anyway; AQE still
+    broadcasts from RUNTIME sizes. The original frame rides along as
+    ``_chillastic_release_delegate`` so :func:`release` can still
+    unpersist the underlying checkpoint blocks (the rebuilt plan's
+    RDD is a wrapper; unpersisting it alone frees nothing)."""
+    try:
+        spark = out.sparkSession
+        jdf = out._jdf
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        nd = DataFrame(new_jdf, spark)
+        nd._chillastic_release_delegate = out
+        return nd
+    except Exception:  # noqa: BLE001 — stats reset is an optimization
+        return out
+
+
 def materialize(
     df: DataFrame,
     mode: "str | None" = None,
@@ -104,9 +142,13 @@ def materialize(
         mode = "reliable"
     if mode == "local":
         out = df.localCheckpoint(eager=eager)
+        if iterative:
+            out = _reset_stats(out)
     elif mode == "reliable":
         _ensure_checkpoint_dir(df)
         out = df.checkpoint(eager=eager)
+        if iterative:
+            out = _reset_stats(out)
     elif mode == "disk":
         from pyspark import StorageLevel
 
@@ -161,6 +203,9 @@ def release(df: DataFrame) -> None:
     only in ``sc.persistentRdds`` — they need an RDD-level unpersist
     (reached through the analyzed LogicalRDD) or they linger until
     JVM GC."""
+    delegate = getattr(df, "_chillastic_release_delegate", None)
+    if delegate is not None:
+        release(delegate)
     try:
         df.unpersist(blocking=False)
     except Exception:  # noqa: BLE001 — releasing is best-effort
