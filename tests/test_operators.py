@@ -445,6 +445,49 @@ def test_connected_components_chain_clique_pair(spark):
     assert len(clusters) == 10
 
 
+def test_connected_components_log_rounds_on_both_id_regimes(spark):
+    """The r10 loop pairs a label-class merge with a pointer jump
+    because each is a no-op on the other's bad shape: ordered-id
+    chains keep label classes singleton (merge-only needed >25 rounds
+    on a 51-node ordered path — non-convergent in the cap), while
+    random-id graphs make almost every label a self-labelled local
+    minimum (jump-only measured ~diameter rounds on the sf0.1 pair
+    graph). Pin ~log-round convergence AND exactness on both regimes
+    with a round budget far under the diameter."""
+    import random
+
+    import chillastic_spark.operators.components as C
+
+    calls = {"n": 0}
+    orig = C.materialize
+
+    def counting(df, *a, **k):
+        calls["n"] += 1
+        return orig(df, *a, **k)
+
+    n = 40  # path diameter 39; log2 ≈ 5.3
+    ordered = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    perm = list(range(n))
+    random.Random(7).shuffle(perm)
+    shuffled = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    C.materialize = counting
+    try:
+        for edges in (ordered, shuffled):
+            calls["n"] = 0
+            comps = C.connected_components(edges).collect()
+            rounds = calls["n"] - 1  # one materialize pins sym
+            assert len(comps) == n
+            assert all(r["component"] == 0 for r in comps)
+            # per-hop propagation would need ~39 rounds; ~log is <= 10
+            assert rounds <= 10, f"{rounds} rounds — lost the log-round shape"
+    finally:
+        C.materialize = orig
+
+
 def test_substring_dup_stats_planted_span(spark):
     """ExactSubstr coverage: a 6-token span shared verbatim by two docs
     is found; a doc repeating a span internally counts both instances;
