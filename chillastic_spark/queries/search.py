@@ -98,20 +98,24 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    # PIN the postings: df used to be derived from a second copy of
-    # the postings subtree, so the corpus was tokenised a third time
-    # (plan-verified: three Scan→words→explode chains; the postings
-    # exchanges dedupe via ReusedExchange but the Generate+aggregate
-    # work above them ran per copy). The pinned frame is tiny (≤ docs
-    # × |TERMS| rows, query terms only), and both the scorer and df
-    # read it — r10: bm25_scored 1.95s → 1.52s at sf0.1, results
-    # hash-identical. The corpus-stats pass stays separate on purpose:
-    # deriving it from a pinned full-token table was measured at par
-    # here but materializes O(corpus tokens) — a corpus-scale
-    # checkpoint write at 100 TB for one saved tokenise pass.
-    from chillastic_spark.persist import materialize
-
-    p = materialize(_postings(spark, sf_dir, TERMS))
+    # Three tokenise chains (postings, df's copy of postings, corpus
+    # stats) — KEPT deliberately after a full r10 dedup investigation.
+    # Order-unbiased interleaved medians at sf0.1: this shape 0.79–0.99s
+    # vs pinned postings 1.56s (extra eager-checkpoint job serializes
+    # what the one-job plan overlaps) vs an explicit shared
+    # repartition("term") 0.88s and a (term,doc_id)-keyed variant
+    # 1.48s — and runtime plan forensics showed the repartition
+    # variants still executed 3 parquet scans: column pruning gives the
+    # df branch a narrower projection below the exchange, the subtrees
+    # no longer canonicalize equal, and neither ReuseExchange nor AQE
+    # stage reuse fires (projection-matching via dummy aggregates did
+    # not restore it). The duplicate chains are embarrassingly parallel
+    # map work inside ONE job, so locally they overlap for free; at
+    # serving scale the answer to repeated BM25 is the materialized
+    # inverted index (sources/search_index.py), where tokenise cost is
+    # paid once at build — not micro-deduping the ad-hoc path at the
+    # price of a per-call checkpoint.
+    p = _postings(spark, sf_dir, TERMS)
     dfreq = p.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         p.join(F.broadcast(dfreq), "term")
