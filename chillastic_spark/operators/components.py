@@ -109,15 +109,18 @@ def connected_components(
             ),
             "_old",
         )
-        # EAGER per-round pin + limit(1) convergence probe. A lazy pin
-        # here (count doubling as the materialization job) measured
-        # FASTER per round but wedges at sf0.1: under AQE,
-        # localCheckpoint(eager=False) still executes the subplan's
-        # stages synchronously inside the py4j call, and on this
-        # loop's join-over-previous-lazy-pin shape that blocked for
-        # minutes (observed live in r10; the win comes from the class
-        # merge cutting the ROUND COUNT instead).
-        merged = materialize(merged, iterative=True)
+        # LAZY per-round pin: the convergence probe below is the
+        # round's materializing action (limit(1).count() runs the
+        # round; LocalRDDCheckpointData's end-of-job fill-in then
+        # persists any partitions the limit short-circuited, so the
+        # checkpoint is complete and lineage truncated before the next
+        # round builds on it). An earlier r10 session saw eager=False
+        # wedge here for minutes — that was the checkpoint-stats
+        # compounding bomb, fixed in persist._reset_stats; with flat
+        # stats the lazy pin measured consistently faster than eager
+        # pin + probe (2.42/2.46 → 2.35/2.26s per convergence on the
+        # sf0.1 pair graph), labels identical.
+        merged = materialize(merged, iterative=True, eager=False)
         changed = merged.filter(F.col("comp") != F.col("_old")).limit(1).count()
         # release the PREVIOUS round's pin now that this round is fully
         # computed — unreleased, a k-round convergence holds k
