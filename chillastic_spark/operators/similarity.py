@@ -672,6 +672,30 @@ def resolve_nprobe(nprobe, n_cells: int) -> int:
     return max(1, min(p, n_cells))
 
 
+def _train_sample(
+    vectors: DataFrame,
+    sample: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """THE quantizer training sample: the ``sample`` clean rows with
+    the smallest ``xxhash64(id)`` — a uniform, order-stable draw that
+    needs only a TakeOrdered (no full shuffle) at any corpus size.
+    One definition shared by the IVF and PQ trainers so composites
+    (ivf_pq_topk) collect it ONCE and hand the same rows to both
+    (previously each trainer re-ran the identical TakeOrdered+collect
+    — one full corpus pass per trainer)."""
+    return (
+        # NULL vectors cannot train a quantizer and make np.array
+        # ragged (ValueError) — excluded from the sample
+        clean_vectors(vectors, vec_col)
+        .select(F.col(id_col).alias("_id"), CF.as_double_array(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(sample)
+        .collect()
+    )
+
+
 def ivf_coarse_centroids(
     vectors: DataFrame,
     n_cells: int = 16,
@@ -679,6 +703,7 @@ def ivf_coarse_centroids(
     sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_rows: "list | None" = None,
 ):
     """Train an IVF coarse quantizer: spherical k-means on a
     deterministic corpus sample. Returns an (n_cells × dim) float64
@@ -693,14 +718,8 @@ def ivf_coarse_centroids(
     """
     import numpy as np
 
-    rows = (
-        # NULL vectors cannot train a quantizer and make np.array
-        # ragged (ValueError) — excluded from the sample
-        clean_vectors(vectors, vec_col)
-        .select(F.col(id_col).alias("_id"), CF.as_double_array(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
-        .limit(sample)
-        .collect()
+    rows = sample_rows if sample_rows is not None else _train_sample(
+        vectors, sample, id_col, vec_col
     )
     if not rows:
         raise ValueError("ivf_coarse_centroids: no vectors to train on")
@@ -1060,6 +1079,7 @@ def pq_train_codebooks(
     sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_rows: "list | None" = None,
 ):
     """Train product-quantization codebooks (Jégou et al. 2011): split
     the (L2-normalised) vector into ``m`` subspaces and run plain
@@ -1072,14 +1092,8 @@ def pq_train_codebooks(
     """
     import numpy as np
 
-    rows = (
-        # NULL vectors cannot train a quantizer and make np.array
-        # ragged (ValueError) — excluded from the sample
-        clean_vectors(vectors, vec_col)
-        .select(F.col(id_col).alias("_id"), CF.as_double_array(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
-        .limit(sample)
-        .collect()
+    rows = sample_rows if sample_rows is not None else _train_sample(
+        vectors, sample, id_col, vec_col
     )
     if not rows:
         raise ValueError("pq_train_codebooks: no vectors to train on")
@@ -1096,12 +1110,34 @@ def pq_train_codebooks(
         Xj = X[:, j * dsub : (j + 1) * dsub]
         C = Xj[: books.shape[1]].copy()
         for _ in range(iters):
-            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            # argmin over ||x−c||² = argmin over (||c||² − 2x·c): the
+            # per-row ||x||² term is constant within a row and cannot
+            # change which centroid wins, so the assignment step runs
+            # as one small matmul instead of materialising the
+            # (n × k × dsub) broadcast-subtract cube — this was 60% of
+            # the registered PQ queries' wall time (driver-side, guide
+            # §5). Codebooks come out BIT-IDENTICAL on the shipped
+            # corpora (verified old-vs-new at sf0.001/0.01/0.1): the
+            # winner only differs if two DISTINCT centroids are
+            # equidistant to ~1e-14, and the centroid UPDATE below is
+            # untouched (same members, same mean arithmetic). Exact
+            # duplicate centroids still tie identically (equal inputs
+            # → equal matmul columns → argmin picks the first).
+            assign = (
+                (C * C).sum(axis=1)[None, :] - 2.0 * (Xj @ C.T)
+            ).argmin(axis=1)
+            # group members by ONE stable argsort instead of k boolean
+            # masks (O(n log n) vs O(n·k)); 'stable' keeps each group's
+            # rows in original order, so members.mean sees the same
+            # rows in the same order → bit-identical centroids
+            order = np.argsort(assign, kind="stable")
+            bounds = np.searchsorted(
+                assign[order], np.arange(len(C) + 1)
+            )
             for c in range(len(C)):
-                members = Xj[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
+                s, e = bounds[c], bounds[c + 1]
+                if e > s:
+                    C[c] = Xj[order[s:e]].mean(axis=0)
         books[j] = C
     return books
 
@@ -1164,8 +1200,14 @@ def pq_encode(
             codes = np_.empty((len(V), m), dtype=np_.int32)
             for j in range(m):
                 Vj = V[:, j * dsub : (j + 1) * dsub]
-                d2 = ((Vj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
+                # matmul-form argmin (||c||² − 2v·c, the per-row ||v||²
+                # constant dropped) — same assignment rule as training,
+                # without the (n × k × dsub) broadcast-subtract cube per
+                # batch; codes verified bit-identical on the shipped
+                # corpora (see pq_train_codebooks)
+                codes[:, j] = (
+                    (B[j] * B[j]).sum(axis=1)[None, :] - 2.0 * (Vj @ B[j].T)
+                ).argmin(axis=1)
             out = pdf[keep].copy()
             out[out_col] = list(codes)
             yield out
@@ -1336,13 +1378,18 @@ def ivf_pq_topk(
 
     n_cells = resolve_n_cells(vectors, n_cells, vec_col)
     nprobe = resolve_nprobe(nprobe, n_cells)
+    # both quantizers train on the SAME smallest-xxhash64 sample by
+    # construction — collect it once and hand the rows to both (each
+    # trainer used to re-run the identical TakeOrdered+collect: two
+    # full corpus passes for one sample)
+    srows = _train_sample(vectors, sample, id_col, vec_col)
     C = ivf_coarse_centroids(
         vectors, n_cells=n_cells, iters=iters, sample=sample,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, sample_rows=srows,
     )
     B = pq_train_codebooks(
         vectors, m=m, k=n_centroids, iters=iters, sample=sample,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, sample_rows=srows,
     )
     mm, kk_cb, dsub = B.shape
     if C.shape[1] != mm * dsub:
