@@ -181,3 +181,65 @@ def test_rank_eval_matches_local_metrics(spark):
     assert abs(row["p_at_k"] - p_at_k) < 1e-6
     assert abs(row["mrr"] - mrr) < 1e-6
     assert abs(row["ndcg_at_k"] - dcg / idcg) < 1e-6
+
+
+def test_phrase_prefilter_is_lossless(spark):
+    """The r10 rlike pre-filter must never drop a row the exact
+    counter would keep: every doc whose tokens contain the adjacent
+    phrase must pass the raw-text regex — adversarial shapes included
+    (phrase at text boundaries, every words() whitespace kind between
+    the tokens, multi-space runs). Near-miss shapes ("tables scan",
+    reversed order) may pass the regex but must be rejected by the
+    exact counter, so the composed result is unchanged."""
+    from pyspark.sql import functions as F
+
+    from chillastic_spark import functions as CF
+    from chillastic_spark.queries.search import (
+        PHRASE,
+        phrase_hits,
+        phrase_prefilter_rx,
+    )
+
+    t1, t2 = PHRASE
+    docs = [
+        (1, f"{t1} {t2} starts the text"),          # boundary start
+        (2, f"text ends with {t1} {t2}"),            # boundary end
+        (3, f"a {t1}\t{t2} tab"),                    # tab between
+        (4, f"a {t1}\n{t2} newline"),                # newline between
+        (5, f"a {t1}\x0b{t2} vtab"),                 # vertical tab
+        (6, f"a {t1}\f{t2} formfeed"),               # form feed
+        (7, f"a {t1}\r{t2} carriage"),               # carriage return
+        (8, f"a {t1}   {t2} multirun"),              # whitespace run
+        (9, f"{t1} {t2}"),                           # exactly the phrase
+        (10, f"pre{t1} {t2} glued-prefix"),          # regex FP, token miss
+        (11, f"a {t1}s {t2} plural"),                # near-miss token
+        (12, f"a {t2} {t1} reversed"),               # wrong order
+        (13, "no phrase at all"),
+        (14, f"a {t1} x {t2} separated"),            # gap between tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = df.select("doc_id", CF.words("text").alias("w"))
+    exact = {
+        r["doc_id"]
+        for r in toks.select(
+            "doc_id", phrase_hits("w", *PHRASE).alias("n")
+        ).filter(F.col("n") > 0).collect()
+    }
+    passed = {
+        r["doc_id"]
+        for r in df.filter(
+            F.col("text").rlike(phrase_prefilter_rx(*PHRASE))
+        ).collect()
+    }
+    assert exact == {1, 2, 3, 4, 5, 6, 7, 8, 9}
+    # losslessness: every exact hit passes the pre-filter
+    assert exact <= passed
+    # the composed query shape = prefilter then exact: same set
+    composed = {
+        r["doc_id"]
+        for r in df.filter(F.col("text").rlike(phrase_prefilter_rx(*PHRASE)))
+        .select("doc_id", phrase_hits(CF.words("text"), *PHRASE).alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    assert composed == exact
