@@ -90,15 +90,24 @@ def dsir_weights(
         F.count(F.lit(1)).alias("raw_ct"),
         F.sum(F.col("__tgt").cast("long")).alias("tgt_ct"),
     )
-    totals = counts.agg(
-        F.sum("raw_ct").alias("raw_tot"), F.sum("tgt_ct").alias("tgt_tot")
-    )
+    # model totals via an unpartitioned window over the ≤``buckets``-row
+    # counts table, NOT a separate counts.agg() subtree: the aggregate
+    # formulation re-ran the whole bucket aggregation over the token
+    # pin a second time just to sum 4096 rows (plan-verified: two
+    # HashAggregate passes over the pinned stream), where the window
+    # computes the identical long sums inside the one counts pass —
+    # SinglePartition over ≤4096 rows, no second corpus-pin pass.
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy()
+    raw_tot = F.sum("raw_ct").over(wall)
+    tgt_tot = F.sum("tgt_ct").over(wall)
     b = F.lit(buckets)
-    lam = counts.crossJoin(F.broadcast(totals)).select(
+    lam = counts.select(
         "bkt",
         CF.round_det(
-            F.log((F.col("tgt_ct") + 1) / (F.col("tgt_tot") + b))
-            - F.log((F.col("raw_ct") + 1) / (F.col("raw_tot") + b)),
+            F.log((F.col("tgt_ct") + 1) / (tgt_tot + b))
+            - F.log((F.col("raw_ct") + 1) / (raw_tot + b)),
             LAM_DIGITS,
         ).alias("lam"),
     )
