@@ -535,7 +535,13 @@ def top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("w", 2, F.size("w") - 1),
         ),
     ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
-    pairs = (
+    # pinned: pairs feeds BOTH the scored join chain and the b_total
+    # broadcast — unpinned, the bigram explode + (w1,w2) shuffle ran
+    # twice (r10 session 2: 4.11 → 3.08s median, outputs identical;
+    # unlike the BM25 postings pin, the duplicated subtree here
+    # contains a SHUFFLE, so cutting the recompute beats the extra
+    # pin job)
+    pairs = materialize(
         w.select(F.explode(pairs_col).alias("p"))
         .select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
         .groupBy("w1", "w2")
