@@ -108,6 +108,57 @@ def quiet_medians(
     return med, all_noisy
 
 
+# The driver stores only the TAIL of this script's stdout (2000 chars
+# in every BENCH_r*.json artifact) and re-parses the PREVIOUS round's
+# stored tail to compute round-over-round speedups. Round 10 lost that
+# comparison entirely because the r9 stdout line had grown past the
+# capture window (spreads + calibration arrays pushed it to ~4.5 KB,
+# the tail cut off the line's FRONT, json.loads failed). Contract fix
+# (r10 verdict item 2): stdout carries ONLY the contract fields and
+# must fit the capture window; everything else goes to stderr.
+STDOUT_BUDGET = 1900  # < the 2000-char artifact tail, with slack
+
+# stdout keys, in emission order. metric/value/unit/queries/sf are the
+# driver contract; value_normalized/queries_normalized are the
+# cross-round comparable figures (shared-host calibration — see module
+# docstring); the rest are one-token flags a reader needs to judge the
+# run (noise disclosure + timing method).
+_CONTRACT_KEYS = [
+    "metric",
+    "value",
+    "unit",
+    "value_normalized",
+    "queries",
+    "queries_normalized",
+    "sf",
+    "n_queries",
+    "noisy_rounds",
+    "all_rounds_noisy",
+    "calibration_min",
+    "materialize",
+]
+
+
+def split_contract_payload(
+    full: dict, budget: int = STDOUT_BUDGET
+) -> "tuple[dict, dict]":
+    """(stdout_payload, diagnostics) from the full result dict.
+
+    stdout gets the contract keys; diagnostics (stderr) get the rest.
+    If the compact stdout line still exceeds ``budget``, the normalized
+    per-query map is demoted to diagnostics (value_normalized stays —
+    it is one scalar), keeping the required fields parseable no matter
+    how many queries the bench grows. ``queries`` itself is never
+    demoted: it is the driver contract."""
+    out = {k: full[k] for k in _CONTRACT_KEYS if k in full}
+    diag = {k: v for k, v in full.items() if k not in out}
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > budget and "queries_normalized" in out:
+        diag["queries_normalized"] = out.pop("queries_normalized")
+        diag["stdout_demoted"] = ["queries_normalized"]
+    return out, diag
+
+
 def main() -> None:
     t0 = time.time()
     from chillastic_spark.queries import all_queries
@@ -222,43 +273,47 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        # calibration-normalized twin of "value": every sample
+        # scaled to the session's fastest ambient window. THIS
+        # is the cross-round comparable number on a shared
+        # host; "value" is the honest raw wall clock.
+        "value_normalized": total_norm,
+        "queries": timings,
+        "queries_normalized": timings_norm,
+        "query_spread": spread,
+        "runs_per_query": N_RUNS,
+        "extra_rounds": extra,
+        "noisy_rounds": [i for i, b in enumerate(noisy) if b],
+        "all_rounds_noisy": all_noisy,
+        "noise_tolerance": NOISE_TOL,
+        "sf": sf_val,
+        "startup_sec": round(startup, 3),
+        "warmup_sec": round(warmup, 3),
+        "calibration_sec": round(statistics.median(probes), 3),
+        "calibration_min": round(calib_min, 3),
+        "calibration_samples": [round(c, 3) for c in probes],
+        "round_calibrations": [round(c, 3) for c in round_calibs],
+        "n_queries": len(timings),
+        # measurement method note: rounds 1-5 timed df.count(),
+        # which lets Catalyst PRUNE computed columns (projection
+        # -only queries timed as metadata row counts; aggregate
+        # value expressions skipped). The noop sink executes the
+        # full plan — numbers are honest but ~1s higher in total
+        # than the old method on identical code.
+        "materialize": "noop-sink",
+    }
+    out, diag = split_contract_payload(full)
+    # spreads / probe arrays / run metadata: stderr, where the driver's
+    # stdout tail capture cannot be pushed past its window by them
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                # calibration-normalized twin of "value": every sample
-                # scaled to the session's fastest ambient window. THIS
-                # is the cross-round comparable number on a shared
-                # host; "value" is the honest raw wall clock.
-                "value_normalized": total_norm,
-                "queries": timings,
-                "queries_normalized": timings_norm,
-                "query_spread": spread,
-                "runs_per_query": N_RUNS,
-                "extra_rounds": extra,
-                "noisy_rounds": [i for i, b in enumerate(noisy) if b],
-                "all_rounds_noisy": all_noisy,
-                "noise_tolerance": NOISE_TOL,
-                "sf": sf_val,
-                "startup_sec": round(startup, 3),
-                "warmup_sec": round(warmup, 3),
-                "calibration_sec": round(statistics.median(probes), 3),
-                "calibration_min": round(calib_min, 3),
-                "calibration_samples": [round(c, 3) for c in probes],
-                "round_calibrations": [round(c, 3) for c in round_calibs],
-                "n_queries": len(timings),
-                # measurement method note: rounds 1-5 timed df.count(),
-                # which lets Catalyst PRUNE computed columns (projection
-                # -only queries timed as metadata row counts; aggregate
-                # value expressions skipped). The noop sink executes the
-                # full plan — numbers are honest but ~1s higher in total
-                # than the old method on identical code.
-                "materialize": "noop-sink",
-            }
-        )
+        "# diagnostics: " + json.dumps(diag, separators=(",", ":")),
+        file=sys.stderr,
     )
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

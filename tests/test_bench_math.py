@@ -58,6 +58,69 @@ def test_quiet_medians_fall_back_to_all_rounds_when_all_noisy():
     assert med["q"] == 2.0
 
 
+def _fake_full(n_queries: int) -> dict:
+    qs = {f"realistic_query_name_{i:03d}": 1.234 for i in range(n_queries)}
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": 27.86,
+        "unit": "sec",
+        "value_normalized": 26.72,
+        "queries": qs,
+        "queries_normalized": dict(qs),
+        "query_spread": {n: [1.1, 2.2] for n in qs},
+        "runs_per_query": 3,
+        "extra_rounds": 0,
+        "noisy_rounds": [],
+        "all_rounds_noisy": False,
+        "noise_tolerance": 0.2,
+        "sf": 0.1,
+        "startup_sec": 13.0,
+        "warmup_sec": 35.0,
+        "calibration_sec": 0.7,
+        "calibration_min": 0.62,
+        "calibration_samples": [0.7, 0.62, 0.65, 0.72],
+        "round_calibrations": [0.66, 0.63, 0.68],
+        "n_queries": n_queries,
+        "materialize": "noop-sink",
+    }
+
+
+def test_contract_line_fits_driver_tail_capture():
+    """The driver stores only the last 2000 chars of stdout and
+    re-parses that tail next round; the stdout payload at the CURRENT
+    bench size must fit with slack (the r9→r10 comparison died on a
+    4.5 KB line)."""
+    import json
+
+    out, diag = bench.split_contract_payload(_fake_full(22))
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= bench.STDOUT_BUDGET < 2000
+    # contract fields present and parseable
+    back = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in back
+    assert len(back["queries"]) == 22
+    # diagnostics carry the demoted bulk, nothing is lost
+    for k in ("query_spread", "calibration_samples", "startup_sec"):
+        assert k in diag and k not in back
+
+
+def test_contract_line_demotes_normalized_map_when_over_budget():
+    """Growing the bench must never push the stdout line past the
+    capture window: queries_normalized is demoted to diagnostics
+    first; `queries` (the contract) never is."""
+    import json
+
+    out, diag = bench.split_contract_payload(_fake_full(45))
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= bench.STDOUT_BUDGET
+    assert "queries_normalized" not in out
+    assert len(out["queries"]) == 45
+    assert diag["stdout_demoted"] == ["queries_normalized"]
+    assert len(diag["queries_normalized"]) == 45
+    json.loads(line)
+
+
 def test_end_to_end_noise_recovery():
     """A loud middle round must not move the quiet-median, and the
     normalized figure must agree with the quiet raw figure when the
