@@ -26,10 +26,61 @@ round saved fewer rounds than its two extra label-table shuffles cost.
 """
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from chillastic_spark.persist import materialize, release
+
+# Small-graph fast path (r11): below this many SYMMETRIC edge rows
+# (= 2× undirected edges), the component labels are computed with one
+# driver-side union-find over the already-pinned edge table instead of
+# the distributed fixpoint loop. Near-dup pair graphs are tiny relative
+# to their corpus (sf0.1: 256 jaccard pairs over 5000 docs, 1450
+# embedding pairs over 1536 vectors — and each loop ROUND is ~5 chained
+# shuffles plus a convergence-probe job, ~1.5s of pure per-job overhead
+# for a graph that fits in L2). The gate is a measured row count, not a
+# scale-factor constant: a 100 TB corpus whose pair graph exceeds the
+# cap takes the loop unchanged. 200k rows ≈ a few MB collected — the
+# same order as a broadcast-join build side. 0 disables (tests use it
+# to pin the loop's round budget).
+_LOCAL_CAP_ENV = "CHILLASTIC_CC_LOCAL_CAP"
+_LOCAL_CAP_DEFAULT = 200_000
+
+
+def _local_components(rows) -> "dict | None":
+    """Exact min-label components via union-find over collected
+    symmetric edge rows. Returns {node: component} — component is the
+    smallest member id, the same fixpoint the distributed loop reaches
+    — or None when an edge has a NULL endpoint (ill-formed input: let
+    the distributed loop define the semantics rather than invent one
+    here)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        if a is None or b is None:
+            return None
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    return {n: comp_min[find(n)] for n in parent}
 
 
 def connected_components(
@@ -48,6 +99,35 @@ def connected_components(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     sym = materialize(sym.distinct(), iterative=True)
+    # small-graph fast path: one bounded collect over the just-pinned
+    # blocks (limit cap+1 — the row count and the rows in a single
+    # job), and if the graph is tiny (the overwhelmingly common
+    # near-dup case), union-find it on the driver — identical labels,
+    # zero loop rounds (each round is ~5 chained shuffles + a probe
+    # job). Guide §1.2: the cheapest shuffle is the one the algorithm
+    # no longer needs. Isolated A/B at sf0.1: 0.77 vs 1.59s on the
+    # 256-edge jaccard graph, 0.69 vs 3.33s on the 1450-edge embedding
+    # graph (7 interleaved reps, labels identical).
+    cap = int(os.environ.get(_LOCAL_CAP_ENV, _LOCAL_CAP_DEFAULT))
+    head = sym.limit(cap + 1).collect() if cap > 0 else None
+    if head is not None and len(head) <= cap:
+        comp = _local_components((r[0], r[1]) for r in head)
+        if comp is not None:
+            spark = edges.sparkSession
+            node_t = sym.schema["a"].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            out = spark.createDataFrame(
+                list(comp.items()),
+                StructType(
+                    [
+                        StructField("node", node_t),
+                        StructField("component", node_t),
+                    ]
+                ),
+            )
+            release(sym)
+            return out
     # seed comp ← min(node, min neighbor): one aggregation replaces the
     # r9 code's separate nodes-distinct pass AND its first full
     # join-round of work — the fixpoint (comp = component min, verified

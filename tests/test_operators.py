@@ -474,7 +474,12 @@ def test_connected_components_log_rounds_on_both_id_regimes(spark):
     shuffled = spark.createDataFrame(
         [(perm[i], perm[i + 1]) for i in range(n - 1)], "id_a long, id_b long"
     )
+    import os
+
     C.materialize = counting
+    # cap=0 disables the small-graph union-find fast path so this test
+    # exercises (and pins) the DISTRIBUTED loop's round budget
+    os.environ["CHILLASTIC_CC_LOCAL_CAP"] = "0"
     try:
         for edges in (ordered, shuffled):
             calls["n"] = 0
@@ -486,6 +491,63 @@ def test_connected_components_log_rounds_on_both_id_regimes(spark):
             assert rounds <= 10, f"{rounds} rounds — lost the log-round shape"
     finally:
         C.materialize = orig
+        del os.environ["CHILLASTIC_CC_LOCAL_CAP"]
+
+
+def test_connected_components_local_fast_path_matches_loop(spark):
+    """The r11 small-graph union-find fast path must produce labels
+    BIT-IDENTICAL to the distributed loop on adversarial shapes (the
+    two id regimes, cliques, isolated pairs, string ids), and the cap
+    must gate it: above the cap the loop runs."""
+    import os
+    import random
+
+    import chillastic_spark.operators.components as C
+
+    n = 40
+    perm = list(range(n))
+    random.Random(11).shuffle(perm)
+    shapes = [
+        ("ordered_path", [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"),
+        ("shuffled_path", [(perm[i], perm[i + 1]) for i in range(n - 1)],
+         "id_a long, id_b long"),
+        ("clique_pairs", [(10, 11), (11, 12), (10, 12), (20, 21), (1, 2)],
+         "id_a long, id_b long"),
+        ("string_ids", [("b", "a"), ("c", "b"), ("x", "y"), ("m", "m2")],
+         "id_a string, id_b string"),
+    ]
+    for name, rows, schema in shapes:
+        edges = spark.createDataFrame(rows, schema)
+        fast = {(r["node"], r["component"])
+                for r in C.connected_components(edges).collect()}
+        os.environ["CHILLASTIC_CC_LOCAL_CAP"] = "0"
+        try:
+            slow = {(r["node"], r["component"])
+                    for r in C.connected_components(edges).collect()}
+        finally:
+            del os.environ["CHILLASTIC_CC_LOCAL_CAP"]
+        assert fast == slow, f"{name}: fast path diverged from the loop"
+
+    # cap gating: a graph larger than the cap takes the loop (counted
+    # via the per-round materialize calls: loop ⇒ >1 materialize)
+    calls = {"n": 0}
+    orig = C.materialize
+
+    def counting(df, *a, **k):
+        calls["n"] += 1
+        return orig(df, *a, **k)
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    C.materialize = counting
+    os.environ["CHILLASTIC_CC_LOCAL_CAP"] = "5"  # 18 sym rows > 5
+    try:
+        C.connected_components(edges).collect()
+    finally:
+        C.materialize = orig
+        del os.environ["CHILLASTIC_CC_LOCAL_CAP"]
+    assert calls["n"] > 1, "cap did not send the big graph to the loop"
 
 
 def test_substring_dup_stats_planted_span(spark):
