@@ -904,6 +904,7 @@ def ivf_recall_curve(
     sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> list:
     """Exact held-out recall@k of IVF probing at EVERY probe depth,
     from ONE Spark job (r9 verdict #1's measurement primitive).
@@ -926,11 +927,18 @@ def ivf_recall_curve(
     """
     import numpy as np
 
-    n_cells = resolve_n_cells(vectors, n_cells, vec_col)
-    C = ivf_coarse_centroids(
-        vectors, n_cells=n_cells, iters=iters, sample=sample,
-        id_col=id_col, vec_col=vec_col,
-    )
+    if centroids is not None:
+        # measure an ALREADY-TRAINED quantizer (the index-build path
+        # calibrates the centroids it is about to persist — training a
+        # second quantizer here would measure a different model)
+        C = np.asarray(centroids, dtype=np.float64)
+        n_cells = C.shape[0]
+    else:
+        n_cells = resolve_n_cells(vectors, n_cells, vec_col)
+        C = ivf_coarse_centroids(
+            vectors, n_cells=n_cells, iters=iters, sample=sample,
+            id_col=id_col, vec_col=vec_col,
+        )
     clean = clean_vectors(vectors, vec_col)
     q_rows = [
         r
@@ -1020,10 +1028,14 @@ def calibrate_nprobe(
     sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> dict:
     """Measured per-corpus IVF serving config (r9 verdict #1): the
     smallest ``nprobe`` whose HELD-OUT recall@k meets ``target_recall``
     on THIS corpus, read off one :func:`ivf_recall_curve` pass.
+    ``centroids`` (optional) calibrates an already-trained quantizer —
+    the index-build path passes the centroids it is persisting, so the
+    measurement and the served model are the same model.
 
     The registered default (:func:`_auto_nprobe` = max(3, cells/2))
     stays floor-honest because a STRUCTURELESS corpus pins
@@ -1040,7 +1052,7 @@ def calibrate_nprobe(
     and the whole ``curve`` for the dashboard."""
     curve = ivf_recall_curve(
         vectors, k=k, n_cells=n_cells, n_queries=n_queries, iters=iters,
-        sample=sample, id_col=id_col, vec_col=vec_col,
+        sample=sample, id_col=id_col, vec_col=vec_col, centroids=centroids,
     )
     ok = [pt for pt in curve if pt["recall_at_k"] >= target_recall]
     pick = min(ok, key=lambda pt: pt["nprobe"]) if ok else curve[-1]

@@ -492,6 +492,8 @@ def build_ivf_index(
     sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    calibrate: bool = True,
+    target_recall: float = 0.8,
 ) -> dict:
     """Materialized IVF index — the second ANN serving path next to the
     LSH one: the coarse quantizer trains once (driver k-means on the
@@ -500,7 +502,21 @@ def build_ivf_index(
     whole 'model'), and the corpus is written partitioned by cell id.
     A probe reads only its ``nprobe`` nearest cell partitions.
     ``n_cells='auto'`` sizes cells to the corpus (~512 rows/cell, the
-    sweep-picked rule — see operators.similarity._auto_cells)."""
+    sweep-picked rule — see operators.similarity._auto_cells).
+
+    ``calibrate=True`` (default, r11) additionally measures THIS
+    corpus's held-out recall curve against the centroids being
+    persisted (one bounded Spark job — ``ivf_recall_curve``'s per-cell
+    top-k; n_queries·n_cells·k rows to the driver, never the corpus)
+    and stores the smallest nprobe meeting ``target_recall`` as
+    ``calibrated_nprobe`` in the meta. Serving then probes a MEASURED
+    per-corpus fraction by default: ~1-2 cells on a clustered corpus
+    (SWEEP_ann_r10: recall 0.897 at a 3% scan) instead of a blind
+    constant — and on a structureless corpus the calibration honestly
+    demands the wide scan the recall floor requires. Build-time cost,
+    amortized over the index lifetime; a corpus too small to hold out
+    queries from skips calibration with a warning rather than failing
+    the build."""
     from chillastic_spark.operators.similarity import (
         ivf_assign_cells,
         ivf_coarse_centroids,
@@ -514,6 +530,33 @@ def build_ivf_index(
         df, n_cells=n_cells, iters=iters, sample=sample,
         id_col=id_col, vec_col=vec_col,
     )
+    calibration = None
+    if calibrate:
+        from chillastic_spark.operators.similarity import calibrate_nprobe
+
+        try:
+            pick = calibrate_nprobe(
+                df, target_recall=target_recall, n_cells=n_cells,
+                sample=sample, id_col=id_col, vec_col=vec_col,
+                centroids=C,
+            )
+            calibration = {
+                k: pick[k]
+                for k in (
+                    "nprobe",
+                    "scan_frac",
+                    "recall_at_k",
+                    "target_recall",
+                    "met_target",
+                )
+            }
+        except Exception as e:  # noqa: BLE001 — calibration is advisory
+            import logging
+
+            logging.getLogger("chillastic_spark.vector_index").warning(
+                "build_ivf_index: nprobe calibration skipped (%s) — "
+                "serving falls back to the uncalibrated default", e,
+            )
     assigned = ivf_assign_cells(
         df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
         C,
@@ -529,6 +572,14 @@ def build_ivf_index(
         meta = {
             "n_cells": len(C),
             "centroids": [[float(x) for x in row] for row in C],
+            # measured serving default (None when calibration was
+            # skipped): the smallest nprobe meeting target_recall on
+            # THIS corpus, held out — what ann_query_ivf_index probes
+            # when the caller does not pass nprobe explicitly
+            "calibrated_nprobe": (
+                calibration["nprobe"] if calibration else None
+            ),
+            "calibration": calibration,
             # footer count of what was actually written, not a third pass
             # over the input pipeline
             "n_vectors": df.sparkSession.read.parquet(data).count(),
@@ -556,7 +607,7 @@ def ann_query_ivf_index(
     index_dir: str,
     queries: DataFrame,
     k: int = 10,
-    nprobe: int = 3,
+    nprobe: "int | None" = None,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -566,7 +617,13 @@ def ann_query_ivf_index(
     probed cell partitions. Meta read + cell listing share one
     ``_reader_snapshot`` window so a live rebuild's overwrite (which
     deletes cell dirs before rewriting) can never serve a partial
-    index."""
+    index.
+
+    ``nprobe=None`` (default, r11) probes the index's MEASURED
+    ``calibrated_nprobe`` (build-time held-out calibration against the
+    persisted centroids — see ``build_ivf_index``), falling back to
+    the historical constant 3 for indexes built without calibration.
+    An explicit int always wins."""
     import numpy as np
 
     with _reader_snapshot(index_dir):
@@ -587,6 +644,8 @@ def ann_query_ivf_index(
             ):
                 raise
             idx_raw = None
+    if nprobe is None:
+        nprobe = meta.get("calibrated_nprobe") or 3
     C = np.array(meta["centroids"], dtype=np.float64)
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"),

@@ -150,8 +150,41 @@ def main() -> int:
     }
     print(f"# clustered ivf_pq: {ivf_pq}", file=sys.stderr)
 
+    # r11: the calibration wired into the IVF index LIFECYCLE — build
+    # on the clustered corpus (build-time held-out calibration against
+    # the persisted centroids), then serve at the index's own default
+    # (nprobe=None → calibrated_nprobe). This is the registered serving
+    # path's measured per-corpus scan fraction.
+    import tempfile
+
+    from chillastic_spark.sources.vector_index import (
+        ann_query_ivf_index,
+        build_ivf_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="sweep-ivf-idx-")
+    t0 = time.time()
+    meta = build_ivf_index(e, idx_dir)
+    build_sec = round(time.time() - t0, 1)
+    t0 = time.time()
+    served = _got_map(
+        ann_query_ivf_index(spark, idx_dir, qset, k=K).collect()
+    )
+    lifecycle = {
+        "n_cells": meta["n_cells"],
+        "calibrated_nprobe": meta["calibrated_nprobe"],
+        "calibration": meta["calibration"],
+        "serving_recall_at_10_at_default": round(_recall(served, want), 3),
+        "scan_frac_at_default": round(
+            (meta["calibrated_nprobe"] or 0) / meta["n_cells"], 4
+        ),
+        "build_sec": build_sec,
+        "serve_sec": round(time.time() - t0, 1),
+    }
+    print(f"# clustered index lifecycle: {lifecycle}", file=sys.stderr)
+
     payload = {
-        "metric": "ann_operating_curves_held_out_r10",
+        "metric": "ann_operating_curves_held_out",
         "k": K,
         "n_queries": N_QUERIES,
         "target_recall": TARGET,
@@ -161,6 +194,7 @@ def main() -> int:
         "corpora": out,
         "clustered_cells_sensitivity": cells_scan,
         "clustered_ivf_pq_at_calibrated": ivf_pq,
+        "clustered_index_lifecycle": lifecycle,
         "note": (
             "Exact per-nprobe recall from ivf_recall_curve (per-cell "
             "top-k sufficient statistic; nprobe=n_cells IS brute force). "

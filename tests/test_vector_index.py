@@ -148,6 +148,68 @@ def test_ivf_index_serving_matches_scan_time(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
 
 
+def test_ivf_build_calibrates_nprobe_per_corpus(spark, tmp_path):
+    """r11: build-time held-out nprobe calibration. On a corpus WITH
+    cluster structure the persisted ``calibrated_nprobe`` is a small
+    fraction of the cells (the measured scan-fraction win) and meets
+    the recall target; serving with the default (nprobe=None) probes
+    exactly that; ``calibrate=False`` keeps the legacy constant."""
+    import numpy as np
+
+    from chillastic_spark.sources.vector_index import (
+        ann_query_ivf_index,
+        build_ivf_index,
+    )
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(512):
+        c = centers[i % 8]
+        v = c + 0.01 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    idx = str(tmp_path / "ivf-cal")
+    meta = build_ivf_index(e, idx, n_cells=8)
+    cal = meta["calibration"]
+    assert meta["calibrated_nprobe"] == cal["nprobe"]
+    assert cal["met_target"] and cal["recall_at_k"] >= 0.8
+    # clustered corpus: the measured pick probes far below cells/2
+    assert cal["nprobe"] <= 3, f"calibration did not exploit structure: {cal}"
+
+    q = e.filter("vec_id >= 504").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    default_rows = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ann_query_ivf_index(spark, idx, q, k=5).collect()
+    }
+    explicit_rows = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ann_query_ivf_index(
+            spark, idx, q, k=5, nprobe=cal["nprobe"]
+        ).collect()
+    }
+    assert default_rows == explicit_rows and default_rows
+
+    # uncalibrated build: meta records None, serving falls back to the
+    # historical constant 3
+    idx2 = str(tmp_path / "ivf-uncal")
+    meta2 = build_ivf_index(e, idx2, n_cells=8, calibrate=False)
+    assert meta2["calibrated_nprobe"] is None
+    legacy = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ann_query_ivf_index(spark, idx2, q, k=5).collect()
+    }
+    legacy_explicit = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ann_query_ivf_index(spark, idx2, q, k=5, nprobe=3).collect()
+    }
+    assert legacy == legacy_explicit
+
+
 def test_update_rejects_duplicate_ids_and_skip_is_idempotent(spark, tmp_path):
     """At-least-once redelivery: on_existing='skip' makes a replayed
     batch a no-op (n_vectors stable, no duplicate rows); the default
