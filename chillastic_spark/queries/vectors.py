@@ -109,14 +109,20 @@ def embedding_dup_pairs_unblocked(spark: SparkSession, sf_dir: str) -> DataFrame
     end-to-end: multi-table hyperplane buckets + multi-probe + block
     grid within bucket). Parameters are tuned to THIS synthetic
     corpus's adversarially-low similarity regime (max pair cos ≈ 0.6,
-    where hyperplane collision probability is weak): planes=3/tables=8
-    gives ~0.98 expected recall at the 0.4 threshold. A real near-dup
-    corpus (cos ≥ 0.9) would use the defaults (6 planes, 3 tables) at
-    a fraction of the fan-out. Emitted pairs are exact (precision 1);
-    recall is twin-checked against the numpy all-pairs ground truth."""
+    where hyperplane collision probability is weak): planes=3/tables=6
+    holds ≥0.96 measured recall at the 0.4 threshold on every
+    committed SF. tables was 8 (recall 0.983–0.989) through r10; the
+    r11 calibration sweep (scripts/sweep_unblocked_r11.py) measured
+    the whole tables∈{5..8} curve against the numpy all-pairs truth —
+    6 keeps a ≥0.06 margin over the 0.9 twin floor at ~0.7× the
+    candidate volume; 5 (0.935–0.949) was rejected as too thin a
+    margin for a hard floor. A real near-dup corpus (cos ≥ 0.9) would
+    use the defaults (6 planes, 3 tables) at a fraction of the
+    fan-out. Emitted pairs are exact (precision 1); recall is
+    twin-checked against the numpy all-pairs ground truth."""
     e = load(spark, sf_dir, "embeddings")
     return D.embedding_dup_pairs_unblocked(
-        e, threshold=0.4, planes=3, probes=2, tables=8
+        e, threshold=0.4, planes=3, probes=2, tables=6
     )
 
 
