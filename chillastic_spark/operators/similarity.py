@@ -1083,6 +1083,28 @@ def centroids(
 # ------------------------------------------------ product quantization
 
 
+def _pq_subspace_dots(Xj, C):
+    """x·c for one PQ subspace as an explicit per-dimension
+    broadcast-multiply accumulation instead of a dgemm.
+
+    PQ subspaces are THIN (dsub = dim/m, typically 2–8): this
+    platform's BLAS runs a (n×4)@(4×k) dgemm ~5× slower than the
+    equivalent elementwise ops (2000×4@4×256 measured 14.9 ms vs
+    2.8 ms — dgemm packing overhead dwarfs the 2M flops; a (n×64)
+    gemm with 16× the flops takes 4.9 ms). The accumulation here is
+    the same sequential d-loop a thin dgemm performs, and the dot
+    values measured BIT-IDENTICAL to the matmul on the shipped
+    corpora — pinned end-to-end by test_pq_fast_assign against the
+    textbook reference. The IVF paths keep their matmuls: dim=64
+    inner is past the pathology."""
+    import numpy as np
+
+    acc = np.multiply(Xj[:, 0, None], C[None, :, 0])
+    for d in range(1, Xj.shape[1]):
+        acc += Xj[:, d, None] * C[None, :, d]
+    return acc
+
+
 def pq_train_codebooks(
     vectors: DataFrame,
     m: int = 8,
@@ -1136,20 +1158,42 @@ def pq_train_codebooks(
             # duplicate centroids still tie identically (equal inputs
             # → equal matmul columns → argmin picks the first).
             assign = (
-                (C * C).sum(axis=1)[None, :] - 2.0 * (Xj @ C.T)
+                (C * C).sum(axis=1)[None, :]
+                - 2.0 * _pq_subspace_dots(Xj, C)
             ).argmin(axis=1)
-            # group members by ONE stable argsort instead of k boolean
-            # masks (O(n log n) vs O(n·k)); 'stable' keeps each group's
-            # rows in original order, so members.mean sees the same
-            # rows in the same order → bit-identical centroids
-            order = np.argsort(assign, kind="stable")
-            bounds = np.searchsorted(
-                assign[order], np.arange(len(C) + 1)
-            )
-            for c in range(len(C)):
-                s, e = bounds[c], bounds[c + 1]
-                if e > s:
-                    C[c] = Xj[order[s:e]].mean(axis=0)
+            if dsub > 1:
+                # vectorized centroid update (r11): np.add.at
+                # accumulates each group's members SEQUENTIALLY in
+                # original row order — exactly the order and pairing
+                # numpy's axis-0 mean uses for a 2-D (row-strided)
+                # reduce — so sums/counts here are BIT-IDENTICAL to
+                # the r10 per-group mean loop (pinned against the
+                # verbatim textbook reference in test_pq_fast_assign,
+                # and by the grouped-mean equivalence test). This
+                # removes the k-iteration Python loop that was ~all of
+                # the remaining training wall (k=256 × m × iters calls).
+                # Empty groups keep their previous centroid, as before.
+                sums = np.zeros_like(C)
+                cnt = np.zeros(len(C))
+                np.add.at(sums, assign, Xj)
+                np.add.at(cnt, assign, 1.0)
+                nz = cnt > 0
+                C[nz] = sums[nz] / cnt[nz, None]
+            else:
+                # dsub == 1: a group's members form a CONTIGUOUS column
+                # and numpy's 1-D mean switches to pairwise summation,
+                # which does NOT match add.at's sequential order — keep
+                # the bit-exact grouped-mean loop for that (rare m=dim)
+                # configuration. 'stable' keeps each group's rows in
+                # original order → bit-identical centroids.
+                order = np.argsort(assign, kind="stable")
+                bounds = np.searchsorted(
+                    assign[order], np.arange(len(C) + 1)
+                )
+                for c in range(len(C)):
+                    s, e = bounds[c], bounds[c + 1]
+                    if e > s:
+                        C[c] = Xj[order[s:e]].mean(axis=0)
         books[j] = C
     return books
 
@@ -1215,10 +1259,14 @@ def pq_encode(
                 # matmul-form argmin (||c||² − 2v·c, the per-row ||v||²
                 # constant dropped) — same assignment rule as training,
                 # without the (n × k × dsub) broadcast-subtract cube per
-                # batch; codes verified bit-identical on the shipped
-                # corpora (see pq_train_codebooks)
+                # batch; the dot runs as the thin-subspace broadcast
+                # accumulation (_pq_subspace_dots — the dgemm is ~5×
+                # slower at dsub-wide inner dims and the values measured
+                # bit-identical); codes verified bit-identical on the
+                # shipped corpora (see pq_train_codebooks)
+                dots = _pq_subspace_dots(Vj, B[j])
                 codes[:, j] = (
-                    (B[j] * B[j]).sum(axis=1)[None, :] - 2.0 * (Vj @ B[j].T)
+                    (B[j] * B[j]).sum(axis=1)[None, :] - 2.0 * dots
                 ).argmin(axis=1)
             out = pdf[keep].copy()
             out[out_col] = list(codes)

@@ -1,9 +1,12 @@
-"""The r10 PQ speedup must not move a single code or centroid: the
-matmul-form assignment (||c||^2 - 2 x.c argmin, sorted-group update)
-must reproduce the textbook broadcast-subtract k-means BIT-EXACTLY on
-real corpus data. The update arithmetic (members.mean over the same
-rows in the same order) is deliberately untouched by the optimization;
-this pins that contract against future edits."""
+"""The r10/r11 PQ speedups must not move a single code or centroid:
+the matmul-form assignment (||c||^2 - 2 x.c argmin) and the r11
+vectorized centroid update (np.add.at group sums — sequential
+accumulation in original row order, the same order and pairing as
+numpy's axis-0 grouped mean for dsub > 1; the dsub == 1 configuration
+keeps the grouped-mean loop because a 1-D mean switches to pairwise
+summation) must reproduce the textbook broadcast-subtract k-means
+BIT-EXACTLY on real corpus data. This pins that contract against
+future edits."""
 import numpy as np
 import pyspark.sql.functions as F
 
@@ -48,6 +51,22 @@ def test_codebooks_bit_identical_to_reference(spark):
     )
     want = _reference_train(X, m=16, k=256, iters=8)
     got = pq_train_codebooks(e, m=16, k=256, iters=8, sample=512)
+    assert np.array_equal(want, got)
+
+
+def test_codebooks_bit_identical_to_reference_dsub1(spark):
+    """m == dim → dsub == 1: the one configuration where the
+    vectorized add.at update would NOT match (1-D pairwise mean), so
+    the trainer keeps the grouped-mean loop there — pinned against the
+    same verbatim reference."""
+    e = load(spark, SF, "embeddings")
+    rows = _train_sample(e, 256, "vec_id", "embedding")
+    dim = _majority_dim((r["_v"] for r in rows), stage="test")
+    X = _unit_rows(
+        np.array([r["_v"] for r in rows if len(r["_v"]) == dim], dtype=np.float64)
+    )
+    want = _reference_train(X, m=dim, k=16, iters=4)
+    got = pq_train_codebooks(e, m=dim, k=16, iters=4, sample=256)
     assert np.array_equal(want, got)
 
 
