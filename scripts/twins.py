@@ -438,7 +438,16 @@ def ann_pq_topk(sdf, sf_dir, con):
     """Value-exact re-ranked scores + recall floor for PQ ADC+refine.
     The r8 config (8-bit codebooks, 10xk shortlist — raised after the
     sf1 run caught the 4-bit/5xk config at recall 0.50 on 10x data)
-    measures 1.00 at sf0.01 and 0.96 at sf1; floor 0.8."""
+    measures 1.00 at sf0.01 and 0.96 at sf1; floor 0.8.
+
+    NB (ADVICE r10): PQ codes/centroids are IMPLEMENTATION-DEFINED at
+    k-means distance ties — the matmul-form argmin (r10) and the
+    vectorized update (r11) are pinned bit-exact against the textbook
+    reference on the shipped corpora (test_pq_fast_assign), but two
+    distinct centroids equidistant to ~1e-14 could in principle
+    assign differently on a new corpus. The twin is robust to that by
+    construction: emitted scores are refine-stage exact cosines and
+    only the recall floor depends on the candidate set."""
     return _ann_twin(sdf, con, 0.8, "pq m=16 k=256 refine=10")
 
 

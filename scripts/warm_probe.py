@@ -10,11 +10,14 @@ Usage: python scripts/warm_probe.py <sf_dir> <rounds> <query> [query ...]
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
 
-import os
+# the chillastic imports below REQUIRE this path mutation — keep it
+# immediately above them (ADVICE r10: a reformat that hoisted the
+# imports past it would break the script)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from chillastic_spark.persist import batch_scope
@@ -55,14 +58,24 @@ def main() -> None:
     probes = [calibrate(spark)]
     for r in range(rounds):
         for n in names:
-            dt = run(n)
+            # a query that failed warmup (or fails intermittently) must
+            # not abort the probe and lose every other query's medians —
+            # record the failure, keep collecting (ADVICE r10)
+            try:
+                dt = run(n)
+            except Exception as e:  # noqa: BLE001
+                print(f"# round {r + 1}/{rounds} {n} FAILED: {e}",
+                      file=sys.stderr)
+                continue
             times[n].append(dt)
             print(f"# round {r + 1}/{rounds} {n}: {dt:.2f}s", file=sys.stderr)
         probes.append(calibrate(spark))
-    med = {n: round(statistics.median(v), 3) for n, v in times.items()}
+    med = {n: round(statistics.median(v), 3) for n, v in times.items() if v}
+    failed = sorted(n for n, v in times.items() if not v)
     print(json.dumps({
         "sf_dir": sf_dir,
         "medians": dict(sorted(med.items(), key=lambda kv: -kv[1])),
+        "failed": failed,
         "raw": times,
         "probes": [round(p, 3) for p in probes],
     }))
